@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading for the engine.
+  *
+  * The reference has no catalog: its only source is the
+  * `read_files('<glob>' [, connection=>'name'])` table function that lists a
+  * storage backend (fs/S3 via OpenDAL) and streams every matching Parquet
+  * file (reference: read_files_task.rs:156-291, logical_planner.rs:385-396).
+  * Spark globs natively through the Hadoop filesystem layer, so the whole
+  * operator collapses into `spark.read.parquet(glob)`; `connection=>` maps to
+  * a filesystem scheme (file://, s3a://) configured on the Hadoop conf.
+  *
+  * Scale note: `spark.read.parquet` on a directory/glob plans one task per
+  * file-split (`spark.sql.files.maxPartitionBytes`), so a 100 TB dataset of
+  * many files parallelizes across all executors with no driver-side listing
+  * bottleneck beyond the InMemoryFileIndex (which itself parallelizes listing
+  * past `spark.sql.sources.parallelPartitionDiscovery.threshold`).
+  */
+object Tables {
+
+  /** All driver-provided test tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one named table from a scale-factor directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `read_files` analog: read every Parquet file matching a glob.
+    * Reference semantics: schema is inferred from the files themselves
+    * (read_files_task.rs:250-253); pass mergeSchema for drifting schemas.
+    */
+  def readFiles(spark: SparkSession, glob: String,
+                mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
+
+  /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+    * long (legacy conf) and convert to a microsecond timestamp with integer
+    * division — `DIV`, not `/`, because a double mantissa can't hold
+    * nanosecond epochs (~1.7e18 > 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Register every test table as a temp view so `spark.sql` works. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
