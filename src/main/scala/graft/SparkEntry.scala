@@ -52,6 +52,21 @@ object SparkEntry {
     "cte_query" -> (Relational.cteQuery _),
     "case_cast_like" -> (Relational.caseCastLike _),
     "events_window" -> (Relational.eventsWindow _),
+    "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
+    // --- training-data pipeline ops (north-star scope) ---
+    "text_stats" -> (TextOps.textStats _),
+    "text_quality" -> (TextOps.textQuality _),
+    "lang_id" -> (TextOps.langId _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "ann_bruteforce" -> (Ann.annBruteforce _),
+    "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +195,115 @@ object SparkEntry {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""",
+    "events_sessionize" -> """
+      WITH x AS (
+        SELECT user_id, event_id, ts,
+          epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      y AS (
+        SELECT user_id, event_id, ts,
+          CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000000
+                        THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM x)
+      SELECT user_id, session_id, count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      FROM y GROUP BY user_id, session_id""",
+    "text_stats" -> """
+      WITH t AS (
+        SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks,
+          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS bpe
+        FROM documents)
+      SELECT doc_id, n_chars, len_chars,
+        CAST(len(toks) AS INT) AS n_tokens,
+        CAST(len(bpe) AS INT) AS n_bpe_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) /
+          CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+        CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+          AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len
+      FROM t""",
+    "text_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+          CAST(len(toks) AS DOUBLE) AS n_toks
+        FROM t)
+      SELECT doc_id, punct_ratio, stop_ratio,
+        0.3 * least(stop_ratio * 4.0, 1.0) + 0.4 * uniq_ratio
+          + 0.3 * least(n_toks / 100.0, 1.0) AS quality,
+        (0.3 * least(stop_ratio * 4.0, 1.0) + 0.4 * uniq_ratio
+          + 0.3 * least(n_toks / 100.0, 1.0)) > 0.5 AS keep
+      FROM r""",
+    "dedup_exact" -> """
+      WITH n AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents)
+      SELECT doc_id,
+        doc_id = min(doc_id) OVER (PARTITION BY norm) AS keep,
+        count(*) OVER (PARTITION BY norm) AS n_copies
+      FROM n""",
+    "dedup_ngram" -> """
+      WITH g AS (
+        SELECT doc_id, lang, n_chars // 64 AS blk,
+          CASE WHEN length(text) >= 4 THEN
+            list_distinct(list_transform(range(1, length(text) - 2),
+              i -> substring(text, i, 4)))
+          ELSE [text] END AS ng
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE), 4)
+          AS jaccard
+      FROM g a, g b
+      WHERE a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.8""",
+    "dedup_embedding" -> """
+      SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.label = b.label AND a.vec_id < b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "ann_bruteforce" -> """
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings),
+      s AS (SELECT q_id, cand_id,
+              round(list_cosine_similarity(qe, ce), 6) AS cos_r
+            FROM q, c WHERE q_id <> cand_id),
+      r AS (SELECT q_id, cand_id, cos_r,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_r DESC, cand_id) AS rank
+            FROM s)
+      SELECT q_id, rank, cand_id, cos_r FROM r WHERE rank <= 10""",
+    "multimodal_meta" -> """
+      SELECT doc_id,
+        CAST(strlen(text) AS INT) AS n_bytes,
+        CASE WHEN strlen(text) % 3 = 0 THEN 'image/png'
+             WHEN strlen(text) % 3 = 1 THEN 'image/jpeg'
+             ELSE 'video/mp4' END AS mime,
+        CAST(64 + strlen(text) % 512 AS INT) AS width,
+        CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
+      FROM documents""",
   )
 }

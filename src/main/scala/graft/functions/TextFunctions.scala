@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, BPE-ish token counting.
+  *
+  * Everything here composes `org.apache.spark.sql.functions` (including
+  * higher-order array functions), so it all stays inside whole-stage codegen
+  * — no UDF boxing on the 100 TB path. The reference engine has no function
+  * surface at all (README.md:73-75); this module is north-star scope.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lowercased, empty-safe. */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation by regex: runs of letters, digits, or
+    * single non-alphanumeric symbols — a cheap, deterministic proxy for a
+    * real BPE vocab (which would be a broadcast lookup table).
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "\\p{Punct}", "")))
+      .cast("double") / greatest(length(c), lit(1)).cast("double")
+
+  /** Fraction of tokens found in a stopword list. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(c)
+    size(filter(t, tok => tok.isInCollection(stopwords))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Distinct-token ratio — low values flag degenerate/repetitive text. */
+  def uniqueTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(array_distinct(t)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLength(c: Column): Column = {
+    val t = tokens(c)
+    aggregate(transform(t, tok => length(tok)), lit(0),
+      (acc, x) => acc + x).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors some stopwords (fluent prose),
+    * lexical diversity, and reasonable length; fixed evaluation order keeps
+    * the double arithmetic reproducible across engines.
+    */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    lit(0.3) * least(stopwordRatio(c, stopwords) * 4.0, lit(1.0)) +
+      lit(0.4) * uniqueTokenRatio(c) +
+      lit(0.3) * least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+
+  /** Tiny per-language marker profiles for the n-gram/stopword language-ID
+    * heuristic. Real pipelines broadcast a much larger profile table; the
+    * mechanism (score-per-profile, argmax) is identical.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you"))
+
+  /** Language ID: score = matching marker tokens per language; argmax via
+    * array_max over (score, lang) structs (struct ordering compares fields
+    * left-to-right, so ties break to the lexicographically largest lang —
+    * deterministic).
+    */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(size(filter(t, tok => tok.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Character n-gram set (distinct), the unit for n-gram Jaccard.
+    * Guarded: sequence(1, 0) would generate a DESCENDING sequence, so short
+    * strings fall back to a single-element set.
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n)))))
+      .otherwise(array(c))
+
+  /** Word shingles (n-token windows joined by a space) — MinHash input. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    array_distinct(when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", t))))
+  }
+}

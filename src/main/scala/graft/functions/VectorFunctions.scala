@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ARRAY<FLOAT> embedding columns using higher-order
+  * functions (`zip_with`/`aggregate`) — codegen-friendly, no UDF boxing,
+  * no MLlib Vector conversion on the hot path.
+  *
+  * Precision discipline: elements are cast to double BEFORE multiplying and
+  * the fold is left-to-right, so the result is deterministic and matches a
+  * sequential double-precision dot product in any other engine.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH signature: `planes` is a small deterministic
+    * matrix (seeded off-driver, broadcast as literals); bit j of the result
+    * is sign(dot(v, plane_j)). Vectors within a cosine cone share buckets
+    * with high probability — the candidate-generation step that turns an
+    * O(n^2) similarity scan into a bucket join at scale.
+    */
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, array(p.map(lit): _*)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.sources.Tables.table
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, blocked n-gram Jaccard, and embedding-cosine
+  * near-dup. North-star scope — the reference has no dedup of any kind.
+  *
+  * Common scale shape: every variant reduces the O(n^2) pair space to a
+  * candidate set via a BLOCKING key (hash bucket, LSH band, SimHash chunk,
+  * length/lang block), which Spark executes as a shuffle-on-key join — the
+  * only formulation that survives 100 TB. Verification (exact Jaccard /
+  * cosine / Hamming) then runs only on candidates. Outputs are per-document
+  * verdicts (doc_id, dup_of, keep) so results are non-empty and auditable
+  * even when a corpus has no duplicates.
+  */
+object Dedup {
+
+  /** Whitespace-normalized, case-folded text — the exact-dedup key. */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Exact dedup by normalized content hash (oracle-checked).
+    * groupBy-free: two window functions over the norm key — one shuffle.
+    * At 100 TB you'd key the window on xxhash64(norm) to shrink shuffle
+    * payload; here norm keeps the oracle SQL 1:1.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("norm"))
+    table(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"),
+        count(lit(1)).over(w).as("n_copies"))
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
+    * Higher-order functions only — the whole signature computation is one
+    * codegen'd projection, no UDF.
+    */
+  def minhashSig(shingles: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
+
+  private def bandStructs(sig: Column): Seq[Column] =
+    (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(array_join(transform(
+          slice(sig, j * RowsPerBand + 1, RowsPerBand),
+          x => x.cast("string")), ",")).as("bh"))
+    }
+
+  /** MinHash + LSH near-duplicate detection (rows-only check: the banded
+    * candidate generation has no SQL equivalent).
+    *
+    * Pipeline: word-3-shingles → 64-hash MinHash signature → 16 bands of 4
+    * → explode to (band, bandHash) keys → self-join on the band key for
+    * candidates → verify with EXACT Jaccard on shingle sets → per-doc
+    * verdict. Band join + verify joins shuffle on band key / doc_id; no
+    * stage is quadratic in corpus size.
+    */
+  def dedupMinhash(s: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
+    val withSig = docs.withColumn("sig", minhashSig(col("shingles")))
+    val bands = withSig.select(col("doc_id"),
+      explode(array(bandStructs(col("sig")): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val verified = cands
+      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val dupOf = verified.groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
+    table(s, dir, "documents").select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        round(col("best_jaccard"), 4).as("best_jaccard"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document, computed in the distributed-friendly
+    * shape: explode tokens → one shuffle → 64 per-bit vote sums in a single
+    * hash aggregate → pack bits. One pass over tokens regardless of corpus
+    * size (vs. folding 64 times per row inside a projection).
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val tok = table(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup (rows-only check). Candidates via the pigeonhole
+    * trick: any pair within Hamming distance 3 of a 64-bit signature agrees
+    * exactly on at least one of 4 16-bit chunks, so exploding 4 chunk keys
+    * and joining on (chunk_idx, chunk_value) finds all such pairs without a
+    * quadratic scan. Verification = bit_count(xor) <= maxHamming.
+    */
+  def dedupSimhash(s: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(s, dir)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("ci"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("b"), col("y.simhash").as("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+    val dupOf = cands.groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"), min(col("hamming")).as("best_hamming"))
+    sigs.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("dup_of"),
+        col("best_hamming"), col("dup_of").isNull.as("keep"))
+  }
+
+  // ------------------------------------------------- blocked n-gram Jaccard
+
+  /** Character-4-gram Jaccard near-dup within (lang, length-bucket) blocks
+    * (oracle-checked — fully expressible in SQL). Blocking bounds each
+    * block's pair count; near-identical docs land in the same length bucket
+    * except at bucket boundaries (documented recall tradeoff; the MinHash
+    * variant has no such boundary).
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val g = table(s, dir, "documents").select(
+      col("doc_id"), col("lang"), floor(col("n_chars") / 64).as("blk"),
+      T.charNgrams(col("text"), 4).as("ng"))
+    g.as("a").join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double") /
+          size(array_union(col("a.ng"), col("b.ng"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // --------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding cosine near-dup within label blocks (oracle-checked).
+    * Exact double-precision cosine via zip_with/aggregate; the label acts
+    * as the blocking key. The unblocked scale path is the hyperplane-LSH
+    * bucketing in Ann.annLsh.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String,
+                     threshold: Double = 0.4): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", V.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Streaming surface over the `events` table via Structured Streaming.
+  *
+  * Nothing in the reference streams (SURVEY.md §1.1 — streaming generators
+  * are an unimplemented DEV_NOTES idea); this is north-star scope. The
+  * batch `eventsSessionize` is the oracle-checkable twin of the stateful
+  * streaming sessionizer, so correctness of the session semantics is gated
+  * by DuckDB while the streaming path is exercised in StreamingSpec with a
+  * memory sink.
+  */
+object EventStreams {
+
+  val SessionGapMicros: Long = 1800L * 1000000L // 30 min
+
+  /** Explicit schema for readStream (streaming sources can't infer); ts is
+    * the raw nanosecond long (see Tables.events for why).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a DIRECTORY of event parquet files (streaming
+    * file sources require a directory, not a file — new files appearing in
+    * it become micro-batches), ts converted to a microsecond timestamp.
+    */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling-window counts — the canonical streaming agg.
+    * State is bounded by the watermark horizon; at scale this is a
+    * shuffle-by-(window,type) stateful aggregation with RocksDB state.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_value"))
+
+  // ------------------------------------------------------- sessionization
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long,
+                          startTs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_micros: Long, end_micros: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset state API the north star calls for. Emits a
+    * session row whenever a gap > 30 min closes it; state per user is O(1).
+    */
+  def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(sessionFn)
+  }
+
+  private[streaming] def sessionFn(userId: Long, rows: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+    sorted.foreach { e =>
+      if (st.count == 0L) {
+        st = SessionState(st.sessionId + 1, e.tsMicros, 1L, e.tsMicros)
+      } else if (e.tsMicros - st.lastTs > SessionGapMicros) {
+        out += SessionOut(userId, st.sessionId, st.count, st.startTs, st.lastTs)
+        st = SessionState(st.sessionId + 1, e.tsMicros, 1L, e.tsMicros)
+      } else {
+        st = st.copy(lastTs = e.tsMicros, count = st.count + 1)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Batch sessionization — identical semantics to the streaming version,
+    * expressed with lag/cumulative-sum windows (oracle-checked). One
+    * shuffle on user_id; both windows share the same partitioning+ordering
+    * so Catalyst plans a single sort.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(wOrd)
+    ev.withColumn("new_sess",
+        when(gap.isNull || gap > SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+}

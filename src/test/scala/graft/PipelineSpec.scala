@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RabinHash
+import graft.operators.{Ann, Dedup, Multimodal, TextOps}
+
+/** Specs for the training-data pipeline operators. The corpus has few real
+  * duplicates, so dedup tests synthesize them: a copy of the table with
+  * doc_ids offset and light text mutations must be flagged as dups of the
+  * originals.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** documents ∪ mutated copy (ids +10000, one word changed). */
+  private def withSynthDups(tmp: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text",
+        concat(col("text"), lit(" trailing mutation")))
+    docs.union(mutated).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+  }
+
+  test("dedup_exact flags exact copies, keeps originals") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Dedup.dedupExact(spark, tmp)
+    assert(r.filter(col("keep")).count() === 500L)
+    assert(r.filter(!col("keep") && col("doc_id") >= 10000).count() === 500L)
+  }
+
+  test("dedup_minhash catches near-duplicates with mutations") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup").toString
+    withSynthDups(tmp)
+    val r = Dedup.dedupMinhash(spark, tmp, threshold = 0.7)
+    val flagged = r.filter(col("dup_of").isNotNull)
+    // every mutated doc should be flagged as dup of its original
+    assert(flagged.filter(col("doc_id") >= 10000 &&
+      col("dup_of") === col("doc_id") - 10000).count() >= 450L)
+    // most originals stay kept (the corpus has ~two dozen REAL near-dup
+    // pairs among originals — those are correctly flagged too)
+    assert(r.filter(col("keep") && col("doc_id") < 10000).count() >= 450L)
+  }
+
+  test("dedup_simhash flags near-identical docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup").toString
+    withSynthDups(tmp)
+    // appending two tokens shifts few simhash bits; allow a wider radius
+    // and a lower bound — simhash is the coarsest of the dedup family
+    val r = Dedup.dedupSimhash(spark, tmp, maxHamming = 6)
+    assert(r.filter(col("dup_of").isNotNull).count() >= 300L)
+  }
+
+  test("dedup_ngram finds the corpus's real near-dup pairs") {
+    val r = graft.operators.Dedup.dedupNgramJaccard(spark, dir, 0.8)
+    assert(r.count() >= 1L)
+    assert(r.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0)
+      .count() === 0L)
+  }
+
+  test("ann_lsh results are a subset-quality approximation of bruteforce") {
+    val exact = Ann.annBruteforce(spark, dir)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.annLsh(spark, dir)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    // LSH with 6 bits + multi-probe: expect meaningful (not perfect) recall
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("ann_bruteforce ranks by cosine descending per query") {
+    val rows = Ann.annBruteforce(spark, dir)
+      .orderBy("q_id", "rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sortWith(_ > _)) || sims.length <= 1 ||
+        sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lang_id predicts a known language label") {
+    val langs = TextOps.langId(spark, dir).select("lang_pred")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "es", "de", "zh")))
+  }
+
+  test("rabin fingerprint: equal strings collide, k-gram change diverges") {
+    val a = "the quick brown fox jumps over the lazy dog".getBytes
+    val b = "the quick brown fox jumps over the lazy cat".getBytes
+    assert(RabinHash.minKgram(a, 8) === RabinHash.minKgram(a.clone, 8))
+    val wa = RabinHash.winnow(a, 8, 16).toSet
+    val wb = RabinHash.winnow(b, 8, 16).toSet
+    assert(wa.nonEmpty && wb.nonEmpty)
+    assert(RabinHash.winnow(Array.emptyByteArray, 8, 16).isEmpty)
+  }
+
+  test("multimodal features: histogram normalized, frames sampled") {
+    val r = Multimodal.multimodalFeatures(spark, dir)
+      .select(col("doc_id"),
+        aggregate(col("hist"), lit(0.0), (a, x) => a + x).as("hsum"),
+        size(col("frames")).as("nf"), col("thumb_w"), col("thumb_h"))
+    assert(r.filter(abs(col("hsum") - 1.0) > 1e-9).count() === 0L)
+    assert(r.filter(col("nf") =!= 5).count() === 0L)
+    assert(r.filter(col("thumb_w") > 128 || col("thumb_h") > 128)
+      .count() === 0L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: the streaming pipelines must agree with
+  * their batch twins on the same input (the reference has no streaming at
+  * all; this is north-star scope).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Streaming file sources need a directory — stage the single events
+    * parquet file into one.
+    */
+  lazy val eventsDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("part-00000.parquet"))
+    tmp.toString
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val q = EventStreams.windowedCounts(
+        EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(streamed === 1000L)
+      val batch = graft.operators.Relational.eventsWindow(spark, dir)
+      assert(spark.table("win_counts").count() === batch.count())
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits sessions consistent with batch") {
+    val q = EventStreams.sessionizeStream(
+        EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamedClosed = spark.table("sessions").count()
+      val batch = EventStreams.eventsSessionize(spark, dir).count()
+      // streaming (append mode) only emits CLOSED sessions; every closed
+      // session must exist in the batch result, and open ones account for
+      // the difference (one trailing session per user at most).
+      val users = spark.read.parquet(s"$dir/events.parquet")
+        .select("user_id").distinct().count()
+      assert(streamedClosed <= batch)
+      assert(batch - streamedClosed <= users)
+    } finally q.stop()
+  }
+}
