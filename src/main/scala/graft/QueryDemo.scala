@@ -1,0 +1,47 @@
+package graft
+
+import graft.exec.{CursorPager, ResultMaterializer}
+import graft.exec.CursorPager.Start
+import graft.sql.QueryFacade
+
+/** Demo/diagnostic main: the reference's full client lifecycle end-to-end —
+  * submit SQL (with read_files), materialize the result as
+  * `query_results/<id>/rec_N.parquet`, then cursor-page it back, forward
+  * and backward. Usage: runMain graft.QueryDemo [sfDir] [sql]
+  */
+object QueryDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sql = if (args.length > 1) args(1)
+      else s"select * from read_files('$sfDir/lineitem.parquet') " +
+        "where l_quantity > 45.0 order by l_orderkey, l_linenumber"
+    val spark = graft.engine.GraftSession.getOrCreate("graft-query-demo")
+    val df = QueryFacade.run(spark, sql)
+    val root = java.nio.file.Files
+      .createTempDirectory("query_results").toString
+    val qid = java.util.UUID.randomUUID().toString
+    val rs = ResultMaterializer.materialize(df, root, qid)
+    println(s"MATERIALIZED files=${rs.files.length} rows=${rs.totalRows} " +
+      s"dir=$root/$qid")
+    val pager = new CursorPager(spark, rs)
+    var cursor: Option[CursorPager.Cursor] = Some(Start)
+    var page = 0
+    var rows = 0L
+    while (cursor.isDefined) {
+      val p = pager.page(cursor.get, 500, forward = true)
+      rows += p.rows.length
+      if (page == 0 && p.rows.nonEmpty)
+        println(s"FIRST_ROW=${p.rows.head} AT=${p.offsets.head}")
+      cursor = p.next
+      page += 1
+    }
+    println(s"PAGED_FORWARD pages=$page rows=$rows")
+    if (pager.totalRows > 0) {
+      val tail = pager.page(pager.toCursor(pager.totalRows - 1), 500,
+        forward = false)
+      println(s"PAGED_BACK rows=${tail.rows.length} " +
+        s"next=${tail.next.map(pager.toGlobal)}")
+    }
+    spark.stop()
+  }
+}

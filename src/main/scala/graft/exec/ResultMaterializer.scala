@@ -1,0 +1,78 @@
+package graft.exec
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.DataFrame
+
+/** Query-result materialization, mirroring the reference's layout: every
+  * query's output is persisted as Parquet under
+  * `<root>/query_results/<query_uuid>/rec_<N>.parquet` with sequential
+  * batch numbering (materialize_files_task.rs:118-142), which the cursor
+  * pager then walks by (file, row_group, row).
+  *
+  * Spark writers emit `part-*` names, so the materializer renames the
+  * committed parts in lexicographic order — preserving the writer's
+  * partition order — to the deterministic `rec_N` scheme the cursor
+  * contract requires (SURVEY.md §7.5 "result layout compatibility").
+  *
+  * Scale note: materialization is `df.write.parquet` — fully distributed,
+  * one file per task. Only the rename pass is driver-side (metadata-only,
+  * O(#files)).
+  */
+object ResultMaterializer {
+
+  /** One materialized result file + its per-row-group row counts (from the
+    * parquet footer, the same metadata the reference's QueryDataHandler
+    * reads).
+    */
+  final case class ResultFile(path: String, rowGroupRows: Vector[Long]) {
+    def rows: Long = rowGroupRows.sum
+  }
+
+  /** A materialized result directory in cursor order. */
+  final case class ResultSet(dir: String, files: Vector[ResultFile]) {
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  /** Write `df` as `<root>/<queryId>/rec_N.parquet`. */
+  def materialize(df: DataFrame, root: String, queryId: String): ResultSet = {
+    val dir = Paths.get(root, queryId)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val parts = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .toVector.sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, dir.resolve(s"rec_$i.parquet"))
+    }
+    open(dir.toString)
+  }
+
+  /** Open an existing result dir: list rec_N files in numeric order and
+    * read row-group row counts from each footer.
+    */
+  def open(dir: String): ResultSet = {
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("rec_") && n.endsWith(".parquet")
+      }
+      .toVector
+      .sortBy(p => p.getFileName.toString
+        .stripPrefix("rec_").stripSuffix(".parquet").toInt)
+    ResultSet(dir, files.map(readFooter))
+  }
+
+  private def readFooter(p: Path): ResultFile = {
+    val in = HadoopInputFile.fromPath(new HPath(p.toString), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val groups = reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount.toLong).toVector
+      ResultFile(p.toString, groups)
+    } finally reader.close()
+  }
+}
