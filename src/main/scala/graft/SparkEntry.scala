@@ -262,19 +262,26 @@ object SparkEntry {
     "dedup_ngram" -> """
       WITH g AS (
         SELECT doc_id, lang, n_chars // 64 AS blk,
-          CASE WHEN length(text) >= 4 THEN
-            list_distinct(list_transform(range(1, length(text) - 2),
-              i -> substring(text, i, 4)))
-          ELSE [text] END AS ng
-        FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE), 4)
+          list_filter(
+            CASE WHEN length(text) >= 4 THEN
+              list_distinct(list_transform(range(1, length(text) - 2),
+                i -> substring(text, i, 4)))
+            ELSE [text] END,
+            x -> substring(md5(x), 1, 1) IN ('0','1','2','3')) AS ng
+        FROM documents),
+      h AS (SELECT doc_id, lang, blk, ng, len(ng) AS n FROM g),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+          len(list_intersect(a.ng, b.ng)) AS inter
+        FROM h a, h b
+        WHERE a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+          AND CAST(least(a.n, b.n) AS DOUBLE) >=
+              CAST(greatest(a.n, b.n) AS DOUBLE) * 0.8)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4)
           AS jaccard
-      FROM g a, g b
-      WHERE a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.8""",
+      FROM p
+      WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8""",
     "dedup_embedding" -> """
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

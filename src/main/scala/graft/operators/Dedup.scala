@@ -52,19 +52,41 @@ object Dedup {
     transform(sequence(lit(0), lit(NumHashes - 1)),
       i => array_min(transform(shingles, sh => xxhash64(sh, i))))
 
-  private def bandStructs(sig: Column): Seq[Column] =
-    (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64(array_join(transform(
-          slice(sig, j * RowsPerBand + 1, RowsPerBand),
-          x => x.cast("string")), ",")).as("bh"))
-    }
+  /** Band hashes computed DIRECTLY from shingles, one expression per band
+    * over only that band's RowsPerBand min-hashes. Deliberately not
+    * expressed as slice(fullSignature): higher-order functions are
+    * interpreted (no codegen CSE), and CollapseProject happily inlines a
+    * shared signature column into all 16 band expressions — recomputing
+    * the 64-hash signature 16x. Partitioning the hash indices among bands
+    * keeps total work at exactly 64 hashes per shingle.
+    */
+  private def bandHashes(shingles: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), j =>
+      xxhash64(array_join(
+        transform(sequence(lit(0), lit(RowsPerBand - 1)), r =>
+          array_min(transform(shingles,
+            sh => xxhash64(sh, j * RowsPerBand + r))).cast("string")),
+        ",")))
+
+  /** Drop LSH buckets larger than this: a bucket holding b docs implies
+    * b^2 candidate pairs, and oversized buckets on homogeneous corpora are
+    * degenerate (everything weakly similar), not true duplicate clusters.
+    * Standard production-LSH guard; documented recall tradeoff.
+    */
+  val MaxBucket = 200
+
+  private def capBuckets(bands: DataFrame, keys: Seq[String]): DataFrame = {
+    val sizes = bands.groupBy(keys.map(col): _*).count()
+      .filter(col("count") <= MaxBucket).drop("count")
+    bands.join(sizes, keys)
+  }
 
   /** MinHash + LSH near-duplicate detection (rows-only check: the banded
     * candidate generation has no SQL equivalent).
     *
-    * Pipeline: word-3-shingles → 64-hash MinHash signature → 16 bands of 4
-    * → explode to (band, bandHash) keys → self-join on the band key for
+    * Pipeline: word-3-shingles → 16 band hashes (4 min-hashes each,
+    * computed per band — see bandHashes) → explode to (band, bandHash)
+    * keys → cap degenerate buckets → self-join on the band key for
     * candidates → verify with EXACT Jaccard on shingle sets → per-doc
     * verdict. Band join + verify joins shuffle on band key / doc_id; no
     * stage is quadratic in corpus size.
@@ -73,10 +95,24 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-    val withSig = docs.withColumn("sig", minhashSig(col("shingles")))
-    val bands = withSig.select(col("doc_id"),
-      explode(array(bandStructs(col("sig")): _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // Signature in the vectorized shape: explode shingles once, then 64
+    // min(xxhash64(sh, i)) aggregates in one codegen'd hash-aggregate pass
+    // (map-side partial min, one shuffle on doc_id). The HOF formulations
+    // (minhashSig/bandHashes) are interpreted per-row; this is the 100 TB
+    // path AND ~an order of magnitude faster locally.
+    val shingled = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val minAggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = shingled.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",", (0 until RowsPerBand).map(r =>
+          col(s"h${j * RowsPerBand + r}").cast("string")): _*)).as("bh"))
+    }
+    val bands = capBuckets(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")),
+      Seq("band", "bh"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -128,13 +164,15 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(s, dir)
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("ci"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
-      }: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"),
-        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val chunks = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("ci"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+        }: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"),
+          col("ch.ci").as("ci"), col("ch.cv").as("cv")),
+      Seq("ci", "cv"))
     val cands = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -156,21 +194,46 @@ object Dedup {
     * block's pair count; near-identical docs land in the same length bucket
     * except at bucket boundaries (documented recall tradeoff; the MinHash
     * variant has no such boundary).
+    *
+    * Three scale devices, all mirrored exactly in the oracle SQL:
+    *  - deterministic 1/4 gram sampling by md5-prefix (md5 hex is
+    *    engine-agnostic, unlike xxhash) — an unbiased Jaccard estimator
+    *    that cuts per-pair set work ~16x; real near-dups (J≈0.98 on ~300
+    *    sampled grams) stay far above the threshold;
+    *  - size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    *    pairs failing the ratio can't pass the threshold (sound, no false
+    *    negatives on the sampled sets);
+    *  - union-free Jaccard: |A∪B| = |A|+|B|-|A∩B| — one set op per pair
+    *    instead of two.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
+    val sampled = filter(T.charNgrams(col("text"), 4),
+      x => substring(md5(x), 1, 1).isInCollection(Seq("0", "1", "2", "3")))
     val g = table(s, dir, "documents").select(
       col("doc_id"), col("lang"), floor(col("n_chars") / 64).as("blk"),
-      T.charNgrams(col("text"), 4).as("ng"))
-    g.as("a").join(g.as("b"),
+      sampled.as("ng"))
+      .withColumn("n", size(col("ng")))
+    // The docs table arrives as ONE parquet split locally, and the pair
+    // join broadcasts the (small) build side — leaving ALL pair work in a
+    // single streamed task. Round-robin repartition of the streamed side
+    // spreads pair generation across every core; on a real cluster the
+    // input is already multi-split and this is a near-no-op.
+    val par = s.sparkContext.defaultParallelism
+    // inter is materialized as an attribute before reuse so the (costly)
+    // array_intersect runs once per pair, not once per reference
+    g.repartition(par).as("a").join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double") /
-          size(array_union(col("a.ng"), col("b.ng"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")).cast("double") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+        col("a.n").as("na"), col("b.n").as("nb"),
+        size(array_intersect(col("a.ng"), col("b.ng"))).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // --------------------------------------------- embedding-cosine near-dup
@@ -183,8 +246,10 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
     val e = table(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"))
+    // see dedupNgramJaccard: spread the streamed side of the pair join
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
       col("embedding").as("eb"))
     a.join(b, Seq("label"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants — the scale posture, tested. A query that
+  * passes its oracle but regresses to a full scan / global sort / shuffle
+  * join of a tiny dim table would still fail this suite.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter_where pushes the comparison into the parquet scan") {
+    val p = plan("filter_where")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), " +
+      "IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"), p.take(600))
+  }
+
+  test("scan/limit queries prune columns at the reader") {
+    val p = plan("limit_topk")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+        "l_extendedprice:double>"), p.take(600))
+  }
+
+  test("limit_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("rangepartitioning"), p.take(400))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("join_broadcast_dims")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") === 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    // two HashAggregate stages around one exchange = partial + final
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      p.take(800))
+  }
+
+  test("sort_orderby uses range partitioning (sample + shuffle + local sort)") {
+    val p = plan("sort_orderby")
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(600))
+  }
+
+  test("project_expr stays in a single whole-stage codegen span, no shuffle") {
+    val p = plan("project_expr")
+    assert(!p.contains("Exchange"), p.take(600))
+    // "*(1)" prefix = operator inside whole-stage-codegen stage 1
+    assert(p.contains("*(1) Project"), p.take(600))
+  }
+}
