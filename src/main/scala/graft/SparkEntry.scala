@@ -53,6 +53,20 @@ object SparkEntry {
     "case_cast_like" -> (Relational.caseCastLike _),
     "events_window" -> (Relational.eventsWindow _),
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
+    // --- second tranche: remaining joins, windows, aggregates, functions ---
+    "join_cross" -> (RelationalExt.joinCross _),
+    "join_right" -> (RelationalExt.joinRight _),
+    "join_full_outer" -> (RelationalExt.joinFullOuter _),
+    "setop_union_distinct" -> (RelationalExt.setopUnionDistinct _),
+    "cube_agg" -> (RelationalExt.cubeAgg _),
+    "window_lag_lead" -> (RelationalExt.windowLagLead _),
+    "agg_stats" -> (RelationalExt.aggStats _),
+    "agg_median" -> (RelationalExt.aggMedian _),
+    "agg_collect" -> (RelationalExt.aggCollect _),
+    "agg_approx_distinct" -> (RelationalExt.aggApproxDistinct _),
+    "date_functions" -> (RelationalExt.dateFunctions _),
+    "string_functions" -> (RelationalExt.stringFunctions _),
+    "offset_limit" -> (RelationalExt.offsetLimit _),
     // --- training-data pipeline ops (north-star scope) ---
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
@@ -195,6 +209,78 @@ object SparkEntry {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""",
+    "join_cross" -> "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "join_right" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
+    "join_full_outer" -> """
+      WITH big AS (
+        SELECT o_custkey, count(*) AS n_big,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_custkey)
+      SELECT c_custkey, c_name, n_big, big_total
+      FROM customer FULL OUTER JOIN big ON c_custkey = o_custkey""",
+    "setop_union_distinct" -> """
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      UNION
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 40.0""",
+    "cube_agg" -> """
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        count(*) AS n,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "window_lag_lead" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        lag(l_quantity, 1) OVER w AS prev_qty,
+        lead(l_quantity, 1) OVER w AS next_qty,
+        CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        CAST(ntile(4) OVER w AS BIGINT) AS bucket4
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    "agg_stats" -> """
+      SELECT l_returnflag, min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(avg(l_quantity), 4) AS avg_qty,
+        count(l_quantity) AS n
+      FROM lineitem GROUP BY l_returnflag""",
+    "agg_median" -> """
+      SELECT l_linestatus,
+        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      FROM lineitem GROUP BY l_linestatus""",
+    "agg_collect" -> """
+      SELECT l_suppkey,
+        list_sort(list_distinct(list(l_returnflag))) AS flags,
+        count(*) AS n
+      FROM lineitem GROUP BY l_suppkey""",
+    "date_functions" -> """
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(day(o_orderdate) AS INT) AS d,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(o_orderdate AS DATE) + 30 AS plus30,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+          AS INT) AS days_to_2002,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      FROM orders""",
+    "string_functions" -> """
+      SELECT p_partkey,
+        p_name ILIKE '%GREEN%' AS has_green,
+        regexp_matches(p_type, '^[A-Z]+') AS starts_upper,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        lpad(p_brand, 12, '*') AS brand_padded,
+        CAST(strpos(p_name, 'green') AS INT) AS green_pos,
+        split_part(p_type, ' ', 1) AS type_first_word,
+        reverse(p_brand) AS brand_rev
+      FROM part""",
+    "offset_limit" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50""",
     "events_sessionize" -> """
       WITH x AS (
         SELECT user_id, event_id, ts,

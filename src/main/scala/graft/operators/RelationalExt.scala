@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Relational.dsum
+import graft.sources.Tables.table
+
+/** Second tranche of the relational surface: the remaining join shapes,
+  * grouping-set variants, analytic windows, statistical/ordered/collection
+  * aggregates, sketches, and the date/string function classes the
+  * reference's README lists as unimplemented (README.md:54-72). Same rules
+  * as Relational: declarative plans, type/name parity with the DuckDB
+  * oracle, deterministic orderings.
+  */
+object RelationalExt {
+
+  /** Cross join — small×small only by design; at scale a cross join is a
+    * deliberate act (broadcast NL join), never an accident.
+    */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "nation").crossJoin(table(s, dir, "region"))
+      .select(col("n_name"), col("r_name"))
+
+  def joinRight(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").join(table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+
+  /** Full outer join on an aggregated right side: customers with no
+    * qualifying orders keep nulls on the right; order-groups with no
+    * customer row can't occur in this data but the shape is the general
+    * one (shuffle both sides on the key, SMJ).
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val big = table(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("big_total"))
+    table(s, dir, "customer").join(big,
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("n_big"), col("big_total"))
+  }
+
+  def setopUnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+      .union(li.filter(col("l_quantity") > 40.0)
+        .select("l_orderkey", "l_suppkey"))
+      .distinct()
+  }
+
+  /** CUBE — all 4 grouping combinations in one shuffle. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+
+  /** lag/lead/dense_rank/ntile. Ordering includes every projected column
+    * so residual ties are output-identical (the dataset has full duplicate
+    * rows — see SURVEY/verify notes).
+    */
+  def windowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    table(s, dir, "lineitem")
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("bucket4", ntile(4).over(w).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("prev_qty"),
+        col("next_qty"), col("drank"), col("bucket4"))
+  }
+
+  /** Statistical aggregates. stddev/variance accumulate in engine-specific
+    * orders; round(4) absorbs the sub-1e-9 drift (values are O(10)).
+    */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(col("l_quantity")).as("n"))
+
+  /** Ordered-set aggregate: interpolated median + p90 (both engines use
+    * the same linear-interpolation definition for continuous percentile).
+    */
+  def aggMedian(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+
+  /** Collection aggregate: sorted distinct collect (sorted so the array is
+    * a canonical value both engines agree on).
+    */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        count(lit(1)).as("n"))
+
+  /** HLL sketch vs exact distinct (rows-only: HLL estimates are
+    * engine-specific; PipelineExtSpec bounds the relative error instead).
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Date/time function class (README.md:49 "time types" unsupported in
+    * the reference): extraction, arithmetic, truncation, formatting.
+    */
+  def dateFunctions(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      quarter(col("o_orderdate")).as("q"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(lit("2002-01-01").cast("date"),
+        col("o_orderdate").cast("date")).as("days_to_2002"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month_start"))
+
+  /** String function class the reference lacks (README.md:54-56): ILIKE,
+    * regex match/replace, padding, position, splitting.
+    */
+  def stringFunctions(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(
+      col("p_partkey"),
+      col("p_name").ilike("%GREEN%").as("has_green"),
+      col("p_type").rlike("^[A-Z]+").as("starts_upper"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      lpad(col("p_brand"), 12, "*").as("brand_padded"),
+      instr(col("p_name"), "green").cast("int").as("green_pos"),
+      split(col("p_type"), " ").getItem(0).as("type_first_word"),
+      reverse(col("p_brand")).as("brand_rev"))
+
+  /** LIMIT/OFFSET pagination with a total order. */
+  def offsetLimit(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .offset(50).limit(25)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RelationalExt
+
+class RelationalExtSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact (HLL default rsd)") {
+    val rows = RelationalExt.aggApproxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("cross join cardinality is |nation| x |region|") {
+    assert(RelationalExt.joinCross(spark, dir).count() === 25L * 5L)
+  }
+
+  test("full outer keeps customers without big orders (null right side)") {
+    val df = RelationalExt.joinFullOuter(spark, dir)
+    assert(df.filter(col("n_big").isNull).count() > 0L)
+    assert(df.count() >=
+      spark.read.parquet(s"$dir/customer.parquet").count())
+  }
+
+  test("offset_limit returns rows 51..75 of the total order") {
+    val all = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val got = RelationalExt.offsetLimit(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === all.slice(50, 75).toSeq)
+  }
+
+  test("ntile buckets are balanced within 1 per partition") {
+    val df = RelationalExt.windowLagLead(spark, dir)
+      .groupBy("l_suppkey", "bucket4").count()
+      .groupBy("l_suppkey")
+      .agg((max("count") - min("count")).as("spread"))
+    assert(df.filter(col("spread") > 1).count() === 0L)
+  }
+}
