@@ -67,6 +67,9 @@ object SparkEntry {
     "date_functions" -> (RelationalExt.dateFunctions _),
     "string_functions" -> (RelationalExt.stringFunctions _),
     "offset_limit" -> (RelationalExt.offsetLimit _),
+    "agg_topk_udaf" -> (RelationalExt.aggTopKUdaf _),
+    "join_salted" -> (Skew.joinSalted _),
+    "agg_twophase" -> (Skew.aggTwoPhase _),
     // --- training-data pipeline ops (north-star scope) ---
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
@@ -281,6 +284,21 @@ object SparkEntry {
     "offset_limit" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50""",
+    "agg_topk_udaf" -> """
+      SELECT l_returnflag,
+        (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3]
+          AS top_prices,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
+    "join_salted" -> """
+      SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    "agg_twophase" -> """
+      SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
     "events_sessionize" -> """
       WITH x AS (
         SELECT user_id, event_id, ts,

@@ -1,0 +1,30 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{RabinFingerprint, RabinWinnow}
+
+/** SparkSessionExtensions entry point — the engine's functions become
+  * available to ANY session configured with
+  * `spark.sql.extensions=graft.engine.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), the standard injection
+  * mechanism for operator/function extensions (SURVEY.md §2.2: the
+  * reference's extensibility point is a Rust trait registry; ours is
+  * this).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rabin_fingerprint"),
+      new ExpressionInfo(classOf[RabinFingerprint].getName,
+        "rabin_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RabinFingerprint(exprs.head, 8)))
+    e.injectFunction((
+      new FunctionIdentifier("rabin_winnow"),
+      new ExpressionInfo(classOf[RabinWinnow].getName, "rabin_winnow"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RabinWinnow(exprs.head, 8, 16)))
+  }
+}

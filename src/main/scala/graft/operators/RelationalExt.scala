@@ -147,6 +147,17 @@ object RelationalExt {
       split(col("p_type"), " ").getItem(0).as("type_first_word"),
       reverse(col("p_brand")).as("brand_rev"))
 
+  /** Custom typed Aggregator (UDAF surface the reference lacks): top-k
+    * prices per group with an O(k)-bounded, map-side-combinable buffer.
+    * Oracle: ordered list slice in DuckDB.
+    */
+  def aggTopKUdaf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAggregator.topK(3)(col("l_extendedprice"))
+        .as("top_prices"),
+        count(lit(1)).as("n"))
+
   /** LIMIT/OFFSET pagination with a total order. */
   def offsetLimit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational.dsum
+import graft.sources.Tables.table
+
+/** Skew-handling operators (SURVEY.md §7.3 step 7). AQE's skew-join
+  * splitting handles most cases at runtime; these are the explicit
+  * formulations for when the plan must be skew-proof by construction —
+  * e.g., one hot key holding 10% of 100 TB. Both produce results
+  * IDENTICAL to their naive counterparts, so both carry full DuckDB
+  * oracles written against the plain formulation.
+  */
+object Skew {
+
+  val Salts = 8
+
+  /** Salted inner join: the (potentially skewed) big side gets a random
+    * salt in [0, Salts); the small side is replicated once per salt value;
+    * the join key becomes (key, salt), splitting each hot key's rows
+    * across Salts reducers. Salt values don't affect the result, only the
+    * partitioning.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String): DataFrame = {
+    val salted = big.withColumn("_salt",
+      floor(rand(42) * Salts).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(lit((0 until Salts).toArray)))
+    salted.join(replicated,
+      salted(bigKey) === replicated(smallKey) &&
+        salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
+  /** lineitem ⋈ supplier with salting (oracle: the plain join). */
+  def joinSalted(s: SparkSession, dir: String): DataFrame =
+    saltedJoin(table(s, dir, "lineitem"), table(s, dir, "supplier"),
+      "l_suppkey", "s_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"), col("l_quantity"))
+
+  /** Two-phase (salted) aggregation: partial aggregate on (key, salt) —
+    * splitting any hot key across reducers — then final merge on key.
+    * Decimal sums re-merge exactly, so the result is bit-identical to the
+    * single-phase plan (oracle: plain GROUP BY).
+    */
+  def aggTwoPhase(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .withColumn("_salt", floor(rand(7) * Salts).cast("int"))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(col("l_quantity")).as("pq"),
+        sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).as("pp"),
+        count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).as("sum_qty"),
+        sum(col("pp")).cast("double").as("sum_price"),
+        sum(col("pn")).as("n"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Skew operators, extension injection, custom aggregator, schema drift. */
+class SkewAndExtSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("salted join result equals the plain join (salting is invisible)") {
+    val salted = Skew.joinSalted(spark, dir)
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"), col("l_quantity"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0L)
+    assert(plain.except(salted).count() === 0L)
+  }
+
+  test("two-phase aggregation equals single-phase") {
+    val two = Skew.aggTwoPhase(spark, dir)
+    val one = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+    assert(two.except(one).count() === 0L && one.except(two).count() === 0L)
+  }
+
+  test("extensions inject rabin functions into plain spark.sql") {
+    // TestSession is built withExtensions(GraftExtensions) and never calls
+    // GraftFunctions.register — resolution proves the injection path.
+    val r = spark.sql(
+      "SELECT rabin_fingerprint('hello world') AS fp, " +
+        "size(rabin_winnow('hello world, a longer string to winnow')) AS n")
+      .collect()(0)
+    assert(r.getLong(0) === graft.functions.RabinHash
+      .minKgram("hello world".getBytes, 8))
+    assert(r.getInt(1) >= 1)
+  }
+
+  test("TopKAggregator keeps a sorted bounded buffer through merges") {
+    val agg = new graft.functions.TopKAggregator(3)
+    val a = Seq(9.0, 5.0, 1.0)
+    val b = Seq(8.0, 7.0, 2.0)
+    assert(agg.merge(a, b) === Seq(9.0, 8.0, 7.0))
+    assert(agg.reduce(Seq.empty, 4.0) === Seq(4.0))
+    assert(agg.reduce(Seq(9.0, 8.0, 7.0), 1.0) === Seq(9.0, 8.0, 7.0))
+    assert(agg.reduce(Seq(9.0, 8.0, 7.0), 8.5) === Seq(9.0, 8.5, 8.0))
+  }
+
+  test("schema drift across files: mergeSchema unions columns (ref TODO)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$tmp/f1.parquet")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$tmp/f2.parquet")
+    val df = graft.sources.Tables.readFiles(spark, s"$tmp/f*.parquet",
+      mergeSchema = true)
+    assert(df.columns.toSet === Set("id", "v1", "v2"))
+    assert(df.count() === 2L)
+    assert(df.filter(col("v1").isNull).count() === 1L)
+  }
+}
