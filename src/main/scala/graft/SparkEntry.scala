@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
+    "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
@@ -379,6 +380,7 @@ object SparkEntry {
           len(list_intersect(a.ng, b.ng)) AS inter
         FROM h a, h b
         WHERE a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+          AND a.n > 0
           AND CAST(least(a.n, b.n) AS DOUBLE) >=
               CAST(greatest(a.n, b.n) AS DOUBLE) * 0.8)
       SELECT doc_a, doc_b,

@@ -33,6 +33,18 @@ object StreamDemo {
     sq.processAllAvailable()
     println(s"SESSIONS_CLOSED=${spark.table("sess").count()}")
     sq.stop()
+
+    // streaming dedup: replay the same file twice, expect unique ids once
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      tmp.resolve("replay.parquet"))
+    val dq = EventStreams.dedupStream(
+        EventStreams.readEventStream(spark, tmp.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    dq.processAllAvailable()
+    println(s"DEDUP_UNIQUE=${spark.table("dedup").count()}")
+    dq.stop()
     spark.stop()
   }
 }

@@ -46,6 +46,57 @@ object Ann {
       .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to one of nCentroids cells; each query probes only its nProbe
+    * nearest cells and re-ranks candidates by exact cosine. Rows-only
+    * check (KMeans assignment has no SQL oracle); PipelineSpec bounds
+    * recall against the exact baseline.
+    *
+    * Scale shape: fit on a sample (here the corpus — it IS a sample at
+    * test SF), assignments are one codegen'd pass, the probe join touches
+    * ~nProbe/nCentroids of the corpus per query. Only the nQueries×dim
+    * query vectors and the centroid matrix ever reach the driver.
+    */
+  def annIvf(s: SparkSession, dir: String, nCentroids: Int = 16,
+             nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = table(s, dir, "embeddings")
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+    val fitted = model.fit(e)
+    val assigned = fitted.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val centroids = fitted.clusterCenters.map(_.toArray)
+    // probe lists for the (bounded) query set: nearest nProbe centroids,
+    // computed driver-side over nQueries x nCentroids distances
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, ci) =>
+        val d = qv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (qid, ci, d)
+      }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
+    }
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("q_id", "cell")
+      .join(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    assigned.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"),
+        col("cell"))
+  }
+
   /** LSH-bucketed ANN (rows-only check): hyperplane signatures partition
     * the corpus into 2^nBits buckets; each query scans only its own bucket
     * plus the nBits 1-bit-flip neighbors (multi-probe — recovers most of

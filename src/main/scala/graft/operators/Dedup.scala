@@ -95,14 +95,20 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-    // Signature in the vectorized shape: explode shingles once, then 64
-    // min(xxhash64(sh, i)) aggregates in one codegen'd hash-aggregate pass
-    // (map-side partial min, one shuffle on doc_id). The HOF formulations
-    // (minhashSig/bandHashes) are interpreted per-row; this is the 100 TB
-    // path AND ~an order of magnitude faster locally.
-    val shingled = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // Signature in the vectorized shape: explode shingles, hash each
+    // shingle's bytes ONCE, then derive the 64 family members by
+    // re-hashing the 8-byte long with a per-member salt — fixed-size
+    // codegen'd hashing instead of 64 string hashes per shingle. (NOT
+    // affine a*h+b transforms: ANSI mode, Spark 4's default, makes the
+    // wrap-around multiply throw ARITHMETIC_OVERFLOW.) min() aggregates
+    // give map-side partial combine + one shuffle on doc_id: the 100 TB
+    // shape. The HOF formulations (minhashSig/bandHashes) are kept for
+    // reference but are interpreted per-row and much slower.
+    val shingled = docs
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
     val minAggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     val sigs = shingled.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
@@ -224,7 +230,7 @@ object Dedup {
     // array_intersect runs once per pair, not once per reference
     g.repartition(par).as("a").join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          col("a.doc_id") < col("b.doc_id") && col("a.n") > 0 &&
           least(col("a.n"), col("b.n")).cast("double") >=
             greatest(col("a.n"), col("b.n")).cast("double") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

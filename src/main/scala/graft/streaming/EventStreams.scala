@@ -52,6 +52,21 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 4))).cast("double")
           .as("sum_value"))
 
+  /** Streaming exact dedup by event_id. Unbounded state: every id ever
+    * seen is remembered — exact, but state grows with the stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Watermark-bounded streaming dedup: duplicates arriving within the
+    * horizon are dropped and state older than the watermark is evicted —
+    * the formulation that stays viable indefinitely at stream scale
+    * (replayed data older than the horizon is treated as new).
+    */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------------- sessionization
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)

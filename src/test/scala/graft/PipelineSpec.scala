@@ -77,6 +77,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("ann_ivf probes cells and recalls a meaningful top-k fraction") {
+    val exact = Ann.annBruteforce(spark, dir)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.annIvf(spark, dir)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall=$recall")
+    // every query probes nProbe=2 of 16 cells: candidates bounded
+    assert(ivf.select("cell").distinct().count() <= 16L)
+  }
+
   test("ann_bruteforce ranks by cosine descending per query") {
     val rows = Ann.annBruteforce(spark, dir)
       .orderBy("q_id", "rank").collect()

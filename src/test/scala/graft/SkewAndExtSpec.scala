@@ -55,6 +55,26 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(agg.reduce(Seq(9.0, 8.0, 7.0), 8.5) === Seq(9.0, 8.5, 8.0))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in plan") {
+    import org.apache.spark.sql.SaveMode
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    li.write.mode(SaveMode.Overwrite).bucketBy(8, "l_suppkey")
+      .sortBy("l_suppkey").saveAsTable("li_b")
+    sup.write.mode(SaveMode.Overwrite).bucketBy(8, "s_suppkey")
+      .sortBy("s_suppkey").saveAsTable("sup_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b").join(spark.table("sup_b"),
+        col("l_suppkey") === col("s_suppkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() === 6000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("schema drift across files: mergeSchema unions columns (ref TODO)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("drift").toString

@@ -38,6 +38,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops a fully replayed file") {
+    val tmp = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("b.parquet"))
+    val q = EventStreams.dedupStream(
+        EventStreams.readEventStream(spark, tmp.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 1000L)
+      assert(spark.table("dedup_out").select("event_id").distinct()
+        .count() === 1000L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits sessions consistent with batch") {
     val q = EventStreams.sessionizeStream(
         EventStreams.readEventStream(spark, eventsDir))

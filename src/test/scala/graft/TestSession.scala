@@ -9,6 +9,8 @@ object TestSession {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new graft.engine.GraftExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
