@@ -68,6 +68,10 @@ object SparkEntry {
     "string_functions" -> (RelationalExt.stringFunctions _),
     "offset_limit" -> (RelationalExt.offsetLimit _),
     "agg_topk_udaf" -> (RelationalExt.aggTopKUdaf _),
+    "setop_except_all" -> (RelationalExt.setopExceptAll _),
+    "setop_intersect_all" -> (RelationalExt.setopIntersectAll _),
+    "pivot_agg" -> (RelationalExt.pivotAgg _),
+    "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     // --- training-data pipeline ops (north-star scope) ---
@@ -291,6 +295,31 @@ object SparkEntry {
           AS top_prices,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+    "setop_except_all" -> """
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      EXCEPT ALL
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'""",
+    "setop_intersect_all" -> """
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 30.0
+      INTERSECT ALL
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'""",
+    "pivot_agg" -> """
+      SELECT l_suppkey,
+        sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+      FROM lineitem GROUP BY l_suppkey""",
+    "q5_local_supplier" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC""",
     "join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",

@@ -158,6 +158,57 @@ object RelationalExt {
         .as("top_prices"),
         count(lit(1)).as("n"))
 
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicates
+    * preserved), the variant Spark plans as a left-anti-ish aggregate with
+    * per-row counts rather than a distinct.
+    */
+  def setopExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    li.select("l_orderkey", "l_suppkey").exceptAll(
+      li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey"))
+  }
+
+  def setopIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    li.filter(col("l_quantity") > 30.0).select("l_orderkey", "l_suppkey")
+      .intersectAll(li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey"))
+  }
+
+  /** PIVOT with an explicit value list (explicit so the plan needs no
+    * extra distinct-values job — the form that scales).
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n",
+        "R" -> "qty_r"))
+
+  /** TPC-H Q5-shaped 6-table join: local-supplier revenue per nation in a
+    * region. Dims broadcast; the two fact joins shuffle on their own keys;
+    * AQE re-plans from runtime sizes.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(table(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(Relational.dmul(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc)
+
   /** LIMIT/OFFSET pagination with a total order. */
   def offsetLimit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
