@@ -53,6 +53,7 @@ object SparkEntry {
     "case_cast_like" -> (Relational.caseCastLike _),
     "events_window" -> (Relational.eventsWindow _),
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
+    "events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
     // --- second tranche: remaining joins, windows, aggregates, functions ---
     "join_cross" -> (RelationalExt.joinCross _),
     "join_right" -> (RelationalExt.joinRight _),
@@ -346,6 +347,12 @@ object SparkEntry {
         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       FROM y GROUP BY user_id, session_id""",
+    "events_attribution" -> """
+      SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id, b.value
+      FROM events v, events b
+      WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+        AND v.user_id = b.user_id
+        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR""",
     "text_stats" -> """
       WITH t AS (
         SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,

@@ -34,6 +34,15 @@ object StreamDemo {
     println(s"SESSIONS_CLOSED=${spark.table("sess").count()}")
     sq.stop()
 
+    // stream-stream interval join: purchases attributed to a prior view
+    val jq = EventStreams.viewPurchaseJoin(
+        EventStreams.readEventStream(spark, tmp.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vp").start()
+    jq.processAllAvailable()
+    println(s"ATTRIBUTED_PAIRS=${spark.table("vp").count()}")
+    jq.stop()
+
     // streaming dedup: replay the same file twice, expect unique ids once
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),

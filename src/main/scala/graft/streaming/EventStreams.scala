@@ -67,6 +67,27 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases attributed to a view by the same
+    * user within the preceding hour. Both sides carry watermarks and the
+    * join condition bounds buy_ts relative to view_ts, so each side's
+    * state is evicted once the other's watermark passes the bound — the
+    * requirement for an unbounded stream-stream join to run forever.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value"))
+      .withWatermark("buy_ts", "2 hours")
+    views.join(purchases, expr(
+      """v_user = b_user AND
+         buy_ts >= view_ts AND
+         buy_ts <= view_ts + interval 1 hour"""))
+  }
+
   // ------------------------------------------------------- sessionization
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
@@ -105,6 +126,24 @@ object EventStreams {
     }
     state.update(st)
     out.iterator
+  }
+
+  /** Batch twin of viewPurchaseJoin (oracle-checked): the same interval
+    * join, id-keyed output so timestamp precision differences (ns vs µs)
+    * never reach the comparison.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value"))
+    views.join(buys, expr(
+        """user_id = b_user AND buy_ts >= view_ts AND
+           buy_ts <= view_ts + interval 1 hour"""))
+      .select(col("user_id"), col("view_id"), col("buy_id"), col("value"))
   }
 
   /** Batch sessionization — identical semantics to the streaming version,

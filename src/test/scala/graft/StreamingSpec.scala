@@ -58,6 +58,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream view→purchase join matches the batch join") {
+    val q = EventStreams.viewPurchaseJoin(
+        EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vp_join").start()
+    try {
+      q.processAllAvailable()
+      val ev = graft.sources.Tables.events(spark, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      val batch = views.join(buys, expr(
+        "v_user = b_user AND buy_ts >= view_ts AND " +
+          "buy_ts <= view_ts + interval 1 hour")).count()
+      assert(spark.table("vp_join").count() === batch)
+      assert(batch > 0L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits sessions consistent with batch") {
     val q = EventStreams.sessionizeStream(
         EventStreams.readEventStream(spark, eventsDir))
