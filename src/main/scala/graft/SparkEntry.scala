@@ -72,6 +72,8 @@ object SparkEntry {
     "setop_except_all" -> (RelationalExt.setopExceptAll _),
     "setop_intersect_all" -> (RelationalExt.setopIntersectAll _),
     "pivot_agg" -> (RelationalExt.pivotAgg _),
+    "join_asof" -> (RelationalExt.joinAsOf _),
+    "explode_unnest" -> (RelationalExt.explodeUnnest _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
@@ -310,6 +312,17 @@ object SparkEntry {
         sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
       FROM lineitem GROUP BY l_suppkey""",
+    "join_asof" -> """
+      WITH v AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'view'),
+      b AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase')
+      SELECT b.event_id AS buy_id, v.event_id AS view_id
+      FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND v.ts <= b.ts""",
+    "explode_unnest" -> """
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+        unnest(embedding) AS val
+      FROM embeddings""",
     "q5_local_supplier" -> """
       SELECT n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

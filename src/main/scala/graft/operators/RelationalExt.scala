@@ -209,6 +209,41 @@ object RelationalExt {
         count(lit(1)).as("n"))
       .orderBy(col("revenue").desc)
 
+  /** As-of join — each purchase matched to the same user's most recent
+    * prior (or simultaneous) view. Spark has no ASOF JOIN operator; the
+    * scalable composition (preference (a) of the extension ladder) is a
+    * tagged union + one running `last(ignoreNulls)` window: a single
+    * shuffle+sort on user, NO range-join pair explosion. The oracle uses
+    * DuckDB's native ASOF LEFT JOIN — same semantics, different engine
+    * mechanism. At equal timestamps the view sorts before the purchase
+    * (tag order), matching ASOF's inclusive bound.
+    */
+  def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val tagged = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("buy_id"), col("view_id"))
+  }
+
+  /** Lateral explode / UNNEST with ordinality over an array column — the
+    * generator class (flatten one row into many). posexplode is a
+    * codegen'd generator; no shuffle.
+    */
+  def explodeUnnest(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").as("val"))
+
   /** LIMIT/OFFSET pagination with a total order. */
   def offsetLimit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
