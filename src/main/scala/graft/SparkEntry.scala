@@ -74,6 +74,7 @@ object SparkEntry {
     "pivot_agg" -> (RelationalExt.pivotAgg _),
     "join_asof" -> (RelationalExt.joinAsOf _),
     "explode_unnest" -> (RelationalExt.explodeUnnest _),
+    "json_functions" -> (RelationalExt.jsonFunctions _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
@@ -323,6 +324,12 @@ object SparkEntry {
       SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
         unnest(embedding) AS val
       FROM embeddings""",
+    "json_functions" -> """
+      SELECT event_id,
+        CAST(props->>'$.k' AS BIGINT) AS k,
+        CAST(props->>'$.k' AS BIGINT) AS k_typed,
+        CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
+      FROM events""",
     "q5_local_supplier" -> """
       SELECT n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

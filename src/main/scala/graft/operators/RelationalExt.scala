@@ -244,6 +244,23 @@ object RelationalExt {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("col").as("val"))
 
+  /** Semi-structured JSON column handling: schema-on-read extraction from
+    * the events props payload (get_json_object for ad-hoc paths, from_json
+    * with an explicit schema for typed access) + an aggregation over the
+    * extracted value.
+    */
+  def jsonFunctions(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_typed"))
+      .withColumn("k_bucket", col("k") % 10)
+  }
+
   /** LIMIT/OFFSET pagination with a total order. */
   def offsetLimit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")

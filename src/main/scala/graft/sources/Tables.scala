@@ -34,8 +34,15 @@ object Tables {
     * (read_files_task.rs:250-253); pass mergeSchema for drifting schemas.
     */
   def readFiles(spark: SparkSession, glob: String,
-                mergeSchema: Boolean = false): DataFrame =
+                mergeSchema: Boolean = false): DataFrame = {
+    // Files with TIMESTAMP(NANOS) columns must still be readable (the
+    // reference streams whatever Arrow schema the file carries); Spark
+    // surfaces them as raw nanosecond longs under this conf. Convert with
+    // timestamp_micros(col DIV 1000) when timestamp semantics are needed
+    // (see Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
+  }
 
   /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format breadth: the reference reads ONLY Parquet (CSV/JSON are
+  * unimplemented README checkboxes); here every format flows through the
+  * same DataFrameReader path. Round-trips prove schema + values survive.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("csv round-trip with header + explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("csv").toString
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+    src.write.option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true")
+      .schema(src.schema).csv(s"$tmp/nation_csv")
+    assert(back.count() === 25L)
+    assert(back.except(src).count() === 0L && src.except(back).count() === 0L)
+  }
+
+  test("json-lines round-trip with schema inference") {
+    val tmp = java.nio.file.Files.createTempDirectory("json").toString
+    val src = spark.read.parquet(s"$dir/region.parquet")
+    src.write.json(s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json")
+      .select("r_regionkey", "r_name")
+    assert(back.count() === 5L)
+    assert(back.select(sum("r_regionkey")).collect()(0).getLong(0) === 10L)
+  }
+
+  test("orc round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc").toString
+    val src = spark.read.parquet(s"$dir/supplier.parquet")
+    src.write.orc(s"$tmp/supplier_orc")
+    val back = spark.read.orc(s"$tmp/supplier_orc")
+    assert(back.except(src).count() === 0L && src.except(back).count() === 0L)
+  }
+
+  test("partitioned write prunes partitions on read (PartitionFilters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("y", year(col("o_orderdate")))
+      .write.partitionBy("y").parquet(s"$tmp/orders_by_year")
+    val pruned = spark.read.parquet(s"$tmp/orders_by_year")
+      .filter(col("y") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(y"), plan.take(500))
+    assert(pruned.count() ===
+      spark.read.parquet(s"$dir/orders.parquet")
+        .filter(year(col("o_orderdate")) === 1997).count())
+  }
+}
