@@ -75,6 +75,7 @@ object SparkEntry {
     "join_asof" -> (RelationalExt.joinAsOf _),
     "explode_unnest" -> (RelationalExt.explodeUnnest _),
     "json_functions" -> (RelationalExt.jsonFunctions _),
+    "grouping_sets" -> (RelationalExt.groupingSets _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
@@ -330,6 +331,13 @@ object SparkEntry {
         CAST(props->>'$.k' AS BIGINT) AS k_typed,
         CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
       FROM events""",
+    "grouping_sets" -> """
+      SELECT l_returnflag, l_suppkey, sum(l_quantity) AS sum_qty,
+        count(*) AS n,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_suppkey) AS INT) AS g_sk
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())""",
     "q5_local_supplier" -> """
       SELECT n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -244,6 +244,21 @@ object RelationalExt {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("col").as("val"))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize; the
+    * DataFrame API has no direct operator, so this goes through the SQL
+    * surface — still one shuffle with map-side expansion).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    s.sql("""
+      SELECT l_returnflag, l_suppkey, sum(l_quantity) AS sum_qty,
+        count(*) AS n,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_suppkey) AS INT) AS g_sk
+      FROM graft_li_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())""")
+  }
+
   /** Semi-structured JSON column handling: schema-on-read extraction from
     * the events props payload (get_json_object for ad-hoc paths, from_json
     * with an explicit schema for typed access) + an aggregation over the
