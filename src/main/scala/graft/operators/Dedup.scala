@@ -49,30 +49,6 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
-    * Higher-order functions only — the whole signature computation is one
-    * codegen'd projection, no UDF.
-    */
-  def minhashSig(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
-
-  /** Band hashes computed DIRECTLY from shingles, one expression per band
-    * over only that band's RowsPerBand min-hashes. Deliberately not
-    * expressed as slice(fullSignature): higher-order functions are
-    * interpreted (no codegen CSE), and CollapseProject happily inlines a
-    * shared signature column into all 16 band expressions — recomputing
-    * the 64-hash signature 16x. Partitioning the hash indices among bands
-    * keeps total work at exactly 64 hashes per shingle.
-    */
-  private def bandHashes(shingles: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)), j =>
-      xxhash64(array_join(
-        transform(sequence(lit(0), lit(RowsPerBand - 1)), r =>
-          array_min(transform(shingles,
-            sh => xxhash64(sh, j * RowsPerBand + r))).cast("string")),
-        ",")))
-
   /** Drop LSH buckets larger than this: a bucket holding b docs implies
     * b^2 candidate pairs, and oversized buckets on homogeneous corpora are
     * degenerate (everything weakly similar), not true duplicate clusters.
@@ -89,12 +65,12 @@ object Dedup {
   /** MinHash + LSH near-duplicate detection (rows-only check: the banded
     * candidate generation has no SQL equivalent).
     *
-    * Pipeline: word-3-shingles → 16 band hashes (4 min-hashes each,
-    * computed per band — see bandHashes) → explode to (band, bandHash)
-    * keys → cap degenerate buckets → self-join on the band key for
-    * candidates → verify with EXACT Jaccard on shingle sets → per-doc
-    * verdict. Band join + verify joins shuffle on band key / doc_id; no
-    * stage is quadratic in corpus size.
+    * Pipeline: word-3-shingles → 64-hash MinHash signature (vectorized
+    * min-aggregates, see below) → Bands band hashes of RowsPerBand each →
+    * explode to (band, bandHash) keys → cap degenerate buckets →
+    * self-join on the band key for candidates → verify with EXACT Jaccard
+    * on shingle sets → per-doc verdict. Band join + verify joins shuffle
+    * on band key / doc_id; no stage is quadratic in corpus size.
     */
   def dedupMinhash(s: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
@@ -113,8 +89,8 @@ object Dedup {
     // affine a*h+b transforms: ANSI mode, Spark 4's default, makes the
     // wrap-around multiply throw ARITHMETIC_OVERFLOW.) min() aggregates
     // give map-side partial combine + one shuffle on doc_id: the 100 TB
-    // shape. The HOF formulations (minhashSig/bandHashes) are kept for
-    // reference but are interpreted per-row and much slower.
+    // shape. (Higher-order-function formulations of the signature are
+    // interpreted per-row — an order of magnitude slower; don't regress.)
     val shingled = docs
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
