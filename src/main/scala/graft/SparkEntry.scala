@@ -76,6 +76,7 @@ object SparkEntry {
     "explode_unnest" -> (RelationalExt.explodeUnnest _),
     "json_functions" -> (RelationalExt.jsonFunctions _),
     "grouping_sets" -> (RelationalExt.groupingSets _),
+    "sort_nulls_first" -> (RelationalExt.sortNullsFirst _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
@@ -338,6 +339,12 @@ object SparkEntry {
         CAST(GROUPING(l_suppkey) AS INT) AS g_sk
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())""",
+    "sort_nulls_first" -> """
+      SELECT l_orderkey, l_linenumber,
+        nullif(l_returnflag, 'R') AS maybe_flag, l_quantity
+      FROM lineitem
+      ORDER BY maybe_flag ASC NULLS FIRST, l_orderkey, l_linenumber,
+        l_quantity""",
     "q5_local_supplier" -> """
       SELECT n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -276,6 +276,20 @@ object RelationalExt {
       .withColumn("k_bucket", col("k") % 10)
   }
 
+  /** Explicit null ordering — the reference's sort options carry
+    * nulls_first (compute_order_by_record.rs:33) but its planner REJECTS
+    * the SQL syntax (logical_planner.rs:308-315); here it's first-class.
+    * A synthesized nullable key exercises the null path (the base tables
+    * have no nullable columns).
+    */
+  def sortNullsFirst(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .withColumn("maybe_flag", nullif(col("l_returnflag"), lit("R")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("maybe_flag"),
+        col("l_quantity"))
+      .orderBy(col("maybe_flag").asc_nulls_first, col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+
   /** LIMIT/OFFSET pagination with a total order. */
   def offsetLimit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
