@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("rangepartitioning"), p.take(600))
   }
 
+  test("q5 joins the dims by broadcast and filters the region at the scan") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), " +
+      "EqualTo(r_name,ASIA)"), p.take(2000))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))
