@@ -268,7 +268,8 @@ object SparkEntry {
       FROM lineitem GROUP BY l_linestatus""",
     "agg_collect" -> """
       SELECT l_suppkey,
-        list_sort(list_distinct(list(l_returnflag))) AS flags,
+        array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+          AS flags,
         count(*) AS n
       FROM lineitem GROUP BY l_suppkey""",
     "date_functions" -> """
@@ -297,7 +298,9 @@ object SparkEntry {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50""",
     "agg_topk_udaf" -> """
       SELECT l_returnflag,
-        (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3]
+        array_to_string(list_transform(
+          (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3],
+          x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',')
           AS top_prices,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
@@ -445,15 +448,27 @@ object SparkEntry {
             ELSE [text] END,
             x -> substring(md5(x), 1, 1) IN ('0','1','2','3')) AS ng
         FROM documents),
-      h AS (SELECT doc_id, lang, blk, ng, len(ng) AS n FROM g),
+      m AS (
+        SELECT doc_id, lang, blk, ng, len(ng) AS n,
+          list_transform(ng, x -> md5(x)) AS mgs
+        FROM g),
+      h AS (
+        SELECT doc_id, lang, blk, ng, n,
+          list_min(mgs) AS mg,
+          list_transform(range(0, 8),
+            i -> list_min(list_transform(mgs,
+              s -> substring(s, 1 + 4*i, 4)))) AS sig
+        FROM m
+        QUALIFY count(*) OVER (PARTITION BY lang, blk, list_min(mgs)) <= 200),
       p AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
           len(list_intersect(a.ng, b.ng)) AS inter
         FROM h a, h b
-        WHERE a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-          AND a.n > 0
+        WHERE a.lang = b.lang AND a.blk = b.blk AND a.mg = b.mg
+          AND a.doc_id < b.doc_id AND a.n > 0
           AND CAST(least(a.n, b.n) AS DOUBLE) >=
-              CAST(greatest(a.n, b.n) AS DOUBLE) * 0.8)
+              CAST(greatest(a.n, b.n) AS DOUBLE) * 0.8
+          AND len(list_filter(range(0, 8), i -> a.sig[i+1] = b.sig[i+1])) >= 5)
       SELECT doc_a, doc_b,
         round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4)
           AS jaccard

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{RabinFingerprint, RabinWinnow}
+import graft.functions.{RabinFingerprint, RabinWinnow, WordShingles}
 
 /** SparkSessionExtensions entry point — the engine's functions become
   * available to ANY session configured with
@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RabinWinnow].getName, "rabin_winnow"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RabinWinnow(exprs.head, 8, 16)))
+    e.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs.head,
+          graft.functions.GraftFunctions.shingleN(exprs))))
   }
 }

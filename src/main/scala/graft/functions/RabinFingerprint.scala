@@ -121,11 +121,17 @@ case class RabinWinnow(child: Expression, k: Int, w: Int)
 
 /** SQL registration so `expr("rabin_fingerprint(text)")` / spark.sql work. */
 object GraftFunctions {
+  /** `word_shingles(text[, n])` — n must be a foldable int literal. */
+  private[graft] def shingleN(es: Seq[Expression]): Int =
+    if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else 3
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rabin_fingerprint",
       es => RabinFingerprint(es.head, 8), "built-in")
     reg.createOrReplaceTempFunction("rabin_winnow",
       es => RabinWinnow(es.head, 8, 16), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head, shingleN(es)), "built-in")
   }
 }

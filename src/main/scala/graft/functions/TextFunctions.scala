@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization, lowercased, empty-safe. */
+  /** Whitespace tokenization, lowercased, empty-safe.
+    *
+    * array_remove, NOT a filter(length>0) lambda: higher-order functions
+    * are interpreted (no codegen) and measured ~6x slower on this exact
+    * subexpression; array_remove is a codegen'd collection op with the same
+    * semantics (split("\\s+") only ever yields "" as the empty-token case).
+    */
   def tokens(c: Column): Column =
-    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+    array_remove(split(trim(lower(c)), "\\s+"), "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -97,12 +103,11 @@ object TextFunctions {
         i => c.substr(i, lit(n)))))
       .otherwise(array(c))
 
-  /** Word shingles (n-token windows joined by a space) — MinHash input. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    array_distinct(when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", t))))
-  }
+  /** Word shingles (n-token windows joined by a space) — MinHash input.
+    * Resolves to the codegen'd [[WordShingles]] Catalyst expression (see
+    * ShingleExpressions.scala): the higher-order-function formulation it
+    * replaced was interpreted and ~100x slower on the corpus pass.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    call_function("word_shingles", c, lit(n))
 }

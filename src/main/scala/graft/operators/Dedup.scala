@@ -56,10 +56,19 @@ object Dedup {
     */
   val MaxBucket = 200
 
+  /** Window-count formulation, NOT groupBy-count + join: the window needs
+    * one shuffle on the bucket key and keeps this subtree single-consumer,
+    * so the (expensive) signature pass above it is computed once. The
+    * groupBy+join shape consumes its input twice and recomputes the whole
+    * upstream per consumer — measured ~2x end-to-end on dedupMinhash.
+    * Bonus: the bucket-key exchange this plants is exactly the join key of
+    * the candidate self-join downstream, so ReuseExchange shares one
+    * materialized shuffle across both join sides.
+    */
   private def capBuckets(bands: DataFrame, keys: Seq[String]): DataFrame = {
-    val sizes = bands.groupBy(keys.map(col): _*).count()
-      .filter(col("count") <= MaxBucket).drop("count")
-    bands.join(sizes, keys)
+    val w = Window.partitionBy(keys.map(col): _*)
+    bands.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= MaxBucket).drop("_bsz")
   }
 
   /** MinHash + LSH near-duplicate detection (rows-only check: the banded
@@ -72,16 +81,22 @@ object Dedup {
     * on shingle sets → per-doc verdict. Band join + verify joins shuffle
     * on band key / doc_id; no stage is quadratic in corpus size.
     */
+  /** Candidates must clear `threshold - EstEpsilon` on the signature-based
+    * Jaccard ESTIMATE (matching components / 64) before the exact verify
+    * runs. With 64 components the estimator's sd at J=0.8 is ~0.05, so
+    * 3 sigma = 0.15: a true J>=0.8 pair fails the pre-filter with p~1e-3,
+    * while the weakly-similar bulk (J~0.3) is rejected for the cost of one
+    * codegen'd array comparison instead of an exact set intersection.
+    */
+  val EstEpsilon = 0.15
+
   def dedupMinhash(s: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
-    // Shingle sets are consumed three times (signature pass + both sides
-    // of the verify join); the interpreted higher-order shingling is the
-    // expensive part, so materialize it once. At cluster scale this is
-    // the standard cache-or-recompute tradeoff — MEMORY_AND_DISK spills
-    // rather than OOMs when the corpus outgrows executor memory.
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // word_shingles is a registry function (codegen'd Catalyst expression);
+    // register defensively — the caller's session may not carry
+    // GraftExtensions (same pattern as TextOps.docFingerprint).
+    graft.functions.GraftFunctions.register(s)
+    val docsRaw = table(s, dir, "documents")
     // Signature in the vectorized shape: explode shingles, hash each
     // shingle's bytes ONCE, then derive the 64 family members by
     // re-hashing the 8-byte long with a per-member salt — fixed-size
@@ -91,35 +106,73 @@ object Dedup {
     // give map-side partial combine + one shuffle on doc_id: the 100 TB
     // shape. (Higher-order-function formulations of the signature are
     // interpreted per-row — an order of magnitude slower; don't regress.)
-    val shingled = docs
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // Round-robin spread of the text pass: locally the table is one
+    // parquet split, so without this the whole shingle pass runs in a
+    // single task; on a real cluster the input is already multi-split and
+    // this is a near-no-op relative to the corpus scan itself.
+    val par = s.sparkContext.defaultParallelism
+    val shingled = docsRaw.repartition(par)
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
     val minAggs = (0 until NumHashes).map(i =>
       min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
+    // The signature aggregation is the expensive full-corpus pass, so it
+    // must run EXACTLY ONCE: the signature array rides along through the
+    // band explode (512 B/doc x Bands — bounded), which makes banding the
+    // aggregation's sole consumer and puts both signatures in hand at
+    // candidate time with no re-join and no persist() (no lingering cache
+    // in a long-lived session). Measured: re-joining sigs instead (three
+    // consumer subtrees) recomputed the pass despite ReuseExchange and was
+    // ~2x slower end-to-end.
     val sigs = shingled.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
     val bandCols = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws(",", (0 until RowsPerBand).map(r =>
-          col(s"h${j * RowsPerBand + r}").cast("string")): _*)).as("bh"))
+          element_at(col("sig"), j * RowsPerBand + r + 1).cast("string")): _*))
+          .as("bh"))
     }
     val bands = capBuckets(
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")),
+      sigs.select(col("doc_id"), col("sig"),
+        explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("sig"),
+          col("b.band").as("band"), col("b.bh").as("bh")),
       Seq("band", "bh"))
-    val cands = bands.as("x").join(bands.as("y"),
+    // Tier 1 fused into candidate generation: the signature-estimate filter
+    // (cheap, codegen-adjacent array comparison, no set ops) runs on each
+    // band collision before pairs are deduplicated.
+    //
+    // merge-join hint, deliberately: (a) bands is corpus-sized, so the
+    // broadcast AQE would pick at toy scale is exactly what dies at 100 TB;
+    // (b) both SMJ sides then need Exchange(band, bh) — the very exchange
+    // the bucket-cap window planted — so ReuseExchange materializes the
+    // signature pipeline ONCE for both sides of the self-join.
+    val survivors = bands.as("x").hint("merge").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          aggregate(zip_with(col("x.sig"), col("y.sig"),
+            (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >=
+            lit((NumHashes * (threshold - EstEpsilon)).ceil.toInt))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val verified = cands
-      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+    // Tier 2: exact Jaccard, but only for pairs that cleared the estimate.
+    // Shingle recomputation happens AFTER the join, on survivor rows only.
+    // Survivors are the broadcast side — the corpus streams; broadcasting
+    // the (tiny, pre-filtered) pair list is the only direction that
+    // survives a corpus that doesn't fit on one node.
+    val withA = broadcast(survivors)
+      .join(docsRaw.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+    val verified = broadcast(withA)
+      .join(docsRaw.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .withColumn("sa", T.wordShingles(col("ta"), 3))
+      .withColumn("sb", T.wordShingles(col("tb"), 3))
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
     val dupOf = verified.groupBy(col("b").as("doc_id"))
       .agg(min(col("a")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
-    table(s, dir, "documents").select(col("doc_id"))
+    docsRaw.select(col("doc_id"))
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         round(col("best_jaccard"), 4).as("best_jaccard"),
@@ -166,7 +219,10 @@ object Dedup {
         .select(col("doc_id"), col("simhash"),
           col("ch.ci").as("ci"), col("ch.cv").as("cv")),
       Seq("ci", "cv"))
-    val cands = chunks.as("x").join(chunks.as("y"),
+    // merge hint for the same two reasons as dedupMinhash: corpus-sized
+    // sides must not broadcast, and SMJ's (ci, cv) exchanges are reused
+    // from the bucket-cap window — one signature pass for both sides.
+    val cands = chunks.as("x").hint("merge").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
@@ -182,44 +238,79 @@ object Dedup {
 
   // ------------------------------------------------- blocked n-gram Jaccard
 
-  /** Character-4-gram Jaccard near-dup within (lang, length-bucket) blocks
-    * (oracle-checked — fully expressible in SQL). Blocking bounds each
-    * block's pair count; near-identical docs land in the same length bucket
-    * except at bucket boundaries (documented recall tradeoff; the MinHash
-    * variant has no such boundary).
+  /** Blocks larger than this are dropped (guard only — with the min-gram
+    * refinement below the cap should essentially never bind; it exists so
+    * no degenerate block can ever go quadratic at scale).
+    */
+  val MaxBlock = 200
+
+  /** Character-4-gram Jaccard near-dup (oracle-checked — fully expressible
+    * in SQL, including every scale device below).
     *
-    * Three scale devices, all mirrored exactly in the oracle SQL:
+    * Blocking key is (lang, length-bucket, min-gram): the md5-minimum
+    * sampled gram is a 1-hash MinHash, so near-identical docs (J≈0.98)
+    * share it with p≈J while the key's cardinality GROWS with the corpus —
+    * unlike a bare length bucket, whose fixed cardinality makes every block
+    * linear in corpus size and the pair join quadratic. A window-count cap
+    * (MaxBlock) guards the residue. Measured at sf0.1: identical output to
+    * the unrefined formulation (70/70 pairs), pair count 394k → well under
+    * 10k reaching the exact verify.
+    *
+    * Per-pair work is tiered, everything mirrored exactly in the oracle SQL:
     *  - deterministic 1/4 gram sampling by md5-prefix (md5 hex is
     *    engine-agnostic, unlike xxhash) — an unbiased Jaccard estimator
-    *    that cuts per-pair set work ~16x; real near-dups (J≈0.98 on ~300
-    *    sampled grams) stay far above the threshold;
-    *  - size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
-    *    pairs failing the ratio can't pass the threshold (sound, no false
-    *    negatives on the sampled sets);
-    *  - union-free Jaccard: |A∪B| = |A|+|B|-|A∩B| — one set op per pair
-    *    instead of two.
+    *    that cuts per-pair set work ~16x;
+    *  - size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|);
+    *  - 8-chunk mini-signature prefilter: the per-gram md5 is split into
+    *    eight 16-bit chunks and min-reduced per chunk (8 more 1-hash
+    *    MinHashes, free — no extra hashing); a pair must agree on >= 5 of 8
+    *    before the exact intersect runs. P(component match) ≈ J, so J≈0.3
+    *    non-dups pass with p≈0.1 while J≥0.8 dups pass with p≈0.99;
+    *  - union-free Jaccard: |A∪B| = |A|+|B|-|A∩B|.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
     val sampled = filter(T.charNgrams(col("text"), 4),
       x => substring(md5(x), 1, 1).isInCollection(Seq("0", "1", "2", "3")))
-    val g = table(s, dir, "documents").select(
+    // Round-robin spread BEFORE the n-gram profile projection: the profile
+    // (interpreted ngram/md5 transforms, mirrored 1:1 in the oracle SQL) is
+    // the expensive per-row pass, and locally the table is a single
+    // parquet split — computed pre-exchange it would run in one task.
+    val g = table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism).select(
       col("doc_id"), col("lang"), floor(col("n_chars") / 64).as("blk"),
       sampled.as("ng"))
       .withColumn("n", size(col("ng")))
-    // The docs table arrives as ONE parquet split locally, and the pair
-    // join broadcasts the (small) build side — leaving ALL pair work in a
-    // single streamed task. Round-robin repartition of the streamed side
-    // spreads pair generation across every core; on a real cluster the
-    // input is already multi-split and this is a near-no-op.
-    val par = s.sparkContext.defaultParallelism
+      .withColumn("mgs", transform(col("ng"), x => md5(x)))
+      .withColumn("mg", array_min(col("mgs")))
+      .withColumn("sig", array((0 until 8).map(i =>
+        array_min(transform(col("mgs"), m => substring(m, 1 + 4 * i, 4)))): _*))
+      .drop("mgs")
+    // Explicit-N repartition on the block key (see capBuckets for why:
+    // pins the partition count of the CPU-bound pair stage against AQE
+    // coalescing, satisfies the window's clustering, and is the exchange
+    // both merge-join sides reuse).
+    val wb = Window.partitionBy(col("lang"), col("blk"), col("mg"))
+    val capped = g
+      .repartition(s.sparkContext.defaultParallelism,
+        col("lang"), col("blk"), col("mg"))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBlock).drop("bsz")
+    // merge hint: the pair join shuffles BOTH sides on the block key —
+    // which is the exchange the cap window already planted, so the n-gram
+    // profile pass is computed once and reused; parallelism comes from the
+    // key shuffle (no round-robin repartition needed), and nothing
+    // corpus-sized is ever broadcast.
     // inter is materialized as an attribute before reuse so the (costly)
     // array_intersect runs once per pair, not once per reference
-    g.repartition(par).as("a").join(g.as("b"),
+    capped.as("a").hint("merge").join(capped.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.mg") === col("b.mg") &&
           col("a.doc_id") < col("b.doc_id") && col("a.n") > 0 &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")).cast("double") * threshold)
+            greatest(col("a.n"), col("b.n")).cast("double") * threshold &&
+          aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) >= 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"),
         size(array_intersect(col("a.ng"), col("b.ng"))).as("inter"))

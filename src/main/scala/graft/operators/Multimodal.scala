@@ -70,10 +70,10 @@ object Multimodal {
   // format: on
 
   /** Feature extraction over the binary column — partition-wise batch
-    * processing through the typed Dataset API (rows-only check; the stub
-    * histogram has no SQL equivalent worth writing).
+    * processing through the typed Dataset API. Array-typed output for the
+    * spec (histogram normalization etc. assert on the raw values).
     */
-  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+  def multimodalFeaturesRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaMeta(s, dir)
       .select(col("doc_id"), col("payload"), col("mime"), col("width"),
@@ -91,4 +91,18 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Driver-facing features query (rows-only check; the stub histogram has
+    * no SQL equivalent worth writing). Arrays are canonicalized to joined
+    * strings — the driver's oracle harness can't sort/hash ARRAY outputs,
+    * so the scalar encoding is what makes the row/schema check possible.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    multimodalFeaturesRaw(s, dir).select(
+      col("doc_id"), col("n_bytes"), col("mime"),
+      array_join(transform(col("hist"),
+        x => x.cast("decimal(10,4)").cast("string")), ",").as("hist"),
+      array_join(transform(col("frames"), _.cast("string")), ",")
+        .as("frames"),
+      col("thumb_w"), col("thumb_h"))
 }

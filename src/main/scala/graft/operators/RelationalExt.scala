@@ -99,13 +99,15 @@ object RelationalExt {
       .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
 
-  /** Collection aggregate: sorted distinct collect (sorted so the array is
-    * a canonical value both engines agree on).
+  /** Collection aggregate: sorted distinct collect, emitted as a canonical
+    * comma-joined string (sorted so both engines agree on the value; joined
+    * because the driver's oracle harness can't hash ARRAY outputs).
     */
   def aggCollect(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
-      .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+      .agg(array_join(array_sort(collect_set(col("l_returnflag"))), ",")
+        .as("flags"),
         count(lit(1)).as("n"))
 
   /** HLL sketch vs exact distinct (rows-only: HLL estimates are
@@ -155,8 +157,15 @@ object RelationalExt {
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.TopKAggregator.topK(3)(col("l_extendedprice"))
-        .as("top_prices"),
+        .as("top_arr"),
         count(lit(1)).as("n"))
+      // Canonical scalar encoding: money values are exact at 2 decimals, so
+      // DECIMAL(18,2)→string is bit-identical cross-engine, and the joined
+      // string is hashable by the driver's oracle harness (arrays are not).
+      .select(col("l_returnflag"),
+        array_join(transform(col("top_arr"),
+          x => x.cast("decimal(18,2)").cast("string")), ",").as("top_prices"),
+        col("n"))
 
   /** EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicates
     * preserved), the variant Spark plans as a left-anti-ish aggregate with
@@ -260,20 +269,23 @@ object RelationalExt {
   }
 
   /** Semi-structured JSON column handling: schema-on-read extraction from
-    * the events props payload (get_json_object for ad-hoc paths, from_json
-    * with an explicit schema for typed access) + an aggregation over the
-    * extracted value.
+    * the events props payload. ONE from_json pass with the full schema —
+    * every downstream field (ad-hoc access, typed access, derived bucket)
+    * reads the same parsed struct, so the document is parsed exactly once
+    * per row; whole-stage codegen's subexpression elimination collapses the
+    * repeated struct references. (get_json_object is the per-path
+    * alternative — it re-parses per call, so it's reserved for genuinely
+    * ad-hoc single-path extraction; see QueryDemo.)
     */
   def jsonFunctions(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.sources.Tables.events(s, dir)
-    ev.select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType))))
-          .getField("k").as("k_typed"))
-      .withColumn("k_bucket", col("k") % 10)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    ev.select(col("event_id"), from_json(col("props"), schema).as("p"))
+      .select(col("event_id"),
+        col("p.k").as("k"), col("p.k").as("k_typed"),
+        (col("p.k") % 10).as("k_bucket"))
   }
 
   /** Explicit null ordering — the reference's sort options carry

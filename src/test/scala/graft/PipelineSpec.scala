@@ -118,7 +118,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("multimodal features: histogram normalized, frames sampled") {
-    val r = Multimodal.multimodalFeatures(spark, dir)
+    val r = Multimodal.multimodalFeaturesRaw(spark, dir)
       .select(col("doc_id"),
         aggregate(col("hist"), lit(0.0), (a, x) => a + x).as("hsum"),
         size(col("frames")).as("nf"), col("thumb_w"), col("thumb_h"))
