@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
@@ -429,6 +430,30 @@ object SparkEntry {
         (0.3 * least(stop_ratio * 4.0, 1.0) + 0.4 * uniq_ratio
           + 0.3 * least(n_toks / 100.0, 1.0)) > 0.5 AS keep
       FROM r""",
+    "lang_id" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents)
+      SELECT doc_id, lang,
+        list_max([
+          {'score': len(list_filter(toks,
+             x -> x IN ('der','die','das','und','ist','nicht','ein'))),
+           'lang': 'de'},
+          {'score': len(list_filter(toks,
+             x -> x IN ('the','a','of','and','is','to','in'))),
+           'lang': 'en'},
+          {'score': len(list_filter(toks,
+             x -> x IN ('el','la','de','que','los','es','una'))),
+           'lang': 'es'},
+          {'score': len(list_filter(toks,
+             x -> x IN ('le','la','les','et','des','est','une'))),
+           'lang': 'fr'},
+          {'score': len(list_filter(toks,
+             x -> x IN ('de','shi','le','bu','wo','zai','you'))),
+           'lang': 'zh'}]).lang AS lang_pred
+      FROM t""",
     "dedup_exact" -> """
       WITH n AS (
         SELECT doc_id,
@@ -474,6 +499,55 @@ object SparkEntry {
           AS jaccard
       FROM p
       WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8""",
+    "dedup_clusters" -> """
+      WITH RECURSIVE g AS (
+        SELECT doc_id, lang, n_chars // 64 AS blk,
+          list_filter(
+            CASE WHEN length(text) >= 4 THEN
+              list_distinct(list_transform(range(1, length(text) - 2),
+                i -> substring(text, i, 4)))
+            ELSE [text] END,
+            x -> substring(md5(x), 1, 1) IN ('0','1','2','3')) AS ng
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang, blk, ng, len(ng) AS n,
+          list_transform(ng, x -> md5(x)) AS mgs
+        FROM g),
+      h AS (
+        SELECT doc_id, lang, blk, ng, n,
+          list_min(mgs) AS mg,
+          list_transform(range(0, 8),
+            i -> list_min(list_transform(mgs,
+              s -> substring(s, 1 + 4*i, 4)))) AS sig
+        FROM m
+        QUALIFY count(*) OVER (PARTITION BY lang, blk, list_min(mgs)) <= 200),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+          len(list_intersect(a.ng, b.ng)) AS inter
+        FROM h a, h b
+        WHERE a.lang = b.lang AND a.blk = b.blk AND a.mg = b.mg
+          AND a.doc_id < b.doc_id AND a.n > 0
+          AND CAST(least(a.n, b.n) AS DOUBLE) >=
+              CAST(greatest(a.n, b.n) AS DOUBLE) * 0.8
+          AND len(list_filter(range(0, 8), i -> a.sig[i+1] = b.sig[i+1])) >= 5),
+      pr AS (
+        SELECT doc_a, doc_b FROM p
+        WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pr
+        UNION SELECT doc_b, doc_a FROM pr),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      roots AS (
+        SELECT s AS doc_id, least(s, min(t)) AS cluster_root
+        FROM reach GROUP BY s)
+      SELECT r.doc_id, r.cluster_root, sz.cluster_size
+      FROM roots r
+      JOIN (SELECT cluster_root, count(*) AS cluster_size
+            FROM roots GROUP BY cluster_root) sz
+        USING (cluster_root)""",
     "dedup_embedding" -> """
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

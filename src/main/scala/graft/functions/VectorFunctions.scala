@@ -21,6 +21,13 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance — the IVF probe-assignment metric. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Random-hyperplane LSH signature: `planes` is a small deterministic
     * matrix (seeded off-driver, broadcast as literals); bit j of the result
     * is sign(dot(v, plane_j)). Vectors within a cosine cone share buckets

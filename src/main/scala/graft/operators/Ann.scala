@@ -52,11 +52,20 @@ object Ann {
     * check (KMeans assignment has no SQL oracle); PipelineSpec bounds
     * recall against the exact baseline.
     *
-    * Scale shape: fit on a sample (here the corpus — it IS a sample at
-    * test SF), assignments are one codegen'd pass, the probe join touches
-    * ~nProbe/nCentroids of the corpus per query. Only the nQueries×dim
-    * query vectors and the centroid matrix ever reach the driver.
+    * Scale shape: the quantizer fits on a bounded deterministic sample
+    * (never the full corpus), assignments are one codegen'd pass, probe
+    * assignment is computed IN THE PLAN (centroid matrix broadcast as a
+    * literal — it's nCentroids x dim doubles), and the probe join touches
+    * ~nProbe/nCentroids of the corpus per query. Nothing per-vector ever
+    * reaches the driver, so the query set may itself be a table.
     */
+
+  /** KMeans fit-sample cap: the quantizer sees at most this many vectors.
+    * Centroid quality converges long before this; the fit must not scale
+    * with the corpus.
+    */
+  val FitSampleMax = 100000L
+
   def annIvf(s: SparkSession, dir: String, nCentroids: Int = 16,
              nProbe: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -65,25 +74,31 @@ object Ann {
       .withColumn("vec", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("vec").setPredictionCol("cell")
-    val fitted = model.fit(e)
+    val corpusN = e.count()
+    val fitSet = if (corpusN <= FitSampleMax) e
+      else e.sample(withReplacement = false,
+        FitSampleMax.toDouble / corpusN, seed = 42L)
+    val fitted = model.fit(fitSet)
     val assigned = fitted.transform(e)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val centroids = fitted.clusterCenters.map(_.toArray)
-    // probe lists for the (bounded) query set: nearest nProbe centroids,
-    // computed driver-side over nQueries x nCentroids distances
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = queries.flatMap { case (qid, qv) =>
-      centroids.zipWithIndex.map { case (c, ci) =>
-        val d = qv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
-        (qid, ci, d)
-      }.sortBy(_._3).take(nProbe).map { case (q, ci, _) => (q, ci) }
-    }
-    import s.implicits._
-    val probeDf = probes.toSeq.toDF("q_id", "cell")
-      .join(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+    // Probe assignment in the plan: explode the literal centroid matrix
+    // per query row, rank cells by squared L2, keep the nProbe nearest.
+    // (No .collect() of query vectors — the old driver-side loop broke as
+    // soon as the query set was a table.)
+    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val probeDf = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(centExpr).as("ct"))
+      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
+        V.l2sq(col("qe"), col("ct.cv")).as("d"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"), col("qe"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("cand_id").asc)
     assigned.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),

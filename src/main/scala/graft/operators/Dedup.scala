@@ -320,6 +320,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ------------------------------------------------- transitive clusters
+
+  /** Label-propagation round cap. Verified-pair graphs from near-dup
+    * detection are dense (near-cliques), so the effective diameter is tiny;
+    * min-label propagation needs O(diameter) rounds and the cap only
+    * guards pathological chain topologies.
+    */
+  val MaxLpRounds = 10
+
+  /** Transitive duplicate clusters: hash-min label propagation over the
+    * verified near-dup pairs until fixpoint, so every member of a connected
+    * component points at one canonical root (the component's min doc_id) —
+    * `dup_of` chains collapse to a single representative.
+    *
+    * Edges come from [[dedupNgramJaccard]] because those pairs are fully
+    * SQL-expressible: the whole query — closure included — is
+    * oracle-checked (DuckDB `WITH RECURSIVE` transitive closure).
+    *
+    * Scale shape: each round is one key join + one min-aggregate over the
+    * MEMBER set (docs appearing in a verified pair — orders of magnitude
+    * smaller than the corpus). `localCheckpoint` truncates the per-round
+    * lineage; on a real cluster you'd point `checkpoint` at reliable
+    * storage instead (executor-loss tolerance), same plan otherwise.
+    */
+  def dedupClusters(s: SparkSession, dir: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxLpRounds) {
+      val fromNeighbors = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(fromNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_root"),
+        col("cluster_size"))
+  }
+
   // --------------------------------------------- embedding-cosine near-dup
 
   /** Embedding cosine near-dup within label blocks (oracle-checked).

@@ -35,9 +35,10 @@ object TextOps {
       T.qualityScore(col("text"), stopwords).as("quality"),
       (T.qualityScore(col("text"), stopwords) > 0.5).as("keep"))
 
-  /** Language-ID heuristic vs the labeled lang column. No SQL oracle (the
-    * scoring argmax isn't reasonably expressible in DuckDB); the driver
-    * records a rows-only check and the spec asserts structural properties.
+  /** Language-ID heuristic vs the labeled lang column (oracle-checked:
+    * the marker-count argmax mirrors to DuckDB as list_filter counts +
+    * list_max over (score, lang) structs — struct comparison is
+    * field-lexicographic in both engines, so ties break identically).
     */
   def langId(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(

@@ -64,6 +64,28 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("dedup_clusters: closure over verified pairs, canonical min root") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup").toString
+    withSynthDups(tmp)
+    val pairs = Dedup.dedupNgramJaccard(spark, tmp, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 400, s"expected synth dups, got ${pairs.length}")
+    val clusters = Dedup.dedupClusters(spark, tmp, 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // closure: both endpoints of every verified pair share a root
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1, s"split edge ($a,$b)")
+    }
+    // canonical root: min doc_id of the member set; size matches
+    clusters.groupBy(_._2._1).foreach { case (root, members) =>
+      assert(members.keys.min === root)
+      assert(members.values.forall(_._2 === members.size.toLong))
+    }
+    // membership = exactly the docs that appear in some verified pair
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("ann_lsh results are a subset-quality approximation of bruteforce") {
     val exact = Ann.annBruteforce(spark, dir)
       .select(col("q_id"), col("cand_id")).collect()
