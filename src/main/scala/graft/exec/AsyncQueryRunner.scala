@@ -1,0 +1,148 @@
+package graft.exec
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import org.apache.spark.sql.SparkSession
+
+/** Asynchronous query lifecycle — the reference's client contract:
+  * `run_query` returns a query id immediately, `get_query_status` polls a
+  * status enum, `wait_for_query_to_finish` polls until a terminal state
+  * (async_query_client.rs:40-115), and results are then paged by cursor.
+  *
+  * Status vocabulary maps the reference's
+  * (query_handler_state.rs:28-60) onto Spark's execution model: Queued
+  * (accepted, not yet scheduled), Running (driver thread executing the
+  * plan — Spark's scheduler owns per-stage dispatch, so SendingToWorker
+  * collapses into Running), SentShutdown (cancellation requested via the
+  * query's job group), Complete (result materialized), Error(msg).
+  *
+  * Execution runs on daemon threads; each query gets a Spark job group
+  * named by its query id, so `cancel` maps to
+  * `sparkContext.cancelJobGroup` — the Spark-native equivalent of the
+  * reference's shutdown message to the worker.
+  */
+final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
+  import AsyncQueryRunner._
+
+  private val states = new ConcurrentHashMap[String, QueryStatus]()
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    override def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-async-query")
+      t.setDaemon(true)
+      t
+    }
+  })
+
+  private val partials =
+    new ConcurrentHashMap[String, Vector[ResultMaterializer.ResultFile]]()
+
+  /** Accept a query, return its id immediately (the RunQuery path).
+    * `incremental=true` materializes through
+    * [[ResultMaterializer.materializeIncremental]], committing rec_N files
+    * as partitions finish — [[resultsSoFar]] then serves pages while the
+    * query is still Running (the reference's serve-while-materializing).
+    */
+  def submit(sql: String, incremental: Boolean = false): String = {
+    val queryId = UUID.randomUUID().toString
+    states.put(queryId, Queued)
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        states.put(queryId, Running)
+        try {
+          spark.sparkContext.setJobGroup(queryId,
+            s"graft query $queryId", interruptOnCancel = true)
+          val df = graft.sql.QueryFacade.run(spark, sql)
+          val rs =
+            if (incremental) {
+              partials.put(queryId, Vector.empty)
+              ResultMaterializer.materializeIncremental(df, resultRoot,
+                queryId, onFile = rf =>
+                  partials.compute(queryId, (_, v) =>
+                    (if (v == null) Vector.empty else v) :+ rf))
+            } else ResultMaterializer.materialize(df, resultRoot, queryId)
+          // a cancel that landed mid-flight must not be overwritten back
+          // to Complete; resolve it to the terminal Error state instead
+          if (!states.replace(queryId, Running, Complete(rs)))
+            states.replace(queryId, SentShutdown, Error("cancelled"))
+          ()
+        } catch {
+          case e: Throwable =>
+            states.put(queryId, Error(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
+        } finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    queryId
+  }
+
+  /** Current status (GetQueryStatus): QueryNotFound for unknown ids. */
+  def status(queryId: String): QueryStatus =
+    states.getOrDefault(queryId, QueryNotFound)
+
+  /** Request cancellation (the reference's shutdown path). */
+  def cancel(queryId: String): QueryStatus = {
+    val prev = states.get(queryId)
+    prev match {
+      case Queued | Running =>
+        states.put(queryId, SentShutdown)
+        spark.sparkContext.cancelJobGroup(queryId)
+        SentShutdown
+      case null => QueryNotFound
+      case s => s
+    }
+  }
+
+  /** Poll until terminal or deadline (wait_for_query_to_finish). Returns
+    * the last observed status — non-terminal iff the deadline expired.
+    */
+  def waitForFinish(queryId: String, maxWaitMs: Long = 60000L,
+                    pollMs: Long = 20L): QueryStatus = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var s = status(queryId)
+    while (!s.terminal && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      s = status(queryId)
+    }
+    s
+  }
+
+  /** Cursor pager over a completed query's materialized result. */
+  def results(queryId: String): CursorPager = status(queryId) match {
+    case Complete(rs) => new CursorPager(spark, rs)
+    case s => throw new IllegalStateException(
+      s"query $queryId not complete: $s")
+  }
+
+  /** Pager over the rec_N files an INCREMENTAL query has committed so far
+    * — usable while the query is still Running; each call re-snapshots.
+    * Files are append-only and commits atomic, so cursors from an earlier
+    * snapshot stay valid in later ones.
+    */
+  def resultsSoFar(queryId: String): Option[CursorPager] = {
+    val files = partials.get(queryId)
+    if (files == null) status(queryId) match {
+      case Complete(rs) => Some(new CursorPager(spark, rs))
+      case _ => None
+    }
+    else Some(new CursorPager(spark,
+      ResultMaterializer.ResultSet(
+        java.nio.file.Paths.get(resultRoot, queryId).toString, files)))
+  }
+}
+
+object AsyncQueryRunner {
+  /** The reference's Status (query_handler_state.rs:28-60), Spark-mapped. */
+  sealed trait QueryStatus {
+    def terminal: Boolean = this match {
+      case Complete(_) | Error(_) | QueryNotFound => true
+      case _ => false
+    }
+  }
+  case object Queued extends QueryStatus
+  case object Running extends QueryStatus
+  case object SentShutdown extends QueryStatus
+  final case class Complete(rs: ResultMaterializer.ResultSet)
+    extends QueryStatus
+  final case class Error(message: String) extends QueryStatus
+  case object QueryNotFound extends QueryStatus
+}

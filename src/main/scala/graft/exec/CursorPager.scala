@@ -1,20 +1,41 @@
 package graft.exec
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.exec.ResultMaterializer.ResultSet
 
 /** Bidirectional cursor paging over a materialized result directory —
   * the reference's client result-retrieval surface: a
-  * `(file_idx, row_group_idx, row_idx)` cursor plus limit and direction
-  * (query_data_handler.rs:239-571, query_data_iterator.rs:22-142), with
-  * per-row offsets returned so clients can resume anywhere.
+  * `(file_idx, row_group_idx, row_idx)` cursor plus limit, direction and
+  * `allow_overflow` (query_data_handler.rs:239-571,
+  * query_data_iterator.rs:22-142), with per-row offsets returned so
+  * clients can resume anywhere.
+  *
+  * Direction semantics follow the reference's client protocol
+  * (query_data_iterator.rs:117-141): a forward page serves rows starting
+  * AT the cursor; a reverse page serves rows ending AT the cursor
+  * (inclusive — the iterator decrements the first offset of each page to
+  * get the next reverse cursor). `next` is the cursor to pass for the
+  * following page in the same direction, exactly the iterator's
+  * `get_next_offset`. (The reference's reverse slice arithmetic is
+  * internally inconsistent — query_data_handler.rs:352-366 includes the
+  * cursor row only when the remaining limit exceeds its in-group index;
+  * we implement the iterator protocol's inclusive intent uniformly.)
+  *
+  * `allowOverflow` (query_data_handler.rs:424-447): when a reverse page
+  * exhausts row 0 before filling `limit`, the read flips forward and
+  * continues past the original cursor until the page is full — so a
+  * client backing to the start always gets a full page when enough data
+  * exists. Without the flag the partial page is returned as-is.
   *
   * This is deliberately driver-side logic (SURVEY.md §4.3): paging a
   * materialized result is an app/serving concern, not a distributed one.
-  * Only the files a page actually touches are read (and cached); row-group
-  * row counts come from footers via ResultMaterializer, so skipping to a
-  * cursor is O(1) metadata work, mirroring the reference's row-group
-  * slicing.
+  * Reads are ROW-GROUP-granular, mirroring the reference's
+  * `with_row_groups` slicing (query_data_handler.rs:183-246): a page
+  * materializes only the row groups it touches (LRU-cached), never a
+  * whole file — group boundaries come from the footers via
+  * ResultMaterializer, so skipping to a cursor is O(1) metadata work and
+  * driver memory is bounded by a few row groups regardless of file size.
   */
 final class CursorPager(spark: SparkSession, rs: ResultSet) {
   import CursorPager._
@@ -28,17 +49,28 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
     rs.files.map(_.rowGroupRows.scanLeft(0L)(_ + _))
 
   private val cache =
-    new java.util.LinkedHashMap[Int, Array[Row]](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Int), Array[Row]](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, Array[Row]]): Boolean = size() > 8
+          e: java.util.Map.Entry[(Int, Int), Array[Row]]): Boolean = size() > 8
     }
 
-  private def fileData(i: Int): Array[Row] = {
-    val cached = cache.get(i)
+  /** One row group's rows, by `_metadata.row_index` range — the verbatim
+    * footer offsets, so the filter selects exactly the group. (On object
+    * storage you'd hand the range to a parquet reader with row-group
+    * selection as the reference does; the metadata layer here is already
+    * group-granular, only the local read path goes through Spark.)
+    */
+  private def readRowGroup(file: Int, rowGroup: Int): Array[Row] = {
+    val key = (file, rowGroup)
+    val cached = cache.get(key)
     if (cached != null) cached
     else {
-      val rows = spark.read.parquet(rs.files(i).path).collect()
-      cache.put(i, rows)
+      val gs = groupStarts(file)
+      val rows = spark.read.parquet(rs.files(file).path)
+        .filter(col("_metadata.row_index") >= gs(rowGroup) &&
+          col("_metadata.row_index") < gs(rowGroup + 1))
+        .collect()
+      cache.put(key, rows)
       rows
     }
   }
@@ -63,29 +95,47 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
   }
 
   /** Fetch up to `limit` rows. Forward: rows [cursor, cursor+limit).
-    * Backward: the `limit` rows immediately before the cursor, returned in
-    * forward order — so paging back then forward round-trips. Partial
-    * pages at either boundary are returned as-is (the reference's
-    * allow_overflow behavior).
+    * Backward: the `limit` rows ENDING AT the cursor inclusive, in forward
+    * order; with `allowOverflow`, a backward page clamped at row 0 tops up
+    * forward past the cursor. `next` continues the same direction (None at
+    * the data boundary).
     */
-  def page(cursor: Cursor, limit: Int, forward: Boolean = true): PageResult = {
+  def page(cursor: Cursor, limit: Int, forward: Boolean = true,
+           allowOverflow: Boolean = false): PageResult = {
+    if (limit <= 0 || totalRows == 0)
+      return PageResult(Seq.empty, Seq.empty, None)
     val at = toGlobal(cursor)
     val (start, end) =
       if (forward) (at, math.min(at + limit, totalRows))
-      else (math.max(at - limit, 0L), at)
+      else {
+        val e0 = math.min(at + 1, totalRows)
+        val s = math.max(e0 - limit, 0L)
+        val e = if (allowOverflow && e0 - s < limit)
+          math.min(s + limit, totalRows) else e0
+        (s, e)
+      }
     if (start >= end) return PageResult(Seq.empty, Seq.empty, None)
     val rows = Vector.newBuilder[Row]
     val offsets = Vector.newBuilder[Cursor]
+    // Walk whole row-group segments: one read per touched group.
     var g = start
     while (g < end) {
       val c = toCursor(g)
-      rows += fileData(c.file)((g - fileStarts(c.file)).toInt)
-      offsets += c
-      g += 1
+      val gs = groupStarts(c.file)
+      val segEnd =
+        math.min(end, fileStarts(c.file) + gs(c.rowGroup + 1))
+      val data = readRowGroup(c.file, c.rowGroup)
+      var i = c.row.toInt
+      while (g < segEnd) {
+        rows += data(i)
+        offsets += Cursor(c.file, c.rowGroup, i.toLong)
+        i += 1
+        g += 1
+      }
     }
     val next =
       if (forward) { if (end < totalRows) Some(toCursor(end)) else None }
-      else { if (start > 0) Some(toCursor(start)) else None }
+      else { if (start > 0) Some(toCursor(start - 1)) else None }
     PageResult(rows.result(), offsets.result(), next)
   }
 }

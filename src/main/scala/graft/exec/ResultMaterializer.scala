@@ -51,6 +51,60 @@ object ResultMaterializer {
     open(dir.toString)
   }
 
+  /** Incremental materialization — the reference serves pages while
+    * materialization is still running (ROADMAP item 5): the result streams
+    * to the driver PARTITION-BY-PARTITION (`toLocalIterator` computes
+    * upstream partitions lazily), and every `rowsPerFile` rows a
+    * `rec_N.parquet` is committed and announced via `onFile` — so a
+    * CursorPager over the files-so-far serves pages long before the last
+    * partition finishes. Driver-streamed by design: this is the
+    * interactive SERVING path; bulk materialization stays the fully
+    * distributed [[materialize]]. Each commit is an atomic rename, so
+    * concurrent readers never observe a partial file.
+    */
+  def materializeIncremental(df: DataFrame, root: String, queryId: String,
+                             rowsPerFile: Int = 65536,
+                             onFile: ResultFile => Unit = _ => ()): ResultSet = {
+    val spark = df.sparkSession
+    val dir = Paths.get(root, queryId)
+    Files.createDirectories(dir)
+    val schema = df.schema
+    val buf = new java.util.ArrayList[org.apache.spark.sql.Row](rowsPerFile)
+    var idx = 0
+    val files = Vector.newBuilder[ResultFile]
+    def flush(): Unit = if (!buf.isEmpty) {
+      val tmp = dir.resolve(s".rec_$idx.tmp")
+      spark.createDataFrame(buf, schema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val target = dir.resolve(s"rec_$idx.parquet")
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(tmp)
+      val rf = readFooter(target)
+      files += rf
+      onFile(rf)
+      buf.clear()
+      idx += 1
+    }
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      buf.add(it.next())
+      if (buf.size() >= rowsPerFile) flush()
+    }
+    flush()
+    ResultSet(dir.toString, files.result())
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
+
   /** Open an existing result dir: list rec_N files in numeric order and
     * read row-group row counts from each footer.
     */

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+
+/** Named storage connections — the reference's worker connection registry
+  * (config/worker.rs:100-180: `ConnectionType::{S3, Fs}` with endpoint /
+  * keys / bucket / root / region / path-style), re-expressed the Spark
+  * way: an S3 connection becomes per-bucket Hadoop `fs.s3a.*` settings on
+  * the session (so EVERY executor picks them up through the broadcast
+  * Hadoop conf — no per-node config files), and `read_files(glob,
+  * connection=>'name')` resolves through [[resolve]] to a fully-qualified
+  * URI that Spark's FileIndex lists and reads with its usual pushdown.
+  */
+object Connections {
+
+  sealed trait ConnectionType
+  /** S3-compatible endpoint (config/worker.rs:115-131). */
+  final case class S3(endpoint: String, accessKeyId: String,
+                      secretAccessKey: String, bucket: String, root: String,
+                      region: String, forcePathStyle: Boolean)
+    extends ConnectionType
+  /** Local/posix root (config/worker.rs:132-136). */
+  final case class Fs(root: String) extends ConnectionType
+
+  final class InvalidConnection(msg: String) extends Exception(msg)
+
+  // Registry is keyed per session (a long-lived server may host several).
+  private val registry =
+    new ConcurrentHashMap[(String, String), ConnectionType]()
+
+  private def key(spark: SparkSession, name: String) =
+    (System.identityHashCode(spark).toString, name)
+
+  /** Validate (name non-empty ascii, like worker.rs:101-112) and register;
+    * S3 settings are applied to the session's Hadoop conf per-bucket.
+    */
+  def register(spark: SparkSession, name: String,
+               conn: ConnectionType): Unit = {
+    if (name.isEmpty || !name.forall(c => c < 128))
+      throw new InvalidConnection(s"name - '$name'")
+    conn match {
+      case S3(endpoint, accessKey, secretKey, bucket, root, region, pathStyle) =>
+        if (endpoint.isEmpty || bucket.isEmpty)
+          throw new InvalidConnection(s"s3 connection '$name' needs endpoint+bucket")
+        if (root.startsWith("/"))
+          throw new InvalidConnection(s"s3 root must be relative: '$root'")
+        val hc = spark.sparkContext.hadoopConfiguration
+        val p = s"fs.s3a.bucket.$bucket"
+        hc.set(s"$p.endpoint", endpoint)
+        hc.set(s"$p.access.key", accessKey)
+        hc.set(s"$p.secret.key", secretKey)
+        if (region.nonEmpty) hc.set(s"$p.endpoint.region", region)
+        hc.set(s"$p.path.style.access", pathStyle.toString)
+      case Fs(root) =>
+        if (root.isEmpty)
+          throw new InvalidConnection(s"fs connection '$name' needs a root")
+    }
+    registry.put(key(spark, name), conn)
+    ()
+  }
+
+  def get(spark: SparkSession, name: String): Option[ConnectionType] =
+    Option(registry.get(key(spark, name)))
+
+  /** Resolve a `read_files` glob through a named connection to the URI
+    * Spark reads. Unregistered name "s3" keeps the bare-scheme fallback
+    * (glob already carries bucket/key); any other unknown name is an
+    * error, mirroring the reference's unknown-connection failure.
+    */
+  def resolve(spark: SparkSession, name: String, glob: String): String =
+    get(spark, name) match {
+      case Some(S3(_, _, _, bucket, root, _, _)) =>
+        val prefix = if (root.isEmpty) "" else s"${root.stripSuffix("/")}/"
+        s"s3a://$bucket/$prefix${glob.stripPrefix("/")}"
+      case Some(Fs(root)) =>
+        s"${root.stripSuffix("/")}/${glob.stripPrefix("/")}"
+      case None if name == "s3" => s"s3a://$glob"
+      case None =>
+        throw new InvalidConnection(s"unknown connection '$name'")
+    }
+}

@@ -63,9 +63,10 @@ object QueryFacade {
     """(?i)read_files\s*\(\s*'([^']+)'\s*(?:,\s*connection\s*=>\s*'([^']+)'\s*)?\)""".r
 
   /** Rewrite every `read_files('glob'[, connection=>'conn'])` into a temp
-    * view over `spark.read.parquet(glob)`. The `connection` argument maps
-    * to a filesystem scheme prefix (the reference's OpenDAL fs/S3
-    * connections ≈ Hadoop `file://`/`s3a://` URIs).
+    * view over `spark.read.parquet(glob)`. The `connection` argument
+    * resolves through the [[graft.sources.Connections]] registry (the
+    * reference's OpenDAL fs/S3 connections ≈ Hadoop `file://`/`s3a://`
+    * URIs + per-bucket s3a credentials on the session conf).
     */
   def rewriteReadFiles(spark: SparkSession, sql: String): String = {
     var idx = 0
@@ -73,8 +74,8 @@ object QueryFacade {
       val glob = m.group(1)
       val conn = Option(m.group(2))
       val path = conn match {
-        case Some("s3") => s"s3a://$glob"
-        case _ => glob
+        case Some(name) => graft.sources.Connections.resolve(spark, name, glob)
+        case None => glob
       }
       idx += 1
       val view = s"graft_read_files_$idx"

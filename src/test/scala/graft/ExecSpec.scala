@@ -31,6 +31,35 @@ class ExecSpec extends AnyFunSuite {
         .filter(col("l_quantity") > 45.0).count())
   }
 
+  test("connections: fs root resolves end-to-end; s3 maps to s3a + conf") {
+    import graft.sources.Connections
+    // Fs connection: read_files resolves relative to the registered root
+    Connections.register(spark, "local", Connections.Fs(dir))
+    val df = QueryFacade.run(spark,
+      "select count(*) as n from read_files('orders.parquet', " +
+        "connection=>'local')")
+    assert(df.collect()(0).getLong(0) === 1500L)
+    // S3 connection: URI layout + per-bucket s3a settings (worker.rs:115-131)
+    Connections.register(spark, "warehouse", Connections.S3(
+      endpoint = "http://minio:9000", accessKeyId = "ak",
+      secretAccessKey = "sk", bucket = "data", root = "lake/raw",
+      region = "us-east-1", forcePathStyle = true))
+    assert(Connections.resolve(spark, "warehouse", "events/*.parquet") ===
+      "s3a://data/lake/raw/events/*.parquet")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.data.endpoint") === "http://minio:9000")
+    assert(hc.get("fs.s3a.bucket.data.path.style.access") === "true")
+    // legacy bare-scheme fallback and unknown-name error
+    assert(Connections.resolve(spark, "s3", "b/k.parquet") ===
+      "s3a://b/k.parquet")
+    intercept[Connections.InvalidConnection] {
+      Connections.resolve(spark, "nope", "x")
+    }
+    intercept[Connections.InvalidConnection] {
+      Connections.register(spark, "", Connections.Fs("/tmp"))
+    }
+  }
+
   test("facade rejects multi-statement run()") {
     intercept[QueryFacade.MultipleStatements] {
       QueryFacade.run(spark, "select 1; select 2")
@@ -82,17 +111,129 @@ class ExecSpec extends AnyFunSuite {
       .select("o_orderkey").coalesce(3)
     val rs = ResultMaterializer.materialize(df, tmp, "q-rev")
     val pager = new CursorPager(spark, rs)
-    // jump to the middle, page back, then forward from the returned cursor
+    // jump to the middle, page back (cursor-INCLUSIVE, the reference's
+    // iterator protocol), then forward from the page's first offset
     val mid = pager.toCursor(700L)
     val back = pager.page(mid, 100, forward = false)
     assert(back.rows.length === 100)
+    assert(pager.toGlobal(back.offsets.head) === 601L)
+    assert(pager.toGlobal(back.offsets.last) === 700L)
+    // next reverse cursor = row before the page, like get_next_offset
     assert(pager.toGlobal(back.next.get) === 600L)
-    val fwd = pager.page(back.next.get, 100, forward = true)
+    val fwd = pager.page(back.offsets.head, 100, forward = true)
     assert(fwd.rows.map(_.getLong(0)) === back.rows.map(_.getLong(0)))
-    // boundary: backward from start is empty, partial page at the tail
-    assert(pager.page(Start, 10, forward = false).rows.isEmpty)
+    // boundary: backward from Start serves exactly row 0 and terminates
+    val atStart = pager.page(Start, 10, forward = false)
+    assert(atStart.rows.length === 1 && atStart.next.isEmpty)
     val tail = pager.page(pager.toCursor(1490L), 100, forward = true)
     assert(tail.rows.length === 10 && tail.next.isEmpty)
+  }
+
+  test("cursor pager: reverse iteration reassembles the result backwards") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey").coalesce(3)
+    val rs = ResultMaterializer.materialize(df, tmp, "q-rev2")
+    val pager = new CursorPager(spark, rs)
+    var cursor: Option[Cursor] = Some(pager.toCursor(pager.totalRows - 1))
+    val pages = Vector.newBuilder[Seq[Long]]
+    while (cursor.isDefined) {
+      val p = pager.page(cursor.get, 137, forward = false)
+      pages += p.rows.map(_.getLong(0))
+      cursor = p.next
+    }
+    val reassembled = pages.result().reverse.flatten
+    val direct = rs.files.flatMap(f =>
+      spark.read.parquet(f.path).collect().map(_.getLong(0))).toSeq
+    assert(reassembled === direct)
+  }
+
+  test("cursor pager: allow_overflow tops up a clamped reverse page") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey").coalesce(3)
+    val rs = ResultMaterializer.materialize(df, tmp, "q-ovf")
+    val pager = new CursorPager(spark, rs)
+    val c5 = pager.toCursor(5L)
+    // without the flag: the partial page [0..5] as-is
+    val plain = pager.page(c5, 10, forward = false)
+    assert(plain.rows.length === 6)
+    assert(plain.offsets.map(pager.toGlobal) === (0L to 5L))
+    assert(plain.next.isEmpty)
+    // with the flag: wraps forward past the cursor to fill the page
+    val over = pager.page(c5, 10, forward = false, allowOverflow = true)
+    assert(over.rows.length === 10)
+    assert(over.offsets.map(pager.toGlobal) === (0L to 9L))
+    assert(over.next.isEmpty)
+    assert(over.rows.map(_.getLong(0)) ===
+      pager.page(Start, 10, forward = true).rows.map(_.getLong(0)))
+    // a non-clamped reverse page is unaffected by the flag
+    val mid = pager.toCursor(700L)
+    assert(pager.page(mid, 100, forward = false, allowOverflow = true)
+      .offsets.map(pager.toGlobal) ===
+      pager.page(mid, 100, forward = false).offsets.map(pager.toGlobal))
+    // overflow cannot run past the end of data
+    val nearAll = pager.page(pager.toCursor(2L), 5000, forward = false,
+      allowOverflow = true)
+    assert(nearAll.rows.length === 1500)
+  }
+
+  test("async lifecycle: submit -> poll -> page; errors and unknown ids") {
+    import graft.exec.AsyncQueryRunner
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val id = runner.submit(
+      s"select o_orderkey from read_files('$dir/orders.parquet') " +
+        "order by o_orderkey")
+    // submit returned immediately with a pollable id
+    assert(runner.status(id) !== AsyncQueryRunner.QueryNotFound)
+    val fin = runner.waitForFinish(id, maxWaitMs = 120000L)
+    assert(fin.isInstanceOf[AsyncQueryRunner.Complete], s"got $fin")
+    val pager = runner.results(id)
+    assert(pager.totalRows === 1500L)
+    assert(pager.page(Start, 5).rows.map(_.getLong(0)).nonEmpty)
+    // a failing statement lands in Error, not an exception on submit
+    val bad = runner.submit("select * from read_files('/nonexistent-glob')")
+    val badFin = runner.waitForFinish(bad, maxWaitMs = 120000L)
+    assert(badFin.isInstanceOf[AsyncQueryRunner.Error], s"got $badFin")
+    intercept[IllegalStateException] { runner.results(bad) }
+    // unknown ids: QueryNotFound, a terminal status (wait returns at once)
+    assert(runner.status("nope") === AsyncQueryRunner.QueryNotFound)
+    assert(runner.waitForFinish("nope") === AsyncQueryRunner.QueryNotFound)
+  }
+
+  test("incremental materialize: pages are servable after each commit") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey")
+    val served = Vector.newBuilder[Long]
+    // After EVERY committed file, a pager over the directory as it exists
+    // at that moment must serve all rows committed so far — this is the
+    // serve-while-materializing contract, asserted deterministically at
+    // each commit point instead of racing the writer.
+    val rs = ResultMaterializer.materializeIncremental(df, tmp, "q-inc",
+      rowsPerFile = 400, onFile = _ => {
+        val snapshot = ResultMaterializer.open(
+          java.nio.file.Paths.get(tmp, "q-inc").toString)
+        val pager = new CursorPager(spark, snapshot)
+        served += pager.totalRows
+        assert(pager.page(Start, 10).rows.length === 10)
+      })
+    assert(rs.files.length === 4) // 1500 rows / 400 per file
+    assert(rs.totalRows === 1500L)
+    assert(served.result() === Vector(400L, 800L, 1200L, 1500L))
+    // the final directory reads back identically to bulk materialization
+    val all = new CursorPager(spark, rs)
+    var cursor: Option[Cursor] = Some(Start)
+    val ids = Vector.newBuilder[Long]
+    while (cursor.isDefined) {
+      val p = all.page(cursor.get, 333)
+      ids ++= p.rows.map(_.getLong(0))
+      cursor = p.next
+    }
+    assert(ids.result() ===
+      spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+        .collect().map(_.getLong(0)).toVector)
   }
 
   test("cursor round-trip: toCursor ∘ toGlobal = identity on all rows") {
