@@ -62,6 +62,10 @@ object MinhashProf {
       .write.format("noop").mode("overwrite").save())
     time("full dedupNgram")(graft.operators.Dedup.dedupNgramJaccard(s, dir)
       .write.format("noop").mode("overwrite").save())
+    time("ngram pairs only")(graft.operators.Dedup
+      .dedupNgramJaccard(s, dir).count())
+    time("full dedupClusters")(graft.operators.Dedup.dedupClusters(s, dir)
+      .write.format("noop").mode("overwrite").save())
     s.stop()
   }
 }

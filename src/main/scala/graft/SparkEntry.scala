@@ -101,7 +101,47 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** ann_lsh oracle, generated from the SAME deterministic hyperplane
+    * matrix the Spark query uses (Ann.planes is seeded) — the signature,
+    * multi-probe expansion, and ranking are all plain SQL once the planes
+    * are literals. Double literals round-trip exactly (shortest-repr
+    * toString), and list_dot_product/list_cosine_similarity evaluate the
+    * same sequential double arithmetic as VectorFunctions.
+    */
+  private def annLshOracleSql: String = {
+    val planes = graft.operators.Ann.planes(6, 64)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) " +
+        s"> 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n          + ")
+    val masks = (Seq(0L) ++ (0 until 6).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          CAST($bucket AS BIGINT) AS bucket
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+          xor(bucket, m) AS bucket
+        FROM e, unnest($masks) AS t(m)
+        WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+              bucket
+            FROM e),
+      s AS (SELECT q_id, cand_id,
+              round(list_cosine_similarity(qe, ce), 6) AS cos_r, bucket
+            FROM c JOIN q USING (bucket) WHERE q_id <> cand_id),
+      r AS (SELECT q_id, cand_id, cos_r, bucket,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_r DESC, cand_id) AS rank
+            FROM s)
+      SELECT q_id, rank, cand_id, cos_r, bucket FROM r WHERE rank <= 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" -> annLshOracleSql,
     "scan_read_files" -> "SELECT * FROM lineitem",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",

@@ -98,6 +98,72 @@ object ResultMaterializer {
     ResultSet(dir.toString, files.result())
   }
 
+  /** Compaction — the reference's TODO ("materializing files should be
+    * able to compact"): rewrite a result directory so no file except the
+    * last holds fewer than `minRowsPerFile` rows, preserving global row
+    * order. Footer metadata (already loaded) decides which runs of small
+    * files merge; untouched files are renamed into place, so a fully
+    * compacted directory is a no-op. Returns the re-opened ResultSet.
+    * NOTE: invalidates outstanding cursors (file/group indices shift) —
+    * run between serving sessions, same as the reference intended.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              minRowsPerFile: Long = 65536L): ResultSet = {
+    val rs = open(dir)
+    val d = Paths.get(dir)
+    // group consecutive files into runs of >= minRowsPerFile rows
+    val runs = Vector.newBuilder[Vector[ResultFile]]
+    var cur = Vector.empty[ResultFile]
+    var curRows = 0L
+    rs.files.foreach { f =>
+      cur :+= f
+      curRows += f.rows
+      if (curRows >= minRowsPerFile) {
+        runs += cur; cur = Vector.empty; curRows = 0L
+      }
+    }
+    if (cur.nonEmpty) runs += cur
+    val planned = runs.result()
+    if (planned.forall(_.length == 1)) return rs // already compact
+    // write merged runs to temp names first, then rename into rec_N order
+    val staged = planned.zipWithIndex.map { case (run, i) =>
+      if (run.length == 1) Left(Paths.get(run.head.path))
+      else {
+        val tmp = d.resolve(s".compact_$i")
+        // one file per run; coalesce(1) keeps the concatenation order of
+        // the (already ordered) inputs read in rec order
+        val dfs = run.map(f => spark.read.parquet(f.path))
+        dfs.reduce(_ unionAll _).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        Right(tmp)
+      }
+    }
+    staged.zipWithIndex.foreach { case (s, i) =>
+      val target = d.resolve(s"rec_$i.parquet.new")
+      s match {
+        case Left(keep) => Files.move(keep, target)
+        case Right(tmp) =>
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          Files.move(part, target)
+      }
+    }
+    // drop leftovers of merged runs, then commit the .new names
+    Files.list(d).iterator().asScala.toVector.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("rec_") && n.endsWith(".parquet"))
+        Files.delete(p)
+      else if (n.startsWith(".compact_")) deleteRecursively(p)
+    }
+    Files.list(d).iterator().asScala.toVector.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet.new"))
+        Files.move(p, d.resolve(n.stripSuffix(".new")))
+    }
+    open(dir)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)

@@ -276,13 +276,22 @@ object Dedup {
     // (interpreted ngram/md5 transforms, mirrored 1:1 in the oracle SQL) is
     // the expensive per-row pass, and locally the table is a single
     // parquet split — computed pre-exchange it would run in one task.
+    // Join keys are wrapped non-nullable (coalesce with sentinels):
+    // otherwise the pair join's inferred IsNotNull(mg) — whose expression
+    // is the ENTIRE interpreted n-gram profile — is pushed below the
+    // round-robin exchange and evaluated serially in the single-split scan
+    // stage, doubling the profile pass and serializing half of it
+    // (measured: ~2.5 s of a 4.7 s query). Sentinel rows can't produce
+    // pairs (empty gram set => n = 0, rejected by the n > 0 predicate),
+    // so results are unchanged.
     val g = table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism).select(
-      col("doc_id"), col("lang"), floor(col("n_chars") / 64).as("blk"),
+      col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+      coalesce(floor(col("n_chars") / 64), lit(-1L)).as("blk"),
       sampled.as("ng"))
       .withColumn("n", size(col("ng")))
       .withColumn("mgs", transform(col("ng"), x => md5(x)))
-      .withColumn("mg", array_min(col("mgs")))
+      .withColumn("mg", coalesce(array_min(col("mgs")), lit("")))
       .withColumn("sig", array((0 until 8).map(i =>
         array_min(transform(col("mgs"), m => substring(m, 1 + 4 * i, 4)))): _*))
       .drop("mgs")
@@ -346,27 +355,37 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, dir: String,
                     threshold: Double = 0.8): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir, threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize by exploding both directions out of ONE pairs subtree —
+    // a self-union would embed (and compute) the whole verified-pair
+    // pipeline twice inside the checkpoint stage.
+    val edges = dedupNgramJaccard(s, dir, threshold)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // Each round is ONE aggregation: the node's previous label rides along
+    // (tagged `self`), so min-label and has-anything-changed come out of
+    // the same pass — no separate compare join, and the convergence count
+    // is a trivial scan of the just-checkpointed (materialized) round.
+    var labels = edges
+      .select(col("src").as("doc_id"), col("src").as("label")).distinct()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < MaxLpRounds) {
       val fromNeighbors = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label"))
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(false).as("self"))
+      val next = labels
+        .select(col("doc_id"), col("label"), lit(true).as("self"))
         .union(fromNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
     val sizes = labels.groupBy(col("label"))

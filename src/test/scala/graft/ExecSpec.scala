@@ -236,6 +236,34 @@ class ExecSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toVector)
   }
 
+  test("compaction: merges small rec files, preserves order, idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey")
+    // 15 small files of 100 rows each
+    val rs0 = ResultMaterializer.materializeIncremental(df, tmp, "q-cmp",
+      rowsPerFile = 100)
+    assert(rs0.files.length === 15)
+    val dirPath = java.nio.file.Paths.get(tmp, "q-cmp").toString
+    val rs1 = ResultMaterializer.compact(spark, dirPath, minRowsPerFile = 400L)
+    assert(rs1.files.length === 4)
+    assert(rs1.files.map(_.rows) === Vector(400L, 400L, 400L, 300L))
+    assert(rs1.totalRows === 1500L)
+    // order preserved end-to-end
+    val pager = new CursorPager(spark, rs1)
+    var cursor: Option[Cursor] = Some(Start)
+    val ids = Vector.newBuilder[Long]
+    while (cursor.isDefined) {
+      val p = pager.page(cursor.get, 500)
+      ids ++= p.rows.map(_.getLong(0))
+      cursor = p.next
+    }
+    assert(ids.result() === df.collect().map(_.getLong(0)).toVector)
+    // second pass is a no-op
+    val rs2 = ResultMaterializer.compact(spark, dirPath, minRowsPerFile = 400L)
+    assert(rs2.files.map(_.rows) === rs1.files.map(_.rows))
+  }
+
   test("cursor round-trip: toCursor ∘ toGlobal = identity on all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/supplier.parquet").coalesce(1)
