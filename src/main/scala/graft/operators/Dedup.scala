@@ -154,7 +154,10 @@ object Dedup {
           aggregate(zip_with(col("x.sig"), col("y.sig"),
             (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >=
             lit((NumHashes * (threshold - EstEpsilon)).ceil.toInt))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // NO distinct() here: a pair colliding in several bands appears a few
+    // times, but the dupOf min/max aggregate below collapses duplicates
+    // anyway — a distinct would cost one more full exchange for nothing.
     // Tier 2: exact Jaccard, but only for pairs that cleared the estimate.
     // Shingle recomputation happens AFTER the join, on survivor rows only.
     // Survivors are the broadcast side — the corpus streams; broadcasting

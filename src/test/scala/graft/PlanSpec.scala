@@ -64,4 +64,37 @@ class PlanSpec extends AnyFunSuite {
     // "*(1)" prefix = operator inside whole-stage-codegen stage 1
     assert(p.contains("*(1) Project"), p.take(600))
   }
+
+  test("dedup_ngram: no profile expression below the round-robin exchange") {
+    // Regression pin: join-key IsNotNull inference once pushed the ENTIRE
+    // interpreted n-gram profile (md5 transforms) below the repartition,
+    // serializing it into the single-split scan stage. The non-nullable
+    // key wrapping must keep everything under RoundRobinPartitioning
+    // md5-free (plain column scans only).
+    val p = plan("dedup_ngram")
+    var rr = p.indexOf("RoundRobinPartitioning")
+    assert(rr >= 0, p.take(400))
+    while (rr >= 0) {
+      val scan = p.indexOf("FileScan", rr)
+      assert(scan > rr, p.substring(rr).take(400))
+      val below = p.substring(rr, scan)
+      assert(!below.contains("md5("), below.take(1200))
+      rr = p.indexOf("RoundRobinPartitioning", rr + 1)
+    }
+  }
+
+  test("dedup_minhash: corpus-sized self-join is SMJ, survivors broadcast") {
+    val p = plan("dedup_minhash")
+    // band self-join must not broadcast a corpus-derived side
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    // verify joins broadcast the pair list (streamed corpus side)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("ann_ivf: probe assignment is in the plan, not driver-side") {
+    // the centroid matrix appears as literals in an explode over queries;
+    // no LocalTableScan of collected probe rows
+    val p = plan("ann_ivf")
+    assert(!p.contains("LocalTableScan"), p.take(1500))
+  }
 }
