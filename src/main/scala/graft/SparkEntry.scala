@@ -85,6 +85,10 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "lang_id" -> (TextOps.langId _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "pii_redact" -> (Curation.piiRedact _),
+    "decontaminate" -> (Curation.decontaminate _),
+    "quality_model" -> (Curation.qualityModel _),
+    "sample_stratified" -> (Curation.sampleStratified _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
@@ -494,6 +498,83 @@ object SparkEntry {
              x -> x IN ('de','shi','le','bu','wo','zai','you'))),
            'lang': 'zh'}]).lang AS lang_pred
       FROM t""",
+    "pii_redact" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g'),
+          '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+      FROM documents""",
+    "decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 8 THEN
+            list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t),
+      h AS (
+        SELECT doc_id, md5(s.sh) AS h
+        FROM sh, unnest(sh.shingles) AS s(sh)),
+      bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT doc_id, count(DISTINCT h.h) AS n_hits
+        FROM h JOIN bench USING (h)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(hits.n_hits, 0) AS n_hits,
+        coalesce(hits.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      WHERE d.doc_id % 97 <> 0""",
+    "quality_model" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_norm
+        FROM t),
+      z AS (
+        SELECT doc_id,
+          -1.2 + 2.4 * stop_ratio + 1.1 * uniq_ratio + 0.9 * len_norm
+            + -1.8 * punct_ratio AS z
+        FROM f)
+      SELECT doc_id,
+        round(1.0 / (1.0 + exp(-z)), 4) AS model_score,
+        (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
+      FROM z""",
+    "sample_stratified" -> """
+      WITH c AS (
+        SELECT doc_id, lang,
+          substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS coin,
+          CASE lang WHEN 'en' THEN '80000000'
+                    WHEN 'fr' THEN 'cccccccc'
+                    WHEN 'es' THEN 'cccccccc'
+                    WHEN 'de' THEN 'cccccccc'
+                    ELSE 'g' END AS thr
+        FROM documents)
+      SELECT doc_id, lang, coin FROM c WHERE coin < thr""",
     "dedup_exact" -> """
       WITH n AS (
         SELECT doc_id,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables.table
+
+/** Data-curation operators a large-scale training pipeline runs between
+  * ingestion and tokenization: PII redaction, benchmark decontamination,
+  * model-based quality scoring, and stratified sampling. North-star scope
+  * (the reference has none of this); everything is per-row or
+  * broadcast-join shaped — no operator here shuffles the corpus more than
+  * once — and every query is oracle-checked (the devices used are chosen
+  * to be engine-portable: RE2-safe regexes, md5, plain arithmetic).
+  */
+object Curation {
+
+  // ------------------------------------------------------- PII redaction
+
+  /** RE2-safe patterns (no backrefs/lookahead) so Spark's Java regex and
+    * the DuckDB oracle agree on every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails then IPv4s (order matters and is mirrored in the
+    * oracle); emit counts and an md5 of the redacted text — the hash keeps
+    * the oracle row small while still pinning every replaced byte.
+    * Per-row, scan-speed, no shuffle.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  // ----------------------------------------------- benchmark decontamination
+
+  /** Word-shingle width for contamination checks: 8 tokens is the common
+    * n-gram decontamination window (long enough that chance collisions are
+    * negligible, short enough to catch partial inclusions).
+    */
+  val DecontamN = 8
+
+  /** Benchmark membership is a deterministic id subset here (every 97th
+    * doc) standing in for an eval-set table; the operator's shape is what
+    * matters: the benchmark side's distinct shingle hashes BROADCAST to a
+    * semi-join against the corpus's exploded shingles — the corpus streams
+    * once, nothing corpus-sized shuffles. `n_hits` = distinct benchmark
+    * shingles shared.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = table(s, dir, "documents")
+    val par = s.sparkContext.defaultParallelism
+    val sh = docs.repartition(par).select(col("doc_id"),
+      explode(T.wordShingles(col("text"), DecontamN)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val benchHashes = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchHashes), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  // ------------------------------------------------- quality-model scoring
+
+  /** Linear quality model over the structural features: weights would come
+    * from a trained classifier artifact broadcast to executors; here they
+    * are fixed literals (deterministic, oracle-mirrored). The shape is the
+    * point: model inference as a per-row codegen'd expression — a 100 TB
+    * corpus is scored at scan speed with zero shuffles.
+    */
+  val QualityWeights: Map[String, Double] = Map(
+    "bias" -> -1.2, "stop_ratio" -> 2.4, "uniq_ratio" -> 1.1,
+    "len_norm" -> 0.9, "punct_ratio" -> -1.8)
+
+  def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val stopRatio = T.stopwordRatio(col("text"), TextOps.stopwords)
+    val uniqRatio = T.uniqueTokenRatio(col("text"))
+    val lenNorm = least(nToks / 100.0, lit(1.0))
+    val z = lit(QualityWeights("bias")) +
+      lit(QualityWeights("stop_ratio")) * stopRatio +
+      lit(QualityWeights("uniq_ratio")) * uniqRatio +
+      lit(QualityWeights("len_norm")) * lenNorm +
+      lit(QualityWeights("punct_ratio")) * T.punctRatio(col("text"))
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      round(score, 4).as("model_score"),
+      (score > 0.5).as("keep"))
+  }
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Per-language sampling fractions — downsample the dominant language,
+    * keep the tail (the standard data-mixture rebalancing move).
+    */
+  val SampleFractions: Map[String, Double] =
+    Map("en" -> 0.5, "fr" -> 0.8, "es" -> 0.8, "de" -> 0.8, "zh" -> 1.0)
+
+  /** A fraction as an 8-hex-digit threshold: md5's lowercase hex compares
+    * lexicographically exactly like the number it encodes, so `coin <
+    * threshold` needs no hex→int conversion anywhere — the same string
+    * comparison runs in any engine. f >= 1 maps above every hex digit.
+    */
+  def hexThreshold(f: Double): String =
+    if (f >= 1.0) "g" else f"${(f * 4294967296L).toLong}%08x"
+
+  /** Deterministic stratified sample: a doc is kept iff the first 8 hex
+    * digits of md5(doc_id) fall under its language's threshold — exactly
+    * reproducible on any engine/cluster size (md5 is the cross-engine
+    * coin), no RNG state, per-row, shuffle-free.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val thr = SampleFractions.foldLeft(lit(hexThreshold(1.0))) {
+      case (acc, (lang, f)) =>
+        when(col("lang") === lang, lit(hexThreshold(f))).otherwise(acc)
+    }
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), coin.as("coin"), thr.as("thr"))
+      .filter(col("coin") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("coin"))
+  }
+}

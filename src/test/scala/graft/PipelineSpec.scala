@@ -86,6 +86,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("pii_redact: counts and hash react to injected PII") {
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.withColumn("text", when(col("doc_id") === 0,
+        lit("mail me at a.b-c@test-site.org or ping 10.0.0.1 and 8.8.8.8"))
+        .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.Curation.piiRedact(spark, tmp)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(r.getLong(1) === 1L) // n_emails
+    assert(r.getLong(2) === 2L) // n_ips
+    val plain = graft.operators.Curation.piiRedact(spark, tmp)
+      .filter(col("doc_id") === 1).collect()(0)
+    assert(r.getString(3) !== plain.getString(3))
+  }
+
+  test("decontaminate: a copied benchmark doc is flagged, bench excluded") {
+    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // plant a copy of benchmark doc 97 under a fresh non-bench id
+    val copy = docs.filter(col("doc_id") === 97)
+      .withColumn("doc_id", lit(50001L))
+    docs.union(copy).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.Curation.decontaminate(spark, tmp)
+    assert(r.filter(col("doc_id") % 97 === 0).count() === 0L)
+    val planted = r.filter(col("doc_id") === 50001L).collect()(0)
+    assert(planted.getBoolean(2), planted.toString)
+    assert(planted.getLong(1) >= 1L)
+  }
+
+  test("quality_model scores are probabilities consistent with keep") {
+    val r = graft.operators.Curation.qualityModel(spark, dir)
+    assert(r.filter(col("model_score") < 0.0 || col("model_score") > 1.0)
+      .count() === 0L)
+    // keep derives from the UNROUNDED score; at the 4-dp boundary the
+    // rounded column may sit exactly on 0.5, so exclude the knife edge
+    assert(r.filter(abs(col("model_score") - 0.5) > 1e-3 &&
+      col("keep") =!= (col("model_score") > 0.5)).count() === 0L)
+  }
+
+  test("sample_stratified: deterministic, near target rates per language") {
+    val a = graft.operators.Curation.sampleStratified(spark, dir)
+    val b = graft.operators.Curation.sampleStratified(spark, dir)
+    assert(a.collect().toSet === b.collect().toSet) // no RNG state
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Curation.SampleFractions.foreach { case (lang, f) =>
+      total.get(lang).filter(_ >= 20).foreach { n =>
+        val rate = kept.getOrElse(lang, 0L).toDouble / n
+        assert(math.abs(rate - f) < 0.25, s"$lang rate=$rate want≈$f")
+      }
+    }
+  }
+
   test("ann_lsh results are a subset-quality approximation of bruteforce") {
     val exact = Ann.annBruteforce(spark, dir)
       .select(col("q_id"), col("cand_id")).collect()
