@@ -43,16 +43,23 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            false
           }
-        }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // min over SUCCESSFUL reps — a fast failure must not report as the
+      // query's time; an always-failing query keeps its (failed) timing
+      val good = times.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

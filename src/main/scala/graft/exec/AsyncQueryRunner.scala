@@ -47,7 +47,12 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     states.put(queryId, Queued)
     pool.submit(new Runnable {
       override def run(): Unit = {
-        states.put(queryId, Running)
+        // atomic Queued->Running: a cancel that landed while still queued
+        // must win — the query never starts
+        if (!states.replace(queryId, Queued, Running)) {
+          states.replace(queryId, SentShutdown, Error("cancelled"))
+          return
+        }
         try {
           spark.sparkContext.setJobGroup(queryId,
             s"graft query $queryId", interruptOnCancel = true)
@@ -79,16 +84,39 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
   def status(queryId: String): QueryStatus =
     states.getOrDefault(queryId, QueryNotFound)
 
-  /** Request cancellation (the reference's shutdown path). */
+  /** Request cancellation (the reference's shutdown path). Transitions
+    * are compare-and-swap so a cancel racing completion can never clobber
+    * a terminal Complete/Error back to non-terminal SentShutdown.
+    */
   def cancel(queryId: String): QueryStatus = {
+    if (states.replace(queryId, Queued, SentShutdown) ||
+        states.replace(queryId, Running, SentShutdown)) {
+      spark.sparkContext.cancelJobGroup(queryId)
+      SentShutdown
+    } else status(queryId)
+  }
+
+  /** Drop a finished query's bookkeeping (and optionally its result files)
+    * — a long-lived server calls this after the client is done paging, or
+    * the states/partials maps grow with every query ever submitted.
+    */
+  def forget(queryId: String, deleteFiles: Boolean = false): Unit = {
     val prev = states.get(queryId)
-    prev match {
-      case Queued | Running =>
-        states.put(queryId, SentShutdown)
-        spark.sparkContext.cancelJobGroup(queryId)
-        SentShutdown
-      case null => QueryNotFound
-      case s => s
+    if (prev != null && prev.terminal) {
+      states.remove(queryId)
+      partials.remove(queryId)
+      if (deleteFiles) prev match {
+        case Complete(rs) =>
+          val d = java.nio.file.Paths.get(rs.dir)
+          if (java.nio.file.Files.isDirectory(d)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.list(d).iterator().asScala.toVector
+              .foreach(java.nio.file.Files.deleteIfExists)
+            java.nio.file.Files.deleteIfExists(d)
+          }
+          ()
+        case _ => ()
+      }
     }
   }
 

@@ -149,19 +149,40 @@ object ResultMaterializer {
           Files.move(part, target)
       }
     }
-    // drop leftovers of merged runs, then commit the .new names
+    // Commit marker BEFORE any destructive step: it records the output
+    // count, and open() uses it to finish an interrupted commit — a crash
+    // anywhere from here on is recoverable, never a silently-empty dir.
+    Files.write(d.resolve(CompactMarker),
+      planned.length.toString.getBytes("UTF-8"))
+    finishCompaction(d, planned.length)
+    open(dir)
+  }
+
+  private val CompactMarker = ".compacting"
+
+  /** Idempotent commit tail: delete stale inputs, rename `.new` outputs
+    * into place, clear temp dirs, drop the marker. Safe to re-run from
+    * any interruption point — every step checks existence first.
+    */
+  private def finishCompaction(d: Path, nOut: Int): Unit = {
     Files.list(d).iterator().asScala.toVector.foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("rec_") && n.endsWith(".parquet"))
-        Files.delete(p)
-      else if (n.startsWith(".compact_")) deleteRecursively(p)
+      if (n.startsWith("rec_") && n.endsWith(".parquet")) {
+        // a stale input, UNLESS it's an already-committed output (index
+        // < nOut and its .new counterpart is gone)
+        val idx = n.stripPrefix("rec_").stripSuffix(".parquet").toInt
+        val committed =
+          idx < nOut && !Files.exists(d.resolve(s"rec_$idx.parquet.new"))
+        if (!committed) Files.delete(p)
+      } else if (n.startsWith(".compact_")) deleteRecursively(p)
     }
     Files.list(d).iterator().asScala.toVector.foreach { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".parquet.new"))
         Files.move(p, d.resolve(n.stripSuffix(".new")))
     }
-    open(dir)
+    Files.deleteIfExists(d.resolve(CompactMarker))
+    ()
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -172,9 +193,17 @@ object ResultMaterializer {
   }
 
   /** Open an existing result dir: list rec_N files in numeric order and
-    * read row-group row counts from each footer.
+    * read row-group row counts from each footer. If a compaction was
+    * interrupted (marker present), its idempotent commit tail is finished
+    * first — the staged `.new` outputs are complete by the time the
+    * marker is written, so recovery is always possible.
     */
   def open(dir: String): ResultSet = {
+    val marker = Paths.get(dir).resolve(CompactMarker)
+    if (Files.exists(marker)) {
+      val nOut = new String(Files.readAllBytes(marker), "UTF-8").trim.toInt
+      finishCompaction(Paths.get(dir), nOut)
+    }
     val files = Files.list(Paths.get(dir)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString

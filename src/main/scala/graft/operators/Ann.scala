@@ -74,6 +74,9 @@ object Ann {
       .withColumn("vec", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("vec").setPredictionCol("cell")
+    // this count prunes to zero columns (parquet row counting, near
+    // metadata speed) and buys the right sample fraction — far cheaper
+    // than the 5 full KMeans passes an unsampled fit would cost
     val corpusN = e.count()
     val fitSet = if (corpusN <= FitSampleMax) e
       else e.sample(withReplacement = false,

@@ -284,10 +284,13 @@ object Dedup {
     // is the ENTIRE interpreted n-gram profile — is pushed below the
     // round-robin exchange and evaluated serially in the single-split scan
     // stage, doubling the profile pass and serializing half of it
-    // (measured: ~2.5 s of a 4.7 s query). Sentinel rows can't produce
-    // pairs (empty gram set => n = 0, rejected by the n > 0 predicate),
-    // so results are unchanged.
+    // (measured: ~2.5 s of a 4.7 s query). Null-key rows are dropped FIRST
+    // (plain-column filters, cheap at the scan), so the lang/blk sentinels
+    // never actually bind and SQL null-join semantics are preserved
+    // exactly; the mg sentinel only marks empty gram sets, which the n > 0
+    // predicate rejects from pairing anyway.
     val g = table(s, dir, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
       .repartition(s.sparkContext.defaultParallelism).select(
       col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
       coalesce(floor(col("n_chars") / 64), lit(-1L)).as("blk"),
@@ -334,12 +337,14 @@ object Dedup {
 
   // ------------------------------------------------- transitive clusters
 
-  /** Label-propagation round cap. Verified-pair graphs from near-dup
-    * detection are dense (near-cliques), so the effective diameter is tiny;
-    * min-label propagation needs O(diameter) rounds and the cap only
-    * guards pathological chain topologies.
+  /** Label-propagation round cap. Each round combines neighbor
+    * propagation with pointer jumping (label := label of label), which
+    * halves the remaining distance to the root — components of diameter
+    * up to ~2^MaxLpRounds converge. Non-convergence within the cap throws
+    * (silently-partial clusters would diverge from the exact
+    * transitive-closure oracle).
     */
-  val MaxLpRounds = 10
+  val MaxLpRounds = 12
 
   /** Transitive duplicate clusters: hash-min label propagation over the
     * verified near-dup pairs until fixpoint, so every member of a connected
@@ -380,9 +385,17 @@ object Dedup {
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .select(col("dst").as("doc_id"), col("label"),
           lit(false).as("self"))
+      // pointer jump: also adopt the label OF the current label (labels
+      // are always member doc_ids, so the inner join always hits) —
+      // distance-to-root halves per round instead of shrinking by one
+      val viaJump = labels.as("a")
+        .join(labels.select(col("doc_id").as("label"),
+          col("label").as("jlabel")), "label")
+        .select(col("doc_id"), col("jlabel").as("label"),
+          lit(false).as("self"))
       val next = labels
         .select(col("doc_id"), col("label"), lit(true).as("self"))
-        .union(fromNeighbors)
+        .union(fromNeighbors).union(viaJump)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
@@ -391,6 +404,10 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
+    require(changed == 0L,
+      s"label propagation did not converge in $MaxLpRounds rounds " +
+        "(component diameter > 2^rounds?) — refusing to emit partial " +
+        "clusters that would diverge from the transitive closure")
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

@@ -29,6 +29,12 @@ object Connections {
   private val registry =
     new ConcurrentHashMap[(String, String), ConnectionType]()
 
+  // fs.s3a.bucket.* settings live on the CONTEXT-global Hadoop conf (one
+  // per JVM), so two registrations for the same bucket with different
+  // settings would silently clobber each other — track what each bucket
+  // was configured with and reject conflicting re-registration loudly.
+  private val bucketConf = new ConcurrentHashMap[String, S3]()
+
   private def key(spark: SparkSession, name: String) =
     (System.identityHashCode(spark).toString, name)
 
@@ -40,11 +46,19 @@ object Connections {
     if (name.isEmpty || !name.forall(c => c < 128))
       throw new InvalidConnection(s"name - '$name'")
     conn match {
-      case S3(endpoint, accessKey, secretKey, bucket, root, region, pathStyle) =>
+      case s3 @ S3(endpoint, accessKey, secretKey, bucket, root, region,
+          pathStyle) =>
         if (endpoint.isEmpty || bucket.isEmpty)
           throw new InvalidConnection(s"s3 connection '$name' needs endpoint+bucket")
         if (root.startsWith("/"))
           throw new InvalidConnection(s"s3 root must be relative: '$root'")
+        // differing root is fine (a URI concern, not a Hadoop-conf one)
+        val prior = bucketConf.putIfAbsent(bucket, s3)
+        if (prior != null && prior.copy(root = "") != s3.copy(root = ""))
+          throw new InvalidConnection(
+            s"bucket '$bucket' already configured with different " +
+              "endpoint/credentials — per-bucket fs.s3a.* settings are " +
+              "JVM-global, refusing to clobber")
         val hc = spark.sparkContext.hadoopConfiguration
         val p = s"fs.s3a.bucket.$bucket"
         hc.set(s"$p.endpoint", endpoint)
@@ -62,6 +76,16 @@ object Connections {
 
   def get(spark: SparkSession, name: String): Option[ConnectionType] =
     Option(registry.get(key(spark, name)))
+
+  /** Remove a named connection (long-lived servers rotate these; the
+    * Hadoop per-bucket settings stay — overwritten on re-register).
+    */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    Option(registry.remove(key(spark, name))).foreach {
+      case S3(_, _, _, bucket, _, _, _) => bucketConf.remove(bucket)
+      case _ => ()
+    }
+  }
 
   /** Resolve a `read_files` glob through a named connection to the URI
     * Spark reads. Unregistered name "s3" keeps the bare-scheme fallback

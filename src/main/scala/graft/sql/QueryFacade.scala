@@ -68,20 +68,43 @@ object QueryFacade {
     * reference's OpenDAL fs/S3 connections ≈ Hadoop `file://`/`s3a://`
     * URIs + per-bucket s3a credentials on the session conf).
     */
-  def rewriteReadFiles(spark: SparkSession, sql: String): String = {
-    var idx = 0
-    ReadFilesRe.replaceAllIn(sql, m => {
+  /** Rewrite, collecting the created view names so the caller can drop
+    * them once the statement is ANALYZED. View names are UUID-unique:
+    * temp views are session-global, so a fixed numbering raced between
+    * AsyncQueryRunner's concurrent submits (one query could silently read
+    * the other's table).
+    */
+  private def rewriteCollect(spark: SparkSession,
+                             sql: String): (String, Seq[String]) = {
+    val views = Vector.newBuilder[String]
+    val out = ReadFilesRe.replaceAllIn(sql, m => {
       val glob = m.group(1)
       val conn = Option(m.group(2))
       val path = conn match {
         case Some(name) => graft.sources.Connections.resolve(spark, name, glob)
         case None => glob
       }
-      idx += 1
-      val view = s"graft_read_files_$idx"
+      val view = "graft_read_files_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
       graft.sources.Tables.readFiles(spark, path).createOrReplaceTempView(view)
+      views += view
       view
     })
+    (out, views.result())
+  }
+
+  def rewriteReadFiles(spark: SparkSession, sql: String): String =
+    rewriteCollect(spark, sql)._1
+
+  /** The rewritten statement handed to Catalyst; `spark.sql` analyzes
+    * eagerly (the resolved plan owns the relation), so the temp views are
+    * dropped immediately — nothing leaks into the session catalog and
+    * concurrent statements can't observe each other's views.
+    */
+  private def analyzeAndClean(spark: SparkSession, stmt: String): DataFrame = {
+    val (rewritten, views) = rewriteCollect(spark, stmt)
+    try spark.sql(rewritten)
+    finally views.foreach(spark.catalog.dropTempView)
   }
 
   /** Run one statement (the reference's RunQuery path): validate arity,
@@ -91,12 +114,12 @@ object QueryFacade {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) throw new EmptyQuery
     if (stmts.length > 1) throw new MultipleStatements(stmts.length)
-    spark.sql(rewriteReadFiles(spark, stmts.head))
+    analyzeAndClean(spark, stmts.head)
   }
 
   /** Run a multi-statement script, returning the result of each statement
     * (the reference TUI's batch mode).
     */
   def runScript(spark: SparkSession, script: String): Seq[DataFrame] =
-    splitStatements(script).map(s => spark.sql(rewriteReadFiles(spark, s)))
+    splitStatements(script).map(s => analyzeAndClean(spark, s))
 }

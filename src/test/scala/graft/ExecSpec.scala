@@ -200,6 +200,10 @@ class ExecSpec extends AnyFunSuite {
     // unknown ids: QueryNotFound, a terminal status (wait returns at once)
     assert(runner.status("nope") === AsyncQueryRunner.QueryNotFound)
     assert(runner.waitForFinish("nope") === AsyncQueryRunner.QueryNotFound)
+    // forget drops bookkeeping (and optionally the result files)
+    runner.forget(id, deleteFiles = true)
+    assert(runner.status(id) === AsyncQueryRunner.QueryNotFound)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, id)))
   }
 
   test("incremental materialize: pages are servable after each commit") {
