@@ -54,6 +54,7 @@ object SparkEntry {
     "events_window" -> (Relational.eventsWindow _),
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
     "events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
+    "events_enrich" -> (graft.streaming.EventStreams.eventsEnrich _),
     // --- second tranche: remaining joins, windows, aggregates, functions ---
     "join_cross" -> (RelationalExt.joinCross _),
     "join_right" -> (RelationalExt.joinRight _),
@@ -436,6 +437,9 @@ object SparkEntry {
       WHERE v.event_type = 'view' AND b.event_type = 'purchase'
         AND v.user_id = b.user_id
         AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR""",
+    "events_enrich" -> """
+      SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, e.value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     "text_stats" -> """
       WITH t AS (
         SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,

@@ -146,6 +146,23 @@ object EventStreams {
       .select(col("user_id"), col("view_id"), col("buy_id"), col("value"))
   }
 
+  /** Stream-static enrichment: the event stream joined against the static
+    * customer dimension — the standard dimension-lookup pattern. The
+    * static side is re-broadcast per micro-batch (no streaming state at
+    * all), so at scale this costs one broadcast of the dim, never a
+    * shuffle of the stream.
+    */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("value"))
+
+  /** Batch twin of enrichStream (oracle-checked). */
+  def eventsEnrich(s: SparkSession, dir: String): DataFrame =
+    enrichStream(Tables.events(s, dir), Tables.table(s, dir, "customer"))
+
   /** Batch sessionization — identical semantics to the streaming version,
     * expressed with lag/cumulative-sum windows (oracle-checked). One
     * shuffle on user_id; both windows share the same partitioning+ordering

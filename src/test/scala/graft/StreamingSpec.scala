@@ -78,6 +78,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val q = EventStreams.enrichStream(
+        EventStreams.readEventStream(spark, eventsDir),
+        graft.sources.Tables.table(spark, dir, "customer"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = EventStreams.eventsEnrich(spark, dir)
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits sessions consistent with batch") {
     val q = EventStreams.sessionizeStream(
         EventStreams.readEventStream(spark, eventsDir))
