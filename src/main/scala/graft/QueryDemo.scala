@@ -41,7 +41,26 @@ object QueryDemo {
         forward = false)
       println(s"PAGED_BACK rows=${tail.rows.length} " +
         s"next=${tail.next.map(pager.toGlobal)}")
+      // reverse page clamped at the start, topped up via allow_overflow
+      val ovf = pager.page(pager.toCursor(2L), 10, forward = false,
+        allowOverflow = true)
+      println(s"OVERFLOW_PAGE rows=${ovf.rows.length}")
     }
+    // the async lifecycle: submit -> poll -> page -> forget
+    val runner = new graft.exec.AsyncQueryRunner(spark, root)
+    val aid = runner.submit(sql)
+    val fin = runner.waitForFinish(aid)
+    println(s"ASYNC status=${fin.getClass.getSimpleName} " +
+      s"rows=${runner.results(aid).totalRows}")
+    runner.forget(aid, deleteFiles = true)
+    // incremental: rec files commit while the query streams; compact after
+    val incId = java.util.UUID.randomUUID().toString
+    val incRs = ResultMaterializer.materializeIncremental(
+      QueryFacade.run(spark, sql), root, incId, rowsPerFile = 100)
+    val compacted = ResultMaterializer.compact(spark, s"$root/$incId",
+      minRowsPerFile = 400L)
+    println(s"INCREMENTAL files=${incRs.files.length} -> " +
+      s"COMPACTED files=${compacted.files.length} rows=${compacted.totalRows}")
     spark.stop()
   }
 }
