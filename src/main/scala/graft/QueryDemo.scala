@@ -42,7 +42,8 @@ object QueryDemo {
       println(s"PAGED_BACK rows=${tail.rows.length} " +
         s"next=${tail.next.map(pager.toGlobal)}")
       // reverse page clamped at the start, topped up via allow_overflow
-      val ovf = pager.page(pager.toCursor(2L), 10, forward = false,
+      val near = math.min(2L, pager.totalRows - 1)
+      val ovf = pager.page(pager.toCursor(near), 10, forward = false,
         allowOverflow = true)
       println(s"OVERFLOW_PAGE rows=${ovf.rows.length}")
     }

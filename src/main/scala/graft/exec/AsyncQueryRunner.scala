@@ -105,18 +105,12 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     if (prev != null && prev.terminal) {
       states.remove(queryId)
       partials.remove(queryId)
-      if (deleteFiles) prev match {
-        case Complete(rs) =>
-          val d = java.nio.file.Paths.get(rs.dir)
-          if (java.nio.file.Files.isDirectory(d)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.list(d).iterator().asScala.toVector
-              .foreach(java.nio.file.Files.deleteIfExists)
-            java.nio.file.Files.deleteIfExists(d)
-          }
-          ()
-        case _ => ()
-      }
+      // the result dir is resultRoot/<id> for EVERY query — cancelled and
+      // errored ones may have partial materialization on disk too, and
+      // temp subdirs require a recursive delete
+      if (deleteFiles)
+        ResultMaterializer.deleteTree(
+          java.nio.file.Paths.get(resultRoot, queryId))
     }
   }
 

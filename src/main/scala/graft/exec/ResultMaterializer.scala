@@ -109,8 +109,16 @@ object ResultMaterializer {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               minRowsPerFile: Long = 65536L): ResultSet = {
-    val rs = open(dir)
+    val rs = open(dir) // replays an interrupted commit if marker present
     val d = Paths.get(dir)
+    // a previous attempt that died BEFORE its marker left only
+    // non-destructive leftovers (originals intact) — clear and redo
+    Files.list(d).iterator().asScala.toVector.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet.new") || n.startsWith(".compact_") ||
+          n == s"$CompactMarker.tmp")
+        deleteRecursively(p)
+    }
     // group consecutive files into runs of >= minRowsPerFile rows
     val runs = Vector.newBuilder[Vector[ResultFile]]
     var cur = Vector.empty[ResultFile]
@@ -125,35 +133,37 @@ object ResultMaterializer {
     if (cur.nonEmpty) runs += cur
     val planned = runs.result()
     if (planned.forall(_.length == 1)) return rs // already compact
-    // write merged runs to temp names first, then rename into rec_N order
-    val staged = planned.zipWithIndex.map { case (run, i) =>
-      if (run.length == 1) Left(Paths.get(run.head.path))
-      else {
+    // Stage EVERY output as rec_N.parquet.new without touching an
+    // original: merged runs are written fresh, kept files are COPIED.
+    // Up to the marker write below, nothing destructive has happened —
+    // a crash leaves the original rec_N set fully intact (leftovers are
+    // swept on the next attempt).
+    planned.zipWithIndex.foreach { case (run, i) =>
+      val target = d.resolve(s"rec_$i.parquet.new")
+      if (run.length == 1) {
+        Files.copy(Paths.get(run.head.path), target)
+        ()
+      } else {
         val tmp = d.resolve(s".compact_$i")
         // one file per run; coalesce(1) keeps the concatenation order of
         // the (already ordered) inputs read in rec order
         val dfs = run.map(f => spark.read.parquet(f.path))
         dfs.reduce(_ unionAll _).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        Right(tmp)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        Files.move(part, target)
+        deleteRecursively(tmp)
       }
     }
-    staged.zipWithIndex.foreach { case (s, i) =>
-      val target = d.resolve(s"rec_$i.parquet.new")
-      s match {
-        case Left(keep) => Files.move(keep, target)
-        case Right(tmp) =>
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file in $tmp"))
-          Files.move(part, target)
-      }
-    }
-    // Commit marker BEFORE any destructive step: it records the output
-    // count, and open() uses it to finish an interrupted commit — a crash
-    // anywhere from here on is recoverable, never a silently-empty dir.
-    Files.write(d.resolve(CompactMarker),
-      planned.length.toString.getBytes("UTF-8"))
+    // Atomically-committed marker: once it exists, the staged .new set is
+    // complete and the commit tail is replayable from any crash point;
+    // until it exists, the original files are untouched.
+    val markerTmp = d.resolve(s"$CompactMarker.tmp")
+    Files.write(markerTmp, planned.length.toString.getBytes("UTF-8"))
+    Files.move(markerTmp, d.resolve(CompactMarker),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     finishCompaction(d, planned.length)
     open(dir)
   }
@@ -184,6 +194,11 @@ object ResultMaterializer {
     Files.deleteIfExists(d.resolve(CompactMarker))
     ()
   }
+
+  /** Recursive delete (no-op if absent) — also the cleanup primitive for
+    * AsyncQueryRunner.forget.
+    */
+  private[exec] def deleteTree(p: Path): Unit = deleteRecursively(p)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -77,14 +77,15 @@ object Connections {
   def get(spark: SparkSession, name: String): Option[ConnectionType] =
     Option(registry.get(key(spark, name)))
 
-  /** Remove a named connection (long-lived servers rotate these; the
-    * Hadoop per-bucket settings stay — overwritten on re-register).
+  /** Remove a named connection. The per-bucket conflict guard is
+    * deliberately NOT released: other names/sessions may still depend on
+    * the bucket's JVM-global fs.s3a.* settings, so different-credential
+    * re-registration of a once-configured bucket stays rejected for the
+    * JVM's lifetime (conservative by design — restart to rotate).
     */
   def unregister(spark: SparkSession, name: String): Unit = {
-    Option(registry.remove(key(spark, name))).foreach {
-      case S3(_, _, _, bucket, _, _, _) => bucketConf.remove(bucket)
-      case _ => ()
-    }
+    registry.remove(key(spark, name))
+    ()
   }
 
   /** Resolve a `read_files` glob through a named connection to the URI

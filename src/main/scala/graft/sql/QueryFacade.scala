@@ -93,18 +93,37 @@ object QueryFacade {
     (out, views.result())
   }
 
+  /** Public rewrite hook (diagnostics/tests). NOTE: the created temp
+    * views are left registered — callers wanting cleanup should go
+    * through [[run]]/[[runScript]], which drop them after analysis.
+    */
   def rewriteReadFiles(spark: SparkSession, sql: String): String =
     rewriteCollect(spark, sql)._1
+
+  /** DDL statements whose STORED TEXT will re-reference the rewritten
+    * views at every later analysis (CREATE [TEMP] VIEW stores parsed
+    * text, not a resolved plan) — for these the views must outlive the
+    * statement.
+    */
+  private val CreatesViewRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?(global\s+)?(temp(orary)?\s+)?view\b.*""".r
 
   /** The rewritten statement handed to Catalyst; `spark.sql` analyzes
     * eagerly (the resolved plan owns the relation), so the temp views are
     * dropped immediately — nothing leaks into the session catalog and
-    * concurrent statements can't observe each other's views.
+    * concurrent statements can't observe each other's views. Exception:
+    * a CREATE VIEW statement keeps them (its stored definition re-resolves
+    * the view names on every later reference).
     */
   private def analyzeAndClean(spark: SparkSession, stmt: String): DataFrame = {
     val (rewritten, views) = rewriteCollect(spark, stmt)
-    try spark.sql(rewritten)
-    finally views.foreach(spark.catalog.dropTempView)
+    val df =
+      try spark.sql(rewritten)
+      catch { case e: Throwable =>
+        views.foreach(spark.catalog.dropTempView); throw e
+      }
+    if (!CreatesViewRe.matches(stmt)) views.foreach(spark.catalog.dropTempView)
+    df
   }
 
   /** Run one statement (the reference's RunQuery path): validate arity,

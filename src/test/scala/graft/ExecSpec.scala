@@ -60,6 +60,25 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("runScript: a created temp view referencing read_files survives") {
+    val dfs = QueryFacade.runScript(spark,
+      s"""create or replace temp view demo_v as
+         select * from read_files('$dir/region.parquet');
+         select count(*) as n from demo_v""")
+    assert(dfs.last.collect()(0).getLong(0) === 5L)
+    // re-analysis of the stored view text must still resolve
+    assert(spark.sql("select * from demo_v").count() === 5L)
+    spark.catalog.dropTempView("demo_v")
+    // plain statements leave no ADDITIONAL graft_read_files_* views
+    // behind (the CREATE VIEW statement's own is retained by design)
+    def graftViews = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_read_files_")).toSet
+    val before = graftViews
+    QueryFacade.run(spark,
+      s"select * from read_files('$dir/region.parquet')").count()
+    assert(graftViews === before)
+  }
+
   test("facade rejects multi-statement run()") {
     intercept[QueryFacade.MultipleStatements] {
       QueryFacade.run(spark, "select 1; select 2")
@@ -266,6 +285,38 @@ class ExecSpec extends AnyFunSuite {
     // second pass is a no-op
     val rs2 = ResultMaterializer.compact(spark, dirPath, minRowsPerFile = 400L)
     assert(rs2.files.map(_.rows) === rs1.files.map(_.rows))
+  }
+
+  test("compaction: interrupted commit is replayed by open()") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey")
+    ResultMaterializer.materializeIncremental(df, tmp, "q-crash",
+      rowsPerFile = 100)
+    val d = java.nio.file.Paths.get(tmp, "q-crash")
+    // simulate a crash immediately after the marker commit: stage the
+    // .new set by running a real compact, then restore a pre-commit-tail
+    // snapshot (marker + .new + stale originals)
+    import scala.jdk.CollectionConverters._
+    val origs = java.nio.file.Files.list(d).iterator().asScala.toVector
+    val snap = java.nio.file.Files.createTempDirectory("snap")
+    origs.foreach(p => java.nio.file.Files.copy(p, snap.resolve(p.getFileName)))
+    ResultMaterializer.compact(spark, d.toString, minRowsPerFile = 400L)
+    // rebuild the crash state: compacted outputs renamed back to .new,
+    // stale originals restored, marker present
+    java.nio.file.Files.list(d).iterator().asScala.toVector.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("rec_") && n.endsWith(".parquet"))
+        java.nio.file.Files.move(p, d.resolve(s"$n.new"))
+    }
+    origs.foreach(p => java.nio.file.Files.copy(snap.resolve(p.getFileName),
+      d.resolve(p.getFileName)))
+    java.nio.file.Files.write(d.resolve(".compacting"), "4".getBytes)
+    // open() must finish the commit and serve the compacted layout
+    val recovered = ResultMaterializer.open(d.toString)
+    assert(recovered.files.length === 4)
+    assert(recovered.totalRows === 1500L)
+    assert(!java.nio.file.Files.exists(d.resolve(".compacting")))
   }
 
   test("cursor round-trip: toCursor ∘ toGlobal = identity on all rows") {
