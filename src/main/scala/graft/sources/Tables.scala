@@ -29,9 +29,12 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `read_files` analog: read every Parquet file matching a glob.
+  /** The `read_files` analog: read every file matching a glob.
     * Reference semantics: schema is inferred from the files themselves
     * (read_files_task.rs:250-253); pass mergeSchema for drifting schemas.
+    * The reference reads Parquet only; this surface additionally detects
+    * CSV (with header, like the repo's Sources layer), JSON-lines, and
+    * ORC from the glob's extension — parquet otherwise.
     */
   def readFiles(spark: SparkSession, glob: String,
                 mergeSchema: Boolean = false): DataFrame = {
@@ -41,7 +44,14 @@ object Tables {
     // timestamp_micros(col DIV 1000) when timestamp semantics are needed
     // (see Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
+    val lower = glob.toLowerCase
+    if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(glob)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
+      spark.read.json(glob)
+    else if (lower.endsWith(".orc")) spark.read.orc(glob)
+    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
   }
 
   /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's

@@ -79,6 +79,23 @@ class ExecSpec extends AnyFunSuite {
     assert(graftViews === before)
   }
 
+  test("read_files detects csv/jsonl/orc from the glob extension") {
+    val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = spark.read.parquet(s"$dir/region.parquet")
+    src.coalesce(1).write.option("header", "true").csv(s"$tmp/csv")
+    src.coalesce(1).write.json(s"$tmp/json")
+    src.coalesce(1).write.orc(s"$tmp/orc")
+    assert(QueryFacade.run(spark,
+      s"select count(*) as n from read_files('$tmp/csv/*.csv')")
+      .collect()(0).getLong(0) === 5L)
+    assert(QueryFacade.run(spark,
+      s"select count(*) as n from read_files('$tmp/json/*.json')")
+      .collect()(0).getLong(0) === 5L)
+    assert(QueryFacade.run(spark,
+      s"select count(*) as n from read_files('$tmp/orc/*.orc')")
+      .collect()(0).getLong(0) === 5L)
+  }
+
   test("facade rejects multi-statement run()") {
     intercept[QueryFacade.MultipleStatements] {
       QueryFacade.run(spark, "select 1; select 2")
