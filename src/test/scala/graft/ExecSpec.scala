@@ -242,6 +242,25 @@ class ExecSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, id)))
   }
 
+  test("async lifecycle: concurrent submits don't cross-read tables") {
+    import graft.exec.AsyncQueryRunner
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    // different tables with different row counts, submitted concurrently
+    // on ONE session — the rewritten read_files views must not collide
+    val expected = Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L,
+      "orders" -> 1500L)
+    val ids = expected.keys.toSeq.map { t =>
+      t -> runner.submit(s"select * from read_files('$dir/$t.parquet')")
+    }
+    ids.foreach { case (t, id) =>
+      val fin = runner.waitForFinish(id, maxWaitMs = 120000L)
+      assert(fin.isInstanceOf[AsyncQueryRunner.Complete], s"$t: $fin")
+      assert(runner.results(id).totalRows === expected(t), s"table $t")
+      runner.forget(id, deleteFiles = true)
+    }
+  }
+
   test("incremental materialize: pages are servable after each commit") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
