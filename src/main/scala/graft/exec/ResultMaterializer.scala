@@ -6,7 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Query-result materialization, mirroring the reference's layout: every
   * query's output is persisted as Parquet under
@@ -96,6 +97,33 @@ object ResultMaterializer {
     }
     flush()
     ResultSet(dir.toString, files.result())
+  }
+
+  /** Streaming twin of [[materializeIncremental]]: a Structured Streaming
+    * query whose micro-batches commit rec_N files (N = batch id; gaps
+    * from empty batches are fine — the cursor layout orders by N, not by
+    * contiguity) into the SAME layout the cursor pager serves, each via
+    * atomic rename. A client can page a streaming pipeline's output with
+    * the exact API it uses for batch results, while the stream runs.
+    */
+  def materializeStream(stream: DataFrame, root: String,
+                        queryId: String): StreamingQuery = {
+    val dir = Paths.get(root, queryId)
+    Files.createDirectories(dir)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tmp = dir.resolve(s".rec_$batchId.tmp")
+          batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          Files.move(part, dir.resolve(s"rec_$batchId.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(tmp)
+        }
+      }
+      .start()
   }
 
   /** Compaction — the reference's TODO ("materializing files should be

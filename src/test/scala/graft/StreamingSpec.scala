@@ -97,6 +97,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming materialization serves the rec_N layout via the pager") {
+    val root = java.nio.file.Files.createTempDirectory("stream_res").toString
+    val q = graft.exec.ResultMaterializer.materializeStream(
+      EventStreams.readEventStream(spark, eventsDir)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      root, "q-stream")
+    try {
+      q.processAllAvailable()
+      val rs = graft.exec.ResultMaterializer.open(s"$root/q-stream")
+      assert(rs.files.nonEmpty)
+      val pager = new graft.exec.CursorPager(spark, rs)
+      val batchN = graft.sources.Tables.events(spark, dir).count()
+      assert(pager.totalRows === batchN)
+      // page it all back with the standard cursor API
+      var cursor = Option(graft.exec.CursorPager.Start)
+      var n = 0L
+      while (cursor.isDefined) {
+        val p = pager.page(cursor.get, 997)
+        n += p.rows.length
+        cursor = p.next
+      }
+      assert(n === batchN)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits sessions consistent with batch") {
     val q = EventStreams.sessionizeStream(
         EventStreams.readEventStream(spark, eventsDir))
