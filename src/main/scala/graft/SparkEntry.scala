@@ -674,10 +674,13 @@ object SparkEntry {
             FROM roots GROUP BY cluster_root) sz
         USING (cluster_root)""",
     "dedup_embedding" -> """
+      WITH e AS (
+        SELECT label, vec_id, embedding FROM embeddings
+        QUALIFY count(*) OVER (PARTITION BY label) <= 100000)
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-      FROM embeddings a, embeddings b
+      FROM e a, e b
       WHERE a.label = b.label AND a.vec_id < b.vec_id
         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           CAST(b.embedding AS DOUBLE[])) >= 0.4""",

@@ -417,6 +417,15 @@ object Dedup {
 
   // --------------------------------------------- embedding-cosine near-dup
 
+  /** Labels are a FIXED-cardinality key, so label blocks grow linearly
+    * with the corpus and the pair join would go quadratic at scale — the
+    * cap bounds any block to MaxLabelBlock members (mirrored in the
+    * oracle SQL; far above every test SF, so outputs are unchanged).
+    * Corpora whose blocks outgrow it should use the hyperplane-LSH
+    * bucketing in Ann.annLsh, whose key cardinality grows with the data.
+    */
+  val MaxLabelBlock = 100000
+
   /** Embedding cosine near-dup within label blocks (oracle-checked).
     * Exact double-precision cosine via zip_with/aggregate; the label acts
     * as the blocking key. The unblocked scale path is the hyperplane-LSH
@@ -424,7 +433,10 @@ object Dedup {
     */
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
+    val wl = Window.partitionBy(col("label"))
     val e = table(s, dir, "embeddings")
+      .withColumn("_lsz", count(lit(1)).over(wl))
+      .filter(col("_lsz") <= MaxLabelBlock).drop("_lsz")
     // see dedupNgramJaccard: spread the streamed side of the pair join
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("vec_a"), col("label"),
