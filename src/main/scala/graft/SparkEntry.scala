@@ -90,6 +90,7 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontaminate _),
     "quality_model" -> (Curation.qualityModel _),
     "sample_stratified" -> (Curation.sampleStratified _),
+    "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
@@ -568,6 +569,23 @@ object SparkEntry {
         round(1.0 / (1.0 + exp(-z)), 4) AS model_score,
         (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
       FROM z""",
+    "pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - n_tokens AS start_tok
+        FROM t)
+      SELECT doc_id, lang, n_tokens,
+        start_tok // 2048 AS bin_id,
+        start_tok % 2048 AS bin_offset
+      FROM r""",
     "sample_stratified" -> """
       WITH c AS (
         SELECT doc_id, lang,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 import graft.sources.Tables.table
@@ -104,6 +105,35 @@ object Curation {
       col("doc_id"),
       round(score, 4).as("model_score"),
       (score > 0.5).as("keep"))
+  }
+
+  // ------------------------------------------------- sequence packing
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Deterministic sequence packing: docs are laid out per-language in
+    * doc_id order and assigned to fixed-budget bins by running token
+    * count — the standard pre-tokenization packing pass. One window
+    * shuffle on (lang); bin assignment is pure arithmetic on the running
+    * sum, so the layout is identical on any cluster size. Boundary docs
+    * span bins (offset + n_tokens may exceed the budget) — the downstream
+    * tokenizer splits them; the point here is the deterministic layout.
+    */
+  def packSequences(s: SparkSession, dir: String,
+                    budget: Long = PackBudget): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        // integer DIV, not double division + cast (see the oracle-parity
+        // trap notes: double/cast rounds differently across engines)
+        expr(s"start_tok div $budget").as("bin_id"),
+        (col("start_tok") % budget).as("bin_offset"))
   }
 
   // ------------------------------------------------- stratified sampling

@@ -127,6 +127,26 @@ class PipelineSpec extends AnyFunSuite {
       col("keep") =!= (col("model_score") > 0.5)).count() === 0L)
   }
 
+  test("pack_sequences: contiguous per-lang layout, offsets within budget") {
+    val r = graft.operators.Curation.packSequences(spark, dir).collect()
+      .map(x => (x.getString(1), x.getLong(0), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.nonEmpty)
+    val budget = graft.operators.Curation.PackBudget
+    r.foreach { case (_, _, _, bin, off) =>
+      assert(bin >= 0 && off >= 0 && off < budget)
+    }
+    // layout is contiguous: global start position of each doc equals the
+    // running sum of token counts before it (per lang, doc_id order)
+    r.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, _, n, bin, off) =>
+        assert(bin * budget + off === cum)
+        cum += n
+      }
+    }
+  }
+
   test("sample_stratified: deterministic, near target rates per language") {
     val a = graft.operators.Curation.sampleStratified(spark, dir)
     val b = graft.operators.Curation.sampleStratified(spark, dir)
