@@ -694,7 +694,8 @@ object SparkEntry {
     "dedup_embedding" -> """
       WITH e AS (
         SELECT label, vec_id, embedding FROM embeddings
-        QUALIFY count(*) OVER (PARTITION BY label) <= 100000)
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+          <= 100000)
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

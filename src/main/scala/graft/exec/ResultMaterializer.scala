@@ -39,13 +39,37 @@ object ResultMaterializer {
     def totalRows: Long = files.map(_.rows).sum
   }
 
+  /** List a directory eagerly, CLOSING the stream (Files.list leaks a
+    * directory fd until closed — fatal on repeating paths like the
+    * streaming commit loop).
+    */
+  private def listDir(d: Path): Vector[Path] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.toVector finally st.close()
+  }
+
+  /** Commit one DataFrame as a single parquet file under `target` via
+    * write-to-temp-dir + atomic rename of the part file — the shared
+    * primitive of incremental and streaming materialization.
+    */
+  private def commitSingleFile(df: DataFrame, dir: Path,
+                               tag: String, target: Path): Unit = {
+    val tmp = dir.resolve(s".$tag.tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = listDir(tmp)
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file in $tmp"))
+    Files.move(part, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmp)
+  }
+
   /** Write `df` as `<root>/<queryId>/rec_N.parquet`. */
   def materialize(df: DataFrame, root: String, queryId: String): ResultSet = {
     val dir = Paths.get(root, queryId)
     df.write.mode("overwrite").parquet(dir.toString)
-    val parts = Files.list(dir).iterator().asScala
+    val parts = listDir(dir)
       .filter(p => p.getFileName.toString.startsWith("part-"))
-      .toVector.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, dir.resolve(s"rec_$i.parquet"))
     }
@@ -74,16 +98,9 @@ object ResultMaterializer {
     var idx = 0
     val files = Vector.newBuilder[ResultFile]
     def flush(): Unit = if (!buf.isEmpty) {
-      val tmp = dir.resolve(s".rec_$idx.tmp")
-      spark.createDataFrame(buf, schema).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
       val target = dir.resolve(s"rec_$idx.parquet")
-      Files.move(part, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(tmp)
+      commitSingleFile(spark.createDataFrame(buf, schema), dir,
+        s"rec_$idx", target)
       val rf = readFooter(target)
       files += rf
       onFile(rf)
@@ -106,22 +123,22 @@ object ResultMaterializer {
     * atomic rename. A client can page a streaming pipeline's output with
     * the exact API it uses for batch results, while the stream runs.
     */
-  def materializeStream(stream: DataFrame, root: String,
-                        queryId: String): StreamingQuery = {
+  def materializeStream(stream: DataFrame, root: String, queryId: String,
+                        checkpoint: Option[String] = None): StreamingQuery = {
     val dir = Paths.get(root, queryId)
     Files.createDirectories(dir)
+    // A STABLE checkpoint (default: inside the result dir) is what makes
+    // restarts safe: the engine re-delivers the one uncommitted batch
+    // under its ORIGINAL batchId, so the rec_N commit is an idempotent
+    // overwrite — without it a restart would renumber from 0 and
+    // interleave two runs' files.
+    val ckpt = checkpoint.getOrElse(dir.resolve(".checkpoint").toString)
     stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val tmp = dir.resolve(s".rec_$batchId.tmp")
-          batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file in $tmp"))
-          Files.move(part, dir.resolve(s"rec_$batchId.parquet"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(tmp)
-        }
+        if (!batch.isEmpty)
+          commitSingleFile(batch.toDF(), dir, s"rec_$batchId",
+            dir.resolve(s"rec_$batchId.parquet"))
       }
       .start()
   }
@@ -141,7 +158,7 @@ object ResultMaterializer {
     val d = Paths.get(dir)
     // a previous attempt that died BEFORE its marker left only
     // non-destructive leftovers (originals intact) — clear and redo
-    Files.list(d).iterator().asScala.toVector.foreach { p =>
+    listDir(d).foreach { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".parquet.new") || n.startsWith(".compact_") ||
           n == s"$CompactMarker.tmp")
@@ -178,7 +195,7 @@ object ResultMaterializer {
         val dfs = run.map(f => spark.read.parquet(f.path))
         dfs.reduce(_ unionAll _).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
+        val part = listDir(tmp)
           .find(_.getFileName.toString.startsWith("part-"))
           .getOrElse(sys.error(s"no part file in $tmp"))
         Files.move(part, target)
@@ -203,7 +220,7 @@ object ResultMaterializer {
     * any interruption point — every step checks existence first.
     */
   private def finishCompaction(d: Path, nOut: Int): Unit = {
-    Files.list(d).iterator().asScala.toVector.foreach { p =>
+    listDir(d).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("rec_") && n.endsWith(".parquet")) {
         // a stale input, UNLESS it's an already-committed output (index
@@ -214,7 +231,7 @@ object ResultMaterializer {
         if (!committed) Files.delete(p)
       } else if (n.startsWith(".compact_")) deleteRecursively(p)
     }
-    Files.list(d).iterator().asScala.toVector.foreach { p =>
+    listDir(d).foreach { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".parquet.new"))
         Files.move(p, d.resolve(n.stripSuffix(".new")))
@@ -229,8 +246,7 @@ object ResultMaterializer {
   private[exec] def deleteTree(p: Path): Unit = deleteRecursively(p)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
     ()
   }
@@ -247,12 +263,11 @@ object ResultMaterializer {
       val nOut = new String(Files.readAllBytes(marker), "UTF-8").trim.toInt
       finishCompaction(Paths.get(dir), nOut)
     }
-    val files = Files.list(Paths.get(dir)).iterator().asScala
+    val files = listDir(Paths.get(dir))
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("rec_") && n.endsWith(".parquet")
       }
-      .toVector
       .sortBy(p => p.getFileName.toString
         .stripPrefix("rec_").stripSuffix(".parquet").toInt)
     ResultSet(dir, files.map(readFooter))

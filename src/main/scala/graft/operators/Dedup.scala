@@ -418,11 +418,13 @@ object Dedup {
   // --------------------------------------------- embedding-cosine near-dup
 
   /** Labels are a FIXED-cardinality key, so label blocks grow linearly
-    * with the corpus and the pair join would go quadratic at scale — the
-    * cap bounds any block to MaxLabelBlock members (mirrored in the
-    * oracle SQL; far above every test SF, so outputs are unchanged).
-    * Corpora whose blocks outgrow it should use the hyperplane-LSH
-    * bucketing in Ann.annLsh, whose key cardinality grows with the data.
+    * with the corpus and the pair join would go quadratic at scale — each
+    * block is TRUNCATED to its first MaxLabelBlock members by vec_id
+    * (deterministic, mirrored in the oracle SQL; far above every test SF,
+    * so outputs are unchanged). Members beyond the cap lose dedup
+    * coverage (documented recall tradeoff, like MaxBucket); corpora whose
+    * blocks outgrow it should use the hyperplane-LSH bucketing in
+    * Ann.annLsh, whose key cardinality grows with the data.
     */
   val MaxLabelBlock = 100000
 
@@ -433,10 +435,10 @@ object Dedup {
     */
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
-    val wl = Window.partitionBy(col("label"))
+    val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     val e = table(s, dir, "embeddings")
-      .withColumn("_lsz", count(lit(1)).over(wl))
-      .filter(col("_lsz") <= MaxLabelBlock).drop("_lsz")
+      .withColumn("_lrn", row_number().over(wl))
+      .filter(col("_lrn") <= MaxLabelBlock).drop("_lrn")
     // see dedupNgramJaccard: spread the streamed side of the pair join
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("vec_a"), col("label"),

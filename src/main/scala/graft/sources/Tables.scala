@@ -46,11 +46,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val lower = glob.toLowerCase
     if (lower.endsWith(".csv"))
+      // CSV has no mergeSchema concept; header+inference matches Sources
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(glob)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
-      spark.read.json(glob)
-    else if (lower.endsWith(".orc")) spark.read.orc(glob)
+      spark.read.json(glob) // JSON inference unions schemas natively
+    else if (lower.endsWith(".orc"))
+      spark.read.option("mergeSchema", mergeSchema.toString).orc(glob)
     else spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
   }
 
