@@ -65,6 +65,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), p.take(600))
   }
 
+  test("curation per-row ops are shuffle-free scans") {
+    // pii_redact / quality_model / sample_stratified must stay pure
+    // projections — a stray exchange would mean a 100 TB corpus pass
+    // started shuffling
+    Seq("pii_redact", "quality_model", "sample_stratified").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("pack_sequences needs exactly one exchange (the lang window)") {
+    val p = plan("pack_sequences")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") === 1,
+      p.take(800))
+  }
+
+  test("decontaminate broadcasts the benchmark side, streams the corpus") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("dedup_ngram: no profile expression below the round-robin exchange") {
     // Regression pin: join-key IsNotNull inference once pushed the ENTIRE
     // interpreted n-gram profile (md5 transforms) below the repartition,
