@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs.head,
           graft.functions.GraftFunctions.shingleN(exprs))))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncode].getName,
+        "bpe_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeEncode(exprs.head)))
   }
 }

@@ -133,5 +133,7 @@ object GraftFunctions {
       es => RabinWinnow(es.head, 8, 16), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es.head, shingleN(es)), "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      es => BpeEncode(es.head), "built-in")
   }
 }

@@ -32,6 +32,13 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** REAL greedy BPE tokens via the codegen'd [[BpeEncode]] expression
+    * (in-repo merges table; see BpeExpressions.scala). The regex proxy
+    * above stays for the oracle-checked text_stats — this is the
+    * engine-seam upgrade a production vocab plugs into.
+    */
+  def bpeEncode(c: Column): Column = call_function("bpe_encode", c)
+
   /** Fraction of characters that are punctuation. */
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "\\p{Punct}", "")))

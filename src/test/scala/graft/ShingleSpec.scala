@@ -28,6 +28,33 @@ class ShingleSpec extends AnyFunSuite {
       .otherwise(array(concat_ws(" ", t))))
   }
 
+  test("BpeEncode: known merges, lossless concat, sane bounds") {
+    graft.functions.GraftFunctions.register(spark)
+    // hand-checkable encodings under the in-repo merges table
+    assert(graft.functions.BpeOps.encodeWord("the").toSeq === Seq("the"))
+    assert(graft.functions.BpeOps.encodeWord("and").toSeq === Seq("and"))
+    assert(graft.functions.BpeOps.encodeWord("which").toSeq === Seq("which"))
+    assert(graft.functions.BpeOps.encodeWord("qqq").toSeq ===
+      Seq("q", "q", "q")) // nothing merges
+    // distributed properties on real corpus text
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val checked = docs.select(
+      T.bpeEncode(col("text")).as("bpe"),
+      T.tokens(col("text")).as("toks"))
+      .select(
+        // lossless: concatenated tokens reproduce the lowercased words
+        (concat_ws("", col("bpe")) === concat_ws("", col("toks"))).as("ok"),
+        // compression: between word count and character count
+        (size(col("bpe")) >= size(col("toks"))).as("ge_words"),
+        (size(col("bpe")) <= length(concat_ws("", col("toks")))).as("le_chars"))
+    assert(checked.filter(!col("ok") || !col("ge_words") || !col("le_chars"))
+      .count() === 0L)
+    // SQL resolution through the extension injection
+    assert(spark.sql("select size(bpe_encode('the quick brown fox')) n")
+      .collect()(0).getInt(0) > 0)
+  }
+
   test("WordShingles matches the replaced HOF formulation on fuzzed text") {
     graft.functions.GraftFunctions.register(spark)
     val word = Gen.oneOf(
