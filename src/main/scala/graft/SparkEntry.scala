@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_winnow" -> ((s, d) => Dedup.dedupWinnow(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),

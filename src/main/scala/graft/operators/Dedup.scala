@@ -335,6 +335,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // --------------------------------------------------- winnowing overlap
+
+  /** Minimum shared winnowed fingerprints AND minimum overlap ratio
+    * (shared / smaller fingerprint set) for a near-dup verdict — the
+    * absolute floor rejects tiny-doc noise, the ratio rejects the
+    * boilerplate overlap that templated corpora share broadly.
+    */
+  val MinSharedFps = 5
+  val MinSharedRatio = 0.5
+
+  /** Winnowing-overlap near-dup (the MOSS approach, Schleimer et al.
+    * SIGMOD'03): docs whose winnowed Rabin fingerprint sets overlap by
+    * >= MinSharedRatio (and at least MinSharedFps) are near-duplicates.
+    * The fingerprint VALUE is the blocking key — its cardinality grows
+    * with the corpus — and buckets are capped like every other pair
+    * source (see the guard inventory in COVERAGE.md); dropping hot
+    * buckets doubles as an IDF filter (common boilerplate carries no
+    * dedup signal). Rows-only check (Rabin hashing has no DuckDB mirror);
+    * PipelineSpec bounds recall on the synthetic-dup corpus.
+    */
+  def dedupWinnow(s: SparkSession, dir: String,
+                  minShared: Int = MinSharedFps,
+                  minRatio: Double = MinSharedRatio): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = table(s, dir, "documents")
+    val par = s.sparkContext.defaultParallelism
+    val fps = docs.repartition(par)
+      .select(col("doc_id"),
+        explode(expr("rabin_winnow(text)")).as("fp"))
+      .distinct()
+    val capped = capBuckets(fps, Seq("fp"))
+    val counts = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = capped.as("x").hint("merge").join(capped.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(counts.select(col("doc_id").as("a"), col("nf").as("na")), "a")
+      .join(counts.select(col("doc_id").as("b"), col("nf").as("nb")), "b")
+      .withColumn("ratio", col("n_shared").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .filter(col("ratio") >= minRatio)
+    val dupOf = shared.groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"), max(col("n_shared")).as("best_shared"))
+    docs.select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("best_shared"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   // ------------------------------------------------- transitive clusters
 
   /** Label-propagation round cap. Each round combines neighbor

@@ -64,6 +64,17 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("dedup_winnow catches near-duplicates via shared fingerprints") {
+    val tmp = java.nio.file.Files.createTempDirectory("dup").toString
+    withSynthDups(tmp)
+    val r = Dedup.dedupWinnow(spark, tmp)
+    // a trailing mutation shifts only the final winnowing windows, so the
+    // mutated copies share nearly all fingerprints with their originals
+    assert(r.filter(col("doc_id") >= 10000 &&
+      col("dup_of") === col("doc_id") - 10000).count() >= 400L)
+    assert(r.filter(col("keep") && col("doc_id") < 10000).count() >= 400L)
+  }
+
   test("dedup_clusters: closure over verified pairs, canonical min root") {
     val tmp = java.nio.file.Files.createTempDirectory("dup").toString
     withSynthDups(tmp)
