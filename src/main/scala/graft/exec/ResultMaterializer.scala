@@ -59,7 +59,15 @@ object ResultMaterializer {
     val part = listDir(tmp)
       .find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(sys.error(s"no part file in $tmp"))
-    Files.move(part, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // A re-committed target (streaming batch re-delivery after restart)
+    // must replace: POSIX rename does, but ATOMIC_MOVE's replace-on-exists
+    // is implementation-specific — fall back explicitly where it throws.
+    try Files.move(part, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(target)
+        Files.move(part, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     deleteRecursively(tmp)
   }
 
@@ -153,9 +161,17 @@ object ResultMaterializer {
     * run between serving sessions, same as the reference intended.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              minRowsPerFile: Long = 65536L): ResultSet = {
-    val rs = open(dir) // replays an interrupted commit if marker present
+              minRowsPerFile: Long = 65536L,
+              allowStreamed: Boolean = false): ResultSet = {
     val d = Paths.get(dir)
+    // Compaction renumbers files — fundamentally incompatible with a
+    // LIVE writer (a concurrent materializeStream commit would be swept
+    // as a stale input). A streamed dir carries a .checkpoint; require
+    // the caller to assert the stream is stopped before compacting it.
+    require(allowStreamed || !Files.exists(d.resolve(".checkpoint")),
+      s"$dir was stream-materialized; stop the stream and pass " +
+        "allowStreamed=true to compact it")
+    val rs = open(dir) // replays an interrupted commit if marker present
     // a previous attempt that died BEFORE its marker left only
     // non-destructive leftovers (originals intact) — clear and redo
     listDir(d).foreach { p =>

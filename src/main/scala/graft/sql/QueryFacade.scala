@@ -101,12 +101,18 @@ object QueryFacade {
     rewriteCollect(spark, sql)._1
 
   /** DDL statements whose STORED TEXT will re-reference the rewritten
-    * views at every later analysis (CREATE [TEMP] VIEW stores parsed
-    * text, not a resolved plan) — for these the views must outlive the
-    * statement.
+    * views at every later analysis (CREATE/ALTER [TEMP] VIEW stores
+    * parsed text, not a resolved plan) — for these the views must outlive
+    * the statement. Leading line comments are skipped before matching
+    * (splitStatements keeps them inside the statement).
     */
   private val CreatesViewRe =
-    """(?is)^\s*create\s+(or\s+replace\s+)?(global\s+)?(temp(orary)?\s+)?view\b.*""".r
+    ("""(?is)^(create\s+(or\s+replace\s+)?(global\s+)?(temp(orary)?\s+)?""" +
+      """|alter\s+)view\b.*""").r
+
+  private def definesView(stmt: String): Boolean =
+    CreatesViewRe.matches(
+      stmt.replaceAll("(?m)^\\s*--[^\\n]*$", "").trim)
 
   /** The rewritten statement handed to Catalyst; `spark.sql` analyzes
     * eagerly (the resolved plan owns the relation), so the temp views are
@@ -122,7 +128,7 @@ object QueryFacade {
       catch { case e: Throwable =>
         views.foreach(spark.catalog.dropTempView); throw e
       }
-    if (!CreatesViewRe.matches(stmt)) views.foreach(spark.catalog.dropTempView)
+    if (!definesView(stmt)) views.foreach(spark.catalog.dropTempView)
     df
   }
 

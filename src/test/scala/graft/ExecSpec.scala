@@ -62,7 +62,8 @@ class ExecSpec extends AnyFunSuite {
 
   test("runScript: a created temp view referencing read_files survives") {
     val dfs = QueryFacade.runScript(spark,
-      s"""create or replace temp view demo_v as
+      s"""-- nightly rollup view (comment must not hide the CREATE)
+         create or replace temp view demo_v as
          select * from read_files('$dir/region.parquet');
          select count(*) as n from demo_v""")
     assert(dfs.last.collect()(0).getLong(0) === 5L)

@@ -36,6 +36,12 @@ class ShingleSpec extends AnyFunSuite {
     assert(graft.functions.BpeOps.encodeWord("which").toSeq === Seq("which"))
     assert(graft.functions.BpeOps.encodeWord("qqq").toSeq ===
       Seq("q", "q", "q")) // nothing merges
+    // supplementary-plane characters stay whole symbols (code-point
+    // splitting, never lone surrogates)
+    assert(graft.functions.BpeOps.encodeWord("a😀b")
+      .mkString("") === "a😀b")
+    assert(graft.functions.BpeOps.encodeWord("😀").toSeq ===
+      Seq("😀"))
     // distributed properties on real corpus text
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

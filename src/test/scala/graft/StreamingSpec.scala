@@ -119,6 +119,16 @@ class StreamingSpec extends AnyFunSuite {
         cursor = p.next
       }
       assert(n === batchN)
+      // compaction refuses a stream-materialized dir unless the caller
+      // asserts the stream is stopped
+      intercept[IllegalArgumentException] {
+        graft.exec.ResultMaterializer.compact(spark, s"$root/q-stream",
+          minRowsPerFile = 100000L)
+      }
+      q.stop()
+      val compacted = graft.exec.ResultMaterializer.compact(spark,
+        s"$root/q-stream", minRowsPerFile = 100000L, allowStreamed = true)
+      assert(compacted.totalRows === batchN)
     } finally q.stop()
   }
 
