@@ -135,5 +135,11 @@ object GraftFunctions {
       es => WordShingles(es.head, shingleN(es)), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
       es => BpeEncode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => VecCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2sq",
+      es => VecL2sq(es(0), es(1)), "built-in")
   }
 }

@@ -3,30 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ARRAY<FLOAT> embedding columns using higher-order
-  * functions (`zip_with`/`aggregate`) — codegen-friendly, no UDF boxing,
-  * no MLlib Vector conversion on the hot path.
+/** Vector math over ARRAY<FLOAT> embedding columns, backed by the
+  * codegen'd Catalyst expressions in [[VecOps]] (see VectorExpressions
+  * .scala — the higher-order-function formulation was interpreted and
+  * dominated every pair-verify stage). Callers must have
+  * [[GraftFunctions.register]] applied to the session; every operator
+  * entry point does this defensively.
   *
-  * Precision discipline: elements are cast to double BEFORE multiplying and
-  * the fold is left-to-right, so the result is deterministic and matches a
-  * sequential double-precision dot product in any other engine.
+  * Precision discipline: elements are widened to double BEFORE
+  * multiplying and the fold is left-to-right, so the result is
+  * deterministic and matches a sequential double-precision dot product in
+  * any other engine (the DuckDB oracle relies on this).
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
 
   /** Squared L2 distance — the IVF probe-assignment metric. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+  def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
 
   /** Random-hyperplane LSH signature: `planes` is a small deterministic
     * matrix (seeded off-driver, broadcast as literals); bit j of the result

@@ -33,6 +33,7 @@ object Ann {
     * ordering is reproducible cross-engine.
     */
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -68,6 +69,7 @@ object Ann {
 
   def annIvf(s: SparkSession, dir: String, nCentroids: Int = 16,
              nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = table(s, dir, "embeddings")
@@ -124,6 +126,7 @@ object Ann {
     * (see PipelineSpec).
     */
   def annLsh(s: SparkSession, dir: String, nBits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val pl = planes(nBits, 64)
     val e = table(s, dir, "embeddings")
       .withColumn("bucket", V.hyperplaneBucket(col("embedding"), pl))

@@ -396,6 +396,25 @@ object Dedup {
     */
   val MaxLpRounds = 12
 
+  /** Target rows per partition for the label-propagation loop frames. The
+    * member set (docs in a verified near-dup pair) is orders of magnitude
+    * smaller than the corpus, so after materializing the edges once we
+    * size the loop's frames from the ACTUAL edge count instead of running
+    * every round at full shuffle parallelism — at test scale that is 1
+    * partition (a few hundred edges), on a 100 TB corpus with a
+    * billion-edge member graph it is still thousands of partitions.
+    */
+  val LpEdgesPerPartition = 250000
+
+  /** Reliable `checkpoint()` when the caller has set a checkpoint dir
+    * (`sparkContext.setCheckpointDir` — the executor-loss-safe cluster
+    * path), `localCheckpoint()` otherwise (single-node / test path).
+    * Both truncate lineage so iterative plans don't grow per round.
+    */
+  private def checkpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Transitive duplicate clusters: hash-min label propagation over the
     * verified near-dup pairs until fixpoint, so every member of a connected
     * component points at one canonical root (the component's min doc_id) —
@@ -407,25 +426,39 @@ object Dedup {
     *
     * Scale shape: each round is one key join + one min-aggregate over the
     * MEMBER set (docs appearing in a verified pair — orders of magnitude
-    * smaller than the corpus). `localCheckpoint` truncates the per-round
-    * lineage; on a real cluster you'd point `checkpoint` at reliable
-    * storage instead (executor-loss tolerance), same plan otherwise.
+    * smaller than the corpus), run at a parallelism derived from the
+    * materialized edge count, in exactly ONE action (the convergence
+    * count is an `observe` metric of the checkpoint pass). Checkpoints
+    * truncate the per-round lineage; set
+    * `sparkContext.setCheckpointDir(...)` on a real cluster to make them
+    * reliable (executor-loss tolerance) — [[checkpointed]] picks it up
+    * automatically, same plan otherwise.
     */
   def dedupClusters(s: SparkSession, dir: String,
                     threshold: Double = 0.8): DataFrame = {
     // Symmetrize by exploding both directions out of ONE pairs subtree —
     // a self-union would embed (and compute) the whole verified-pair
     // pipeline twice inside the checkpoint stage.
-    val edges = dedupNgramJaccard(s, dir, threshold)
+    val edgesRaw = checkpointed(dedupNgramJaccard(s, dir, threshold)
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    // Each round is ONE aggregation: the node's previous label rides along
-    // (tagged `self`), so min-label and has-anything-changed come out of
-    // the same pass — no separate compare join, and the convergence count
-    // is a trivial scan of the just-checkpointed (materialized) round.
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // Size the loop frames from the MATERIALIZED edge count (a cheap scan
+    // of the checkpoint): the per-round fixed cost is stage scheduling,
+    // and running a few-hundred-row graph at full shuffle parallelism
+    // bills ~32 tasks x ~5 stages x MaxLpRounds for nothing. coalesce is
+    // narrow — no extra shuffle, no recompute of the checkpointed RDD.
+    val nEdges = edgesRaw.count()
+    val lpParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      nEdges / LpEdgesPerPartition + 1L)).toInt
+    val edges = edgesRaw.coalesce(lpParts)
+    // Each round is ONE aggregation AND one Spark action: the node's
+    // previous label rides along (tagged `self`), so min-label,
+    // has-anything-changed, and the convergence COUNT all come out of the
+    // same checkpoint-materializing pass — the changed-row count is an
+    // `observe` metric on that action, not a second job.
     var labels = edges
       .select(col("src").as("doc_id"), col("src").as("label")).distinct()
     var changed = 1L
@@ -443,14 +476,18 @@ object Dedup {
           col("label").as("jlabel")), "label")
         .select(col("doc_id"), col("jlabel").as("label"),
           lit(false).as("self"))
-      val next = labels
+      val obs = org.apache.spark.sql.Observation(s"lp_round_$round")
+      val next = checkpointed(labels
         .select(col("doc_id"), col("label"), lit(true).as("self"))
         .union(fromNeighbors).union(viaJump)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
+        .coalesce(lpParts)
+        .observe(obs, coalesce(
+          sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)),
+          lit(0L)).as("changed")))
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
@@ -485,19 +522,25 @@ object Dedup {
     */
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // The cap window plants Exchange(label) — which is exactly the pair
+    // join's key — so with a merge hint (nothing corpus-sized may
+    // broadcast) BOTH self-join sides reuse that one exchange and the
+    // capped subtree is computed once (the dedupMinhash ReuseExchange
+    // pattern). A round-robin respread of one side would break the reuse
+    // and add an exchange for nothing: the join re-clusters on label
+    // either way, so post-join parallelism is unchanged.
     val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     val e = table(s, dir, "embeddings")
       .withColumn("_lrn", row_number().over(wl))
       .filter(col("_lrn") <= MaxLabelBlock).drop("_lrn")
-    // see dedupNgramJaccard: spread the streamed side of the pair join
-    val a = e.repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", V.cosine(col("ea"), col("eb")))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    e.as("x").hint("merge").join(e.as("y"),
+        col("x.label") === col("y.label") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.label").as("label"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        V.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cos"), 4).as("cos_sim"))

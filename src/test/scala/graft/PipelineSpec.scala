@@ -97,6 +97,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedup_clusters: reliable checkpoint path when a dir is set") {
+    val base = Dedup.dedupClusters(spark, dir, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      // same plan, but lineage truncation goes through reliable
+      // checkpoint() files (the executor-loss-safe cluster path)
+      val r = Dedup.dedupClusters(spark, dir, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(r === base)
+      // the checkpoint dir was actually used
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .count()
+      assert(wrote > 1, "reliable checkpoint wrote nothing")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("vec_dot/vec_cosine/vec_l2sq: bit-identical to the HOF fold") {
+    import graft.functions.{VectorFunctions => V}
+    graft.functions.GraftFunctions.register(spark)
+    // the interpreted formulation the codegen'd expressions replaced —
+    // sequential left-to-right double fold
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = e.as("x").crossJoin(e.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id")).limit(2000)
+    val mism = pairs.select(
+        V.dot(col("x.embedding"), col("y.embedding")).as("cd"),
+        hofDot(col("x.embedding"), col("y.embedding")).as("hd"),
+        V.cosine(col("x.embedding"), col("y.embedding")).as("cc"),
+        (hofDot(col("x.embedding"), col("y.embedding")) /
+          (sqrt(hofDot(col("x.embedding"), col("x.embedding"))) *
+            sqrt(hofDot(col("y.embedding"), col("y.embedding"))))).as("hc"),
+        V.l2sq(col("x.embedding"), col("y.embedding")).as("cl"),
+        aggregate(zip_with(col("x.embedding"), col("y.embedding"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("hl"))
+      .filter(col("cd") =!= col("hd") || col("cc") =!= col("hc") ||
+        col("cl") =!= col("hl"))
+    assert(mism.count() === 0L)
+    // null / mismatch semantics mirror zip_with padding
+    val edge = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F)) AS mismatch,
+        |       vec_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS nul,
+        |       vec_dot(array(), array()) AS empty""".stripMargin).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) === 0.0)
+  }
+
   test("pii_redact: counts and hash react to injected PII") {
     val tmp = java.nio.file.Files.createTempDirectory("pii").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
