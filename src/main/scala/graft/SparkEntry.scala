@@ -147,8 +147,65 @@ object SparkEntry {
       SELECT q_id, rank, cand_id, cos_r, bucket FROM r WHERE rank <= 10"""
   }
 
+  /** dedup_simhash oracle, generated: the 60 per-bit vote sums and the
+    * bit packing are mechanical, so they are emitted by the same loop
+    * bounds the Spark query uses (Dedup.SimhashBits/SimhashChunks). The
+    * per-token hash is the first 15 hex chars of md5 — DuckDB's
+    * `CAST('0x' || ... AS BIGINT)` equals Spark's `conv(..., 16, 10)`
+    * exactly, which is what makes the whole pipeline hash-checkable.
+    */
+  private def dedupSimhashOracleSql: String = {
+    import graft.operators.Dedup.{SimhashBits, SimhashChunks, SimhashChunkBits, MaxBucket}
+    val votes = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val packed = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n          + ")
+    val mask = (1L << SimhashChunkBits) - 1L
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      h AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok),
+      v AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+        FROM v),
+      ch AS (
+        SELECT doc_id, simhash, ci,
+          (simhash >> ($SimhashChunkBits * ci)) & $mask AS cv
+        FROM sig, unnest(range(0, $SimhashChunks)) AS u(ci)
+        QUALIFY count(*) OVER (PARTITION BY ci,
+          (simhash >> ($SimhashChunkBits * ci)) & $mask) <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a, a.simhash AS ha,
+          b.doc_id AS b, b.simhash AS hb
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      dup AS (
+        SELECT b AS doc_id, min(a) AS dup_of, min(hamming) AS best_hamming
+        FROM ver GROUP BY b)
+      SELECT s.doc_id, s.simhash, d.dup_of, d.best_hamming,
+        d.dup_of IS NULL AS keep
+      FROM sig s LEFT JOIN dup d USING (doc_id)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
+    "dedup_simhash" -> dedupSimhashOracleSql,
     "scan_read_files" -> "SELECT * FROM lineitem",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",

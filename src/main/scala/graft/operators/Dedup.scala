@@ -184,40 +184,57 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document, computed in the distributed-friendly
-    * shape: explode tokens → one shuffle → 64 per-bit vote sums in a single
+  /** SimHash signature width. 60 bits, not 64: the per-token hash is the
+    * first 15 hex chars of md5 — an engine-agnostic hash (DuckDB computes
+    * the identical value with `CAST('0x' || substr(md5(tok),1,15) AS
+    * BIGINT)`), which makes the WHOLE simhash pipeline — signatures,
+    * pigeonhole chunks, Hamming verify — expressible in oracle SQL and
+    * hash-checked, where an xxhash64-based signature could only ever get a
+    * rows-only check. 60 bits also dodges the sign bit, so bit packing is
+    * plain non-overflowing BIGINT arithmetic in both engines.
+    */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+
+  /** 60-bit SimHash per document, computed in the distributed-friendly
+    * shape: explode tokens → one shuffle → 60 per-bit vote sums in a single
     * hash aggregate → pack bits. One pass over tokens regardless of corpus
-    * size (vs. folding 64 times per row inside a projection).
+    * size (vs. folding 60 times per row inside a projection).
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val tok = table(s, dir, "documents")
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { j =>
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$j")
     }
-    val packed = (0 until 64).map { j =>
+    val packed = (0 until SimhashBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup (rows-only check). Candidates via the pigeonhole
-    * trick: any pair within Hamming distance 3 of a 64-bit signature agrees
-    * exactly on at least one of 4 16-bit chunks, so exploding 4 chunk keys
-    * and joining on (chunk_idx, chunk_value) finds all such pairs without a
-    * quadratic scan. Verification = bit_count(xor) <= maxHamming.
+  /** SimHash near-dup (oracle-checked — see [[SimhashBits]]). Candidates
+    * via the pigeonhole trick: any pair within Hamming distance 3 of a
+    * 60-bit signature agrees exactly on at least one of 4 15-bit chunks,
+    * so exploding 4 chunk keys and joining on (chunk_idx, chunk_value)
+    * finds all such pairs without a quadratic scan. Verification =
+    * bit_count(xor) <= maxHamming.
     */
   def dedupSimhash(s: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(s, dir)
+    val chunkMask = (1L << SimhashChunkBits) - 1L
     val chunks = capBuckets(
       sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { c =>
+        explode(array((0 until SimhashChunks).map { c =>
           struct(lit(c).as("ci"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+            shiftright(col("simhash"), c * SimhashChunkBits)
+              .bitwiseAND(lit(chunkMask)).as("cv"))
         }: _*)).as("ch"))
         .select(col("doc_id"), col("simhash"),
           col("ch.ci").as("ci"), col("ch.cv").as("cv")),
