@@ -138,6 +138,29 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
       else { if (start > 0) Some(toCursor(start - 1)) else None }
     PageResult(rows.result(), offsets.result(), next)
   }
+
+  /** Result schema, from the first file's footer (all rec_N files of a
+    * result share it by construction).
+    */
+  lazy val schema: org.apache.spark.sql.types.StructType = {
+    require(rs.files.nonEmpty, "empty result set has no schema")
+    spark.read.parquet(rs.files(0).path).schema
+  }
+
+  /** [[page]], encoded as a self-describing Arrow IPC stream (schema +
+    * one record batch + EOS) — the reference's page wire format
+    * (messages/query.rs:78,137: pages travel as Arrow IPC bytes;
+    * messages/message.rs:95-129), so non-JVM clients (PyArrow, arrow-rs)
+    * decode pages without JVM Row marshalling. Cursor bookkeeping
+    * (`offsets`, `next`) stays in the envelope alongside the bytes.
+    */
+  def pageArrow(cursor: Cursor, limit: Int, forward: Boolean = true,
+                allowOverflow: Boolean = false): ArrowPageResult = {
+    val p = page(cursor, limit, forward, allowOverflow)
+    val bytes = org.apache.spark.sql.graftbridge.ArrowPage.encode(
+      p.rows, schema, spark.sessionState.conf.sessionLocalTimeZone)
+    ArrowPageResult(bytes, p.offsets, p.next)
+  }
 }
 
 object CursorPager {
@@ -148,6 +171,10 @@ object CursorPager {
 
   final case class PageResult(rows: Seq[Row], offsets: Seq[Cursor],
                               next: Option[Cursor])
+
+  /** An Arrow-encoded page: `ipc` is a complete Arrow IPC stream. */
+  final case class ArrowPageResult(ipc: Array[Byte], offsets: Seq[Cursor],
+                                   next: Option[Cursor])
 
   val Start: Cursor = Cursor(0, 0, 0L)
 }

@@ -142,6 +142,57 @@ class ExecSpec extends AnyFunSuite {
     assert(all === direct)
   }
 
+  test("arrow page: IPC bytes re-decode to exactly the Row page") {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    // mixed-type page: integral, floating, string (with a null), boolean,
+    // nested array — the Spark↔Arrow mapping must hold for all of them
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"),
+        when(col("o_orderkey") % 7 =!= 0, col("o_orderpriority"))
+          .as("prio_or_null"),
+        (col("o_orderkey") % 2 === 0).as("even"),
+        array(col("o_orderkey"), col("o_orderkey") * 2).as("arr"))
+      .coalesce(2)
+    val rs = ResultMaterializer.materialize(df, tmp, "q-arrow")
+    val pager = new CursorPager(spark, rs)
+    val rowPage = pager.page(Start, 97, forward = true)
+    val arrowPage = pager.pageArrow(Start, 97, forward = true)
+    // identical cursor bookkeeping
+    assert(arrowPage.offsets === rowPage.offsets)
+    assert(arrowPage.next === rowPage.next)
+    // byte-level re-decode through a plain Arrow reader
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(arrowPage.ipc), alloc)
+    try {
+      assert(rdr.loadNextBatch())
+      val root = rdr.getVectorSchemaRoot
+      assert(root.getRowCount === rowPage.rows.length)
+      assert(root.getSchema.getFields.size() === 5)
+      val key = root.getVector("o_orderkey").asInstanceOf[BigIntVector]
+      val price = root.getVector("price").asInstanceOf[Float8Vector]
+      val prio = root.getVector("prio_or_null").asInstanceOf[VarCharVector]
+      val even = root.getVector("even").asInstanceOf[BitVector]
+      val arr = root.getVector("arr").asInstanceOf[ListVector]
+      rowPage.rows.zipWithIndex.foreach { case (r, i) =>
+        assert(key.get(i) === r.getLong(0))
+        assert(price.get(i) === r.getDouble(1))
+        if (r.isNullAt(2)) assert(prio.isNull(i))
+        else assert(new String(prio.get(i), "UTF-8") === r.getString(2))
+        assert((even.get(i) === 1) === r.getBoolean(3))
+        val lst = arr.getObject(i)
+        assert(lst.size() === 2)
+        assert(lst.get(0).asInstanceOf[Long] === r.getSeq[Long](4)(0))
+        assert(lst.get(1).asInstanceOf[Long] === r.getSeq[Long](4)(1))
+      }
+      assert(!rdr.loadNextBatch(), "expected exactly one batch per page")
+    } finally { rdr.close(); alloc.close() }
+  }
+
   test("cursor pager: backward then forward round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
