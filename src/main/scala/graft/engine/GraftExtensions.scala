@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BpeEncode].getName,
         "bpe_encode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.BpeEncode(exprs.head)))
+        graft.functions.BpeEncode(exprs.head,
+          if (exprs.length > 1)
+            graft.functions.BpeOps.loadVocab(exprs(1).eval().toString)
+          else graft.functions.BpeOps.Default)))
   }
 }

@@ -9,47 +9,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Greedy byte-pair-encoding tokenizer as a native Catalyst expression —
-  * the "real BPE" upgrade over the regex proxy in TextFunctions
-  * (ROADMAP item: needs a vocab artifact; the artifact is the in-repo
-  * merges table below).
+  * the "real BPE" upgrade over the regex proxy in TextFunctions.
   *
   * The algorithm is the published BPE apply-step (Sennrich et al. 2016):
   * a word starts as characters and the lowest-rank adjacent pair is
-  * merged repeatedly until no merge applies. The merges table is a
-  * deterministic, frequency-ordered list of common English pairs — small
-  * by design (the POINT is the engine seam: a production vocab swaps in
-  * as data, the per-row encoder and its codegen stay identical). At scale
-  * a 50k-merge vocab would ship as a broadcast map; the loop below only
-  * touches the rank lookup.
+  * merged repeatedly until no merge applies. The merge table is DATA, not
+  * code: [[BpeVocab]] is a serializable value the expression carries, so
+  * a production vocab loads from a merges artifact
+  * (`BpeOps.loadVocab(path)` / `bpe_encode(text, 'path')` in SQL — the
+  * standard "a b"-per-line merges.txt format) and ships to executors with
+  * the serialized expression (task-broadcast; a 50k-merge vocab is ~1 MB).
+  * The in-repo toy table below is the default and the test fixture; the
+  * per-row encoder and its codegen are identical under any vocab.
   */
-object BpeOps {
-
-  /** Frequency-ordered merge rules (rank = index). */
-  val Merges: Vector[(String, String)] = Vector(
-    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
-    ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"),
-    ("an", "d"), ("in", "g"), ("t", "o"), ("o", "u"), ("i", "s"),
-    ("e", "d"), ("a", "l"), ("a", "r"), ("s", "t"), ("e", "s"),
-    ("o", "f"), ("i", "t"), ("a", "s"), ("l", "e"), ("m", "e"),
-    ("c", "o"), ("d", "e"), ("h", "a"), ("s", "e"), ("n", "t"),
-    ("w", "h"), ("wh", "i"), ("whi", "ch"), ("c", "h"), ("s", "h"),
-    ("f", "or"), ("b", "e"), ("w", "as"), ("w", "i"), ("wi", "th"),
-    ("n", "o"), ("u", "s"), ("l", "i"), ("m", "a"), ("p", "r"),
-    ("the", "re"), ("th", "at"), ("ing", "s"), ("er", "s"), ("on", "s"))
+final class BpeVocab(val merges: Vector[(String, String)])
+    extends Serializable {
 
   // Merge parts never contain whitespace (words are whitespace-split), so
-  // a single space is a collision-free rank-key separator — and keeps
-  // this file plain text (a control-byte separator would make the source
-  // undiffable).
-  private val rank: java.util.HashMap[String, Integer] = {
+  // a single space is a collision-free rank-key separator.
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(a + " " + b, i)
-    }
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
     m
   }
-
-  private val Ws = Pattern.compile("\\s+")
 
   /** Apply merges to one word (already lowercased). Splitting is by CODE
     * POINT, not UTF-16 unit — a supplementary-plane character (emoji,
@@ -102,7 +84,8 @@ object BpeOps {
   }
 
   def encode(text: UTF8String): GenericArrayData = {
-    val words = Ws.split(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val words = BpeOps.Ws.split(
+      text.toString.toLowerCase(java.util.Locale.ROOT))
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     while (i < words.length) {
@@ -114,15 +97,69 @@ object BpeOps {
   }
 }
 
-/** `bpe_encode(text)` → ARRAY<STRING>: greedy BPE tokens. */
-case class BpeEncode(child: Expression) extends UnaryExpression {
+object BpeOps {
+
+  private[functions] val Ws = Pattern.compile("\\s+")
+
+  /** Frequency-ordered merge rules (rank = index) — toy default vocab. */
+  val Merges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("o", "u"), ("i", "s"),
+    ("e", "d"), ("a", "l"), ("a", "r"), ("s", "t"), ("e", "s"),
+    ("o", "f"), ("i", "t"), ("a", "s"), ("l", "e"), ("m", "e"),
+    ("c", "o"), ("d", "e"), ("h", "a"), ("s", "e"), ("n", "t"),
+    ("w", "h"), ("wh", "i"), ("whi", "ch"), ("c", "h"), ("s", "h"),
+    ("f", "or"), ("b", "e"), ("w", "as"), ("w", "i"), ("wi", "th"),
+    ("n", "o"), ("u", "s"), ("l", "i"), ("m", "a"), ("p", "r"),
+    ("the", "re"), ("th", "at"), ("ing", "s"), ("er", "s"), ("on", "s"))
+
+  val Default: BpeVocab = new BpeVocab(Merges)
+
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+
+  /** Load a merges artifact: one "a b" pair per line, rank = line order
+    * (the merges.txt format BPE toolchains emit); blank lines and
+    * `#`-prefixed headers are skipped. Read driver-side once per path
+    * (cached) — the vocab then travels inside the serialized expression,
+    * so executors never touch the file.
+    */
+  def loadVocab(path: String): BpeVocab =
+    vocabCache.computeIfAbsent(path, p => {
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+      val merges = Vector.newBuilder[(String, String)]
+      lines.forEach { ln =>
+        val t = ln.trim
+        if (t.nonEmpty && !t.startsWith("#")) {
+          val parts = t.split(" ")
+          require(parts.length == 2,
+            s"malformed merges line in $p: '$ln' (want 'a b')")
+          merges += ((parts(0), parts(1)))
+        }
+      }
+      new BpeVocab(merges.result())
+    })
+
+  /** Back-compat shims for callers of the pre-vocab API. */
+  def encode(text: UTF8String): GenericArrayData = Default.encode(text)
+  def encodeWord(w: String): Array[String] = Default.encodeWord(w)
+}
+
+/** `bpe_encode(text[, 'merges_path'])` → ARRAY<STRING>: greedy BPE
+  * tokens under the default (toy) vocab or a file-loaded one.
+  */
+case class BpeEncode(child: Expression, vocab: BpeVocab = BpeOps.Default)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_encode"
   protected override def nullSafeEval(input: Any): Any =
-    BpeOps.encode(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeOps.encode($c)")
+    vocab.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, "graft.functions.BpeVocab")
+    defineCodeGen(ctx, ev, c => s"$v.encode($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }

@@ -134,7 +134,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es.head, shingleN(es)), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
-      es => BpeEncode(es.head), "built-in")
+      es => BpeEncode(es.head,
+        if (es.length > 1)
+          BpeOps.loadVocab(es(1).eval().toString)
+        else BpeOps.Default), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

@@ -61,6 +61,38 @@ class ShingleSpec extends AnyFunSuite {
       .collect()(0).getInt(0) > 0)
   }
 
+  test("BpeEncode: vocab loads from a merges.txt artifact") {
+    graft.functions.GraftFunctions.register(spark)
+    // the toy table written out in the standard merges.txt format must
+    // reproduce the default vocab exactly
+    val same = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(same,
+      "#version: toy\n" +
+        graft.functions.BpeOps.Merges
+          .map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    val q =
+      s"""SELECT bpe_encode(text) AS dflt,
+         |       bpe_encode(text, '$same') AS loaded
+         |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin
+    assert(spark.sql(q)
+      .filter(org.apache.spark.sql.functions.col("dflt") =!=
+        org.apache.spark.sql.functions.col("loaded")).count() === 0L)
+    // a DIFFERENT vocab actually changes the encoding
+    val other = java.nio.file.Files.createTempFile("merges2", ".txt")
+    java.nio.file.Files.writeString(other, "q u\nqu i\nqui c\nquic k\n")
+    val r = spark.sql(
+      s"SELECT bpe_encode('quick', '$other') a, bpe_encode('quick') b")
+      .collect()(0)
+    assert(r.getSeq[String](0) === Seq("quick"))
+    assert(r.getSeq[String](1) !== Seq("quick"))
+    // loader rejects malformed artifacts loudly
+    val bad = java.nio.file.Files.createTempFile("mergesbad", ".txt")
+    java.nio.file.Files.writeString(bad, "a b c\n")
+    intercept[IllegalArgumentException] {
+      graft.functions.BpeOps.loadVocab(bad.toString)
+    }
+  }
+
   test("WordShingles matches the replaced HOF formulation on fuzzed text") {
     graft.functions.GraftFunctions.register(spark)
     val word = Gen.oneOf(
