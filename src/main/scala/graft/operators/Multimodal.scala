@@ -7,15 +7,14 @@ import graft.sources.Tables.table
 /** Multimodal-column plumbing: media as opaque BINARY payloads + typed
   * metadata, with decode/feature-extract/frame-sample passes.
   *
-  * The Spark-side machinery here is real and tested — schema (binary +
-  * metadata struct), partition-wise batch processing, deterministic
-  * feature shapes. The actual codec call is a clearly-marked STUB (this
-  * container has no image/audio libraries): `decodeStub` derives a
-  * deterministic fake "decoded frame" from the payload bytes. In
-  * production the stub body is the only thing that changes (JNI/FFI into
-  * libjpeg/ffmpeg), not the pipeline shape. mapPartitions is the JVM
-  * analog of Python's mapInPandas: per-partition batch iteration with
-  * reusable buffers, no per-row setup cost.
+  * Image payloads (PNG/JPEG/GIF/BMP) go through a REAL decode — the
+  * JDK's ImageIO, no external codec needed — producing true dimensions
+  * and a pixel-luminance histogram. Non-image payloads (video/audio,
+  * which would need ffmpeg via FFI) fall back to a clearly-marked
+  * deterministic byte-level STUB, so the pipeline shape — schema,
+  * partition-wise batching, feature layout — is identical for every
+  * mime. mapPartitions is the JVM analog of Python's mapInPandas:
+  * per-partition batch iteration, no per-row setup cost.
   */
 object Multimodal {
 
@@ -23,10 +22,13 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String,
                          width: Int, height: Int)
 
-  /** Extracted features: byte-histogram "embedding" + sampled "frames". */
+  /** Extracted features: histogram "embedding" + sampled "frames".
+    * `decoded` marks records whose payload went through a REAL codec
+    * (ImageIO) rather than the byte-level fallback.
+    */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, mime: String,
                            hist: Array[Double], frames: Array[Long],
-                           thumb_w: Int, thumb_h: Int)
+                           thumb_w: Int, thumb_h: Int, decoded: Boolean)
 
   /** Media table synthesized deterministically from documents: the text's
     * UTF-8 bytes stand in for an encoded image. Metadata (mime, dims) is
@@ -49,13 +51,56 @@ object Multimodal {
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     mediaMeta(s, dir).drop("payload")
 
-  /** STUB decode: a real implementation would hand `payload` to an image/
-    * video codec here. The fake is deterministic in the bytes so tests and
-    * rows-only checks are stable.
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no
+    * external codec needed): luminance histogram over actual pixels,
+    * "frame samples" = luminance at five fixed raster positions, true
+    * width/height from the decoded raster. Returns None when the payload
+    * isn't a decodable image (ImageIO probes the magic bytes), which
+    * routes the record to the byte-level fallback below.
+    */
+  private def decodeImage(payload: Array[Byte])
+      : Option[(Array[Double], Array[Long], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h
+        if (n == 0L) None
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+          val hist = new Array[Double](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { hist(lum(x, y) >> 4) += 1; x += 1 }
+            y += 1
+          }
+          var j = 0
+          while (j < 16) { hist(j) /= n; j += 1 }
+          val frames = Array(0L, n / 4, n / 2, 3 * n / 4, n - 1).map { o =>
+            val p = math.min(o, n - 1)
+            lum((p % w).toInt, (p / w).toInt).toLong
+          }
+          Some((hist, frames, w, h))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** FALLBACK decode for payloads no in-JVM codec handles (video/audio —
+    * a real implementation hands those to ffmpeg via FFI here): a
+    * deterministic byte-level histogram, so tests and rows-only checks
+    * are stable.
     */
   // format: off
   private def decodeStub(payload: Array[Byte]): (Array[Double], Array[Long]) = {
-    // ??? <- real codec call goes here (libjpeg/ffmpeg via FFI); stubbed:
+    // ??? <- non-image codec call goes here (ffmpeg via FFI); stubbed:
     val hist = new Array[Double](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1; i += 1 }
@@ -69,28 +114,44 @@ object Multimodal {
   }
   // format: on
 
-  /** Feature extraction over the binary column — partition-wise batch
-    * processing through the typed Dataset API. Array-typed output for the
-    * spec (histogram normalization etc. assert on the raw values).
+  /** Feature extraction over any (doc_id, payload, mime, width, height)
+    * media frame — partition-wise batch processing through the typed
+    * Dataset API. Payloads with an image mime go through the REAL
+    * ImageIO decode (true dims override the metadata claim); everything
+    * else (and undecodable images) falls back to the byte-level stub.
     */
-  def multimodalFeaturesRaw(s: SparkSession, dir: String): DataFrame = {
+  def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
-    mediaMeta(s, dir)
+    media
       .select(col("doc_id"), col("payload"), col("mime"), col("width"),
         col("height"))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val (hist, frames) = decodeStub(r.payload)
-          // "resize": clamp the fake dims to a thumbnail box, ratio kept
-          val scale = math.min(1.0, 128.0 / math.max(r.width, r.height))
+          val real =
+            if (r.mime.startsWith("image/")) decodeImage(r.payload) else None
+          val (hist, frames, w, h) = real match {
+            case Some((hs, fr, dw, dh)) => (hs, fr, dw, dh)
+            case None =>
+              val (hs, fr) = decodeStub(r.payload)
+              (hs, fr, r.width, r.height)
+          }
+          // resize: clamp dims to a thumbnail box, aspect ratio kept
+          val scale = math.min(1.0, 128.0 / math.max(w, h))
           MediaFeatures(r.doc_id, r.payload.length, r.mime, hist, frames,
-            math.max(1, (r.width * scale).toInt),
-            math.max(1, (r.height * scale).toInt))
+            math.max(1, (w * scale).toInt),
+            math.max(1, (h * scale).toInt),
+            decoded = real.isDefined)
         }
       }
       .toDF()
   }
+
+  /** Array-typed features over the synthetic media table (the spec
+    * asserts on raw values).
+    */
+  def multimodalFeaturesRaw(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, mediaMeta(s, dir))
 
   /** Driver-facing features query (rows-only check; the stub histogram has
     * no SQL equivalent worth writing). Arrays are canonicalized to joined
@@ -104,5 +165,5 @@ object Multimodal {
         x => x.cast("decimal(10,4)").cast("string")), ",").as("hist"),
       array_join(transform(col("frames"), _.cast("string")), ",")
         .as("frames"),
-      col("thumb_w"), col("thumb_h"))
+      col("thumb_w"), col("thumb_h"), col("decoded"))
 }

@@ -289,5 +289,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(col("nf") =!= 5).count() === 0L)
     assert(r.filter(col("thumb_w") > 128 || col("thumb_h") > 128)
       .count() === 0L)
+    // the synthetic text payloads are NOT decodable images — all of them
+    // must have gone through the declared fallback, none silently "real"
+    assert(Multimodal.multimodalFeaturesRaw(spark, dir)
+      .filter(col("decoded")).count() === 0L)
+  }
+
+  test("multimodal: real PNG payload decodes through ImageIO") {
+    import java.awt.image.BufferedImage
+    // 8x8 PNG: left half pure black (luminance 0 -> bin 0), right half
+    // pure white (luminance 255 -> bin 15)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, png, "image/png", 999, 999),
+      org.apache.spark.sql.Row(2L, "not an image".getBytes, "image/png",
+        10, 10),
+      org.apache.spark.sql.Row(3L, png, "video/mp4", 10, 10))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, payload BINARY, mime STRING, width INT, height INT")
+    val media = spark.createDataFrame(rows, schema)
+    val out = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val real = out(1L)
+    assert(real.getBoolean(real.fieldIndex("decoded")))
+    // true dims from the raster override the (bogus) metadata claim
+    assert(real.getInt(real.fieldIndex("thumb_w")) === 8)
+    assert(real.getInt(real.fieldIndex("thumb_h")) === 8)
+    val hist = real.getSeq[Double](real.fieldIndex("hist"))
+    assert(math.abs(hist(0) - 0.5) < 1e-9 &&
+      math.abs(hist(15) - 0.5) < 1e-9)
+    assert(hist.slice(1, 15).forall(_ === 0.0))
+    // frame samples are pixel luminances: raster positions 0,16,32,48,63
+    // → x = 0,0,0,0,7 → black,black,black,black,white
+    assert(real.getSeq[Long](real.fieldIndex("frames")) ===
+      Seq(0L, 0L, 0L, 0L, 255L))
+    // undecodable "image" and non-image mime both take the fallback
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("decoded")))
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
   }
 }
