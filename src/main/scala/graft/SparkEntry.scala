@@ -203,9 +203,81 @@ object SparkEntry {
       FROM sig s LEFT JOIN dup d USING (doc_id)"""
   }
 
+  /** dedup_minhash oracle, generated: the 64 per-member min aggregates
+    * and the 8 band hashes are mechanical, emitted from the same loop
+    * bounds the Spark query uses. Signatures are md5-derived
+    * (Kirsch–Mitzenmacher: member i = (h1 + i*h2) & (2^60-1) from one
+    * md5's two halves — Dedup.SigMask), so DuckDB computes bit-identical
+    * signatures, bands, estimate prefilters and exact Jaccard verdicts.
+    */
+  private def dedupMinhashOracleSql: String = {
+    import graft.operators.Dedup.{NumHashes, Bands, RowsPerBand, MaxBucket,
+      SigMask, EstEpsilon}
+    val thr = 0.8
+    val minNeeded = (NumHashes * (thr - EstEpsilon)).ceil.toInt
+    val mins = (0 until NumHashes).map(i =>
+      s"min((h1 + $i * h2) & $SigMask) AS m$i").mkString(",\n          ")
+    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandConcat = (0 until RowsPerBand).map(r =>
+      s"CAST(sig[band * $RowsPerBand + ${r + 1}] AS VARCHAR)")
+      .mkString(", ")
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t),
+      hx AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(s.sh), 1, 8) AS BIGINT) & $SigMask AS h1,
+          (CAST('0x' || substr(md5(s.sh), 9, 8) AS BIGINT) & $SigMask) | 1
+            AS h2
+        FROM sh, unnest(sh.shingles) AS s(sh)),
+      v AS (
+        SELECT doc_id,
+          $mins
+        FROM hx GROUP BY doc_id),
+      sg AS (SELECT doc_id, $sigList AS sig FROM v),
+      bands AS (
+        SELECT doc_id, sig, band,
+          substr(md5(concat_ws(',', $bandConcat)), 1, 16) AS bh
+        FROM sg, unnest(range(0, $Bands)) AS u(band)
+        QUALIFY count(*) OVER (PARTITION BY band, bh) <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        WHERE len(list_filter(range(0, $NumHashes),
+          i -> x.sig[i+1] = y.sig[i+1])) >= $minNeeded),
+      ver AS (
+        SELECT c.a, c.b,
+          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+            CAST(len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b),
+      dup AS (
+        SELECT b AS doc_id, min(a) AS dup_of, max(jaccard) AS best_jaccard
+        FROM ver WHERE jaccard >= $thr GROUP BY b)
+      SELECT d.doc_id, dup.dup_of, round(dup.best_jaccard, 4)
+          AS best_jaccard,
+        dup.dup_of IS NULL AS keep
+      FROM documents d LEFT JOIN dup USING (doc_id)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
+    "dedup_minhash" -> dedupMinhashOracleSql,
     "scan_read_files" -> "SELECT * FROM lineitem",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",

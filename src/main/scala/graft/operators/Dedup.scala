@@ -71,8 +71,9 @@ object Dedup {
       .filter(col("_bsz") <= MaxBucket).drop("_bsz")
   }
 
-  /** MinHash + LSH near-duplicate detection (rows-only check: the banded
-    * candidate generation has no SQL equivalent).
+  /** MinHash + LSH near-duplicate detection (oracle-checked — the
+    * md5-derived hash family below makes signatures, banding, estimate
+    * prefilter and exact verify all SQL-expressible).
     *
     * Pipeline: word-3-shingles → 64-hash MinHash signature (vectorized
     * min-aggregates, see below) → Bands band hashes of RowsPerBand each →
@@ -90,6 +91,28 @@ object Dedup {
     */
   val EstEpsilon = 0.15
 
+  /** MinHash family derivation (Kirsch–Mitzenmacher double hashing):
+    * member i of the family is `(h1 + i*h2) mod 2^30` where h1/h2 are
+    * 30-bit values cut from ONE md5 of the shingle and h2 is forced odd.
+    * One md5 replaces the previous 65 per-shingle hash calls, and —
+    * because md5 is the only primitive — the ENTIRE minhash pipeline
+    * becomes expressible in oracle SQL (DuckDB computes identical
+    * signatures), upgrading this flagship operator from a rows-only to a
+    * full hash check.
+    *
+    * The modulus must be SMALL relative to i*h2 so the affine map
+    * actually wraps: an early variant used mod 2^60 with 45-bit h2, and
+    * since i*h2 <= 2^51 never wrapped, argmin was decided by h1 alone —
+    * all 64 components collapsed to the same shingle, signatures
+    * degenerated, and the candidate set exploded (measured: the verify
+    * stage went 6.9 s at sf0.1). At 30 bits the family wraps (i*h2 up to
+    * ~2^36), components are effectively independent, and a spurious
+    * min-collision between two docs is ~ns_a*ns_b/2^30 — negligible for
+    * the J-estimate. Everything stays in non-overflowing BIGINT range
+    * under Spark's ANSI mode and in DuckDB alike.
+    */
+  val SigMask: Long = (1L << 30) - 1L
+
   def dedupMinhash(s: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
     // word_shingles is a registry function (codegen'd Catalyst expression);
@@ -97,15 +120,12 @@ object Dedup {
     // GraftExtensions (same pattern as TextOps.docFingerprint).
     graft.functions.GraftFunctions.register(s)
     val docsRaw = table(s, dir, "documents")
-    // Signature in the vectorized shape: explode shingles, hash each
-    // shingle's bytes ONCE, then derive the 64 family members by
-    // re-hashing the 8-byte long with a per-member salt — fixed-size
-    // codegen'd hashing instead of 64 string hashes per shingle. (NOT
-    // affine a*h+b transforms: ANSI mode, Spark 4's default, makes the
-    // wrap-around multiply throw ARITHMETIC_OVERFLOW.) min() aggregates
-    // give map-side partial combine + one shuffle on doc_id: the 100 TB
-    // shape. (Higher-order-function formulations of the signature are
-    // interpreted per-row — an order of magnitude slower; don't regress.)
+    // Signature in the vectorized shape: explode shingles, md5 each
+    // shingle ONCE, then derive the 64 family members arithmetically
+    // (see SigMask above). min() aggregates give map-side partial combine
+    // + one shuffle on doc_id: the 100 TB shape. (Higher-order-function
+    // formulations of the signature are interpreted per-row — an order
+    // of magnitude slower; don't regress.)
     // Round-robin spread of the text pass: locally the table is one
     // parquet split, so without this the whole shingle pass runs in a
     // single task; on a real cluster the input is already multi-split and
@@ -113,9 +133,15 @@ object Dedup {
     val par = s.sparkContext.defaultParallelism
     val shingled = docsRaw.repartition(par)
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h0"))
+      .select(col("doc_id"), md5(col("sh")).as("m"))
+      .select(col("doc_id"),
+        (conv(substring(col("m"), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(SigMask))).as("h1"),
+        (conv(substring(col("m"), 9, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(SigMask)).bitwiseOR(lit(1L))).as("h2"))
     val minAggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
+      min((col("h1") + lit(i.toLong) * col("h2")).bitwiseAND(lit(SigMask)))
+        .as(s"h$i"))
     // The signature aggregation is the expensive full-corpus pass, so it
     // must run EXACTLY ONCE: the signature array rides along through the
     // band explode (512 B/doc x Bands — bounded), which makes banding the
@@ -129,9 +155,9 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
     val bandCols = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(concat_ws(",", (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), j * RowsPerBand + r + 1).cast("string")): _*))
-          .as("bh"))
+        substring(md5(concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), j * RowsPerBand + r + 1).cast("string")): _*)),
+          1, 16).as("bh"))
     }
     val bands = capBuckets(
       sigs.select(col("doc_id"), col("sig"),
