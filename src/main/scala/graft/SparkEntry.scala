@@ -103,6 +103,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "tfidf_topterms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
+    "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
+    "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,10 +277,117 @@ object SparkEntry {
       FROM documents d LEFT JOIN dup USING (doc_id)"""
   }
 
+  /** bm25_search oracle, generated so the query-term list and constants
+    * stay single-sourced with Ranking.bm25Search. The per-term partial
+    * scores are summed in the SAME written order as the Spark query (one
+    * conditional max per term) — double addition order is part of the
+    * hash contract.
+    */
+  private def bm25OracleSql: String = {
+    import graft.operators.Ranking.{Bm25Query, Bm25K1, Bm25B}
+    val qlist = Bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+    val perTerm = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0.0) AS s_$i"
+    }.mkString(",\n          ")
+    val sumCols = Bm25Query.indices.map(i => s"s_$i").mkString(" + ")
+    s"""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> length(x) > 0)) AS BIGINT) AS dl,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM base),
+      tf AS (
+        SELECT doc_id, dl, t.term, count(*) AS tf
+        FROM base, unnest(toks) AS t(term)
+        WHERE t.term IN $qlist
+        GROUP BY doc_id, dl, t.term),
+      tfd AS (
+        SELECT doc_id, dl, term, tf,
+          count(*) OVER (PARTITION BY term) AS df
+        FROM tf),
+      scored AS (
+        SELECT doc_id, dl, term,
+          ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5) + 1.0)
+            * CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} /
+            (CAST(tf AS DOUBLE) + $Bm25K1 *
+              (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) /
+                (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+        FROM tfd, stats),
+      summed AS (
+        SELECT doc_id, dl,
+          $perTerm
+        FROM scored GROUP BY doc_id, dl),
+      ranked AS (
+        SELECT doc_id, dl, $sumCols AS score,
+          row_number() OVER (ORDER BY $sumCols DESC, doc_id) AS rank
+        FROM summed)
+      SELECT rank, doc_id, dl, round(score, 4) AS score
+      FROM ranked WHERE rank <= 100"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
+    "bm25_search" -> bm25OracleSql,
+    "tfidf_topterms" -> """
+      WITH toks AS (
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> length(x) > 0) AS toks
+              FROM documents), unnest(toks) AS t(term)),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      tfd AS (
+        SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
+        FROM tf),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf,
+          CAST(tf AS DOUBLE) *
+            (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+              + 1.0) AS score
+        FROM tfd, n),
+      ranked AS (
+        SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, round(score, 4) AS score
+      FROM ranked WHERE rank <= 5""",
+    "unigram_ll" -> """
+      WITH toks AS (
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> length(x) > 0) AS toks
+              FROM documents), unnest(toks) AS t(term)),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      tfc AS (
+        SELECT doc_id, term, tf,
+          CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cnt
+        FROM tf),
+      totals AS (SELECT count(*) AS total_toks,
+                   count(DISTINCT term) AS vocab FROM toks),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+          sum(CAST(tf AS DOUBLE) *
+            ln((CAST(cnt AS DOUBLE) + 1.0) /
+               (CAST(total_toks AS DOUBLE) + CAST(vocab AS DOUBLE)))) AS ll
+        FROM tfc, totals
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(doc.dl, 0) AS dl,
+        round(doc.ll / CAST(doc.dl AS DOUBLE), 3) AS avg_ll,
+        coalesce(doc.ll / CAST(doc.dl AS DOUBLE) >= -9.0, false) AS keep
+      FROM documents d LEFT JOIN doc USING (doc_id)""",
     "scan_read_files" -> "SELECT * FROM lineitem",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",

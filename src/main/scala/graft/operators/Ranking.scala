@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables.table
+
+/** Term-statistics ranking and scoring over the `documents` table —
+  * TF-IDF keyterm extraction, BM25 retrieval, and unigram-LM
+  * log-likelihood quality scoring (the classic KenLM-style corpus filter,
+  * here with the simplest possible LM). All three are fully
+  * SQL-expressible, so each is hash-checked against the DuckDB oracle.
+  *
+  * Common scale shape: one token-explode pass over the corpus feeding
+  * hash aggregates with map-side partial combine; the derived term
+  * statistics (document frequencies, corpus totals) are VOCAB-sized, not
+  * corpus-sized, so they broadcast back onto the streaming side — the
+  * corpus itself is never joined shuffle-to-shuffle against anything its
+  * own size.
+  *
+  * Cross-engine float discipline: scores are rounded (4 or 3 decimals)
+  * AFTER ranking, and every cross-row double sum either has a fixed
+  * written order (BM25's per-term columns) or is quantized far above
+  * accumulated-ulp noise (unigram avg at 1e-3) — the same precision
+  * rules the rest of the oracle surface uses.
+  */
+object Ranking {
+
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+
+  /** Top-k TF-IDF terms per document (oracle-checked). idf uses the
+    * smooth formulation ln((N+1)/(df+1)) + 1, so terms present in every
+    * document still score positively and ordering is total.
+    */
+  def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val tf = toksOf(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df via a window count over the tf frame (one row per (doc, term),
+    // so rows-per-term = document frequency) — the capBuckets pattern:
+    // keeps the expensive tokenize+aggregate pass SINGLE-consumer (a
+    // groupBy+join formulation computes it twice) and never broadcasts
+    // the vocab-sized df table, which at web scale is NOT small. n_docs
+    // is a column-pruned metadata count — broadcast as one row.
+    val wdf = Window.partitionBy(col("term"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(wdf))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Default BM25 query terms — chosen to hit the synthetic corpus. */
+  val Bm25Query: Seq[String] = Seq("data", "model", "system")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval: top-k documents for a bag of query terms
+    * (oracle-checked). Tokens are filtered to the query terms BEFORE the
+    * tf aggregate, so the shuffled volume is per-query-term, not
+    * corpus-wide; document length comes from the per-row codegen'd token
+    * counter, and avgdl/N are exact integer-sum statistics. The per-term
+    * partial scores are summed in FIXED written order (one conditional
+    * aggregate per query term) so the double addition order — and hence
+    * the hash — is engine-independent.
+    */
+  def bm25Search(s: SparkSession, dir: String,
+                 query: Seq[String] = Bm25Query, k: Int = 100): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      T.tokenCount(col("text")).cast("long").as("dl"),
+      T.tokens(col("text")).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(query))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df via window count over tf (see tfIdfTopTerms) — single consumer
+    // of the filtered-token aggregate
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("sc", col("idf") * col("tf").cast("double") * (Bm25K1 + 1.0) /
+        (col("tf").cast("double") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") /
+            col("avgdl"))))
+    val perTerm: Seq[Column] = query.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)).as(s"s_$i")
+    }
+    val summed = scored.groupBy(col("doc_id"), col("dl"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        query.indices.map(i => col(s"s_$i")).reduce(_ + _))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    summed
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("dl"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Unigram-LM log-likelihood quality score (oracle-checked): the mean
+    * per-token ln p(token) under the corpus unigram distribution with
+    * add-one smoothing — the cheapest member of the LM-perplexity
+    * quality-filter family (a KenLM n-gram model swaps in at the freq
+    * table). Docs far below the corpus mean are gibberish/boilerplate
+    * candidates. The frequency table is vocab-sized → broadcast; the
+    * corpus streams once. avg_ll is quantized at 1e-3, far above the
+    * accumulated ulp noise of the per-term double sums.
+    */
+  def unigramLogLikelihood(s: SparkSession, dir: String,
+                           keepAbove: Double = -9.0): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val tf = toksOf(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // corpus term frequency via window sum over the tf frame (see
+    // tfIdfTopTerms — single consumer, no vocab-sized broadcast). The
+    // two global scalars come from cheap independent passes: total
+    // token count is a per-row scan aggregate over documents, vocab
+    // size a distinct-count of terms.
+    val totals = toksOf(docs).agg(count(lit(1)).as("total_toks"),
+      count_distinct(col("term")).as("vocab"))
+    val doc = tf
+      .withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(
+        (col("cnt").cast("double") + 1.0) /
+          (col("total_toks").cast("double") + col("vocab").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"),
+        sum(col("tf").cast("double") * col("lp")).as("ll"))
+    docs.select(col("doc_id"))
+      .join(doc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"),
+        round(col("ll") / col("dl").cast("double"), 3).as("avg_ll"),
+        coalesce(col("ll") / col("dl").cast("double") >= keepAbove,
+          lit(false)).as("keep"))
+  }
+}

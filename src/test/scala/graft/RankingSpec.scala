@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ranking
+
+/** Invariants for the term-statistics ranking/scoring operators, with
+  * planted documents whose expected behavior is known.
+  */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** documents + two planted docs: one stuffed with a unique rare term,
+    * one stuffed with the BM25 query terms.
+    */
+  private def planted(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("rank").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val extra = spark.range(1).select(
+      lit(90001L).as("doc_id"),
+      lit("zyzzyva zyzzyva zyzzyva zyzzyva common words here")
+        .as("text")).unionByName(
+      spark.range(1).select(
+        lit(90002L).as("doc_id"),
+        lit(Seq.fill(20)(Ranking.Bm25Query).flatten.mkString(" "))
+          .as("text")))
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(extra)
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("tfidf: contiguous ranks, descending scores, rare term wins") {
+    val tmp = planted()
+    val r = Ranking.tfIdfTopTerms(spark, tmp)
+    // per-doc ranks are 1..min(5, n_terms) with strictly descending
+    // (score, term) ordering
+    val bad = r.withColumn("prev", lag(col("score"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("rank"))))
+      .filter(col("prev").isNotNull && col("prev") < col("score"))
+    assert(bad.count() === 0L)
+    assert(r.groupBy(col("doc_id")).agg(min("rank").as("mn"))
+      .filter(col("mn") =!= 1L).count() === 0L)
+    // the planted doc's top term is its unique rare term
+    val top = r.filter(col("doc_id") === 90001L && col("rank") === 1L)
+      .collect()(0)
+    assert(top.getString(2) === "zyzzyva")
+  }
+
+  test("bm25: query-term-stuffed doc ranks first, ranks contiguous") {
+    val tmp = planted()
+    val r = Ranking.bm25Search(spark, tmp).collect()
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length))
+    assert(r.head.getLong(1) === 90002L)
+    // scores non-increasing in rank order
+    val scores = r.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned doc contains at least one query term
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .filter(lower(col("text")).rlike(Ranking.Bm25Query.mkString("|")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r.map(_.getLong(1)).forall(docs.contains))
+  }
+
+  test("unigram_ll: gibberish scores far below common text") {
+    val tmp = planted()
+    val r = Ranking.unigramLogLikelihood(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // log-likelihoods are negative; dl matches the token count
+    assert(r.values.forall(x => x.isNullAt(2) || x.getDouble(2) < 0.0))
+    assert(r(90001L).getLong(1) === 7L)
+    // the rare-term doc (4/7 tokens are a hapax) scores below the
+    // query-term doc (all tokens corpus-common)
+    assert(r(90001L).getDouble(2) < r(90002L).getDouble(2))
+  }
+}
