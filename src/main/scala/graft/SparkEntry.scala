@@ -237,12 +237,14 @@ object SparkEntry {
               i -> array_to_string(toks[i:i+2], ' '))
           ELSE [array_to_string(toks, ' ')] END) AS shingles
         FROM t),
-      hx AS (
+      hp AS (
         SELECT doc_id,
-          CAST('0x' || substr(md5(s.sh), 1, 8) AS BIGINT) & $SigMask AS h1,
-          (CAST('0x' || substr(md5(s.sh), 9, 8) AS BIGINT) & $SigMask) | 1
-            AS h2
+          CAST('0x' || substr(md5(s.sh), 1, 15) AS BIGINT) AS p
         FROM sh, unnest(sh.shingles) AS s(sh)),
+      hx AS (
+        SELECT doc_id, (p >> 28) & $SigMask AS h1,
+          (p & $SigMask) | 1 AS h2
+        FROM hp),
       v AS (
         SELECT doc_id,
           $mins

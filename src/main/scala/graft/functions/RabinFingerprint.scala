@@ -138,6 +138,8 @@ object GraftFunctions {
         if (es.length > 1)
           BpeOps.loadVocab(es(1).eval().toString)
         else BpeOps.Default), "built-in")
+    reg.createOrReplaceTempFunction("md5_prefix60",
+      es => Md5Prefix60(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

@@ -59,6 +59,45 @@ object ShingleOps {
   }
 }
 
+/** The first 60 bits of md5 as a long, computed from the digest bytes
+  * directly — exactly `conv(substring(md5(s), 1, 15), 16, 10)` (and
+  * DuckDB's `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`), minus the
+  * 32-char hex string allocation and the string→long parse. The dedup
+  * signature passes (simhash votes, minhash family seeds) call this once
+  * per token/shingle over the whole corpus, so the per-call savings are
+  * a corpus-pass-sized win.
+  */
+object Md5Ops {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def prefix60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    // 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** `md5_prefix60(s)` → BIGINT: first 15 hex chars of md5 as a long. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix60"
+  protected override def nullSafeEval(input: Any): Any =
+    Md5Ops.prefix60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.prefix60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
 /** `word_shingles(text)` → ARRAY<STRING>: distinct n-word shingles. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

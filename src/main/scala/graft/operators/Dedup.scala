@@ -133,12 +133,14 @@ object Dedup {
     val par = s.sparkContext.defaultParallelism
     val shingled = docsRaw.repartition(par)
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("m"))
+      // md5_prefix60 = conv(substring(md5(sh),1,15),16,10) computed from
+      // the digest bytes (no hex-string round trip); h1/h2 are disjoint-
+      // enough 30-bit slices of it (bits 57..28 and 29..0)
       .select(col("doc_id"),
-        (conv(substring(col("m"), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(SigMask))).as("h1"),
-        (conv(substring(col("m"), 9, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(SigMask)).bitwiseOR(lit(1L))).as("h2"))
+        call_function("md5_prefix60", col("sh")).as("p"))
+      .select(col("doc_id"),
+        shiftright(col("p"), 28).bitwiseAND(lit(SigMask)).as("h1"),
+        (col("p").bitwiseAND(lit(SigMask)).bitwiseOR(lit(1L))).as("h2"))
     val minAggs = (0 until NumHashes).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")).bitwiseAND(lit(SigMask)))
         .as(s"h$i"))
@@ -229,10 +231,12 @@ object Dedup {
     * size (vs. folding 60 times per row inside a projection).
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val tok = table(s, dir, "documents")
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      // md5_prefix60 = conv(substring(md5(tok),1,15),16,10), minus the
+      // hex string round trip (codegen'd; see Md5Ops)
+      .withColumn("h", call_function("md5_prefix60", col("tok")))
     val voteCols = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$j")

@@ -61,6 +61,22 @@ class ShingleSpec extends AnyFunSuite {
       .collect()(0).getInt(0) > 0)
   }
 
+  test("md5_prefix60 equals the conv(substring(md5)) formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val mism = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .selectExpr("md5_prefix60(tok) AS fast",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS ref")
+      .filter(org.apache.spark.sql.functions.col("fast") =!=
+        org.apache.spark.sql.functions.col("ref"))
+    assert(mism.count() === 0L)
+    // empty string too (md5 of zero bytes is defined)
+    assert(spark.sql(
+      "SELECT md5_prefix60('') = CAST(conv(substring(md5(''), 1, 15), 16, 10) AS BIGINT)")
+      .collect()(0).getBoolean(0))
+  }
+
   test("BpeEncode: vocab loads from a merges.txt artifact") {
     graft.functions.GraftFunctions.register(spark)
     // the toy table written out in the standard merges.txt format must
