@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "quantize_embeddings" -> (Ann.quantizeEmbeddings _),
     "tfidf_topterms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
@@ -338,6 +339,31 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
+    "quantize_embeddings" -> """
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, emb,
+          list_max(list_transform(emb, x -> abs(x))) AS qmax
+        FROM e),
+      sc AS (
+        SELECT vec_id, label, emb,
+          CASE WHEN qmax = 0.0 THEN 0.0 ELSE 127.0 / qmax END AS scale
+        FROM m),
+      q AS (
+        SELECT vec_id, label, emb, scale,
+          list_transform(emb,
+            x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        FROM sc)
+      SELECT vec_id, label, round(scale, 6) AS scale,
+        array_to_string(list_transform(qv, v -> CAST(v AS VARCHAR)), ',')
+          AS q,
+        CASE WHEN scale = 0.0 THEN 0.0 ELSE
+          round(list_max(list_transform(range(1, len(emb) + 1),
+            i -> abs(emb[i] - CAST(qv[i] AS DOUBLE) / scale))), 5)
+        END AS max_err
+      FROM q""",
     "tfidf_topterms" -> """
       WITH toks AS (
         SELECT doc_id, t.term

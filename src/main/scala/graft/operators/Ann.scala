@@ -147,4 +147,31 @@ object Ann {
       .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"),
         col("bucket"))
   }
+
+  /** Symmetric int8 quantization of the embedding column (oracle-checked)
+    * — the standard 4x storage/bandwidth cut before an ANN index is
+    * built or embeddings ship to a serving tier. Per-vector max-abs
+    * scaling: q_i = round_half_up(x_i * 127 / max|x|); the half-up
+    * rounding is spelled floor(x + 0.5) so both engines round identical
+    * doubles identically (their native round() functions disagree on
+    * negative halves). Per-row, shuffle-free — runs at scan speed; the
+    * quantized vector is emitted as a canonical comma string (the
+    * driver's oracle harness hashes scalars, not arrays).
+    */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .withColumn("qmax",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("scale",
+        when(col("qmax") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("qmax")))
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
+      .withColumn("max_err", when(col("scale") === 0.0, lit(0.0)).otherwise(
+        array_max(zip_with(col("embedding"), col("q"),
+          (x, q) => abs(x.cast("double") - q.cast("double") / col("scale"))))))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale"),
+        array_join(transform(col("q"), q => q.cast("string")), ",").as("q"),
+        round(col("max_err"), 5).as("max_err"))
+  }
 }

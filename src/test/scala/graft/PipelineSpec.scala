@@ -295,6 +295,22 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("decoded")).count() === 0L)
   }
 
+  test("quantize_embeddings: int8 range and error bound") {
+    val r = Ann.quantizeEmbeddings(spark, dir)
+      .withColumn("qs", split(col("q"), ","))
+      .select(col("vec_id"), col("scale"), col("max_err"),
+        array_max(transform(col("qs"), x => abs(x.cast("int")))).as("qabs"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getInt(3) <= 127)
+      // dequantization error of round-half-up is at most 0.5/scale
+      // (+ rounding slack on the reported value)
+      if (row.getDouble(1) > 0)
+        assert(row.getDouble(2) <= 0.5 / row.getDouble(1) + 1e-4)
+    }
+  }
+
   test("multimodal: real PNG payload decodes through ImageIO") {
     import java.awt.image.BufferedImage
     // 8x8 PNG: left half pure black (luminance 0 -> bin 0), right half
