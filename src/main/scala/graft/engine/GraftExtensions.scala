@@ -2,8 +2,9 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{RabinFingerprint, RabinWinnow, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{BpeEncode, BpeOps, Md5Prefix60, RabinFingerprint,
+  RabinWinnow, VecCosine, VecDot, VecL2sq, WordShingles}
 
 /** SparkSessionExtensions entry point — the engine's functions become
   * available to ANY session configured with
@@ -11,35 +12,27 @@ import graft.functions.{RabinFingerprint, RabinWinnow, WordShingles}
   * `.withExtensions(new GraftExtensions)`), the standard injection
   * mechanism for operator/function extensions (SURVEY.md §2.2: the
   * reference's extensibility point is a Rust trait registry; ours is
-  * this).
+  * this). The function set here MUST stay in lockstep with
+  * `GraftFunctions.register` — both seams expose the same surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("rabin_fingerprint"),
-      new ExpressionInfo(classOf[RabinFingerprint].getName,
-        "rabin_fingerprint"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RabinFingerprint(exprs.head, 8)))
-    e.injectFunction((
-      new FunctionIdentifier("rabin_winnow"),
-      new ExpressionInfo(classOf[RabinWinnow].getName, "rabin_winnow"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RabinWinnow(exprs.head, 8, 16)))
-    e.injectFunction((
-      new FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordShingles(exprs.head,
-          graft.functions.GraftFunctions.shingleN(exprs))))
-    e.injectFunction((
-      new FunctionIdentifier("bpe_encode"),
-      new ExpressionInfo(classOf[graft.functions.BpeEncode].getName,
-        "bpe_encode"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.BpeEncode(exprs.head,
-          if (exprs.length > 1)
-            graft.functions.BpeOps.loadVocab(exprs(1).eval().toString)
-          else graft.functions.BpeOps.Default)))
+    def inject(name: String, clazz: Class[_],
+               build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), build))
+
+    inject("rabin_fingerprint", classOf[RabinFingerprint],
+      es => RabinFingerprint(es.head, 8))
+    inject("rabin_winnow", classOf[RabinWinnow],
+      es => RabinWinnow(es.head, 8, 16))
+    inject("word_shingles", classOf[WordShingles],
+      es => WordShingles(es.head, graft.functions.GraftFunctions.shingleN(es)))
+    inject("bpe_encode", classOf[BpeEncode],
+      es => BpeEncode(es.head, BpeOps.vocabFromArgs(es)))
+    inject("md5_prefix60", classOf[Md5Prefix60], es => Md5Prefix60(es.head))
+    inject("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1)))
+    inject("vec_cosine", classOf[VecCosine], es => VecCosine(es(0), es(1)))
+    inject("vec_l2sq", classOf[VecL2sq], es => VecL2sq(es(0), es(1)))
   }
 }

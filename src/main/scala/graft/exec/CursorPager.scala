@@ -140,12 +140,18 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
   }
 
   /** Result schema, from the first file's footer (all rec_N files of a
-    * result share it by construction).
+    * result share it by construction); a zero-file result set pages as
+    * an empty zero-field schema rather than failing.
     */
-  lazy val schema: org.apache.spark.sql.types.StructType = {
-    require(rs.files.nonEmpty, "empty result set has no schema")
-    spark.read.parquet(rs.files(0).path).schema
-  }
+  lazy val schema: org.apache.spark.sql.types.StructType =
+    if (rs.files.isEmpty) new org.apache.spark.sql.types.StructType()
+    else spark.read.parquet(rs.files(0).path).schema
+
+  // Row→InternalRow serializer for Arrow encoding: resolved and compiled
+  // ONCE per pager (the schema is fixed), not per page — encoder codegen
+  // would otherwise dominate the serving cost of small pages.
+  private lazy val arrowSerializer =
+    org.apache.spark.sql.graftbridge.ArrowPage.serializer(schema)
 
   /** [[page]], encoded as a self-describing Arrow IPC stream (schema +
     * one record batch + EOS) — the reference's page wire format
@@ -158,7 +164,8 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
                 allowOverflow: Boolean = false): ArrowPageResult = {
     val p = page(cursor, limit, forward, allowOverflow)
     val bytes = org.apache.spark.sql.graftbridge.ArrowPage.encode(
-      p.rows, schema, spark.sessionState.conf.sessionLocalTimeZone)
+      p.rows, schema, arrowSerializer,
+      spark.sessionState.conf.sessionLocalTimeZone)
     ArrowPageResult(bytes, p.offsets, p.next)
   }
 }

@@ -144,6 +144,24 @@ object BpeOps {
   /** Back-compat shims for callers of the pre-vocab API. */
   def encode(text: UTF8String): GenericArrayData = Default.encode(text)
   def encodeWord(w: String): Array[String] = Default.encodeWord(w)
+
+  /** Resolve the optional SQL merges-path argument
+    * (`bpe_encode(text[, 'path'])`). The path must be a foldable non-null
+    * string — validated HERE so a bad argument fails analysis with a
+    * readable message instead of an NPE / unbound-attribute error from a
+    * blind `eval()`.
+    */
+  def vocabFromArgs(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : BpeVocab =
+    if (es.length <= 1) Default
+    else {
+      val e = es(1)
+      require(e.foldable,
+        "bpe_encode merges path must be a string literal, got: " + e.sql)
+      val v = e.eval()
+      require(v != null, "bpe_encode merges path must not be NULL")
+      loadVocab(v.toString)
+    }
 }
 
 /** `bpe_encode(text[, 'merges_path'])` → ARRAY<STRING>: greedy BPE

@@ -134,10 +134,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es.head, shingleN(es)), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
-      es => BpeEncode(es.head,
-        if (es.length > 1)
-          BpeOps.loadVocab(es(1).eval().toString)
-        else BpeOps.Default), "built-in")
+      es => BpeEncode(es.head, BpeOps.vocabFromArgs(es)), "built-in")
     reg.createOrReplaceTempFunction("md5_prefix60",
       es => Md5Prefix60(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",

@@ -79,6 +79,24 @@ abstract class VecBinaryExpression extends BinaryExpression {
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // Reject wrong argument types at ANALYSIS time with a readable message
+  // — without this, the mismatch surfaces as an opaque codegen/eval
+  // failure mid-query.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<FLOAT|DOUBLE> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   /** VecOps method name — also the SQL-facing prettyName suffix. */
   protected def op: String
 

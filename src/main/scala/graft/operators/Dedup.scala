@@ -462,6 +462,30 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Reliable-checkpoint file of an eagerly checkpointed frame, if any —
+    * Spark never deletes these itself (spark.cleaner cleanCheckpoints
+    * defaults to false), so iterative operators must clean up their own
+    * intermediates or every run leaks the whole round history to
+    * reliable storage.
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def deleteCheckpointFiles(s: SparkSession,
+                                    files: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
+  }
+
   /** Transitive duplicate clusters: hash-min label propagation over the
     * verified near-dup pairs until fixpoint, so every member of a connected
     * component points at one canonical root (the component's min doc_id) —
@@ -486,7 +510,17 @@ object Dedup {
     // Symmetrize by exploding both directions out of ONE pairs subtree —
     // a self-union would embed (and compute) the whole verified-pair
     // pipeline twice inside the checkpoint stage.
-    val edgesRaw = checkpointed(dedupNgramJaccard(s, dir, threshold)
+    // Intermediate reliable checkpoints (edges + every non-final round)
+    // are deleted once the following round is materialized — each round
+    // reads only its predecessor's files, and Spark itself never cleans
+    // checkpoint dirs.
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ckpt(df: DataFrame): DataFrame = {
+      val out = checkpointed(df)
+      checkpointFileOf(out).foreach(intermediates += _)
+      out
+    }
+    val edgesRaw = ckpt(dedupNgramJaccard(s, dir, threshold)
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
@@ -524,7 +558,7 @@ object Dedup {
         .select(col("doc_id"), col("jlabel").as("label"),
           lit(false).as("self"))
       val obs = org.apache.spark.sql.Observation(s"lp_round_$round")
-      val next = checkpointed(labels
+      val next = ckpt(labels
         .select(col("doc_id"), col("label"), lit(true).as("self"))
         .union(fromNeighbors).union(viaJump)
         .groupBy(col("doc_id"))
@@ -542,6 +576,10 @@ object Dedup {
       s"label propagation did not converge in $MaxLpRounds rounds " +
         "(component diameter > 2^rounds?) — refusing to emit partial " +
         "clusters that would diverge from the transitive closure")
+    // all but the FINAL labels checkpoint (which the returned lazy frame
+    // still reads) are dead data now
+    if (intermediates.length > 1)
+      deleteCheckpointFiles(s, intermediates.dropRight(1).toSeq)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

@@ -61,8 +61,13 @@ object Multimodal {
   private def decodeImage(payload: Array[Byte])
       : Option[(Array[Double], Array[Long], Int, Int)] =
     try {
+      // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream): the
+      // default path spills through a disk-backed FileCache temp file per
+      // record — pointless I/O on a corpus pass when the payload is
+      // already a byte array.
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       if (img == null) None
       else {
         val w = img.getWidth
@@ -100,6 +105,7 @@ object Multimodal {
     */
   // format: off
   private def decodeStub(payload: Array[Byte]): (Array[Double], Array[Long]) = {
+    if (payload.isEmpty) return (new Array[Double](16), new Array[Long](5))
     // ??? <- non-image codec call goes here (ffmpeg via FFI); stubbed:
     val hist = new Array[Double](16)
     var i = 0

@@ -26,30 +26,41 @@ import org.apache.spark.sql.util.ArrowUtils
   */
 object ArrowPage {
 
+  /** Row→InternalRow serializer for a fixed schema. Encoder resolution +
+    * codegen are NOT per-call costs — callers (CursorPager) build this
+    * once and reuse it for every page.
+    */
+  def serializer(schema: StructType): Row => InternalRowLike = {
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .createSerializer()
+    r => ser(r)
+  }
+
+  type InternalRowLike = org.apache.spark.sql.catalyst.InternalRow
+
   /** Encode rows as ONE self-describing Arrow IPC stream: schema header,
     * a single record batch, end-of-stream marker — readable by any
     * `ArrowStreamReader` (Java, PyArrow, arrow-rs). Pages are bounded by
     * the pager's `limit`, so one batch per page is the right shape.
     */
-  def encode(rows: Seq[Row], schema: StructType, timeZoneId: String): Array[Byte] = {
+  def encode(rows: Seq[Row], schema: StructType,
+             toInternal: Row => InternalRowLike,
+             timeZoneId: String): Array[Byte] = {
     val arrowSchema = ArrowUtils.toArrowSchema(schema, timeZoneId,
       errorOnDuplicatedFieldNames = true, largeVarTypes = false)
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-arrow-page", 0, Long.MaxValue)
-    val root = VectorSchemaRoot.create(arrowSchema, allocator)
     try {
-      val toInternal = ExpressionEncoder(RowEncoder.encoderFor(schema))
-        .createSerializer()
-      val writer = ArrowWriter.create(root)
-      rows.foreach(r => writer.write(toInternal(r)))
-      writer.finish()
-      val out = new ByteArrayOutputStream()
-      val sw = new ArrowStreamWriter(root, null, Channels.newChannel(out))
-      try { sw.start(); sw.writeBatch(); sw.end() } finally sw.close()
-      out.toByteArray
-    } finally {
-      root.close()
-      allocator.close()
-    }
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        val writer = ArrowWriter.create(root)
+        rows.foreach(r => writer.write(toInternal(r)))
+        writer.finish()
+        val out = new ByteArrayOutputStream()
+        val sw = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+        try { sw.start(); sw.writeBatch(); sw.end() } finally sw.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
   }
 }

@@ -193,6 +193,23 @@ class ExecSpec extends AnyFunSuite {
     } finally { rdr.close(); alloc.close() }
   }
 
+  test("arrow page: empty result set pages as an empty IPC stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") < 0).select("o_orderkey")
+    val rs = ResultMaterializer.materialize(df, tmp, "q-empty")
+    val pager = new CursorPager(spark, rs)
+    val p = pager.pageArrow(Start, 10)
+    assert(p.offsets.isEmpty && p.next.isEmpty)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(p.ipc), alloc)
+    try {
+      assert(rdr.loadNextBatch())
+      assert(rdr.getVectorSchemaRoot.getRowCount === 0)
+    } finally { rdr.close(); alloc.close() }
+  }
+
   test("cursor pager: backward then forward round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")

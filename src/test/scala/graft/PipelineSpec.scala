@@ -108,10 +108,14 @@ class PipelineSpec extends AnyFunSuite {
       val r = Dedup.dedupClusters(spark, dir, 0.8).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       assert(r === base)
-      // the checkpoint dir was actually used
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      // the checkpoint dir was used, and intermediates were cleaned up:
+      // only the FINAL labels checkpoint may remain
+      val rddDirs = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
         .count()
-      assert(wrote > 1, "reliable checkpoint wrote nothing")
+      assert(rddDirs === 1,
+        s"expected exactly the final checkpoint to survive, found $rddDirs")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 

@@ -45,6 +45,27 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(r.getInt(1) >= 1)
   }
 
+  test("extensions inject vector + md5 functions; type errors at analysis") {
+    val r = spark.sql(
+      "SELECT vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+        "vec_dot(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS d, " +
+        "vec_l2sq(array(0.0F), array(3.0F)) AS l, " +
+        "md5_prefix60('abc') AS m").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getDouble(2) === 9.0)
+    assert(r.getLong(3) ===
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("abc")
+          .substring(0, 15), 16))
+    // wrong argument type → clean ANALYSIS-time failure, not a codegen
+    // crash mid-query
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(ex.getMessage.contains("ARRAY<FLOAT|DOUBLE>"))
+  }
+
   test("TopKAggregator keeps a sorted bounded buffer through merges") {
     val agg = new graft.functions.TopKAggregator(3)
     val a = Seq(9.0, 5.0, 1.0)
