@@ -1,0 +1,71 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded training-data export — the writer end of the pipeline: a
+  * curated/deduplicated corpus leaves the engine as Hive-partitioned
+  * parquet shards that downstream trainers stream independently.
+  *
+  * Shape, designed for the 100 TB case:
+  *  - `partitionBy(cols)` → one directory per partition value (lang,
+  *    quality bucket, date, ...) so trainers prune at the listing level;
+  *  - `maxRecordsPerFile` bounds every shard so a single hot partition
+  *    (e.g. lang=en at 90 % of the corpus) still yields many
+  *    independently-streamable files instead of one giant one;
+  *  - `repartition(partition cols)` before the write clusters each
+  *    output partition's rows into whole tasks — without it every task
+  *    holds open a writer per partition value (the classic
+  *    small-files/OOM write pattern);
+  *  - deterministic: no RNG, no timestamps — re-running the export over
+  *    the same input produces byte-identical layout.
+  */
+object ShardedExport {
+
+  final case class ExportStats(files: Long, rows: Long,
+                               partitions: Map[String, Long])
+
+  /** Export `df` under `outDir` partitioned by `cols`, each file capped
+    * at `maxRecordsPerFile` rows. Returns per-partition row counts read
+    * back from the committed files (a verification read, not a cache).
+    */
+  def export(s: SparkSession, df: DataFrame, outDir: String,
+             cols: Seq[String],
+             maxRecordsPerFile: Long = 1000000L): ExportStats = {
+    require(cols.nonEmpty, "sharded export needs at least one partition column")
+    df.repartition(cols.map(col): _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .mode("overwrite")
+      .parquet(outDir)
+    val back = s.read.parquet(outDir)
+    val counts = back.groupBy(cols.map(col): _*).count().collect()
+      .map(r => cols.indices.map(i => s"${cols(i)}=${r.get(i)}")
+        .mkString("/") -> r.getLong(cols.length)).toMap
+    val nFiles = {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(outDir), true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    ExportStats(nFiles, counts.values.sum, counts)
+  }
+
+  /** The canonical pipeline export: documents that survive the quality
+    * filter, sharded by language. (Driver query `export_shards` reports
+    * the stats frame so the export path is exercised end to end.)
+    */
+  def exportCurated(s: SparkSession, dir: String, outDir: String,
+                    maxRecordsPerFile: Long = 1000000L): ExportStats = {
+    val curated = graft.operators.TextOps.textQuality(s, dir)
+      .filter(col("keep"))
+      .join(graft.sources.Tables.table(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"), col("quality"))
+    export(s, curated, outDir, Seq("lang"), maxRecordsPerFile)
+  }
+}

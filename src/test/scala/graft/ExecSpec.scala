@@ -193,6 +193,33 @@ class ExecSpec extends AnyFunSuite {
     } finally { rdr.close(); alloc.close() }
   }
 
+  test("sharded export: partitioned, size-capped, deterministic") {
+    import graft.exec.ShardedExport
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val stats = ShardedExport.exportCurated(spark, dir, out,
+      maxRecordsPerFile = 50L)
+    // every kept doc arrived, partitioned by lang
+    val kept = graft.operators.TextOps.textQuality(spark, dir)
+      .filter(col("keep")).count()
+    assert(stats.rows === kept)
+    assert(stats.partitions.keys.forall(_.startsWith("lang=")))
+    assert(stats.partitions.size > 1)
+    // the per-file cap held: no parquet file exceeds 50 rows
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(_.toString.endsWith(".parquet")).iterator()
+    var checked = 0
+    while (files.hasNext) {
+      val f = files.next()
+      assert(spark.read.parquet(f.toString).count() <= 50L, f.toString)
+      checked += 1
+    }
+    assert(checked.toLong === stats.files && stats.files > 1L)
+    // re-export is deterministic: same layout, same counts
+    val again = ShardedExport.exportCurated(spark, dir, out,
+      maxRecordsPerFile = 50L)
+    assert(again === stats)
+  }
+
   test("arrow page: empty result set pages as an empty IPC stream") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet")
