@@ -147,11 +147,13 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
     if (rs.files.isEmpty) new org.apache.spark.sql.types.StructType()
     else spark.read.parquet(rs.files(0).path).schema
 
-  // Row→InternalRow serializer for Arrow encoding: resolved and compiled
-  // ONCE per pager (the schema is fixed), not per page — encoder codegen
-  // would otherwise dominate the serving cost of small pages.
-  private lazy val arrowSerializer =
-    org.apache.spark.sql.graftbridge.ArrowPage.serializer(schema)
+  // Arrow page encoder (Row→InternalRow serializer + Arrow schema):
+  // resolved and compiled ONCE per pager (the schema is fixed), not per
+  // page — encoder codegen and schema conversion would otherwise
+  // dominate the serving cost of small pages.
+  private lazy val arrowEncoder =
+    org.apache.spark.sql.graftbridge.ArrowPage.encoder(
+      schema, spark.sessionState.conf.sessionLocalTimeZone)
 
   /** [[page]], encoded as a self-describing Arrow IPC stream (schema +
     * one record batch + EOS) — the reference's page wire format
@@ -163,10 +165,7 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
   def pageArrow(cursor: Cursor, limit: Int, forward: Boolean = true,
                 allowOverflow: Boolean = false): ArrowPageResult = {
     val p = page(cursor, limit, forward, allowOverflow)
-    val bytes = org.apache.spark.sql.graftbridge.ArrowPage.encode(
-      p.rows, schema, arrowSerializer,
-      spark.sessionState.conf.sessionLocalTimeZone)
-    ArrowPageResult(bytes, p.offsets, p.next)
+    ArrowPageResult(arrowEncoder.encode(p.rows), p.offsets, p.next)
   }
 }
 

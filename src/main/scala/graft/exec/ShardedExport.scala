@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *  - `maxRecordsPerFile` bounds every shard so a single hot partition
   *    (e.g. lang=en at 90 % of the corpus) still yields many
   *    independently-streamable files instead of one giant one;
-  *  - `repartition(partition cols)` before the write clusters each
-  *    output partition's rows into whole tasks — without it every task
-  *    holds open a writer per partition value (the classic
-  *    small-files/OOM write pattern);
+  *  - `repartition(partition cols + salt)` before the write: the salt
+  *    (a deterministic hash of the row, mod `saltBuckets`) keeps a HOT
+  *    partition value (lang=en at 90 % of the corpus) spread over many
+  *    parallel tasks — a bare repartition(cols) would funnel it through
+  *    ONE task — while still bounding open writers per task to a few
+  *    partition values (the classic small-files/OOM write pattern);
   *  - deterministic: no RNG, no timestamps — re-running the export over
   *    the same input produces byte-identical layout.
   */
@@ -31,9 +33,11 @@ object ShardedExport {
     */
   def export(s: SparkSession, df: DataFrame, outDir: String,
              cols: Seq[String],
-             maxRecordsPerFile: Long = 1000000L): ExportStats = {
+             maxRecordsPerFile: Long = 1000000L,
+             saltBuckets: Int = 64): ExportStats = {
     require(cols.nonEmpty, "sharded export needs at least one partition column")
-    df.repartition(cols.map(col): _*)
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+    df.repartition(cols.map(col) :+ salt: _*)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(cols: _*)
@@ -57,8 +61,8 @@ object ShardedExport {
   }
 
   /** The canonical pipeline export: documents that survive the quality
-    * filter, sharded by language. (Driver query `export_shards` reports
-    * the stats frame so the export path is exercised end to end.)
+    * filter, sharded by language. A sink, not a driver query — ExecSpec
+    * exercises it end to end (layout, caps, determinism).
     */
   def exportCurated(s: SparkSession, dir: String, outDir: String,
                     maxRecordsPerFile: Long = 1000000L): ExportStats = {

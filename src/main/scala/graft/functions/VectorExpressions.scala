@@ -111,15 +111,22 @@ abstract class VecBinaryExpression extends BinaryExpression {
 
   override def prettyName: String = s"vec_$op"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val m = op match {
-      case "dot" => VecOps.dot _
-      case "cosine" => VecOps.cosine _
-      case "l2sq" => VecOps.l2sq _
+  // Dispatch and element-type flags hoisted out of the per-row path —
+  // interpreted evaluation (constant folding, non-codegen fallbacks)
+  // must not allocate a closure or re-inspect dataTypes per row.
+  @transient private lazy val evalFn
+      : (ArrayData, Boolean, ArrayData, Boolean) => java.lang.Double =
+    op match {
+      case "dot" => VecOps.dot
+      case "cosine" => VecOps.cosine
+      case "l2sq" => VecOps.l2sq
     }
-    m(a.asInstanceOf[ArrayData], isFloat(left),
-      b.asInstanceOf[ArrayData], isFloat(right))
-  }
+  @transient private lazy val leftIsFloat = isFloat(left)
+  @transient private lazy val rightIsFloat = isFloat(right)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    evalFn(a.asInstanceOf[ArrayData], leftIsFloat,
+      b.asInstanceOf[ArrayData], rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

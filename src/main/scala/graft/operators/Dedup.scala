@@ -510,21 +510,19 @@ object Dedup {
     // Symmetrize by exploding both directions out of ONE pairs subtree —
     // a self-union would embed (and compute) the whole verified-pair
     // pipeline twice inside the checkpoint stage.
-    // Intermediate reliable checkpoints (edges + every non-final round)
-    // are deleted once the following round is materialized — each round
-    // reads only its predecessor's files, and Spark itself never cleans
-    // checkpoint dirs.
-    val intermediates = scala.collection.mutable.ArrayBuffer.empty[String]
-    def ckpt(df: DataFrame): DataFrame = {
-      val out = checkpointed(df)
-      checkpointFileOf(out).foreach(intermediates += _)
-      out
-    }
-    val edgesRaw = ckpt(dedupNgramJaccard(s, dir, threshold)
+    // Reliable checkpoints (edges + every round's labels) are cleaned up
+    // as soon as they are dead — Spark never cleans checkpoint dirs
+    // itself: a round's labels are deleted the moment the NEXT round is
+    // materialized (each round reads only its predecessor), the edges
+    // file after the loop, and on ANY failure (including the
+    // non-convergence throw) the finally block removes everything
+    // tracked so nothing leaks to reliable storage.
+    val edgesRaw = checkpointed(dedupNgramJaccard(s, dir, threshold)
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val edgesFile = checkpointFileOf(edgesRaw)
     // Size the loop frames from the MATERIALIZED edge count (a cheap scan
     // of the checkpoint): the per-round fixed cost is stage scheduling,
     // and running a few-hundred-row graph at full shuffle parallelism
@@ -542,44 +540,54 @@ object Dedup {
     // `observe` metric on that action, not a second job.
     var labels = edges
       .select(col("src").as("doc_id"), col("src").as("label")).distinct()
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < MaxLpRounds) {
-      val fromNeighbors = edges
-        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-        .select(col("dst").as("doc_id"), col("label"),
-          lit(false).as("self"))
-      // pointer jump: also adopt the label OF the current label (labels
-      // are always member doc_ids, so the inner join always hits) —
-      // distance-to-root halves per round instead of shrinking by one
-      val viaJump = labels.as("a")
-        .join(labels.select(col("doc_id").as("label"),
-          col("label").as("jlabel")), "label")
-        .select(col("doc_id"), col("jlabel").as("label"),
-          lit(false).as("self"))
-      val obs = org.apache.spark.sql.Observation(s"lp_round_$round")
-      val next = ckpt(labels
-        .select(col("doc_id"), col("label"), lit(true).as("self"))
-        .union(fromNeighbors).union(viaJump)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"),
-          min(when(col("self"), col("label"))).as("prev"))
-        .coalesce(lpParts)
-        .observe(obs, coalesce(
-          sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)),
-          lit(0L)).as("changed")))
-      changed = obs.get("changed").asInstanceOf[Long]
-      labels = next.select(col("doc_id"), col("label"))
-      round += 1
+    var prevLabelsFile: Option[String] = None
+    var converged = false
+    try {
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < MaxLpRounds) {
+        val fromNeighbors = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+          .select(col("dst").as("doc_id"), col("label"),
+            lit(false).as("self"))
+        // pointer jump: also adopt the label OF the current label (labels
+        // are always member doc_ids, so the inner join always hits) —
+        // distance-to-root halves per round instead of shrinking by one
+        val viaJump = labels.as("a")
+          .join(labels.select(col("doc_id").as("label"),
+            col("label").as("jlabel")), "label")
+          .select(col("doc_id"), col("jlabel").as("label"),
+            lit(false).as("self"))
+        val obs = org.apache.spark.sql.Observation(s"lp_round_$round")
+        val next = checkpointed(labels
+          .select(col("doc_id"), col("label"), lit(true).as("self"))
+          .union(fromNeighbors).union(viaJump)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("self"), col("label"))).as("prev"))
+          .coalesce(lpParts)
+          .observe(obs, coalesce(
+            sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)),
+            lit(0L)).as("changed")))
+        changed = obs.get("changed").asInstanceOf[Long]
+        // this round is materialized: its predecessor's files are dead
+        prevLabelsFile.foreach(f => deleteCheckpointFiles(s, Seq(f)))
+        prevLabelsFile = checkpointFileOf(next)
+        labels = next.select(col("doc_id"), col("label"))
+        round += 1
+      }
+      require(changed == 0L,
+        s"label propagation did not converge in $MaxLpRounds rounds " +
+          "(component diameter > 2^rounds?) — refusing to emit partial " +
+          "clusters that would diverge from the transitive closure")
+      converged = true
+    } finally {
+      // edges are read by every round but by nothing downstream; on
+      // failure also drop the last round's labels — nothing must leak
+      val dead = edgesFile.toSeq ++
+        (if (converged) Nil else prevLabelsFile.toSeq)
+      if (dead.nonEmpty) deleteCheckpointFiles(s, dead)
     }
-    require(changed == 0L,
-      s"label propagation did not converge in $MaxLpRounds rounds " +
-        "(component diameter > 2^rounds?) — refusing to emit partial " +
-        "clusters that would diverge from the transitive closure")
-    // all but the FINAL labels checkpoint (which the returned lazy frame
-    // still reads) are dead data now
-    if (intermediates.length > 1)
-      deleteCheckpointFiles(s, intermediates.dropRight(1).toSeq)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

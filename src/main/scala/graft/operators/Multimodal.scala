@@ -51,12 +51,21 @@ object Multimodal {
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     mediaMeta(s, dir).drop("payload")
 
+  /** A header-declared image larger than this (pixels) is NOT decoded —
+    * a corrupt or hostile record in an untrusted corpus must not be able
+    * to demand a multi-GB raster allocation and kill the task. 64 MPix
+    * ≈ 256 MB ARGB, a sane per-record ceiling; oversized records take
+    * the byte-level fallback and keep their metadata.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no
     * external codec needed): luminance histogram over actual pixels,
     * "frame samples" = luminance at five fixed raster positions, true
     * width/height from the decoded raster. Returns None when the payload
-    * isn't a decodable image (ImageIO probes the magic bytes), which
-    * routes the record to the byte-level fallback below.
+    * isn't a decodable image (ImageIO probes the magic bytes) or
+    * declares dimensions over MaxDecodePixels, which routes the record
+    * to the byte-level fallback below.
     */
   private def decodeImage(payload: Array[Byte])
       : Option[(Array[Double], Array[Long], Int, Int)] =
@@ -65,9 +74,18 @@ object Multimodal {
       // default path spills through a disk-backed FileCache temp file per
       // record — pointless I/O on a corpus pass when the payload is
       // already a byte array.
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload)))
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // Header-only dimension probe BEFORE any raster allocation.
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(stream, true, true)
+        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+        if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null
+        else reader.read(0)
+      } finally reader.dispose()
       if (img == null) None
       else {
         val w = img.getWidth
@@ -134,17 +152,23 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
+          // null-tolerant: a row with NULL payload/mime flows through the
+          // fallback, it must not fail the stage
+          val payload =
+            if (r.payload == null) Array.emptyByteArray else r.payload
           val real =
-            if (r.mime.startsWith("image/")) decodeImage(r.payload) else None
+            if (r.mime != null && r.mime.startsWith("image/"))
+              decodeImage(payload)
+            else None
           val (hist, frames, w, h) = real match {
             case Some((hs, fr, dw, dh)) => (hs, fr, dw, dh)
             case None =>
-              val (hs, fr) = decodeStub(r.payload)
+              val (hs, fr) = decodeStub(payload)
               (hs, fr, r.width, r.height)
           }
           // resize: clamp dims to a thumbnail box, aspect ratio kept
           val scale = math.min(1.0, 128.0 / math.max(w, h))
-          MediaFeatures(r.doc_id, r.payload.length, r.mime, hist, frames,
+          MediaFeatures(r.doc_id, payload.length, r.mime, hist, frames,
             math.max(1, (w * scale).toInt),
             math.max(1, (h * scale).toInt),
             decoded = real.isDefined)

@@ -26,41 +26,42 @@ import org.apache.spark.sql.util.ArrowUtils
   */
 object ArrowPage {
 
-  /** Row→InternalRow serializer for a fixed schema. Encoder resolution +
-    * codegen are NOT per-call costs — callers (CursorPager) build this
-    * once and reuse it for every page.
+  /** Per-schema page encoder: the Row→InternalRow serializer (encoder
+    * resolution + codegen) and the Arrow schema conversion are built
+    * ONCE here, not per page — callers (CursorPager) hold one of these
+    * for the pager's lifetime and pay only the batch write per page.
     */
-  def serializer(schema: StructType): Row => InternalRowLike = {
-    val ser = ExpressionEncoder(RowEncoder.encoderFor(schema))
-      .createSerializer()
-    r => ser(r)
-  }
-
-  type InternalRowLike = org.apache.spark.sql.catalyst.InternalRow
-
-  /** Encode rows as ONE self-describing Arrow IPC stream: schema header,
-    * a single record batch, end-of-stream marker — readable by any
-    * `ArrowStreamReader` (Java, PyArrow, arrow-rs). Pages are bounded by
-    * the pager's `limit`, so one batch per page is the right shape.
-    */
-  def encode(rows: Seq[Row], schema: StructType,
-             toInternal: Row => InternalRowLike,
-             timeZoneId: String): Array[Byte] = {
-    val arrowSchema = ArrowUtils.toArrowSchema(schema, timeZoneId,
+  final class PageEncoder private[ArrowPage] (
+      schema: StructType, timeZoneId: String) {
+    private val toInternal =
+      ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    private val arrowSchema = ArrowUtils.toArrowSchema(schema, timeZoneId,
       errorOnDuplicatedFieldNames = true, largeVarTypes = false)
-    val allocator = ArrowUtils.rootAllocator
-      .newChildAllocator("graft-arrow-page", 0, Long.MaxValue)
-    try {
-      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+
+    /** Encode rows as ONE self-describing Arrow IPC stream: schema
+      * header, a single record batch, end-of-stream marker — readable by
+      * any `ArrowStreamReader` (Java, PyArrow, arrow-rs). Pages are
+      * bounded by the pager's `limit`, so one batch per page is the
+      * right shape.
+      */
+    def encode(rows: Seq[Row]): Array[Byte] = {
+      val allocator = ArrowUtils.rootAllocator
+        .newChildAllocator("graft-arrow-page", 0, Long.MaxValue)
       try {
-        val writer = ArrowWriter.create(root)
-        rows.foreach(r => writer.write(toInternal(r)))
-        writer.finish()
-        val out = new ByteArrayOutputStream()
-        val sw = new ArrowStreamWriter(root, null, Channels.newChannel(out))
-        try { sw.start(); sw.writeBatch(); sw.end() } finally sw.close()
-        out.toByteArray
-      } finally root.close()
-    } finally allocator.close()
+        val root = VectorSchemaRoot.create(arrowSchema, allocator)
+        try {
+          val writer = ArrowWriter.create(root)
+          rows.foreach(r => writer.write(toInternal(r)))
+          writer.finish()
+          val out = new ByteArrayOutputStream()
+          val sw = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+          try { sw.start(); sw.writeBatch(); sw.end() } finally sw.close()
+          out.toByteArray
+        } finally root.close()
+      } finally allocator.close()
+    }
   }
+
+  def encoder(schema: StructType, timeZoneId: String): PageEncoder =
+    new PageEncoder(schema, timeZoneId)
 }

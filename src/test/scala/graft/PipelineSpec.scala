@@ -97,6 +97,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedup_clusters: empty pair graph terminates with zero clusters") {
+    // an impossible threshold yields no verified pairs — the LP loop must
+    // converge on round one (observation over an empty frame) and return
+    // an empty, correctly-shaped result, not hang or throw
+    val r = Dedup.dedupClusters(spark, dir, threshold = 1.1)
+    assert(r.columns.toSeq ===
+      Seq("doc_id", "cluster_root", "cluster_size"))
+    assert(r.count() === 0L)
+  }
+
   test("dedup_clusters: reliable checkpoint path when a dir is set") {
     val base = Dedup.dedupClusters(spark, dir, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
