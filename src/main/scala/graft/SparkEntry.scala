@@ -403,8 +403,8 @@ object SparkEntry {
         SELECT doc_id, term, tf,
           CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cnt
         FROM tf),
-      totals AS (SELECT count(*) AS total_toks,
-                   count(DISTINCT term) AS vocab FROM toks),
+      totals AS (SELECT CAST(sum(tf) AS BIGINT) AS total_toks,
+                   count(DISTINCT term) AS vocab FROM tf),
       doc AS (
         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
           sum(CAST(tf AS DOUBLE) *

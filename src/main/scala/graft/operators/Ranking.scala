@@ -131,10 +131,11 @@ object Ranking {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // corpus term frequency via window sum over the tf frame (see
     // tfIdfTopTerms — single consumer, no vocab-sized broadcast). The
-    // two global scalars come from cheap independent passes: total
-    // token count is a per-row scan aggregate over documents, vocab
-    // size a distinct-count of terms.
-    val totals = toksOf(docs).agg(count(lit(1)).as("total_toks"),
+    // two global scalars are re-aggregated FROM the tf frame: its
+    // (doc_id, term) exchange is the identical subtree on both
+    // consumers, so ReuseExchange re-reads the one materialized shuffle
+    // instead of tokenizing the corpus a second time.
+    val totals = tf.agg(sum(col("tf")).as("total_toks"),
       count_distinct(col("term")).as("vocab"))
     val doc = tf
       .withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("term"))))
