@@ -103,6 +103,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "subq_correlated" -> (RelationalExt.subqCorrelated _),
+    "window_range_frame" -> (RelationalExt.windowRangeFrame _),
     "quantize_embeddings" -> (Ann.quantizeEmbeddings _),
     "tfidf_topterms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
@@ -339,6 +341,22 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
+    "subq_correlated" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem l
+      WHERE l_quantity = (SELECT max(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_orderkey = l.l_orderkey)""",
+    "window_range_frame" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(sum(o_orderkey) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS rng_sum,
+        CAST(count(*) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rng_n
+      FROM orders""",
     "quantize_embeddings" -> """
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb

@@ -268,6 +268,40 @@ object RelationalExt {
       GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())""")
   }
 
+  /** Correlated scalar subquery — the decorrelation surface: Catalyst
+    * rewrites the per-row subquery into an aggregate + join (the ONLY
+    * shape that survives at scale; a true per-row subquery would be a
+    * corpus-sized nested loop). The predicate compares exact values
+    * (max of a decimal column), so the result is engine-deterministic.
+    */
+  def subqCorrelated(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_li_corr")
+    s.sql("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM graft_li_corr l
+      WHERE l_quantity = (SELECT max(l2.l_quantity)
+                          FROM graft_li_corr l2
+                          WHERE l2.l_orderkey = l.l_orderkey)""")
+  }
+
+  /** RANGE window frame (vs the ROWS frames elsewhere): peers are
+    * VALUE-based — every row within 2 of the current key joins the
+    * frame regardless of tie count. Integer sums, exact both engines.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("graft_ord_rng")
+    s.sql("""
+      SELECT o_orderkey, o_custkey,
+        CAST(sum(o_orderkey) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS rng_sum,
+        CAST(count(*) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rng_n
+      FROM graft_ord_rng""")
+  }
+
   /** Semi-structured JSON column handling: schema-on-read extraction from
     * the events props payload. ONE from_json pass with the full schema —
     * every downstream field (ad-hoc access, typed access, derived bucket)

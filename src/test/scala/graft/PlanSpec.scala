@@ -118,4 +118,40 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ann_ivf")
     assert(!p.contains("LocalTableScan"), p.take(1500))
   }
+
+  test("subq_correlated decorrelates to an aggregate + join") {
+    // Catalyst must rewrite the per-row subquery — a surviving
+    // InSubquery/scalar-subquery node would be a nested-loop at scale
+    val p = plan("subq_correlated")
+    assert(!p.toLowerCase.contains("subquery"), p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(p.contains("Join"), p.take(1200))
+  }
+
+  test("quantize_embeddings is per-row: zero exchanges, codegen'd") {
+    val p = plan("quantize_embeddings")
+    assert(!p.contains("Exchange"), p.take(1200))
+    // whole-stage codegen shows as "*(n) " stage markers in toString
+    assert(p.contains("*(1)"), p.take(1200))
+  }
+
+  test("tfidf: corpus tokenizes once; n_docs is a metadata-only count") {
+    val p = plan("tfidf_topterms")
+    // exactly one text-reading scan — the tf frame; df comes from a
+    // window over it, NOT a second tokenize+join
+    val textScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("text"))
+    assert(textScans === 1, p.take(2000))
+    // the document count reads no columns at all
+    assert(p.contains("ReadSchema: struct<>"), p.take(2000))
+  }
+
+  test("bm25: query-term filter applies before the aggregate") {
+    val p = plan("bm25_search")
+    val filterAt = p.indexOf(" IN (data,model,system)")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(filterAt >= 0, p.take(2000))
+    assert(aggAt >= 0 && aggAt < filterAt,
+      "term filter should sit below the tf aggregate\n" + p.take(2000))
+  }
 }
