@@ -46,6 +46,10 @@ object QueryDemo {
       val ovf = pager.page(pager.toCursor(near), 10, forward = false,
         allowOverflow = true)
       println(s"OVERFLOW_PAGE rows=${ovf.rows.length}")
+      // the wire format: one page as a self-describing Arrow IPC stream
+      val arrow = pager.pageArrow(Start, 100)
+      println(s"ARROW_PAGE bytes=${arrow.ipc.length} " +
+        s"rows=${arrow.offsets.length}")
     }
     // the async lifecycle: submit -> poll -> page -> forget
     val runner = new graft.exec.AsyncQueryRunner(spark, root)
