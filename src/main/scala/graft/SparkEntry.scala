@@ -91,6 +91,7 @@ object SparkEntry {
     "quality_model" -> (Curation.qualityModel _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
+    "chunk_documents" -> (Curation.chunkDocuments _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
@@ -341,6 +342,20 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
+    "chunk_documents" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      st AS (SELECT doc_id, toks, unnest(range(0, n, 48)) AS start FROM n)
+      SELECT doc_id,
+        CAST(start // 48 AS BIGINT) AS chunk_id,
+        CAST(start AS BIGINT) AS start,
+        CAST(len(toks[start+1:start+64]) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(toks[start+1:start+64], ' ') AS chunk_text
+      FROM st""",
     "subq_correlated" -> """
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem l

@@ -16,6 +16,36 @@ import graft.sources.Tables.table
   */
 object Curation {
 
+  /** Chunking parameters: fixed token budget with overlap — the standard
+    * RAG/training preprocessing split. Stride = size - overlap.
+    */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** Split every document into overlapping fixed-token-budget chunks
+    * (oracle-checked): chunk i covers tokens [i*stride, i*stride+size).
+    * Per-row generator — one explode, no shuffle; at 100 TB this runs at
+    * scan speed and the output is the training/RAG ingestion unit.
+    * Token-less documents produce no chunks (nothing to pack).
+    */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as("start"))
+      .select(col("doc_id"),
+        floor(col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
   // ------------------------------------------------------- PII redaction
 
   /** RE2-safe patterns (no backrefs/lookahead) so Spark's Java regex and

@@ -309,6 +309,32 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("decoded")).count() === 0L)
   }
 
+  test("chunk_documents: coverage, overlap, and budget invariants") {
+    import graft.operators.Curation.{ChunkSize, ChunkStride}
+    val chunks = graft.operators.Curation.chunkDocuments(spark, dir)
+    // every chunk respects the token budget and is non-empty
+    assert(chunks.filter(col("n_chunk_tokens") > ChunkSize ||
+      col("n_chunk_tokens") === 0).count() === 0L)
+    // chunk starts advance by exactly the stride, from zero
+    assert(chunks.filter(col("start") =!=
+      col("chunk_id") * ChunkStride).count() === 0L)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n")).filter(col("n") > 0)
+    // exact chunk lengths: every chunk holds min(n - start, ChunkSize)
+    val wrongLen = chunks.join(toks, "doc_id")
+      .filter(col("n_chunk_tokens") =!=
+        least(col("n") - col("start"), lit(ChunkSize)))
+    assert(wrongLen.count() === 0L)
+    // full coverage: strides + last chunk reach every doc's token count
+    val cover = chunks.groupBy(col("doc_id"))
+      .agg(max(col("start") + col("n_chunk_tokens")).as("covered"))
+      .join(toks, "doc_id")
+      .filter(col("covered") =!= col("n"))
+    assert(cover.count() === 0L)
+  }
+
   test("quantize_embeddings: int8 range and error bound") {
     val r = Ann.quantizeEmbeddings(spark, dir)
       .withColumn("qs", split(col("q"), ","))
