@@ -408,10 +408,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")
     val par = s.sparkContext.defaultParallelism
+    // per-doc fp dedup happens INSIDE the row (array_distinct before the
+    // explode) — a post-explode distinct() would shuffle the whole
+    // fingerprint stream for the same result
     val fps = docs.repartition(par)
       .select(col("doc_id"),
-        explode(expr("rabin_winnow(text)")).as("fp"))
-      .distinct()
+        explode(array_distinct(expr("rabin_winnow(text)"))).as("fp"))
     val capped = capBuckets(fps, Seq("fp"))
     val counts = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val shared = capped.as("x").hint("merge").join(capped.as("y"),
