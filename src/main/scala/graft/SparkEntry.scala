@@ -337,25 +337,37 @@ object SparkEntry {
       FROM ranked WHERE rank <= 100"""
   }
 
+  /** chunk_documents oracle, generated so the chunk size/stride/overlap
+    * stay single-sourced with Curation's constants — a tuning change on
+    * the Spark side cannot silently desync the oracle.
+    */
+  private def chunkDocumentsOracleSql: String = {
+    import graft.operators.Curation.{ChunkSize, ChunkStride, ChunkOverlap}
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      st AS (SELECT doc_id, toks, n,
+               unnest(range(0, n, $ChunkStride)) AS start FROM n)
+      SELECT doc_id,
+        CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+        CAST(start AS BIGINT) AS start,
+        CAST(len(toks[start+1:start+$ChunkSize]) AS BIGINT)
+          AS n_chunk_tokens,
+        array_to_string(toks[start+1:start+$ChunkSize], ' ') AS chunk_text
+      FROM st
+      WHERE start = 0 OR start + $ChunkOverlap < n"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
-    "chunk_documents" -> """
-      WITH t AS (
-        SELECT doc_id,
-          list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                      x -> length(x) > 0) AS toks
-        FROM documents),
-      n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-      st AS (SELECT doc_id, toks, unnest(range(0, n, 48)) AS start FROM n)
-      SELECT doc_id,
-        CAST(start // 48 AS BIGINT) AS chunk_id,
-        CAST(start AS BIGINT) AS start,
-        CAST(len(toks[start+1:start+64]) AS BIGINT) AS n_chunk_tokens,
-        array_to_string(toks[start+1:start+64], ' ') AS chunk_text
-      FROM st""",
+    "chunk_documents" -> chunkDocumentsOracleSql,
     "subq_correlated" -> """
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem l

@@ -27,16 +27,21 @@ object Curation {
     * (oracle-checked): chunk i covers tokens [i*stride, i*stride+size).
     * Per-row generator — one explode, no shuffle; at 100 TB this runs at
     * scan speed and the output is the training/RAG ingestion unit.
-    * Token-less documents produce no chunks (nothing to pack).
+    * Token-less documents produce no chunks (nothing to pack), and a
+    * tail start whose chunk would be fully contained in its predecessor
+    * (start + overlap >= n, i.e. the previous chunk already reached the
+    * end) is dropped — no redundant ingestion content.
     */
   def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "documents")
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
           .as("start"))
+      .filter(col("start") === 0 ||
+        col("start") + ChunkOverlap < col("n"))
       .select(col("doc_id"),
         floor(col("start") / ChunkStride).cast("long").as("chunk_id"),
         col("start").cast("long").as("start"),

@@ -327,6 +327,12 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_chunk_tokens") =!=
         least(col("n") - col("start"), lit(ChunkSize)))
     assert(wrongLen.count() === 0L)
+    // no redundant tail: a non-first chunk always adds new tokens (its
+    // predecessor ends at start + overlap, which must be short of n)
+    val redundant = chunks.join(toks, "doc_id")
+      .filter(col("chunk_id") > 0 &&
+        col("start") + graft.operators.Curation.ChunkOverlap >= col("n"))
+    assert(redundant.count() === 0L)
     // full coverage: strides + last chunk reach every doc's token count
     val cover = chunks.groupBy(col("doc_id"))
       .agg(max(col("start") + col("n_chunk_tokens")).as("covered"))

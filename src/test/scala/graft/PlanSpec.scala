@@ -146,12 +146,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), p.take(2000))
   }
 
-  test("bm25: query-term filter applies before the aggregate") {
+  test("bm25: query-term filter gates the exploded tokens pre-aggregate") {
     val p = plan("bm25_search")
     val filterAt = p.indexOf(" IN (data,model,system)")
-    val aggAt = p.indexOf("HashAggregate")
     assert(filterAt >= 0, p.take(2000))
-    assert(aggAt >= 0 && aggAt < filterAt,
-      "term filter should sit below the tf aggregate\n" + p.take(2000))
+    // between the IN filter and the scan below it there is only the
+    // token explode — no aggregate: the filter runs on raw exploded
+    // tokens, so the shuffled tf volume is per-query-term. (A pure
+    // index comparison against "HashAggregate" is ambiguous — other
+    // branches, e.g. the dl/avgdl stats aggregate, print below.)
+    val scanAt = p.indexOf("FileScan", filterAt)
+    val below = p.substring(filterAt, if (scanAt > 0) scanAt else p.length)
+    assert(below.contains("Generate"), below.take(1500))
+    assert(!below.contains("HashAggregate"), below.take(1500))
   }
 }
