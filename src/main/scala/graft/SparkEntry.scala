@@ -104,6 +104,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "join_range" -> (RelationalExt.joinRange _),
     "subq_correlated" -> (RelationalExt.subqCorrelated _),
     "window_range_frame" -> (RelationalExt.windowRangeFrame _),
     "quantize_embeddings" -> (Ann.quantizeEmbeddings _),
@@ -368,6 +369,11 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
     "chunk_documents" -> chunkDocumentsOracleSql,
+    "join_range" -> """
+      SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal,
+        round(abs(c_acctbal - s_acctbal), 2) AS diff
+      FROM customer, supplier
+      WHERE abs(c_acctbal - s_acctbal) <= 1.0""",
     "subq_correlated" -> """
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem l

@@ -268,6 +268,38 @@ object RelationalExt {
       GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())""")
   }
 
+  /** Range-join band width (absolute difference bound on acctbal). */
+  val RangeJoinWidth = 1.0
+
+  /** Value-range join — |c_acctbal - s_acctbal| <= width — an operator
+    * Spark has no native physical strategy for. A naive formulation is a
+    * BroadcastNestedLoop/cartesian filter (quadratic); this composes it
+    * from existing operators the scale-safe way: quantize the value to
+    * width-sized buckets, explode one side to its bucket ± 1 (every
+    * within-width pair shares one of the three), EQUI-join on the bucket,
+    * then apply the exact band predicate. Shuffles on the bucket key,
+    * work proportional to true pair density — the range-join pattern that
+    * survives corpus-scale inputs. Oracle: DuckDB evaluates the plain
+    * inequality join natively (IEJoin), so correctness is checked against
+    * a genuinely different algorithm.
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val w = RangeJoinWidth
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (floor(col("c_acctbal") / w).cast("long") + col("boff")).as("bucket"))
+    val supp = table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        floor(col("s_acctbal") / w).cast("long").as("bucket"))
+    cust.join(supp, "bucket")
+      .filter(abs(col("c_acctbal") - col("s_acctbal")) <= w)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_acctbal"), col("s_acctbal"),
+        round(abs(col("c_acctbal") - col("s_acctbal")), 2).as("diff"))
+  }
+
   /** Correlated scalar subquery — the decorrelation surface: Catalyst
     * rewrites the per-row subquery into an aggregate + join (the ONLY
     * shape that survives at scale; a true per-row subquery would be a

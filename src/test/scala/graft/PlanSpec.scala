@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("LocalTableScan"), p.take(1500))
   }
 
+  test("join_range is an equi-join on buckets, never a nested loop") {
+    val p = plan("join_range")
+    assert(!p.contains("NestedLoop"), p.take(1200))
+    assert(!p.contains("Cartesian"), p.take(1200))
+    assert(p.contains("Join"), p.take(1200))
+  }
+
   test("subq_correlated decorrelates to an aggregate + join") {
     // Catalyst must rewrite the per-row subquery — a surviving
     // InSubquery/scalar-subquery node would be a nested-loop at scale
