@@ -111,6 +111,7 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
+    "bigram_ll" -> ((s, d) => Ranking.bigramLogLikelihood(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +442,41 @@ object SparkEntry {
         FROM scored)
       SELECT doc_id, rank, term, round(score, 4) AS score
       FROM ranked WHERE rank <= 5""",
+    "bigram_ll" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, b.bg
+        FROM (SELECT doc_id,
+                list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]) AS bgs
+              FROM t WHERE len(toks) >= 2), unnest(bgs) AS b(bg)),
+      tf AS (
+        SELECT doc_id, bg, count(*) AS tf,
+          split_part(bg, ' ', 1) AS w1
+        FROM bg GROUP BY doc_id, bg),
+      totals AS (SELECT count(DISTINCT w1) AS vocab FROM tf),
+      cnt AS (
+        SELECT doc_id, bg, tf,
+          CAST(sum(tf) OVER (PARTITION BY bg) AS BIGINT) AS cbg,
+          CAST(sum(tf) OVER (PARTITION BY w1) AS BIGINT) AS cw1
+        FROM tf),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          sum(CAST(tf AS DOUBLE) *
+            ln((CAST(cbg AS DOUBLE) + 1.0) /
+               (CAST(cw1 AS DOUBLE) + CAST(vocab AS DOUBLE)))) AS ll
+        FROM cnt, totals
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(doc.n_bigrams, 0) AS n_bigrams,
+        round(doc.ll / CAST(doc.n_bigrams AS DOUBLE), 3) AS avg_ll2,
+        coalesce(doc.ll / CAST(doc.n_bigrams AS DOUBLE) >= -10.0, false)
+          AS keep
+      FROM documents d LEFT JOIN doc USING (doc_id)""",
     "unigram_ll" -> """
       WITH toks AS (
         SELECT doc_id, t.term

@@ -124,6 +124,51 @@ object Ranking {
     * corpus streams once. avg_ll is quantized at 1e-3, far above the
     * accumulated ulp noise of the per-term double sums.
     */
+  /** Bigram-LM log-likelihood (oracle-checked): mean per-bigram
+    * ln p(w2|w1) with add-one smoothing — p = (c(w1 w2)+1)/(c(w1·)+V),
+    * c(w1·) = corpus occurrences of bigrams starting w1, V = distinct
+    * first-token vocabulary. One step up the n-gram ladder from
+    * [[unigramLogLikelihood]] (the production KenLM filter is the same
+    * join shape at n=5 with backoff). Bigrams are formed per row
+    * (zip_with over adjacent tokens — no shuffle), both corpus counts
+    * come from window sums over the single bigram-tf frame, and the
+    * scalars re-aggregate that frame (exchange reuse — one corpus pass).
+    */
+  def bigramLogLikelihood(s: SparkSession, dir: String,
+                          keepAbove: Double = -10.0): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bigrams = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val tf = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val totals = tf.agg(
+      count_distinct(col("w1")).as("vocab"))
+    val doc = tf
+      .withColumn("cbg", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .withColumn("cw1", sum(col("tf")).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(
+        (col("cbg").cast("double") + 1.0) /
+          (col("cw1").cast("double") + col("vocab").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("double") * col("lp")).as("ll"))
+    docs.select(col("doc_id"))
+      .join(doc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("ll") / col("n_bigrams").cast("double"), 3).as("avg_ll2"),
+        coalesce(col("ll") / col("n_bigrams").cast("double") >= keepAbove,
+          lit(false)).as("keep"))
+  }
+
   def unigramLogLikelihood(s: SparkSession, dir: String,
                            keepAbove: Double = -9.0): DataFrame = {
     val docs = table(s, dir, "documents")

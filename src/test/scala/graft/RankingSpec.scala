@@ -66,6 +66,19 @@ class RankingSpec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).forall(docs.contains))
   }
 
+  test("bigram_ll: counts equal tokens-1, scores negative") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val r = Ranking.bigramLogLikelihood(spark, dir)
+    // bigram OCCURRENCES per doc are exactly n_tokens - 1 (0 for n < 2)
+    assert(r.join(toks, "doc_id")
+      .filter(col("n_bigrams") =!= greatest(col("n") - 1, lit(0)))
+      .count() === 0L)
+    // log-likelihoods are negative wherever defined
+    assert(r.filter(col("avg_ll2") >= 0.0).count() === 0L)
+  }
+
   test("unigram_ll: gibberish scores far below common text") {
     val tmp = planted()
     val r = Ranking.unigramLogLikelihood(spark, tmp).collect()
