@@ -92,6 +92,7 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "chunk_documents" -> (Curation.chunkDocuments _),
+    "split_assign" -> (Curation.splitAssign _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
@@ -370,6 +371,14 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
     "chunk_documents" -> chunkDocumentsOracleSql,
+    "split_assign" -> """
+      SELECT doc_id, lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '04000000'
+               THEN 'val'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '08000000'
+               THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents""",
     "join_range" -> """
       SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal,
         round(abs(c_acctbal - s_acctbal), 2) AS diff

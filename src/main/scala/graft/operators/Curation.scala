@@ -203,4 +203,28 @@ object Curation {
       .filter(col("coin") < col("thr"))
       .select(col("doc_id"), col("lang"), col("coin"))
   }
+
+  /** Holdout fractions for the deterministic split: ~1.5 % val, ~1.5 %
+    * test (hex thresholds on the md5 coin), remainder train.
+    */
+  val ValThreshold = "04000000"
+  val TestThreshold = "08000000"
+
+  /** Deterministic train/val/test split assignment (oracle-checked): the
+    * same md5-hex coin as [[sampleStratified]] partitions every document
+    * into exactly one split — reproducible on any engine or cluster
+    * size, stable under corpus growth (a doc's split never changes when
+    * other docs are added), no RNG state, per-row, shuffle-free. The
+    * standard pre-training holdout carve.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 8)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), coin.as("coin"))
+      .withColumn("split",
+        when(col("coin") < ValThreshold, "val")
+          .when(col("coin") < TestThreshold, "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("split"))
+  }
 }

@@ -341,6 +341,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(cover.count() === 0L)
   }
 
+  test("split_assign: complete, disjoint, stable under corpus growth") {
+    val r = graft.operators.Curation.splitAssign(spark, dir)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    // complete and disjoint: exactly one split per document
+    assert(r.count() === total)
+    assert(r.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() === 0L)
+    // holdouts exist and are minorities; train dominates
+    val bySplit = r.groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySplit("train") > total * 8 / 10)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) <
+      total / 5)
+    // stability: a doc's split depends only on its own id — adding docs
+    // (the synth-dup corpus doubles the table) never reassigns existing
+    // ones
+    val tmp = java.nio.file.Files.createTempDirectory("split").toString
+    withSynthDups(tmp)
+    val grown = graft.operators.Curation.splitAssign(spark, tmp)
+      .withColumnRenamed("split", "split2")
+    assert(r.join(grown, Seq("doc_id"))
+      .filter(col("split") =!= col("split2")).count() === 0L)
+  }
+
   test("quantize_embeddings: int8 range and error bound") {
     val r = Ann.quantizeEmbeddings(spark, dir)
       .withColumn("qs", split(col("q"), ","))
