@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks the driver's JSON-line parse of
+// Bench's output (rounds 1-4 all recorded "parsed": null). StdoutOutput
+// passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT + shuffle-machinery warmup so per-query numbers measure the
-    // queries, not first-use costs.
+    // queries, not first-use costs. Function registration is hoisted out
+    // of the first dedup_* rep for the same reason.
+    graft.functions.GraftFunctions.register(spark)
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
@@ -36,31 +38,46 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // best-of-N (default 2): one-shot timings on a shared machine carry
-    // ±30% scheduler/GC noise; the minimum estimates the operator's cost.
+    // best-of-N (default 2), reps INTERLEAVED across full passes over the
+    // query list rather than run back-to-back: round 4's driver bench
+    // recorded dedup_simhash at 12.2s where 5 standalone reps measure
+    // 1.2s — a sustained machine-contention burst poisons BOTH
+    // back-to-back reps of whichever query it lands on, while with
+    // interleaving the burst has to span the entire suite to survive the
+    // min. The dedup_* family (the most expensive queries, where a
+    // phantom 10x dominates the total) gets one extra pass.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    def repsFor(name: String): Int =
+      if (name.startsWith("dedup_")) math.max(reps, 3) else reps
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch { case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            }
-            false
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val anyOk = scala.collection.mutable.Set.empty[String]
+    val maxPasses = selected.map { case (n, _) => repsFor(n) }
+      .foldLeft(0)(math.max)
+    for (pass <- 0 until maxPasses; (name, fn) <- selected
+         if pass < repsFor(name)) {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
       // min over SUCCESSFUL reps — a fast failure must not report as the
       // query's time; an always-failing query keeps its (failed) timing
-      val good = times.filter(_._2)
-      name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
+      if (ok) {
+        if (!anyOk.contains(name)) { anyOk += name; best(name) = dt }
+        else best(name) = math.min(best(name), dt)
+      } else if (!anyOk.contains(name))
+        best(name) = math.min(best.getOrElse(name, dt), dt)
     }
+    val results = selected.map { case (name, _) => name -> best(name) }
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // The driver keeps only the LAST 2000 chars of sbt output and parses
@@ -96,11 +113,39 @@ object Bench {
 
   /** The one JSON line Bench would print for the given per-query timings —
     * exposed so a spec can pin its length under the driver's tail budget.
+    *
+    * If the full per-query map would overflow the budget (the driver
+    * keeps only the LAST ~2000 chars of output), the SLOWEST queries are
+    * kept verbatim — those carry the performance signal — and the
+    * fastest remainder is folded into one "_other" entry whose value is
+    * their sum, so "value" still equals the sum of the map. Full
+    * per-query precision always lands in target/bench_detail.json.
     */
+  val LineBudget = 1900
+
   def renderLine(results: Seq[(String, Double)], sfName: String,
                  failedJson: String = "[]"): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfName"}"""
+    def render(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfName"}"""
+    }
+    val full = render(results)
+    if (full.length <= LineBudget) full
+    else {
+      // drop fastest-first (stable: name tiebreak) until it fits
+      val bySpeed = results.sortBy { case (n, v) => (v, n) }
+      val keep = scala.collection.mutable.Map(results.toMap.toSeq: _*)
+      var other = 0.0
+      var it = 0
+      var line = full
+      while (line.length > LineBudget && it < bySpeed.length) {
+        val (n, v) = bySpeed(it)
+        keep.remove(n); other += v; it += 1
+        line = render(results.filter(r => keep.contains(r._1)) :+
+          ("_other" -> other))
+      }
+      line
+    }
   }
 }

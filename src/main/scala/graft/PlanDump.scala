@@ -11,11 +11,19 @@ object PlanDump {
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.engine.GraftSession.getOrCreate("graft-plan-dump")
+    // SPARK_GRAFT_EXEC=1: run the query first, so AQE's FINAL plan prints
+    // (isFinalPlan=true) — runtime decisions (stage reuse, skew splits,
+    // broadcast demotions) only exist there, not in the initial plan.
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     names.foreach { n =>
       println(s"===== $n")
-      try println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan.toString)
-      catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        // executes THIS df's QueryExecution (a .write would plan a fresh
+        // one and leave this plan un-finalized)
+        if (exec) df.queryExecution.toRdd.foreachPartition(_ => ())
+        println(df.queryExecution.executedPlan.toString)
+      } catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
     }
     spark.stop()
   }

@@ -113,6 +113,18 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
     "bigram_ll" -> ((s, d) => Ranking.bigramLogLikelihood(s, d)),
+    "trigram_ll" -> ((s, d) => Ranking.trigramLogLikelihood(s, d)),
+    "ann_recall" -> (Ann.annRecall _),
+    // Bare catalog-table SQL — the one reference node
+    // (logical_planner.rs:392-395) that parses but errors NotImplemented
+    // at execution (builder.rs:67-72): register the sf tables as views,
+    // then run plain `FROM tablename` SQL through the facade.
+    "catalog_table" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      graft.sql.QueryFacade.run(s,
+        "SELECT n_name, count(*) AS n_cust FROM customer " +
+          "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -484,6 +496,77 @@ object SparkEntry {
         coalesce(doc.n_bigrams, 0) AS n_bigrams,
         round(doc.ll / CAST(doc.n_bigrams AS DOUBLE), 3) AS avg_ll2,
         coalesce(doc.ll / CAST(doc.n_bigrams AS DOUBLE) >= -10.0, false)
+          AS keep
+      FROM documents d LEFT JOIN doc USING (doc_id)""",
+    "agg_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS rel_err_ok
+      FROM lineitem GROUP BY 1""",
+    "ann_recall" -> """
+      SELECT 'ivf' AS method, TRUE AS recall_ok
+      UNION ALL SELECT 'lsh', TRUE""",
+    "catalog_table" -> """
+      SELECT n_name, count(*) AS n_cust FROM customer
+      JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+    "trigram_ll" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tg AS (
+        SELECT doc_id, g.tg
+        FROM (SELECT doc_id,
+                list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+              FROM t WHERE len(toks) >= 3), unnest(tgs) AS g(tg)),
+      bgc AS (
+        SELECT b.bg, count(*) AS cb
+        FROM (SELECT list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]) AS bgs
+              FROM t WHERE len(toks) >= 2), unnest(bgs) AS b(bg)
+        GROUP BY b.bg),
+      uni AS (
+        SELECT u.term, count(*) AS cu
+        FROM t, unnest(toks) AS u(term) GROUP BY u.term),
+      totals AS (SELECT CAST(sum(cu) AS BIGINT) AS n_toks,
+                   count(*) AS vocab FROM uni),
+      tf AS (
+        SELECT doc_id, tg, count(*) AS tf,
+          split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+          split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w23,
+          split_part(tg, ' ', 2) AS w2,
+          split_part(tg, ' ', 3) AS w3
+        FROM tg GROUP BY doc_id, tg),
+      tfc AS (
+        SELECT doc_id, tg, tf, w12, w23, w2, w3,
+          CAST(sum(tf) OVER (PARTITION BY tg) AS BIGINT) AS ctg
+        FROM tf),
+      scored AS (
+        SELECT doc_id, tf,
+          CASE WHEN ctg >= 2
+                 THEN ln(CAST(ctg AS DOUBLE) / CAST(b12.cb AS DOUBLE))
+               WHEN coalesce(b23.cb, 0) >= 2
+                 THEN ln(0.4 * CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+               ELSE ln(0.4 * 0.4 *
+                 (CAST(CASE WHEN coalesce(u3.cu, 0) >= 2 THEN u3.cu
+                       ELSE 0 END AS DOUBLE) + 1.0) /
+                 (CAST(n_toks AS DOUBLE) + CAST(vocab AS DOUBLE)))
+          END AS lp
+        FROM tfc
+        LEFT JOIN bgc b12 ON tfc.w12 = b12.bg
+        LEFT JOIN bgc b23 ON tfc.w23 = b23.bg
+        LEFT JOIN uni u2 ON tfc.w2 = u2.term
+        LEFT JOIN uni u3 ON tfc.w3 = u3.term
+        CROSS JOIN totals),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+          sum(CAST(tf AS DOUBLE) * lp) AS ll
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(doc.n_trigrams, 0) AS n_trigrams,
+        round(doc.ll / CAST(doc.n_trigrams AS DOUBLE), 3) AS avg_ll3,
+        coalesce(doc.ll / CAST(doc.n_trigrams AS DOUBLE) >= -12.0, false)
           AS keep
       FROM documents d LEFT JOIN doc USING (doc_id)""",
     "unigram_ll" -> """

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *    parallel tasks — a bare repartition(cols) would funnel it through
   *    ONE task — while still bounding open writers per task to a few
   *    partition values (the classic small-files/OOM write pattern);
-  *  - deterministic: no RNG, no timestamps — re-running the export over
-  *    the same input produces byte-identical layout.
+  *  - deterministic ASSIGNMENT: no RNG, no timestamps — re-running the
+  *    export over the same input routes every row to the same partition
+  *    directory and salt shard (the guarantee the test pins via
+  *    ExportStats). The bytes themselves are NOT identical across runs:
+  *    parquet footers embed writer metadata and part-file names embed
+  *    task IDs.
   */
 object ShardedExport {
 

@@ -121,25 +121,35 @@ object BpeOps {
 
   /** Load a merges artifact: one "a b" pair per line, rank = line order
     * (the merges.txt format BPE toolchains emit); blank lines and
-    * `#`-prefixed headers are skipped. Read driver-side once per path
-    * (cached) — the vocab then travels inside the serialized expression,
-    * so executors never touch the file.
+    * `#`-prefixed headers are skipped. Read driver-side once per
+    * (path, mtime) — the vocab then travels inside the serialized
+    * expression, so executors never touch the file, and replacing the
+    * artifact on disk is picked up by the next query (the mtime in the
+    * cache key changes) instead of serving a stale vocab for the JVM
+    * lifetime. The path must be DRIVER-LOCAL (java.nio, not the Hadoop
+    * filesystem layer): ship remote artifacts with `SparkFiles`/
+    * `--files` or read them to a local temp first.
     */
-  def loadVocab(path: String): BpeVocab =
-    vocabCache.computeIfAbsent(path, p => {
-      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
-      val merges = Vector.newBuilder[(String, String)]
-      lines.forEach { ln =>
-        val t = ln.trim
-        if (t.nonEmpty && !t.startsWith("#")) {
-          val parts = t.split(" ")
-          require(parts.length == 2,
-            s"malformed merges line in $p: '$ln' (want 'a b')")
-          merges += ((parts(0), parts(1)))
-        }
+  def loadVocab(path: String): BpeVocab = {
+    val mtime = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    vocabCache.computeIfAbsent(s"$path@$mtime", _ => loadVocabUncached(path))
+  }
+
+  private def loadVocabUncached(p: String): BpeVocab = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+    val merges = Vector.newBuilder[(String, String)]
+    lines.forEach { ln =>
+      val t = ln.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val parts = t.split(" ")
+        require(parts.length == 2,
+          s"malformed merges line in $p: '$ln' (want 'a b')")
+        merges += ((parts(0), parts(1)))
       }
-      new BpeVocab(merges.result())
-    })
+    }
+    new BpeVocab(merges.result())
+  }
 
   /** Back-compat shims for callers of the pre-vocab API. */
   def encode(text: UTF8String): GenericArrayData = Default.encode(text)

@@ -148,6 +148,53 @@ object Ann {
         col("bucket"))
   }
 
+  /** Recall@K floors each ANN path must clear against the exact
+    * brute-force top-K ([[annRecall]] emits the verdicts as a
+    * hash-checked query; PipelineSpec asserts the numeric values).
+    *
+    * Calibrated against MEASURED recall on the synthetic embeddings
+    * (graft.RecallProbe, sf0.001/0.01/0.1):
+    *   lsh nBits=6 (probes 7/64 buckets ~ 11% scan): 0.15 / 0.23 / 0.29
+    *   ivf nProbe=2 of 16 cells (~ 12.5% scan):      0.47 / 0.41 / 0.49
+    *   (ivf nProbe=4: 0.66-0.70; lsh nBits=3: 0.59-0.68 at 50% scan)
+    * The synthetic vectors are weakly-clustered/near-isotropic, where ANY
+    * sublinear method's recall is bounded near its scanned fraction —
+    * high-recall ANN on such data requires scanning most of the corpus,
+    * so these floors are regression guards at the default operating
+    * points, not quality claims. IVF beats LSH ~4x per scanned byte here
+    * because KMeans recovers the label-cluster structure; on real text
+    * embeddings (strongly clustered) both sit far higher at the same
+    * settings, and recall tunes up smoothly via nProbe / fewer bits.
+    */
+  val LshRecallMin = 0.1
+  val IvfRecallMin = 0.3
+
+  /** Per-method recall@K of the ANN paths vs [[annBruteforce]] — the
+    * number an ANN evaluation actually reports, computed in-plan (the
+    * exact and approximate top-K lists join on (q_id, cand_id); no
+    * driver-side set math). Every input is seed-fixed (LSH planes and
+    * KMeans are deterministic), so recall is a stable function of the
+    * data and the emitted `recall_ok` verdicts are hash-checkable: the
+    * oracle asserts them as literals, PipelineSpec bounds the numeric
+    * values themselves.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteforce(s, dir).select(col("q_id"), col("cand_id"))
+    val hits = annLsh(s, dir)
+      .select(lit("lsh").as("method"), col("q_id"), col("cand_id"))
+      .unionByName(annIvf(s, dir)
+        .select(lit("ivf").as("method"), col("q_id"), col("cand_id")))
+    val nBf = bf.agg(count(lit(1)).as("n_exact"))
+    hits.join(bf.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("method"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .crossJoin(broadcast(nBf))
+      .select(col("method"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double") >=
+          when(col("method") === "lsh", LshRecallMin)
+            .otherwise(IvfRecallMin)).as("recall_ok"))
+  }
+
   /** Symmetric int8 quantization of the embedding column (oracle-checked)
     * — the standard 4x storage/bandwidth cut before an ANN index is
     * built or embeddings ship to a serving tier. Per-vector max-abs

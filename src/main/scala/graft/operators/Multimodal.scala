@@ -76,16 +76,23 @@ object Multimodal {
       // already a byte array.
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // Header-only dimension probe BEFORE any raster allocation.
-      val readers = javax.imageio.ImageIO.getImageReaders(stream)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      // close() releases the stream's memory cache eagerly — its javadoc
+      // requires it; leaving it to GC accumulates one cache per record
+      // over a corpus pass
       val img = try {
-        reader.setInput(stream, true, true)
-        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
-        if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null
-        else reader.read(0)
-      } finally reader.dispose()
+        // Header-only dimension probe BEFORE any raster allocation.
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, true, true)
+            val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+            if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally stream.close()
       if (img == null) None
       else {
         val w = img.getWidth

@@ -107,10 +107,14 @@ object Ranking {
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score",
         query.indices.map(i => col(s"s_$i")).reduce(_ + _))
+    // Distributed top-k (TakeOrderedAndProject) FIRST, then rank the <= k
+    // survivors with an unpartitioned row_number — the window's
+    // single-partition funnel only ever sees k rows, never every document
+    // containing a query term.
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     summed
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("dl"),
         round(col("score"), 4).as("score"))
   }
@@ -166,6 +170,98 @@ object Ranking {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("ll") / col("n_bigrams").cast("double"), 3).as("avg_ll2"),
         coalesce(col("ll") / col("n_bigrams").cast("double") >= keepAbove,
+          lit(false)).as("keep"))
+  }
+
+  /** Model min-count (KenLM-style pruning: singleton n-grams are not in
+    * the model) and the stupid-backoff discount.
+    */
+  val LmMinCount = 2
+  val BackoffAlpha = 0.4
+
+  /** Trigram stupid-backoff LM log-likelihood (oracle-checked): mean
+    * per-trigram ln S(w3 | w1 w2) with Brants et al. (2007) stupid
+    * backoff —
+    *   S = c123 / c12                    if c123 >= LmMinCount
+    *     | a * c23 / c2                  else if c23 >= LmMinCount
+    *     | a^2 * (c3' + 1) / (N + V)     otherwise (add-one unigram base;
+    *                                     c3' = c3 if c3 >= LmMinCount else 0)
+    * Pruning count-1 n-grams from the model is what makes backoff
+    * actually fire on a self-scored corpus; counts nest (c12 >= c123,
+    * c2 >= c23), so every denominator is present whenever its numerator
+    * clears the prune and no division ever sees null.
+    *
+    * One more rung up the n-gram ladder from [[bigramLogLikelihood]], and
+    * the full KenLM query shape: the trigram tf frame is scored against
+    * its own corpus counts via a window sum (single consumer of the
+    * expensive explode+aggregate), while the lower-order count tables are
+    * VOCAB-sized and join back on their n-gram keys as shuffle joins —
+    * nothing corpus-sized is ever broadcast.
+    */
+  def trigramLogLikelihood(s: SparkSession, dir: String,
+                           keepAbove: Double = -12.0): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val trigrams = base.filter(col("n") >= 3)
+      .select(col("doc_id"), explode(zip_with(
+        zip_with(
+          slice(col("toks"), lit(1), col("n") - 2),
+          slice(col("toks"), lit(2), col("n") - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(col("toks"), lit(3), col("n") - 2),
+        (ab, c) => concat_ws(" ", ab, c))).as("tg"))
+    val bigramCounts = base.filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), col("n") - 1),
+        slice(col("toks"), lit(2), col("n") - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val unigramCounts = base
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val totals = unigramCounts.agg(sum(col("cu")).as("n_toks"),
+      count(lit(1)).as("vocab"))
+    val tf = trigrams.groupBy(col("doc_id"), col("tg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .withColumn("w23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      // corpus trigram count via window sum — the tf frame stays the
+      // single consumer of the trigram explode (see tfIdfTopTerms)
+      .withColumn("ctg", sum(col("tf")).over(Window.partitionBy(col("tg"))))
+    val joined = tf
+      .join(bigramCounts.select(col("bg").as("w12"), col("cb").as("cb12")),
+        Seq("w12"), "left")
+      .join(bigramCounts.select(col("bg").as("w23"), col("cb").as("cb23")),
+        Seq("w23"), "left")
+      .join(unigramCounts.select(col("term").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(unigramCounts.select(col("term").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+    val a = lit(BackoffAlpha)
+    val c23 = coalesce(col("cb23"), lit(0L))
+    val c3p = when(coalesce(col("cu3"), lit(0L)) >= LmMinCount, col("cu3"))
+      .otherwise(lit(0L))
+    val lp =
+      when(col("ctg") >= LmMinCount,
+        log(col("ctg").cast("double") / col("cb12").cast("double")))
+      .when(c23 >= LmMinCount,
+        log(a * c23.cast("double") / col("cu2").cast("double")))
+      .otherwise(log(a * a * (c3p.cast("double") + 1.0) /
+        (col("n_toks").cast("double") + col("vocab").cast("double"))))
+    val doc = joined
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf").cast("double") * lp).as("ll"))
+    docs.select(col("doc_id"))
+      .join(doc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(col("ll") / col("n_trigrams").cast("double"), 3).as("avg_ll3"),
+        coalesce(col("ll") / col("n_trigrams").cast("double") >= keepAbove,
           lit(false)).as("keep"))
   }
 

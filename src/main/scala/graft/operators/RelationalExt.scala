@@ -113,11 +113,25 @@ object RelationalExt {
   /** HLL sketch vs exact distinct (rows-only: HLL estimates are
     * engine-specific; PipelineExtSpec bounds the relative error instead).
     */
+  /** HLL++ approximate distinct count next to the exact count. The sketch
+    * value itself has no DuckDB mirror, so the emitted columns are chosen
+    * to stay hash-checkable: `exact_parts` (oracle recomputes it) and
+    * `rel_err_ok` — whether the sketch landed within 10% of exact (2x the
+    * default 5% rsd; HLL++ is deterministic for fixed data, so this is a
+    * stable TRUE the oracle asserts as a literal). The approximate value
+    * still participates via rel_err_ok; specs check the numeric error.
+    */
+  val ApproxRelErrBound = 0.10
+
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= ApproxRelErrBound)
+          .as("rel_err_ok"))
 
   /** Date/time function class (README.md:49 "time types" unsupported in
     * the reference): extraction, arithmetic, truncation, formatting.

@@ -69,7 +69,16 @@ object Tables {
         "timestamp_micros(ts DIV 1000)"))
   }
 
-  /** Register every test table as a temp view so `spark.sql` works. */
+  /** Register every test table as a temp view so plain
+    * `SELECT ... FROM tablename` SQL works — the reference parses a bare
+    * table node (logical_planner.rs:392-395) but errors NotImplemented at
+    * execution (builder.rs:67-72); here the session catalog completes it.
+    * `events` goes through [[events]] so its TIMESTAMP(NANOS) column
+    * surfaces as a real timestamp, not a raw nanosecond long.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

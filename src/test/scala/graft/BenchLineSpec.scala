@@ -31,6 +31,16 @@ class BenchLineSpec extends AnyFunSuite {
         "Trim query names or aggregate small entries before adding queries.")
   }
 
+  test("overflow folds fastest queries into _other, keeps slowest intact") {
+    val results = (1 to 300).map(i => f"query_name_$i%03d" -> i * 0.01)
+    val line = Bench.renderLine(results, "sf0.1")
+    assert(line.length <= Bench.LineBudget, line.length.toString)
+    assert(line.contains(""""_other":"""))
+    assert(line.contains(""""query_name_300":3"""))
+    // total is the sum over ALL queries, not just the kept ones
+    assert(line.contains(""""value":451.5"""))
+  }
+
   test("rendered line is valid JSON shape with failed passthrough") {
     val line = Bench.renderLine(Seq("q1_agg" -> 1.23), "sf0.01", "[\"x\"]")
     assert(line.contains(""""queries":{"q1_agg":1.23}"""))

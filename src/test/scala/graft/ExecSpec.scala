@@ -31,6 +31,24 @@ class ExecSpec extends AnyFunSuite {
         .filter(col("l_quantity") > 45.0).count())
   }
 
+  test("catalog tables: bare `FROM tablename` SQL runs end-to-end") {
+    // the reference parses a bare Table node (logical_planner.rs:392-395)
+    // but errors NotImplemented at execution (builder.rs:67-72); here
+    // registerAll completes it through the session catalog — including
+    // the events table, whose TIMESTAMP(NANOS) column must surface as a
+    // usable timestamp
+    graft.sources.Tables.registerAll(spark, dir)
+    val n = QueryFacade.run(spark,
+      "select count(*) as n from lineitem where l_quantity > 45.0")
+      .collect()(0).getLong(0)
+    assert(n === spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0).count())
+    val d = QueryFacade.run(spark,
+      "select min(date_trunc('DAY', ts)) as d from events")
+      .collect()(0)
+    assert(!d.isNullAt(0))
+  }
+
   test("connections: fs root resolves end-to-end; s3 maps to s3a + conf") {
     import graft.sources.Connections
     // Fs connection: read_files resolves relative to the registered root

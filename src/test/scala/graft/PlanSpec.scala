@@ -112,6 +112,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("dedup_minhash: both band-join sides reuse ONE signature shuffle") {
+    // The claim in Dedup.dedupMinhash: the bucket-cap window plants
+    // Exchange(band, bh), and the merge-hinted self-join's two sides both
+    // need exactly that partitioning — so AQE materializes the (expensive)
+    // signature pipeline once and the second side is a ReusedExchange.
+    // Runtime reuse only exists in the FINAL adaptive plan, so execute
+    // this df's own QueryExecution first.
+    val df = SparkEntry.queries("dedup_minhash")(spark, dir)
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.linesIterator.exists(l =>
+      l.contains("ReusedExchange") && l.contains("band")), p.take(4000))
+  }
+
+  test("trigram_ll: one trigram explode; count tables join, not broadcast") {
+    // the trigram tf frame must be the single consumer of the trigram
+    // explode (window-sum ctg, no second tokenize of the corpus for it);
+    // lower-order count tables are vocab-sized shuffle joins — at web
+    // scale the vocab does NOT fit a broadcast
+    val p = plan("trigram_ll")
+    val trigramScans = p.linesIterator.count(l =>
+      l.contains("zip_with(zip_with"))
+    assert(trigramScans === 1, p.take(2000))
+  }
+
   test("ann_ivf: probe assignment is in the plan, not driver-side") {
     // the centroid matrix appears as literals in an explode over queries;
     // no LocalTableScan of collected probe rows

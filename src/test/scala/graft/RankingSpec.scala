@@ -79,6 +79,25 @@ class RankingSpec extends AnyFunSuite {
     assert(r.filter(col("avg_ll2") >= 0.0).count() === 0L)
   }
 
+  test("trigram_ll: counts equal tokens-2; backoff penalizes novel text") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val r = Ranking.trigramLogLikelihood(spark, dir)
+    // trigram OCCURRENCES per doc are exactly n_tokens - 2 (0 for n < 3)
+    assert(r.join(toks, "doc_id")
+      .filter(col("n_trigrams") =!= greatest(col("n") - 2, lit(0)))
+      .count() === 0L)
+    assert(r.filter(col("avg_ll3") >= 0.0).count() === 0L)
+    // backoff fires: the zyzzyva doc's trigrams are corpus-singletons
+    // (pruned from the model), so it backs off to the unigram base and
+    // scores far below the query-term doc, whose trigrams repeat 60x
+    val tmp = planted()
+    val p = Ranking.trigramLogLikelihood(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(p(90001L).getDouble(2) < p(90002L).getDouble(2))
+  }
+
   test("unigram_ll: gibberish scores far below common text") {
     val tmp = planted()
     val r = Ranking.unigramLogLikelihood(spark, tmp).collect()
