@@ -114,6 +114,7 @@ object SparkEntry {
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
     "bigram_ll" -> ((s, d) => Ranking.bigramLogLikelihood(s, d)),
     "trigram_ll" -> ((s, d) => Ranking.trigramLogLikelihood(s, d)),
+    "quality_repetition" -> (TextOps.qualityRepetition _),
     "ann_recall" -> (Ann.annRecall _),
     // Bare catalog-table SQL — the one reference node
     // (logical_planner.rs:392-395) that parses but errors NotImplemented
@@ -508,6 +509,52 @@ object SparkEntry {
     "catalog_table" -> """
       SELECT n_name, count(*) AS n_cust FROM customer
       JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+    "quality_repetition" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      g2 AS (
+        SELECT doc_id, g.g, count(*) AS c
+        FROM (SELECT doc_id, list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) AS gs
+              FROM t WHERE len(toks) >= 2), unnest(gs) AS g(g)
+        GROUP BY doc_id, g.g),
+      m2 AS (SELECT doc_id,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2_frac
+             FROM g2 GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id, g.g, count(*) AS c
+        FROM (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+              FROM t WHERE len(toks) >= 3), unnest(gs) AS g(g)
+        GROUP BY doc_id, g.g),
+      m3 AS (SELECT doc_id,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top3_frac
+             FROM g3 GROUP BY doc_id),
+      g5 AS (
+        SELECT doc_id, g.g, count(*) AS c
+        FROM (SELECT doc_id, list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4]) AS gs
+              FROM t WHERE len(toks) >= 5), unnest(gs) AS g(g)
+        GROUP BY doc_id, g.g),
+      m5 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) /
+                 CAST(sum(c) AS DOUBLE) AS dup5_frac
+             FROM g5 GROUP BY doc_id)
+      SELECT d.doc_id,
+        round(top2_frac, 4) AS top2_frac,
+        round(top3_frac, 4) AS top3_frac,
+        round(dup5_frac, 4) AS dup5_frac,
+        (coalesce(top2_frac <= 0.18, true) AND
+         coalesce(top3_frac <= 0.16, true) AND
+         coalesce(dup5_frac <= 0.15, true)) AS keep
+      FROM documents d
+      LEFT JOIN m2 USING (doc_id)
+      LEFT JOIN m3 USING (doc_id)
+      LEFT JOIN m5 USING (doc_id)""",
     "trigram_ll" -> """
       WITH t AS (
         SELECT doc_id,

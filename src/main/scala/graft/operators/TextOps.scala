@@ -59,4 +59,65 @@ object TextOps {
       .withColumn("first_doc", first(col("doc_id")).over(w))
       .withColumn("is_dup", col("doc_id") =!= col("first_doc"))
   }
+
+  /** Gopher repetition-rule thresholds (Rae et al. 2021, table A1): a
+    * document is dropped when the single most frequent 2-gram covers
+    * more than 18% of its 2-grams, the top 3-gram more than 16%, or
+    * duplicated 5-grams (count >= 2 within the doc) cover more than 15%
+    * of 5-gram occurrences. Gopher measures character coverage; this
+    * corpus is uniform-length-token text, so token-occurrence coverage
+    * is the same statistic (documented deviation).
+    */
+  val TopBigramMax = 0.18
+  val TopTrigramMax = 0.16
+  val DupFivegramMax = 0.15
+
+  /** Gopher-style within-document repetition metrics + keep verdict
+    * (oracle-checked) — the standard filter against looping/boilerplate
+    * generations that slip past length and stopword checks.
+    *
+    * Scale shape: every aggregate is keyed by doc_id (+gram), so the
+    * corpus never concentrates: one explode + two-level hash aggregate
+    * per n-gram order, map-side partial combine throughout, and the
+    * doc-sized metric frames join back on doc_id. No corpus-wide key
+    * (no vocabulary shuffle) exists anywhere in the plan.
+    */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    def grams(nn: Int): DataFrame = {
+      // i-th n-gram = toks[i..i+nn-1], built by zipping nn shifted
+      // slices (same device as Ranking's bigrams/trigrams — all engines
+      // agree on space-joined tokens)
+      val parts = (0 until nn).map(j =>
+        slice(col("toks"), lit(j + 1), col("n") - (nn - 1)))
+      val zipped = parts.reduce((acc, p) =>
+        zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
+      base.filter(col("n") >= nn)
+        .select(col("doc_id"), explode(zipped).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    val top2 = grams(2).groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top2_frac"))
+    val top3 = grams(3).groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top3_frac"))
+    val dup5 = grams(5).groupBy(col("doc_id"))
+      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+        .cast("double") / sum(col("c")).cast("double")).as("dup5_frac"))
+    docs.select(col("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(top3, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(col("top2_frac"), 4).as("top2_frac"),
+        round(col("top3_frac"), 4).as("top3_frac"),
+        round(col("dup5_frac"), 4).as("dup5_frac"),
+        (coalesce(col("top2_frac") <= TopBigramMax, lit(true)) &&
+          coalesce(col("top3_frac") <= TopTrigramMax, lit(true)) &&
+          coalesce(col("dup5_frac") <= DupFivegramMax, lit(true)))
+          .as("keep"))
+  }
 }

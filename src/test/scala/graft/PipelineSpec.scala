@@ -194,6 +194,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.getLong(1) >= 1L)
   }
 
+  test("quality_repetition: looping text dropped, varied text kept") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    // 10001: one bigram loop ("buy now" x 50) — top2_frac ~ 1.0;
+    // 10002: a long distinct-token sequence — every n-gram unique
+    spark.range(1).select(
+      lit(10001L).as("doc_id"),
+      lit(Seq.fill(50)("buy now").mkString(" ")).as("text"))
+      .unionByName(spark.range(1).select(
+        lit(10002L).as("doc_id"),
+        lit((1 to 100).map(i => s"w$i").mkString(" ")).as("text")))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.TextOps.qualityRepetition(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(10001L).getBoolean(4), r(10001L).toString)
+    assert(r(10001L).getDouble(1) > 0.4) // top2_frac: "now buy"/"buy now"
+    assert(r(10002L).getBoolean(4), r(10002L).toString)
+    assert(r(10002L).getDouble(3) === 0.0) // no duplicated 5-gram
+  }
+
   test("quality_model scores are probabilities consistent with keep") {
     val r = graft.operators.Curation.qualityModel(spark, dir)
     assert(r.filter(col("model_score") < 0.0 || col("model_score") > 1.0)
