@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_winnow" -> ((s, d) => Dedup.dedupWinnow(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
@@ -168,6 +169,44 @@ object SparkEntry {
                 ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
       SELECT q_id, rank, cand_id, cos_r, bucket FROM r WHERE rank <= 10"""
+  }
+
+  /** dedup_embedding_lsh oracle, generated from the SAME seeded
+    * hyperplanes as the Spark query (the annLshOracleSql device): bucket
+    * signature, one-bit multi-probe, capped home buckets, cosine verify
+    * and per-vector verdict are all plain SQL once the planes are
+    * literals.
+    */
+  private def dedupEmbeddingLshOracleSql: String = {
+    val nBits = 6
+    val planes = graft.operators.Ann.planes(nBits, 64)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) " +
+        s"> 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n          + ")
+    val masks = (Seq(0L) ++ (0 until nBits).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+          CAST($bucket AS BIGINT) AS bucket
+        FROM embeddings
+        QUALIFY count(*) OVER (PARTITION BY bucket)
+          <= ${graft.operators.Dedup.MaxBucket}),
+      p AS (
+        SELECT vec_id, emb, xor(bucket, m) AS bucket
+        FROM e, unnest($masks) AS t(m)),
+      pr AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+          list_cosine_similarity(x.emb, y.emb) AS cos
+        FROM p x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id),
+      d AS (
+        SELECT b AS vec_id, min(a) AS dup_of, max(cos) AS best_cos
+        FROM pr WHERE cos >= 0.4 GROUP BY b)
+      SELECT e2.vec_id, dup_of, round(best_cos, 4) AS best_cos,
+        dup_of IS NULL AS keep
+      FROM embeddings e2 LEFT JOIN d USING (vec_id)"""
   }
 
   /** dedup_simhash oracle, generated: the 60 per-bit vote sums and the
@@ -380,6 +419,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,

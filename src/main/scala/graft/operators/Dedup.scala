@@ -615,6 +615,49 @@ object Dedup {
     * as the blocking key. The unblocked scale path is the hyperplane-LSH
     * bucketing in Ann.annLsh.
     */
+  /** Hyperplane-LSH bucketed embedding near-dup (oracle-checked — the
+    * seeded planes are SQL literals, so buckets, probes and the cosine
+    * verify all mirror to DuckDB): the UNBOUNDED-cardinality scale path
+    * [[dedupEmbedding]]'s doc points at. The blocking key is the
+    * nBits-bit hyperplane signature, so bucket count is an operator KNOB
+    * (size nBits ~ log2(corpus / target_bucket) as the corpus grows)
+    * rather than a fixed label set. One-sided multi-probe — every vector
+    * also probes its nBits one-bit-flip buckets — recovers pairs
+    * straddling a single hyperplane; each qualifying pair is generated
+    * exactly once (probed buckets are distinct per vector and the prober
+    * is always the smaller vec_id), so no distinct() is needed. Home
+    * buckets are capped like every other pair source, and the cap
+    * window's Exchange(bucket) is the home side of the merge join
+    * (nothing corpus-sized broadcasts).
+    */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String,
+                        threshold: Double = 0.4, nBits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val pl = Ann.planes(nBits, 64)
+    val e = capBuckets(
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          V.hyperplaneBucket(col("embedding"), pl).as("bucket")),
+      Seq("bucket"))
+    val masks = array((0L +: (0 until nBits).map(j => 1L << j)).map(lit): _*)
+    val probes = e.select(col("vec_id"), col("embedding"),
+      explode(transform(masks, m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
+    val pairs = probes.as("x").hint("merge").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        V.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val dupOf = pairs.groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"), max(col("cos")).as("best_cos"))
+    table(s, dir, "embeddings").select(col("vec_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        round(col("best_cos"), 4).as("best_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -129,6 +129,25 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("dedup_embedding_lsh: flagged dups are true near-dups (precision 1)") {
+    // every (vec_id, dup_of) verdict must hold under the EXACT cosine —
+    // LSH bucketing may miss pairs (bounded recall) but must never
+    // invent one
+    val r = graft.operators.Dedup.dedupEmbeddingLsh(spark, dir)
+      .filter(col("dup_of").isNotNull)
+      .select(col("vec_id"), col("dup_of"), col("best_cos"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val checked = r
+      .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("eb")),
+        "dup_of")
+      .withColumn("true_cos",
+        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")))
+    assert(checked.filter(col("true_cos") < 0.4 - 1e-9).count() === 0L)
+    // dup_of is always a smaller id (the canonical-representative rule)
+    assert(r.filter(col("dup_of") >= col("vec_id")).count() === 0L)
+  }
+
   test("vec_dot/vec_cosine/vec_l2sq: bit-identical to the HOF fold") {
     import graft.functions.{VectorFunctions => V}
     graft.functions.GraftFunctions.register(spark)
