@@ -112,19 +112,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
-  test("dedup_minhash: both band-join sides reuse ONE signature shuffle") {
-    // The claim in Dedup.dedupMinhash: the bucket-cap window plants
-    // Exchange(band, bh), and the merge-hinted self-join's two sides both
-    // need exactly that partitioning — so AQE materializes the (expensive)
-    // signature pipeline once and the second side is a ReusedExchange.
-    // Runtime reuse only exists in the FINAL adaptive plan, so execute
-    // this df's own QueryExecution first.
-    val df = SparkEntry.queries("dedup_minhash")(spark, dir)
-    df.queryExecution.toRdd.foreachPartition(_ => ())
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("isFinalPlan=true"), p.take(300))
-    assert(p.linesIterator.exists(l =>
-      l.contains("ReusedExchange") && l.contains("band")), p.take(4000))
+  test("dedup self-joins reuse ONE blocking-key shuffle (final plans)") {
+    // The claim made throughout Dedup: the bucket-cap window plants the
+    // blocking-key Exchange, and the merge-hinted self-join's two sides
+    // both need exactly that partitioning — so AQE materializes the
+    // (expensive) signature/profile pipeline once and the second side is
+    // a ReusedExchange. Runtime reuse only exists in the FINAL adaptive
+    // plan, so each df's own QueryExecution is executed first.
+    Seq("dedup_minhash" -> "band", "dedup_simhash" -> "ci",
+        "dedup_embedding_lsh" -> "bucket", "dedup_winnow" -> "fp",
+        "dedup_ngram" -> "mg").foreach { case (q, key) =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q: ${p.take(300)}")
+      assert(p.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains(key)),
+        s"$q: ${p.take(4000)}")
+    }
   }
 
   test("trigram_ll: one trigram explode; count tables join, not broadcast") {
