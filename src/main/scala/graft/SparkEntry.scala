@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_winnow" -> ((s, d) => Dedup.dedupWinnow(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
@@ -207,6 +208,78 @@ object SparkEntry {
       SELECT e2.vec_id, dup_of, round(best_cos, 4) AS best_cos,
         dup_of IS NULL AS keep
       FROM embeddings e2 LEFT JOIN d USING (vec_id)"""
+  }
+
+  /** dedup_incremental oracle, generated with the same vote/pack loops
+    * as dedupSimhashOracleSql: batch membership is the md5-coin device,
+    * the exact tier mirrors dedup_exact's norm, and the near tier is the
+    * simhash chunk join restricted to batch x index (with the same
+    * capped index buckets the Spark side applies).
+    */
+  private def dedupIncrementalOracleSql: String = {
+    import graft.operators.Dedup.{SimhashBits, SimhashChunks,
+      SimhashChunkBits, MaxBucket, IncrementalBatchCoin}
+    val votes = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val packed = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n          + ")
+    val mask = (1L << SimhashChunkBits) - 1L
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      h AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok),
+      v AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+        FROM v),
+      flag AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < '$IncrementalBatchCoin' AS is_batch
+        FROM documents),
+      n AS (
+        SELECT d.doc_id,
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+          f.is_batch
+        FROM documents d JOIN flag f USING (doc_id)),
+      ex AS (
+        SELECT nb.doc_id, min(ni.doc_id) AS exact_dup_of
+        FROM n nb JOIN n ni ON ni.norm = nb.norm
+        WHERE nb.is_batch AND NOT ni.is_batch
+        GROUP BY nb.doc_id),
+      ch AS (
+        SELECT s2.doc_id, s2.simhash, ci,
+          (s2.simhash >> ($SimhashChunkBits * ci)) & $mask AS cv,
+          f.is_batch
+        FROM sig s2 JOIN flag f USING (doc_id),
+          unnest(range(0, $SimhashChunks)) AS u(ci)),
+      chi AS (
+        SELECT doc_id, simhash, ci, cv FROM ch WHERE NOT is_batch
+        QUALIFY count(*) OVER (PARTITION BY ci, cv) <= $MaxBucket),
+      chb AS (SELECT doc_id, simhash, ci, cv FROM ch WHERE is_batch),
+      nd AS (
+        SELECT cb.doc_id, min(cx.doc_id) AS near_dup_of,
+          min(CAST(bit_count(xor(cb.simhash, cx.simhash)) AS INT))
+            AS best_hamming
+        FROM chb cb JOIN chi cx ON cb.ci = cx.ci AND cb.cv = cx.cv
+        WHERE bit_count(xor(cb.simhash, cx.simhash)) <= 3
+        GROUP BY cb.doc_id),
+      b AS (SELECT doc_id FROM flag WHERE is_batch)
+      SELECT b.doc_id, ex.exact_dup_of, nd.near_dup_of, nd.best_hamming,
+        (ex.exact_dup_of IS NULL AND nd.near_dup_of IS NULL) AS keep
+      FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nd USING (doc_id)"""
   }
 
   /** dedup_simhash oracle, generated: the 60 per-bit vote sums and the
@@ -420,6 +493,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
+    "dedup_incremental" -> dedupIncrementalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,

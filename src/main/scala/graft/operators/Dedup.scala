@@ -286,6 +286,72 @@ object Dedup {
         col("best_hamming"), col("dup_of").isNull.as("keep"))
   }
 
+  /** Hex-md5 coin prefix selecting the "new batch" for
+    * [[dedupIncremental]] — '10000000' of 'ffffffff' ≈ 6.25% of docs
+    * (deterministic, the split_assign device).
+    */
+  val IncrementalBatchCoin = "10000000"
+
+  /** Incremental dedup (oracle-checked) — the daily-ingest shape: a
+    * small NEW batch is checked against the standing corpus INDEX with
+    * NO corpus self-join anywhere. Here the batch is carved
+    * deterministically (md5 coin on doc_id) so the operator is
+    * hash-checkable; in production the batch is the day's crawl and the
+    * index is the already-ingested corpus, with index signatures
+    * typically precomputed and stored.
+    *
+    * Two tiers, the BATCH always the broadcast side (the index only
+    * ever streams — the only direction that survives an index that
+    * doesn't fit anywhere):
+    *  - exact: normalized-text equality against the index;
+    *  - near: 60-bit simhash (one corpus-wide signature pass), pigeonhole
+    *    chunk join against capped index buckets, Hamming <= maxHamming.
+    * Output: one row per batch doc — exact/near matches and the ingest
+    * verdict.
+    */
+  def dedupIncremental(s: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val isBatch =
+      substring(md5(col("doc_id").cast("string")), 1, 8) <
+        IncrementalBatchCoin
+    val withNorm = table(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"),
+        isBatch.as("is_batch"))
+    val batch = withNorm.filter(col("is_batch"))
+    val index = withNorm.filter(!col("is_batch"))
+    val exact = broadcast(batch.select(col("doc_id"), col("norm")))
+      .join(index.select(col("doc_id").as("ix"), col("norm")), "norm")
+      .groupBy(col("doc_id")).agg(min(col("ix")).as("exact_dup_of"))
+    val sigs = simhashSignatures(s, dir) // whole corpus, one pass
+    val chunkMask = (1L << SimhashChunkBits) - 1L
+    def chunksOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashChunks).map { c =>
+          struct(lit(c).as("ci"),
+            shiftright(col("simhash"), c * SimhashChunkBits)
+              .bitwiseAND(lit(chunkMask)).as("cv"))
+        }: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"),
+          col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val batchChunks = chunksOf(sigs.filter(isBatch))
+    val indexChunks = capBuckets(chunksOf(sigs.filter(!isBatch)),
+      Seq("ci", "cv"))
+    val near = broadcast(batchChunks)
+      .join(indexChunks.select(col("doc_id").as("ix"),
+        col("simhash").as("hx"), col("ci"), col("cv")), Seq("ci", "cv"))
+      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("hx"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(col("ix")).as("near_dup_of"),
+        min(col("hamming")).as("best_hamming"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        col("best_hamming"),
+        (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("keep"))
+  }
+
   // ------------------------------------------------- blocked n-gram Jaccard
 
   /** Blocks larger than this are dropped (guard only — with the min-gram

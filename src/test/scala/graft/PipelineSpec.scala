@@ -129,6 +129,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("dedup_incremental: batch copy of an index doc flagged, both tiers") {
+    // find doc_ids on each side of the md5 coin (the same arithmetic the
+    // operator uses), plant an exact copy across the batch/index line
+    def coin(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+    val batchId = (0L to 1000L)
+      .find(coin(_) < graft.operators.Dedup.IncrementalBatchCoin).get
+    val indexId = (0L to 1000L)
+      .find(coin(_) >= graft.operators.Dedup.IncrementalBatchCoin).get
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    spark.createDataFrame(Seq(
+      (batchId, "the same exact document text repeated here"),
+      (indexId, "the same exact document text repeated here")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.Dedup.dedupIncremental(spark, tmp).collect()
+    // output = batch docs only
+    assert(r.map(_.getLong(0)).toSet === Set(batchId), r.mkString(";"))
+    val row = r.head
+    assert(row.getLong(1) === indexId) // exact tier
+    assert(row.getLong(2) === indexId) // near tier (hamming 0)
+    assert(row.getInt(3) === 0)
+    assert(!row.getBoolean(4))
+  }
+
   test("dedup_embedding_lsh: flagged dups are true near-dups (precision 1)") {
     // every (vec_id, dup_of) verdict must hold under the EXACT cosine —
     // LSH bucketing may miss pairs (bounded recall) but must never
