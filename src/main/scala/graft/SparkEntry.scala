@@ -81,6 +81,7 @@ object SparkEntry {
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
+    "bloom_join" -> (RuntimeFilter.bloomJoin _),
     // --- training-data pipeline ops (north-star scope) ---
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
@@ -1023,6 +1024,14 @@ object SparkEntry {
           AS sum_price,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+    // bloom_join: the bloom prefilter admits no false negatives (probe =
+    // build arithmetic) and the exact join removes false positives, so
+    // the result IS the plain join — the join_salted/agg_twophase oracle
+    // treatment for scale devices that must be invisible in the output.
+    "bloom_join" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'""",
     "events_sessionize" -> """
       WITH x AS (
         SELECT user_id, event_id, ts,
