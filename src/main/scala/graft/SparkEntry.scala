@@ -66,6 +66,8 @@ object SparkEntry {
     "agg_median" -> (RelationalExt.aggMedian _),
     "agg_collect" -> (RelationalExt.aggCollect _),
     "agg_approx_distinct" -> (RelationalExt.aggApproxDistinct _),
+    "agg_approx_quantile" -> (RelationalExt.aggApproxQuantile _),
+    "lang_sample" -> (Curation.langSample _),
     "date_functions" -> (RelationalExt.dateFunctions _),
     "string_functions" -> (RelationalExt.stringFunctions _),
     "offset_limit" -> (RelationalExt.offsetLimit _),
@@ -618,6 +620,34 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         TRUE AS rel_err_ok
       FROM lineitem GROUP BY 1""",
+    // agg_approx_quantile: the aggApproxDistinct verdict device — exact
+    // percentiles hash-match (quantile_cont = Spark percentile(), the
+    // interpolation parity agg_median pins), sketch accuracy lands as
+    // literal-TRUE verdicts the Spark side must reproduce.
+    "agg_approx_quantile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem GROUP BY l_returnflag""",
+    // lang_sample: rates and coins are both SQL-expressible (pow/window
+    // arithmetic + the md5-hex coin), so keep verdicts hash-match.
+    "lang_sample" -> s"""
+      WITH c AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS c_l,
+          pow(CAST(count(*) AS DOUBLE),
+            ${graft.operators.Curation.SampleTemperatureAlpha}) AS w
+        FROM documents GROUP BY lang),
+      t AS (SELECT sum(w) AS sw, sum(c_l) AS n FROM c),
+      r AS (
+        SELECT lang,
+          least(1.0, w / sw * n *
+            ${graft.operators.Curation.SampleBudgetFrac} / c_l) AS rate
+        FROM c, t)
+      SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate,
+        (CAST('0x' || substr(md5('ls:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) / 4294967296.0) < r.rate AS keep
+      FROM documents d JOIN r USING (lang)""",
     "ann_recall" -> """
       SELECT 'ivf' AS method, TRUE AS recall_ok
       UNION ALL SELECT 'lsh', TRUE""",

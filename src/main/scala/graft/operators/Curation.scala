@@ -227,4 +227,51 @@ object Curation {
           .otherwise("train"))
       .select(col("doc_id"), col("lang"), col("split"))
   }
+
+  // --------------------------------------- temperature-balanced sampling
+
+  /** Mixture temperature: sampling weight w_l = c_l^alpha (alpha < 1
+    * upsamples the tail relative to the head — the multilingual
+    * rebalancing exponent from the mT5/XLM-R recipe family).
+    */
+  val SampleTemperatureAlpha = 0.3
+
+  /** Target corpus size as a fraction of the input. */
+  val SampleBudgetFrac = 0.5
+
+  /** Temperature-balanced language sampling (oracle-checked): the
+    * data-mixture move every multilingual pretraining pipeline runs.
+    * Per-language acceptance rate r_l = min(1, N*budget*p_l/c_l) with
+    * p_l = c_l^alpha / sum(c_m^alpha) — dominant languages are
+    * downsampled toward the tempered distribution, tail languages kept
+    * whole. Unlike [[sampleStratified]]'s FIXED per-language fractions,
+    * the rates here are computed FROM the corpus inside the query
+    * (language counts -> tempered weights -> rates), so the operator
+    * adapts to any mixture without a config change.
+    *
+    * Scale shape: the rate table is |languages| rows (a groupBy on a
+    * low-cardinality key with map-side partial aggregation) broadcast
+    * back to the corpus — the corpus itself never shuffles; acceptance
+    * is the md5-hex coin (salted "ls:" so it is independent of the
+    * split/sample coins), per-row at scan speed, deterministic on any
+    * cluster size.
+    */
+  def langSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("c_l"))
+      .withColumn("w", pow(col("c_l"), SampleTemperatureAlpha))
+    val totals = counts.agg(sum(col("w")).as("sw"), sum(col("c_l")).as("n"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        least(lit(1.0), col("w") / col("sw") * col("n") *
+          SampleBudgetFrac / col("c_l")).as("rate"))
+    val coin = conv(substring(
+      md5(concat(lit("ls:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"),
+        round(col("rate"), 6).as("rate"),
+        (coin < col("rate")).as("keep"))
+  }
 }

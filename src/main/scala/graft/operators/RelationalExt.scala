@@ -133,6 +133,34 @@ object RelationalExt {
           col("exact_parts").cast("double") <= ApproxRelErrBound)
           .as("rel_err_ok"))
 
+  /** Approximate quantiles (GK sketch) next to exact percentiles — the
+    * 100 TB way to get order statistics without sorting a corpus-sized
+    * column per group. Oracle treatment mirrors [[aggApproxDistinct]]:
+    * the sketch value has no DuckDB mirror, so the emitted columns are
+    * the exact percentiles (DuckDB's quantile_cont uses the identical
+    * index = p*(n-1) linear interpolation as Spark's percentile(), the
+    * parity agg_median already pins) plus in-bound verdicts the oracle
+    * asserts as literal TRUE. accuracy=10000 bounds rank error at
+    * 1e-4*n, far inside the 1% value-error verdict.
+    */
+  val QuantileErrBound = 0.01
+
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+        expr("percentile(l_extendedprice, 0.95)").as("ex95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      .select(col("l_returnflag"),
+        round(col("ex50"), 4).as("p50_price"),
+        round(col("ex95"), 4).as("p95_price"),
+        (abs(col("ap50") - col("ex50")) / col("ex50") <= QuantileErrBound)
+          .as("p50_ok"),
+        (abs(col("ap95") - col("ex95")) / col("ex95") <= QuantileErrBound)
+          .as("p95_ok"))
+
   /** Date/time function class (README.md:49 "time types" unsupported in
     * the reference): extraction, arithmetic, truncation, formatting.
     */

@@ -309,6 +309,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_sample: tempered rates downsample the head, keep the tail") {
+    val a = graft.operators.Curation.langSample(spark, dir)
+    val b = graft.operators.Curation.langSample(spark, dir)
+    assert(a.collect().toSet === b.collect().toSet) // no RNG state
+    val rates = a.groupBy("lang").agg(first("rate").as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // alpha < 1 tempering: the dominant language is cut harder than the
+    // rarest one
+    assert(rates(head) < rates(tail),
+      s"head $head=${rates(head)} not below tail $tail=${rates(tail)}")
+    // overall kept mass lands near the budget (md5 coin is uniform)
+    val keptFrac = a.filter(col("keep")).count().toDouble / a.count()
+    assert(math.abs(keptFrac - graft.operators.Curation.SampleBudgetFrac)
+      < 0.15, s"kept fraction $keptFrac")
+  }
+
   test("ann_lsh results are a subset-quality approximation of bruteforce") {
     val exact = Ann.annBruteforce(spark, dir)
       .select(col("q_id"), col("cand_id")).collect()

@@ -16,6 +16,18 @@ class RelationalExtSpec extends AnyFunSuite {
     rows.foreach { r => assert(r.getBoolean(2), r.toString) }
   }
 
+  test("approx_percentile lands within the verdict bound of exact") {
+    val rows = graft.operators.RelationalExt
+      .aggApproxQuantile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"p50 out of bound: $r")
+      assert(r.getAs[Boolean]("p95_ok"), s"p95 out of bound: $r")
+      assert(r.getAs[Double]("p50_price") > 0.0)
+      assert(r.getAs[Double]("p95_price") >= r.getAs[Double]("p50_price"))
+    }
+  }
+
   test("cross join cardinality is |nation| x |region|") {
     assert(RelationalExt.joinCross(spark, dir).count() === 25L * 5L)
   }
