@@ -105,6 +105,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_segments" -> (Dedup.dedupSegments _),
+    "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
@@ -1054,6 +1056,87 @@ object SparkEntry {
           AS sum_price,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+    // dedup_segments: tokens, aligned slicing, the distinct-doc df count
+    // and the ordered filtered reassembly are all mirrorable; DuckDB's
+    // `//` is integer division (its `/` is float), and string_agg of an
+    // all-boilerplate doc coalesces to '' to match concat of empty.
+    "dedup_segments" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      seg AS (
+        SELECT doc_id, CAST(st // ${graft.operators.Dedup.SegTokens}
+            AS BIGINT) AS seg_idx,
+          array_to_string(
+            toks[st+1:st+${graft.operators.Dedup.SegTokens}], ' ') AS seg,
+          len(toks) - st >= ${graft.operators.Dedup.SegTokens} AS is_full
+        FROM t, unnest(range(0, len(toks),
+          ${graft.operators.Dedup.SegTokens})) AS u(st)
+        WHERE len(toks) > 0),
+      b AS (
+        SELECT seg FROM seg WHERE is_full GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= ${graft.operators.Dedup.SegMinDf}),
+      f AS (
+        SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NOT NULL AS is_boiler
+        FROM seg s LEFT JOIN b ON s.seg = b.seg)
+      SELECT doc_id, count(*) AS n_segs,
+        CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_boiler,
+        md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+          FILTER (WHERE NOT is_boiler), '')) AS clean_md5
+      FROM f GROUP BY doc_id""",
+    // fuzzy_join: deterministic md5-coin probe slice, reproducible
+    // one-char-deletion corruption, 3-gram blocking with the stop-gram
+    // cap, levenshtein verify, best-match window — all mirrorable.
+    "fuzzy_join" -> s"""
+      WITH cat AS (
+        SELECT min(p_partkey) AS cat_id, p_name AS cat_name
+        FROM part GROUP BY p_name),
+      probes AS (
+        SELECT p_partkey AS probe_id,
+          substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+            || substr(p_name,
+                 CAST(p_partkey % length(p_name) AS INT) + 2) AS probe_name
+        FROM part
+        WHERE substr(md5('fz:' || CAST(p_partkey AS VARCHAR)), 1, 8)
+          < '${graft.operators.EntityResolution.ProbeThreshold}'),
+      cg AS (
+        SELECT cat_id, cat_name, gram FROM (
+          SELECT cat_id, cat_name, unnest(list_distinct(
+            list_transform(range(1, greatest(length(cat_name)
+                - ${graft.operators.EntityResolution.GramQ - 1}, 1) + 1),
+              i -> substr(cat_name, CAST(i AS INT),
+                ${graft.operators.EntityResolution.GramQ})))) AS gram
+          FROM cat)
+        QUALIFY count(*) OVER (PARTITION BY gram)
+          <= ${graft.operators.EntityResolution.MaxGramBlock}),
+      pg AS (
+        SELECT probe_id, probe_name, unnest(list_distinct(
+          list_transform(range(1, greatest(length(probe_name)
+              - ${graft.operators.EntityResolution.GramQ - 1}, 1) + 1),
+            i -> substr(probe_name, CAST(i AS INT),
+              ${graft.operators.EntityResolution.GramQ})))) AS gram
+        FROM probes),
+      cand AS (
+        SELECT DISTINCT probe_id, probe_name, cat_id, cat_name
+        FROM pg JOIN cg USING (gram)),
+      scored AS (
+        SELECT probe_id, cat_id, cat_name,
+          CAST(levenshtein(probe_name, cat_name) AS BIGINT) AS lev
+        FROM cand
+        WHERE levenshtein(probe_name, cat_name)
+          <= ${graft.operators.EntityResolution.MaxEdit}),
+      best AS (
+        SELECT probe_id, cat_id, cat_name, lev,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY lev, cat_name) AS rk
+        FROM scored)
+      SELECT p.probe_id, p.probe_name, b.cat_name AS match_name, b.lev,
+        b.cat_name IS NOT NULL AS matched
+      FROM probes p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        USING (probe_id)""",
     // bloom_join: the bloom prefilter admits no false negatives (probe =
     // build arithmetic) and the exact join removes false positives, so
     // the result IS the plain join — the join_salted/agg_twophase oracle

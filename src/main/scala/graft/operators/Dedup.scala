@@ -724,6 +724,62 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  // -------------------------------------- cross-corpus segment dedup
+
+  /** Segment width in tokens for boilerplate removal. */
+  val SegTokens = 10
+
+  /** A full segment shared by at least this many DISTINCT docs is
+    * boilerplate (headers, navigation chrome, license blocks — the
+    * CCNet/RefinedWeb paragraph-dedup threshold, here at its floor
+    * because the synthetic corpus plants few copies).
+    */
+  val SegMinDf = 2
+
+  /** Cross-corpus segment-level dedup (CCNet/Falcon line-dedup shape,
+    * oracle-checked): documents are cut into aligned [[SegTokens]]-token
+    * segments; a FULL segment appearing in >= [[SegMinDf]] distinct docs
+    * is boilerplate and removed from every document; the output is the
+    * per-doc verdict (segment counts + md5 of the cleaned text). This is
+    * the dedup tier BETWEEN exact (whole-doc) and near-dup: it strips
+    * repeated content out of otherwise-unique documents.
+    *
+    * Scale shape: one shuffle to count distinct docs per segment (the
+    * segment key's cardinality grows with the corpus — no degenerate
+    * key), one shuffle-join of segments against the boilerplate set
+    * (both sides keyed on seg), one groupBy(doc_id) to reassemble.
+    * Tail segments shorter than [[SegTokens]] never enter the
+    * boilerplate set (a 1-token tail would match trivially), but are
+    * kept in the reassembled text.
+    */
+  def dedupSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = table(s, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n") - 1, lit(SegTokens))).as("st"),
+        col("toks"), col("n"))
+      .select(col("doc_id"),
+        (col("st") / SegTokens).cast("long").as("seg_idx"),
+        concat_ws(" ", slice(col("toks"), col("st") + 1, lit(SegTokens)))
+          .as("seg"),
+        (col("n") - col("st") >= SegTokens).as("full"))
+    val boiler = segs.filter(col("full"))
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SegMinDf)
+      .select(col("seg"))
+    segs.join(boiler.withColumn("is_boiler", lit(true)), Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("clean_md5"))
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -309,6 +309,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dedupSegments(spark, dir)
+    val rows = out.collect()
+    val nWithToks = docs.filter(length(trim(col("text"))) > 0).count()
+    assert(rows.length === nWithToks)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_segs"))
+      assert(r.getAs[String]("clean_md5").length === 32)
+    }
+    // the synthetic corpus plants cross-doc copies: boilerplate fires
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum > 0L)
+    // a doc with zero boilerplate keeps its original token stream
+    val clean = out.filter(col("n_boiler") === 0).limit(1)
+      .collect().headOption
+    clean.foreach { c =>
+      val did = c.getAs[Long]("doc_id")
+      val expected = docs.filter(col("doc_id") === did)
+        .select(md5(concat_ws(" ",
+          graft.functions.TextFunctions.tokens(col("text")))))
+        .collect()(0).getString(0)
+      assert(c.getAs[String]("clean_md5") === expected)
+    }
+  }
+
+  test("fuzzy_join: corrupted probes link back to their source entity") {
+    val out = graft.operators.EntityResolution.fuzzyJoin(spark, dir)
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("probe_id"), col("p_name"))
+    val joined = out.join(parts, "probe_id").collect()
+    assert(joined.nonEmpty)
+    val matched = joined.count(_.getAs[Boolean]("matched"))
+    assert(matched === joined.length,
+      s"only $matched of ${joined.length} probes matched")
+    // a single deletion is lev 1 from the source name; best-match should
+    // recover the original almost always (ties with another catalog name
+    // at equal distance are possible but rare)
+    val exact = joined.count(r =>
+      r.getAs[String]("match_name") == r.getAs[String]("p_name"))
+    assert(exact.toDouble / joined.length >= 0.9,
+      s"only $exact of ${joined.length} probes recovered their source")
+    joined.foreach(r => assert(r.getAs[Long]("lev") <=
+      graft.operators.EntityResolution.MaxEdit))
+  }
+
   test("lang_sample: tempered rates downsample the head, keep the tail") {
     val a = graft.operators.Curation.langSample(spark, dir)
     val b = graft.operators.Curation.langSample(spark, dir)
