@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_segments" -> (Dedup.dedupSegments _),
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
+    "zorder_layout" -> (Layout.zorderLayout _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
@@ -285,6 +286,27 @@ object SparkEntry {
       SELECT b.doc_id, ex.exact_dup_of, nd.near_dup_of, nd.best_hamming,
         (ex.exact_dup_of IS NULL AND nd.near_dup_of IS NULL) AS keep
       FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nd USING (doc_id)"""
+  }
+
+  /** zorder_layout oracle, generated from the same ZBits bound the Spark
+    * expression uses: the 32-term Morton shift/mask sum is mechanical,
+    * and DuckDB's lateral alias reuse lets zbucket derive from zval.
+    */
+  private def zorderOracleSql: String = {
+    import graft.operators.Layout.{ZBits, ZBucketShift}
+    val mask = (1L << ZBits) - 1L
+    val terms = (0 until ZBits).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("\n          + ")
+    s"""
+      WITH m AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          l_partkey & $mask AS x, l_suppkey & $mask AS y
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST($terms AS BIGINT) AS zval,
+        CAST(zval >> $ZBucketShift AS BIGINT) AS zbucket
+      FROM m"""
   }
 
   /** dedup_simhash oracle, generated: the 60 per-bit vote sums and the
@@ -496,6 +518,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "zorder_layout" -> zorderOracleSql,
     "ann_lsh" -> annLshOracleSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,

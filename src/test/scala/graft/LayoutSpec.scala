@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Z-order layout: Morton mapping round-trips, and each coarse bucket is
+  * a tight rectangle in BOTH key dimensions — the property that makes
+  * parquet min/max pruning fire for predicates on either key.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Reference de-interleave of the even/odd bit lanes. */
+  private def deinterleave(z: Long): (Long, Long) = {
+    var (a, b) = (0L, 0L)
+    (0 until Layout.ZBits).foreach { i =>
+      a |= ((z >> (2 * i)) & 1L) << i
+      b |= ((z >> (2 * i + 1)) & 1L) << i
+    }
+    (a, b)
+  }
+
+  test("zval de-interleaves back to (partkey, suppkey) low bits") {
+    val mask = (1L << Layout.ZBits) - 1L
+    Layout.zorderLayout(spark, dir).limit(2000).collect().foreach { r =>
+      val (a, b) = deinterleave(r.getAs[Long]("zval"))
+      assert(a === (r.getAs[Long]("l_partkey") & mask))
+      assert(b === (r.getAs[Long]("l_suppkey") & mask))
+    }
+  }
+
+  test("each zbucket spans a bounded rectangle in both dimensions") {
+    // bucket = top 10 interleaved bits = top 5 bits of each key, so
+    // within one bucket either key spans < 2^(ZBits-5) values
+    val span = 1L << (Layout.ZBits - 5)
+    val bad = Layout.zorderLayout(spark, dir)
+      .groupBy(col("zbucket"))
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("pk_span"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("sk_span"))
+      .filter(col("pk_span") >= span || col("sk_span") >= span)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("zorderWrite clusters: each range partition holds a contiguous z-range") {
+    import spark.implicits._
+    val parted = Layout.zorderWrite(Layout.zorderLayout(spark, dir), 8)
+      .select(col("zval"))
+      .mapPartitions(it => Iterator.single(
+        it.map(_.getLong(0)).foldLeft((Long.MaxValue, Long.MinValue, true,
+          Long.MinValue)) { case ((lo, hi, sorted, prev), z) =>
+          (math.min(lo, z), math.max(hi, z), sorted && z >= prev, z)
+        }))
+      .collect()
+      .filter(t => t._1 != Long.MaxValue)
+    // sorted within every partition
+    assert(parted.forall(_._3))
+    // partitions cover disjoint z-ranges
+    val ranges = parted.map(t => (t._1, t._2)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
