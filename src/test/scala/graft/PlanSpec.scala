@@ -39,6 +39,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("bloom_join: word-table probes broadcast; fact side unshuffled pre-filter") {
+    val p = plan("bloom_join")
+    // the k=3 probe joins against the 4096-word filter table must all be
+    // broadcast — a shuffle of the fact stream for a 32 KiB bitset would
+    // defeat the entire device
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3, p.take(1200))
+  }
+
+  test("zorder_layout is per-row: zero exchanges, inside codegen") {
+    val p = plan("zorder_layout")
+    assert(!p.contains("Exchange"), p.take(600))
+    // "*(1)" is the whole-stage-codegen span marker in toString output
+    assert(p.contains("*(1)"), p.take(600))
+  }
+
   test("q1_agg aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q1_agg")
     // two HashAggregate stages around one exchange = partial + final
