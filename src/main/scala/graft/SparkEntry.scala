@@ -108,6 +108,9 @@ object SparkEntry {
     "dedup_segments" -> (Dedup.dedupSegments _),
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "zorder_layout" -> (Layout.zorderLayout _),
+    "embedding_centroids" -> (Ann.embeddingCentroids _),
+    "heavy_hitters" -> (TextOps.heavyHitters _),
+    "sample_exact_k" -> ((s, d) => Curation.sampleExactK(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
@@ -1079,6 +1082,29 @@ object SparkEntry {
           AS sum_price,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+    // embedding_centroids: component sums go through DECIMAL(25,7) on
+    // both sides (order-independent addition — the dsum device for
+    // vectors) and are emitted as exact doubles; the mean is left to
+    // the consumer (sum/n) so no round-half boundary can diverge.
+    "embedding_centroids" -> """
+      SELECT label, CAST(i AS INT) AS dim, count(*) AS n,
+        CAST(sum(CAST(CAST(embedding[i+1] AS VARCHAR) AS DECIMAL(25,7)))
+          AS DOUBLE) AS sum_v
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+      GROUP BY label, dim""",
+    "heavy_hitters" -> s"""
+      WITH t AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> length(x) > 0)) AS token
+        FROM documents)
+      SELECT token, count(*) AS cnt FROM t GROUP BY token
+      ORDER BY cnt DESC, token
+      LIMIT ${graft.operators.TextOps.HeavyHittersK}""",
+    "sample_exact_k" -> s"""
+      SELECT doc_id, lang, md5('xk:' || CAST(doc_id AS VARCHAR)) AS coin
+      FROM documents ORDER BY coin, doc_id
+      LIMIT ${graft.operators.Curation.ExactSampleK}""",
     // dedup_segments: tokens, aligned slicing, the distinct-doc df count
     // and the ordered filtered reassembly are all mirrorable; DuckDB's
     // `//` is integer division (its `/` is float), and string_agg of an

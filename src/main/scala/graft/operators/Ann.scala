@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.{VectorFunctions => V}
 import graft.sources.Tables.table
 
@@ -221,4 +222,36 @@ object Ann {
         array_join(transform(col("q"), q => q.cast("string")), ",").as("q"),
         round(col("max_err"), 5).as("max_err"))
   }
+
+  /** Per-label embedding centroids (oracle-checked) — the vector
+    * aggregation behind SemDeDup-style semantic clustering, IVF coarse
+    * quantizer refresh, and per-source drift monitoring. One posexplode
+    * to (label, dim, v) then a (label, dim)-keyed aggregate: at 100 TB
+    * this is a single shuffle whose key cardinality is
+    * |labels| * dims — always small — with full map-side partial
+    * aggregation; no vector ever concatenates driver-side.
+    *
+    * Cross-engine device: component sums go through DECIMAL(25,7)
+    * (float32 carries <= 7 significant decimal digits, so the cast is
+    * exact-enough to agree between engines and decimal addition is
+    * order-independent — the Relational.dsum money trick applied to
+    * vectors). The emitted value is the SUM (exactly representable:
+    * scale-7 decimals of unit-range floats cast to double without
+    * rounding), not a rounded mean — dividing first and rounding after
+    * lands on round-half boundaries that double rounding resolves
+    * differently per engine; sum+count is boundary-free AND the
+    * partial-aggregate form a consumer merges anyway (mean = sum/n).
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        // float -> STRING -> decimal: both engines print the shortest
+        // round-trip decimal for a float32 and parse it identically, so
+        // the scale-7 value is bit-agreed; a direct float->decimal cast
+        // goes through each engine's own double expansion and diverges
+        // in the 7th place
+        sum(col("v").cast("string").cast(DecimalType(25, 7)))
+          .cast("double").as("sum_v"))
 }

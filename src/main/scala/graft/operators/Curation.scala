@@ -228,6 +228,30 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("split"))
   }
 
+  /** Exact sample size for [[sampleExactK]]. */
+  val ExactSampleK = 200
+
+  /** Deterministic EXACT-size uniform sample (oracle-checked): the k
+    * documents with the smallest salted md5 coins. Fraction-threshold
+    * sampling ([[sampleStratified]]) only hits its target size in
+    * expectation; when the contract is "exactly k rows" (eval carves,
+    * fixed-budget annotation batches), the order statistic is the
+    * device. Coins are distinct with overwhelming probability and
+    * doc_id breaks any tie, so the selected set is unique and
+    * reproducible on any engine or cluster size.
+    *
+    * Scale shape: orderBy(...).limit(k) plans TakeOrderedAndProject —
+    * each task keeps its local top-k and the driver merges k-sized
+    * heaps; the corpus is never globally sorted (PlanSpec pins this).
+    */
+  def sampleExactK(s: SparkSession, dir: String,
+                   k: Int = ExactSampleK): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("xk:"), col("doc_id").cast("string"))).as("coin"))
+      .orderBy(col("coin"), col("doc_id"))
+      .limit(k)
+
   // --------------------------------------- temperature-balanced sampling
 
   /** Mixture temperature: sampling weight w_l = c_l^alpha (alpha < 1

@@ -148,18 +148,19 @@ object RelationalExt {
   def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // array form: ONE exact and ONE sketch accumulator per group for
+      // both quantiles, instead of two of each
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-        expr("percentile(l_extendedprice, 0.95)").as("ex95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("ap"))
       .select(col("l_returnflag"),
-        round(col("ex50"), 4).as("p50_price"),
-        round(col("ex95"), 4).as("p95_price"),
-        (abs(col("ap50") - col("ex50")) / col("ex50") <= QuantileErrBound)
-          .as("p50_ok"),
-        (abs(col("ap95") - col("ex95")) / col("ex95") <= QuantileErrBound)
-          .as("p95_ok"))
+        round(col("ex").getItem(0), 4).as("p50_price"),
+        round(col("ex").getItem(1), 4).as("p95_price"),
+        (abs(col("ap").getItem(0) - col("ex").getItem(0)) /
+          col("ex").getItem(0) <= QuantileErrBound).as("p50_ok"),
+        (abs(col("ap").getItem(1) - col("ex").getItem(1)) /
+          col("ex").getItem(1) <= QuantileErrBound).as("p95_ok"))
 
   /** Date/time function class (README.md:49 "time types" unsupported in
     * the reference): extraction, arithmetic, truncation, formatting.

@@ -120,4 +120,23 @@ object TextOps {
           coalesce(col("dup5_frac") <= DupFivegramMax, lit(true)))
           .as("keep"))
   }
+
+  /** Heavy hitters to keep. */
+  val HeavyHittersK = 50
+
+  /** Corpus-level frequent tokens (oracle-checked): the vocabulary
+    * heavy-hitter mine behind stopword-list induction, tokenizer vocab
+    * audits, and spam-token detection. Shape is the 100 TB-safe one:
+    * explode -> map-side partial count -> one shuffle keyed by token
+    * (cardinality grows with the vocabulary, no degenerate key) ->
+    * TakeOrderedAndProject for the top K — the full count table is
+    * never globally sorted and never collected.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(HeavyHittersK)
 }

@@ -354,6 +354,51 @@ class PipelineSpec extends AnyFunSuite {
       graft.operators.EntityResolution.MaxEdit))
   }
 
+  test("embedding_centroids: decimal means match a locally computed mean") {
+    val out = graft.operators.Ann.embeddingCentroids(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val labels = emb.select(countDistinct(col("label"))).first().getLong(0)
+    assert(out.count() === labels * dims)
+    // pick one (label, dim) cell and recompute its mean driver-side
+    val l0 = emb.select(min(col("label"))).first().getInt(0)
+    val vs = emb.filter(col("label") === l0)
+      .select(col("embedding").getItem(0)).collect().map(_.getFloat(0))
+    val expected = vs.map(v => BigDecimal(v.toString)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val row = out.filter(col("label") === l0 && col("dim") === 0).first()
+    assert(row.getAs[Long]("n") === vs.length.toLong)
+    assert(row.getAs[Double]("sum_v") === expected,
+      s"got ${row.getAs[Double]("sum_v")} want $expected")
+  }
+
+  test("heavy_hitters: k rows, non-increasing counts, true top token") {
+    val out = graft.operators.TextOps.heavyHitters(spark, dir).collect()
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("t")).distinct().count()
+    assert(out.length ===
+      math.min(graft.operators.TextOps.HeavyHittersK.toLong, vocab))
+    val counts = out.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val trueTop = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("t")).groupBy("t").count()
+      .orderBy(col("count").desc).first()
+    assert(out.head.getAs[String]("token") === trueTop.getString(0))
+    assert(counts.head === trueTop.getLong(1))
+  }
+
+  test("sample_exact_k: exactly k rows, deterministic, coin-ordered") {
+    val a = graft.operators.Curation.sampleExactK(spark, dir).collect()
+    val b = graft.operators.Curation.sampleExactK(spark, dir).collect()
+    assert(a.length === graft.operators.Curation.ExactSampleK)
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq ===
+      b.map(_.getAs[Long]("doc_id")).toSeq)
+    val coins = a.map(_.getAs[String]("coin"))
+    assert(coins.zip(coins.tail).forall { case (x, y) => x <= y })
+  }
+
   test("lang_sample: tempered rates downsample the head, keep the tail") {
     val a = graft.operators.Curation.langSample(spark, dir)
     val b = graft.operators.Curation.langSample(spark, dir)

@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p.take(600))
   }
 
+  test("sample_exact_k / heavy_hitters take local top-k, never global sort") {
+    val p1 = plan("sample_exact_k")
+    assert(p1.contains("TakeOrderedAndProject"), p1.take(400))
+    assert(!p1.toLowerCase.contains("rangepartitioning"), p1.take(400))
+    val p2 = plan("heavy_hitters")
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(600))
+    // token counts combine map-side before the one shuffle
+    assert(p2.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, p2.take(800))
+  }
+
   test("q1_agg aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q1_agg")
     // two HashAggregate stages around one exchange = partial + final
