@@ -109,6 +109,8 @@ object SparkEntry {
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "embedding_centroids" -> (Ann.embeddingCentroids _),
+    "unpivot_melt" -> (RelationalExt.unpivotMelt _),
+    "merge_upsert" -> (RelationalExt.mergeUpsert _),
     "heavy_hitters" -> (TextOps.heavyHitters _),
     "sample_exact_k" -> ((s, d) => Curation.sampleExactK(s, d)),
     "ann_bruteforce" -> (Ann.annBruteforce _),
@@ -1092,6 +1094,46 @@ object SparkEntry {
           AS DOUBLE) AS sum_v
       FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
       GROUP BY label, dim""",
+    "unpivot_melt" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey,
+        'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, l_partkey,
+        'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, l_partkey,
+        'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, l_partkey,
+        'l_tax', l_tax FROM lineitem""",
+    // merge_upsert: deterministic md5-coin batch (price adjustment by
+    // exact double addition — no rounding boundary), full-outer
+    // coalesce, op verdict; all mirrorable.
+    "merge_upsert" -> s"""
+      WITH up AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE substr(md5('mg:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+          < '${graft.operators.RelationalExt.MergeUpdateThreshold}'),
+      ins AS (
+        SELECT o_orderkey + ${graft.operators.RelationalExt.MergeKeyShift}
+            AS o_orderkey,
+          o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          o_orderpriority
+        FROM orders
+        WHERE substr(md5('mg:' || CAST(o_orderkey
+            + ${graft.operators.RelationalExt.MergeKeyShift} AS VARCHAR)),
+          1, 8) < '${graft.operators.RelationalExt.MergeInsertThreshold}'),
+      u AS (SELECT * FROM up UNION ALL SELECT * FROM ins)
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+        coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        strftime(coalesce(u.o_orderdate, b.o_orderdate), '%Y-%m-%d')
+          AS o_orderdate,
+        coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+        CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+             WHEN u.o_orderkey IS NULL THEN 'keep'
+             ELSE 'update' END AS op
+      FROM orders b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""",
     "heavy_hitters" -> s"""
       WITH t AS (
         SELECT unnest(list_filter(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Relational.dsum
@@ -238,6 +238,72 @@ object RelationalExt {
       .agg(sum(col("l_quantity")))
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n",
         "R" -> "qty_r"))
+
+  /** Unpivot/melt — the inverse of [[pivotAgg]]: wide metric columns to
+    * (metric, value) rows. Per-row generator (Catalyst Expand), no
+    * shuffle — at 100 TB this is the normalization pass before a
+    * metric-keyed aggregation or export, and it runs at scan speed.
+    */
+  def unpivotMelt(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+
+  /** MERGE/upsert — the daily-ingest shape Delta/Iceberg call MERGE
+    * INTO, composed from Spark primitives: base FULL OUTER JOIN batch on
+    * the key, per-column coalesce toward the batch side, and an op
+    * verdict (update/insert/keep). The batch here is deterministic so
+    * the whole merge is oracle-checkable: an md5-coin slice of orders
+    * gets a price adjustment (update tier) and a second slice re-enters
+    * under shifted keys (insert tier).
+    *
+    * Scale shape: ONE shuffle of each side on the merge key — exactly
+    * what a sort-merge MERGE does at 100 TB. No broadcast (the batch may
+    * be large), no driver-side state; the op column makes the result
+    * auditable and the writer idempotent (re-running the merge with the
+    * same batch is a fixpoint).
+    */
+  val MergeUpdateThreshold = "20000000" // ~12.5% of keys updated
+  val MergeInsertThreshold = "10000000" // ~6.25% re-keyed as inserts
+  val MergeKeyShift = 100000000L
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = table(s, dir, "orders")
+    def coin(c: Column): Column =
+      substring(md5(concat(lit("mg:"), c.cast("string"))), 1, 8)
+    val updates = orders
+      .filter(coin(col("o_orderkey")) < MergeUpdateThreshold)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), (col("o_totalprice") + 10.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val inserts = orders
+      .filter(coin(col("o_orderkey") + MergeKeyShift)
+        < MergeInsertThreshold)
+      .select((col("o_orderkey") + MergeKeyShift).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val batch = updates.unionByName(inserts)
+    val b = orders.as("b")
+    val u = batch.as("u")
+    b.join(u, col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("u.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        coalesce(col("u.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("u.o_totalprice"), col("b.o_totalprice"))
+          .as("o_totalprice"),
+        date_format(coalesce(col("u.o_orderdate"), col("b.o_orderdate")),
+          "yyyy-MM-dd").as("o_orderdate"),
+        coalesce(col("u.o_orderpriority"), col("b.o_orderpriority"))
+          .as("o_orderpriority"),
+        when(col("b.o_orderkey").isNull, "insert")
+          .when(col("u.o_orderkey").isNull, "keep")
+          .otherwise("update").as("op"))
+  }
 
   /** TPC-H Q5-shaped 6-table join: local-supplier revenue per nation in a
     * region. Dims broadcast; the two fact joins shuffle on their own keys;

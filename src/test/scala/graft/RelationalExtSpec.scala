@@ -28,6 +28,38 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivot_melt emits one row per (row, metric)") {
+    val out = graft.operators.RelationalExt.unpivotMelt(spark, dir)
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.count() === n * 4)
+    assert(out.select("metric").distinct().collect().map(_.getString(0))
+      .toSet === Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax"))
+  }
+
+  test("merge_upsert: updates adjust, inserts add, keeps pass through") {
+    val out = graft.operators.RelationalExt.mergeUpsert(spark, dir)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    val nBase = base.count()
+    val byOp = out.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("update", 0L) > 0L)
+    assert(byOp.getOrElse("insert", 0L) > 0L)
+    assert(byOp.getOrElse("update", 0L) + byOp.getOrElse("keep", 0L)
+      === nBase)
+    assert(out.count() === nBase + byOp("insert"))
+    // an updated row carries exactly the +10.0 adjustment
+    val sample = out.filter(col("op") === "update").limit(1).collect()(0)
+    val orig = base.filter(col("o_orderkey") ===
+      sample.getAs[Long]("o_orderkey")).collect()(0)
+    assert(sample.getAs[Double]("o_totalprice") ===
+      orig.getAs[Double]("o_totalprice") + 10.0)
+    // inserted keys live above the shift and never collide with base
+    val minIns = out.filter(col("op") === "insert")
+      .agg(min("o_orderkey")).collect()(0).getLong(0)
+    assert(minIns >= graft.operators.RelationalExt.MergeKeyShift)
+  }
+
   test("cross join cardinality is |nation| x |region|") {
     assert(RelationalExt.joinCross(spark, dir).count() === 25L * 5L)
   }
