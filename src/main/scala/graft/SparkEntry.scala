@@ -55,6 +55,7 @@ object SparkEntry {
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
     "events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
     "events_enrich" -> (graft.streaming.EventStreams.eventsEnrich _),
+    "events_funnel" -> (graft.streaming.EventStreams.eventsFunnel _),
     // --- second tranche: remaining joins, windows, aggregates, functions ---
     "join_cross" -> (RelationalExt.joinCross _),
     "join_right" -> (RelationalExt.joinRight _),
@@ -1253,6 +1254,28 @@ object SparkEntry {
         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       FROM y GROUP BY user_id, session_id""",
+    "events_funnel" -> """
+      WITH w1 AS (
+        SELECT user_id, event_type, ts,
+          min(CASE WHEN event_type = 'signup' THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+        FROM events),
+      w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1
+            THEN ts END) OVER (PARTITION BY user_id) AS t2
+        FROM w1),
+      w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+            THEN ts END) OVER (PARTITION BY user_id) AS t3
+        FROM w2)
+      SELECT user_id,
+        strftime(min(t1), '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        strftime(min(t2), '%Y-%m-%d %H:%M:%S') AS view_ts,
+        strftime(min(t3), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        (CASE WHEN min(t1) IS NULL THEN 0 ELSE 1 END +
+         CASE WHEN min(t2) IS NULL THEN 0 ELSE 1 END +
+         CASE WHEN min(t3) IS NULL THEN 0 ELSE 1 END) AS stage
+      FROM w3 GROUP BY user_id""",
     "events_attribution" -> """
       SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id, b.value
       FROM events v, events b

@@ -183,4 +183,35 @@ object EventStreams {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
+
+  /** Ordered funnel per user (oracle-checked): signup -> first view at
+    * or after it -> first purchase at or after that; emits the stage
+    * reached and each stage's timestamp. Expressed as three stacked
+    * full-partition window minimums over ONE user_id shuffle — each
+    * stage's condition references the previous stage's column, so no
+    * self-joins, and the closing per-user aggregate reuses the window's
+    * partitioning (no second exchange). The standard product-analytics
+    * funnel, shaped for a corpus where one user's history always fits a
+    * partition but the user count is unbounded.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("t1", min(when(col("event_type") === "signup",
+        col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" &&
+        col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t2"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        date_format(min(col("t1")), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        date_format(min(col("t2")), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(min(col("t3")), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts"),
+        (when(min(col("t1")).isNull, 0).otherwise(1) +
+          when(min(col("t2")).isNull, 0).otherwise(1) +
+          when(min(col("t3")).isNull, 0).otherwise(1)).as("stage"))
+  }
 }

@@ -150,4 +150,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch - streamedClosed <= users)
     } finally q.stop()
   }
+
+  test("events_funnel: stages ordered, timestamps monotone, one user audited") {
+    import org.apache.spark.sql.functions._
+    val rows = EventStreams.eventsFunnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getAs[Int]("stage")
+      assert(stage >= 0 && stage <= 3)
+      val ts = Seq("signup_ts", "view_ts", "purchase_ts")
+        .map(c => Option(r.getAs[String](c)))
+      // stage counts exactly the reached prefix, and reached stages are
+      // present in time order
+      assert(ts.count(_.isDefined) === stage)
+      assert(ts.takeWhile(_.isDefined) === ts.filter(_.isDefined))
+      val reached = ts.flatten
+      assert(reached.zip(reached.tail).forall { case (a, b) => a <= b })
+    }
+    // audit one stage-3 user against a direct recompute
+    rows.find(_.getAs[Int]("stage") === 3).foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val ev = graft.sources.Tables.events(spark, dir)
+        .filter(col("user_id") === uid)
+        .select(col("event_type"), col("ts")).collect()
+        .map(x => (x.getString(0), x.getTimestamp(1)))
+      val t1 = ev.filter(_._1 == "signup").map(_._2).min
+      val t2 = ev.filter(e => e._1 == "view" && !e._2.before(t1))
+        .map(_._2).min
+      val t3 = ev.filter(e => e._1 == "purchase" && !e._2.before(t2))
+        .map(_._2).min
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      assert(r.getAs[String]("signup_ts") === fmt.format(t1))
+      assert(r.getAs[String]("view_ts") === fmt.format(t2))
+      assert(r.getAs[String]("purchase_ts") === fmt.format(t3))
+    }
+  }
 }
