@@ -55,6 +55,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p.take(600))
   }
 
+  test("fuzzy_join: candidates come from the gram equi-join, never a cross product") {
+    val p = plan("fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("merge_upsert: key-shuffled merge join, no corpus broadcast") {
+    val p = plan("merge_upsert")
+    // both sides may be large at 100 TB: the full-outer merge must be a
+    // shuffle join (SMJ or shuffled hash), not a broadcast
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin FullOuter"), p.take(1200))
+  }
+
   test("sample_exact_k / heavy_hitters take local top-k, never global sort") {
     val p1 = plan("sample_exact_k")
     assert(p1.contains("TakeOrderedAndProject"), p1.take(400))
