@@ -44,6 +44,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("property: zInterleave round-trips arbitrary key pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val mask = (1L << Layout.ZBits) - 1L
+    val pairs = Seq.fill(500)((rnd.nextLong().abs, rnd.nextLong().abs))
+    val df = pairs.toDF("a", "b").select(col("a"), col("b"),
+      Layout.zInterleave(col("a").bitwiseAND(lit(mask)),
+        col("b").bitwiseAND(lit(mask))).as("z"))
+    df.collect().foreach { r =>
+      val (a, b) = deinterleave(r.getAs[Long]("z"))
+      assert(a === (r.getAs[Long]("a") & mask))
+      assert(b === (r.getAs[Long]("b") & mask))
+    }
+  }
+
   test("zorderWrite clusters: each range partition holds a contiguous z-range") {
     import spark.implicits._
     val parted = Layout.zorderWrite(Layout.zorderLayout(spark, dir), 8)

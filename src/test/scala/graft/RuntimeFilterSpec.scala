@@ -48,6 +48,21 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"false positives ${nPass - nTrue} exceed 1% of $nFact")
   }
 
+  test("property: arbitrary key sets never produce a false negative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // adversarial-ish keys: negatives, zero, near-collisions, huge values
+    val keys = (Seq(0L, -1L, Long.MaxValue, Long.MinValue + 1) ++
+      Seq.fill(300)(rnd.nextLong())).distinct
+    val dim = keys.toDF("k")
+    val words = RuntimeFilter.bloomBuild(dim, "k")
+    val probes = (keys ++ Seq.fill(300)(rnd.nextLong())).distinct.toDF("k")
+    val passed = RuntimeFilter.bloomMightContain(probes, "k", words)
+      .collect().map(_.getLong(0)).toSet
+    // every inserted key passes, regardless of sign or magnitude
+    keys.foreach(k => assert(passed.contains(k), s"false negative on $k"))
+  }
+
   test("bloom word table stays tiny (broadcastable at any corpus size)") {
     val dim = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"))
