@@ -56,6 +56,9 @@ object SparkEntry {
     "events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
     "events_enrich" -> (graft.streaming.EventStreams.eventsEnrich _),
     "events_funnel" -> (graft.streaming.EventStreams.eventsFunnel _),
+    "events_retention" -> (graft.streaming.EventStreams.eventsRetention _),
+    "length_filter" -> (Curation.lengthFilter _),
+    "skew_diagnose" -> (Skew.skewDiagnose _),
     // --- second tranche: remaining joins, windows, aggregates, functions ---
     "join_cross" -> (RelationalExt.joinCross _),
     "join_right" -> (RelationalExt.joinRight _),
@@ -315,6 +318,26 @@ object SparkEntry {
       FROM m"""
   }
 
+  /** skew_diagnose oracle, generated per profiled key column from the
+    * same Skew.SkewKeyCols list; arg-max tie-break mirrored with an
+    * ORDER BY c DESC, k LIMIT 1 subquery.
+    */
+  private def skewDiagnoseOracleSql: String =
+    graft.operators.Skew.SkewKeyCols.map { k =>
+      s"""
+      SELECT '$k' AS key_col, n_keys, n_rows, max_cnt, top_key,
+        round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+          AS top_share, p50_cnt, p99_cnt
+      FROM (
+        SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+          max(c) AS max_cnt,
+          (SELECT kk FROM (SELECT $k AS kk, count(*) AS c FROM lineitem
+             GROUP BY 1) ORDER BY c DESC, kk LIMIT 1) AS top_key,
+          round(quantile_cont(c, 0.5), 4) AS p50_cnt,
+          round(quantile_cont(c, 0.99), 4) AS p99_cnt
+        FROM (SELECT $k AS kk, count(*) AS c FROM lineitem GROUP BY 1))"""
+    }.mkString("\n      UNION ALL\n")
+
   /** dedup_simhash oracle, generated: the 60 per-bit vote sums and the
     * bit packing are mechanical, so they are emitted by the same loop
     * bounds the Spark query uses (Dedup.SimhashBits/SimhashChunks). The
@@ -525,6 +548,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "zorder_layout" -> zorderOracleSql,
+    "skew_diagnose" -> skewDiagnoseOracleSql,
+    "events_retention" -> """
+      WITH cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+          AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+          AS week
+        FROM events),
+      j AS (
+        SELECT a.user_id, c.cohort_week,
+          CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT)
+            AS offset_weeks
+        FROM activity a JOIN cohorts c USING (user_id)
+        WHERE a.week >= c.cohort_week)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        offset_weeks, count(DISTINCT user_id) AS n_users
+      FROM j GROUP BY cohort_week, offset_weeks""",
+    "length_filter" -> s"""
+      WITH b AS (
+        SELECT lang,
+          round(quantile_cont(n_chars,
+            ${graft.operators.Curation.LengthLowQ}), 4) AS p05,
+          round(quantile_cont(n_chars,
+            ${graft.operators.Curation.LengthHighQ}), 4) AS p95
+        FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang, n_chars, p05, p95,
+        (n_chars >= p05 AND n_chars <= p95) AS keep
+      FROM documents d JOIN b USING (lang)""",
     "ann_lsh" -> annLshOracleSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,

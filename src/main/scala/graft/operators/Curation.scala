@@ -228,6 +228,35 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("split"))
   }
 
+  /** Robust-statistics length filter (oracle-checked): per-language
+    * exact p05/p95 bounds on n_chars, documents outside the band
+    * dropped — the outlier-trimming pass (truncated/garbled ingest on
+    * the short side, concatenation accidents on the long side) that
+    * runs before any content-quality model. Bounds are computed FROM
+    * the corpus per stratum, not configured.
+    *
+    * Scale shape: one |languages|-row percentile aggregate (map-side
+    * partials; the GK-sketch variant of the same query is
+    * agg_approx_quantile's device if exact percentiles get expensive),
+    * broadcast back; the verdict is per-row at scan speed.
+    */
+  val LengthLowQ = 0.05
+  val LengthHighQ = 0.95
+
+  def lengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bounds = docs.groupBy(col("lang"))
+      .agg(expr(s"percentile(n_chars, array($LengthLowQ, $LengthHighQ))")
+        .as("pq"))
+      .select(col("lang"), round(col("pq").getItem(0), 4).as("p05"),
+        round(col("pq").getItem(1), 4).as("p95"))
+    docs.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("p05"), col("p95"),
+        (col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+          .as("keep"))
+  }
+
   /** Exact sample size for [[sampleExactK]]. */
   val ExactSampleK = 200
 

@@ -58,4 +58,40 @@ object Skew {
       .agg(sum(col("pq")).as("sum_qty"),
         sum(col("pp")).cast("double").as("sum_price"),
         sum(col("pn")).as("n"))
+
+  /** Key-skew diagnostics (oracle-checked): the profile you run BEFORE
+    * choosing a join strategy at 100 TB — per candidate join key, the
+    * distinct-key count, the heaviest key and its share of all rows,
+    * and count percentiles. A top-share near 1/parallelism or above
+    * means the plain shuffle join stalls on one reducer and
+    * [[saltedJoin]]/AQE skew splitting is warranted; the reference has
+    * no planner statistics at all (SURVEY §4.2).
+    *
+    * Shape: per-key counts (map-side combine, key cardinality grows
+    * with data) then a percentile aggregate per key COLUMN — output is
+    * one row per profiled column. min_by/arg-min tie-break on the key
+    * value keeps the heaviest-key column deterministic.
+    */
+  val SkewKeyCols: Seq[String] = Seq("l_suppkey", "l_partkey", "l_orderkey")
+
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    def profile(keyCol: String): org.apache.spark.sql.DataFrame =
+      li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+        // lexicographic struct max = arg-max on count with LOWEST key as
+        // the deterministic tie-break (keys are non-negative, so -k
+        // orders them reversed)
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(struct(col("c").as("c"), (-col("k")).as("nk"))).as("m"),
+          round(expr("percentile(c, 0.5)"), 4).as("p50_cnt"),
+          round(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))
+        .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+          col("m.c").as("max_cnt"), (-col("m.nk")).as("top_key"),
+          round(col("m.c").cast("double") / col("n_rows").cast("double"),
+            6).as("top_share"),
+          col("p50_cnt"), col("p99_cnt"))
+    SkewKeyCols.map(profile).reduce(_.unionByName(_))
+  }
 }

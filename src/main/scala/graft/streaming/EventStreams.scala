@@ -184,6 +184,35 @@ object EventStreams {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** Weekly cohort retention (oracle-checked): users are cohorted by the
+    * Monday-truncated week of their first signup; every later active
+    * week counts them at offset (week - cohort_week)/7. The
+    * product-analytics retention matrix, all in relational algebra: one
+    * user-keyed aggregate for cohorts, a co-partitioned join back to
+    * the activity stream (same user_id key — no extra exchange of the
+    * big side beyond its week dedup), and a distinct-count on the tiny
+    * (cohort, offset) key. Offsets are exact integers because both
+    * truncations share the same Monday anchor.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date")
+        .as("cohort_week"))
+    val activity = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    activity.join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("offset_weeks"))
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+        .as("cohort_week"), col("offset_weeks"), col("n_users"))
+  }
+
   /** Ordered funnel per user (oracle-checked): signup -> first view at
     * or after it -> first purchase at or after that; emits the stage
     * reached and each stage's timestamp. Expressed as three stacked

@@ -33,6 +33,34 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(two.except(one).count() === 0L && one.except(two).count() === 0L)
   }
 
+  test("skew_diagnose profiles every key column with a verifiable top key") {
+    val rows = Skew.skewDiagnose(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("key_col")).toSeq ===
+      Skew.SkewKeyCols)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      val share = r.getAs[Double]("top_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // audit l_suppkey's top key against a direct recompute
+    val expect = li.groupBy("l_suppkey").count()
+      .orderBy(col("count").desc, col("l_suppkey")).first()
+    val got = rows.find(_.getAs[String]("key_col") == "l_suppkey").get
+    assert(got.getAs[Long]("top_key") === expect.getLong(0))
+    assert(got.getAs[Long]("max_cnt") === expect.getLong(1))
+  }
+
+  test("length_filter keeps the central band per language") {
+    val out = graft.operators.Curation.lengthFilter(spark, dir)
+    val frac = out.filter(col("keep")).count().toDouble / out.count()
+    assert(frac >= 0.8 && frac <= 0.95, s"keep fraction $frac")
+    out.select("lang", "p05", "p95").distinct().collect().foreach { r =>
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+    }
+  }
+
   test("extensions inject rabin functions into plain spark.sql") {
     // TestSession is built withExtensions(GraftExtensions) and never calls
     // GraftFunctions.register — resolution proves the injection path.

@@ -151,6 +151,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events_retention: offset-0 covers each cohort; later offsets shrink") {
+    import org.apache.spark.sql.functions._
+    val ret = EventStreams.eventsRetention(spark, dir)
+    val rows = ret.collect()
+    assert(rows.nonEmpty)
+    val at0 = rows.filter(_.getAs[Int]("offset_weeks") === 0)
+      .map(r => r.getAs[String]("cohort_week") -> r.getAs[Long]("n_users"))
+      .toMap
+    // a user is active in their signup week by definition, so offset 0
+    // equals the cohort size and every later offset is a subset of it
+    val cohortSizes = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd")
+        .as("cw"))
+      .groupBy("cw").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at0 === cohortSizes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <=
+        at0(r.getAs[String]("cohort_week")))
+    }
+  }
+
   test("events_funnel: stages ordered, timestamps monotone, one user audited") {
     import org.apache.spark.sql.functions._
     val rows = EventStreams.eventsFunnel(spark, dir).collect()
