@@ -44,16 +44,28 @@ object RuntimeFilter {
   val BloomBits: Long = 1L << 18
   val BloomK = 3
 
-  /** Probe j's bit position for a key: first 15 md5 hex chars (60 bits)
-    * of "j:key" as a long, mod m. One md5 per probe keeps every position
-    * independent (k salted hashes, not Kirsch–Mitzenmacher, because k is
-    * tiny and this stays trivially SQL-mirrorable).
+  /** Probe positions via Kirsch–Mitzenmacher: ONE md5 per key yields
+    * h1/h2 (two overlapping 32-bit slices of its 60-bit prefix, h2
+    * forced odd) and pos_j = (h1 + j*h2) mod m — k positions for one
+    * hash evaluation, the same family dedup_minhash's 64-member
+    * signature uses. On a 100 TB fact scan the md5 is the dominant
+    * per-row cost, so this is a direct k-fold cut; Catalyst's
+    * subexpression elimination computes the shared md5 once even after
+    * projection collapse.
     */
-  def bloomPos(j: Int, key: Column): Column =
-    pmod(
-      conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 15),
-        16, 10).cast("long"),
-      lit(BloomBits))
+  private val KmMask = (1L << 32) - 1L
+
+  def bloomHashes(key: Column): (Column, Column) = {
+    val p = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    (shiftright(p, 28).bitwiseAND(lit(KmMask)),
+      p.bitwiseAND(lit(KmMask)).bitwiseOR(lit(1L)))
+  }
+
+  def bloomPos(j: Int, key: Column): Column = {
+    val (h1, h2) = bloomHashes(key)
+    pmod(h1 + lit(j.toLong) * h2, lit(BloomBits))
+  }
 
   /** Build the filter as a (word_idx, word) table — the bitset as ≤ 4096
     * 64-bit words. One cheap shuffle of the (already predicate-reduced)
