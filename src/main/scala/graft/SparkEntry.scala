@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_segments" -> (Dedup.dedupSegments _),
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "embedding_centroids" -> (Ann.embeddingCentroids _),
@@ -316,6 +317,62 @@ object SparkEntry {
         CAST($terms AS BIGINT) AS zval,
         CAST(zval >> $ZBucketShift AS BIGINT) AS zbucket
       FROM m"""
+  }
+
+  /** dedup_containment oracle, generated from the same constants
+    * (gram width, df cap, threshold, and the shared prefix-fraction
+    * LITERAL — see Dedup.ContainPrefixFrac for why it must be the same
+    * token in both engines).
+    */
+  private def dedupContainmentOracleSql: String = {
+    import graft.operators.Dedup.{ContainThreshold, ContainPrefixFrac,
+      ContainGramLen, MaxContainDf}
+    val q = ContainGramLen
+    s"""
+      WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS s FROM documents),
+      g AS (
+        SELECT doc_id, gram FROM (
+          SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), $q) AS gram
+          FROM t, unnest(range(1, greatest(length(s) - ${q - 1}, 0) + 1))
+            AS u(i))
+        WHERE substr(md5(gram), 1, 1) IN ('0', '1', '2', '3')),
+      gd0 AS (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df,
+          count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g),
+      gd AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY df, gram) AS rn
+        FROM gd0),
+      pref AS (
+        SELECT * FROM gd
+        WHERE rn <= floor(n * $ContainPrefixFrac) + 1
+          AND df <= $MaxContainDf),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a, a.n AS na, b.doc_id AS b
+        FROM pref a JOIN (SELECT doc_id, gram, n FROM gd
+          WHERE df <= $MaxContainDf) b USING (gram)
+        WHERE a.doc_id <> b.doc_id
+          AND CAST(b.n AS DOUBLE) >= CAST(a.n AS DOUBLE)
+            * $ContainThreshold),
+      ver AS (
+        SELECT c.a, c.b, c.na, count(*) AS inter
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.a
+        JOIN g gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+        GROUP BY c.a, c.b, c.na),
+      vq AS (
+        SELECT a AS doc_id, min(b) AS contained_in,
+          round(max(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)), 4)
+            AS best_cont
+        FROM ver
+        WHERE CAST(inter AS DOUBLE) >= CAST(na AS DOUBLE)
+          * $ContainThreshold
+        GROUP BY a)
+      SELECT d.doc_id, contained_in, best_cont,
+        contained_in IS NULL AS keep
+      FROM documents d LEFT JOIN vq USING (doc_id)"""
   }
 
   /** skew_diagnose oracle, generated per profiled key column from the
@@ -549,6 +606,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "zorder_layout" -> zorderOracleSql,
     "skew_diagnose" -> skewDiagnoseOracleSql,
+    "dedup_containment" -> dedupContainmentOracleSql,
     "events_retention" -> """
       WITH cohorts AS (
         SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)

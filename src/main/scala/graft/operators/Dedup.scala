@@ -724,6 +724,116 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  // ------------------------------- prefix-filtered containment join
+
+  /** Containment threshold: flag A when >= this fraction of A's grams
+    * appear in some other document B.
+    */
+  val ContainThreshold = 0.8
+
+  /** Prefix fraction = 1 - threshold, as ONE literal used verbatim by
+    * both engines: Scala's `1 - 0.8` and SQL's `0.2` are different
+    * doubles, and floor(n * frac) at the boundary would then disagree
+    * on prefix sizes (and thus candidates) between the engines.
+    */
+  val ContainPrefixFrac = "0.2"
+
+  /** Character width of containment grams: on this vocabulary-dense
+    * text, gram df collapses with width (p50 df: 52 at 4 chars, 1 at
+    * 12) and candidate volume with it — measured at sf0.1, width 16
+    * generates 128x fewer candidate pairs than width 12 (1.6k vs 205k)
+    * while flagging the same containments (510 vs 511). Selectivity of
+    * the prefix filter IS the scale knob.
+    */
+  val ContainGramLen = 16
+
+  /** Grams with document frequency above this never generate candidate
+    * pairs (the stop-gram/IDF cut every blocker here carries; prefix
+    * grams are the RAREST of each doc, so this rarely binds on them).
+    */
+  val MaxContainDf = 20
+
+  /** Asymmetric containment dedup (AllPairs/PPJoin-family prefix
+    * filtering, oracle-checked): flags documents whose gram set is
+    * >= [[ContainThreshold]] contained in another document's — the
+    * quote/partial-inclusion tier that symmetric Jaccard structurally
+    * misses when |B| >> |A| (a page quoting a whole small doc has
+    * J ~ |A|/|B| ~ 0 but containment 1).
+    *
+    * The prefix theorem does the scaling: order the gram universe by
+    * (df, gram) ascending; if C(A->B) >= t then B shares at least one
+    * of A's floor(n_a*(1-t))+1 RAREST grams — so candidates are an
+    * equi-join of tiny prefix sets against df-capped gram lists, never
+    * all-pairs. Verification counts the exact intersection via two
+    * doc-keyed joins, only on candidates. Every stage is a shuffle on
+    * a key whose cardinality grows with the corpus (gram, then doc_id);
+    * md5-quarter sampling cuts the gram volume 4x deterministically,
+    * mirrored in SQL.
+    */
+  def dedupContainment(s: SparkSession, dir: String,
+                       threshold: Double = ContainThreshold): DataFrame = {
+    val q = ContainGramLen
+    val docs = table(s, dir, "documents")
+    // The gram profile feeds FOUR consumers (prefix side, build side,
+    // both verify legs); plan-level exchange reuse only recovers two of
+    // them (measured: 8 scans / 9 window passes without this), so the
+    // profile is materialized once via localCheckpoint — the
+    // dedup_clusters device. At 100 TB this is a persisted intermediate
+    // dataset, exactly how a production PPJoin stages its inverted
+    // lists.
+    val g = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
+      .filter(length(col("s")) >= q)
+      // round-robin spread BEFORE the explode: locally the table is one
+      // parquet split, and the per-gram md5 pass computed pre-exchange
+      // would run in a single task (the dedup_ngram lesson; measured
+      // 6.4s -> ~1s for the profile stage)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("s")) - (q - 1))).as("i"),
+        col("s"))
+      .select(col("doc_id"), expr(s"substring(s, i, $q)").as("gram"))
+      // sample BEFORE distinct: the md5 filter runs map-side at scan
+      // speed, so the dedup shuffle moves a quarter of the rows
+      // (filter-then-distinct = distinct-then-filter on a per-row
+      // deterministic predicate; the oracle keeps the other order)
+      .filter(substring(md5(col("gram")), 1, 1)
+        .isInCollection(Seq("0", "1", "2", "3")))
+      .distinct()
+      .localCheckpoint()
+    val gd = g
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gram"))))
+      .localCheckpoint()
+    val pref = gd.filter(
+      col("rn") <= floor(col("n") * expr(ContainPrefixFrac)) + 1 &&
+        col("df") <= MaxContainDf)
+    val build = gd.filter(col("df") <= MaxContainDf)
+      .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"))
+    val cand = pref.select(col("doc_id").as("a"), col("n").as("na"),
+        col("gram"))
+      .join(build, "gram")
+      .filter(col("a") =!= col("b") &&
+        col("nb").cast("double") >= col("na").cast("double") * threshold)
+      .select(col("a"), col("na"), col("b")).distinct()
+    val ver = cand
+      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy(col("a"), col("b"), col("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") >=
+        col("na").cast("double") * threshold)
+      .withColumn("cont",
+        col("inter").cast("double") / col("na").cast("double"))
+    val verdict = ver.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("contained_in"),
+        round(max(col("cont")), 4).as("best_cont"))
+    docs.select(col("doc_id")).join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contained_in"), col("best_cont"),
+        col("contained_in").isNull.as("keep"))
+  }
+
   // -------------------------------------- cross-corpus segment dedup
 
   /** Segment width in tokens for boilerplate removal. */

@@ -309,6 +309,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_containment: fires on the corpus; flagged doc verified exactly") {
+    val out = graft.operators.Dedup.dedupContainment(spark, dir)
+    val rows = out.collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.length === docs.count())
+    val flagged = rows.filter(!_.getAs[Boolean]("keep"))
+    assert(flagged.nonEmpty, "no containment found on planted corpus")
+    flagged.foreach(r => assert(r.getAs[Double]("best_cont") >=
+      graft.operators.Dedup.ContainThreshold))
+    // exact recompute for one flagged (a contained-in b) pair, sampled
+    // grams as the operator defines them
+    val r0 = flagged.minBy(_.getAs[Long]("doc_id"))
+    val texts = docs.filter(col("doc_id").isin(r0.getAs[Long]("doc_id"),
+        r0.getAs[Long]("contained_in")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text"))
+      .toMap
+    def grams(t: String): Set[String] = {
+      val s = t.trim.toLowerCase
+      (0 to s.length - graft.operators.Dedup.ContainGramLen)
+        .map(i => s.substring(i, i + graft.operators.Dedup.ContainGramLen))
+        .toSet
+        .filter(g => "0123".contains(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(g).charAt(0)))
+    }
+    val ga = grams(texts(r0.getAs[Long]("doc_id")))
+    val gb = grams(texts(r0.getAs[Long]("contained_in")))
+    val cont = (ga & gb).size.toDouble / ga.size
+    // contained_in is the LOWEST qualifying b, so this pair must itself
+    // clear the threshold (best_cont may come from a different b)
+    assert(cont >= graft.operators.Dedup.ContainThreshold,
+      s"recomputed containment $cont")
+  }
+
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = graft.operators.Dedup.dedupSegments(spark, dir)
