@@ -87,7 +87,7 @@ object Bench {
     // zeros stripped, sf as basename. Full nanosecond-precision timings
     // go to target/bench_detail.json for local analysis.
     val sfName = sfDir.split('/').last
-    val line = renderLine(results, sfName, fj)
+    val line = renderLine(results, sfName, failed.toSeq)
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try {
@@ -124,28 +124,45 @@ object Bench {
   val LineBudget = 1900
 
   def renderLine(results: Seq[(String, Double)], sfName: String,
-                 failedJson: String = "[]"): String = {
-    def render(rs: Seq[(String, Double)]): String = {
+                 failed: Seq[String] = Nil): String = {
+    def failedJson(fs: Seq[String], dropped: Int): String =
+      (fs.map("\"" + _ + "\"") ++
+        (if (dropped > 0) Seq("\"+" + dropped + " more\"") else Nil))
+        .mkString("[", ",", "]")
+    def render(rs: Seq[(String, Double)], fj: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfName"}"""
     }
-    val full = render(results)
-    if (full.length <= LineBudget) full
-    else {
-      // drop fastest-first (stable: name tiebreak) until it fits
-      val bySpeed = results.sortBy { case (n, v) => (v, n) }
-      val keep = scala.collection.mutable.Map(results.toMap.toSeq: _*)
-      var other = 0.0
-      var it = 0
-      var line = full
-      while (line.length > LineBudget && it < bySpeed.length) {
-        val (n, v) = bySpeed(it)
-        keep.remove(n); other += v; it += 1
-        line = render(results.filter(r => keep.contains(r._1)) :+
-          ("_other" -> other))
+    def foldQueries(fj: String): String = {
+      val full = render(results, fj)
+      if (full.length <= LineBudget) full
+      else {
+        // drop fastest-first (stable: name tiebreak) until it fits
+        val bySpeed = results.sortBy { case (n, v) => (v, n) }
+        val keep = scala.collection.mutable.Map(results.toMap.toSeq: _*)
+        var other = 0.0
+        var it = 0
+        var line = full
+        while (line.length > LineBudget && it < bySpeed.length) {
+          val (n, v) = bySpeed(it)
+          keep.remove(n); other += v; it += 1
+          line = render(results.filter(r => keep.contains(r._1)) :+
+            ("_other" -> other), fj)
+        }
+        line
       }
-      line
     }
+    // the failed list is budgeted too: a sweeping failure (every query
+    // failed) must still produce a parseable tail, so names fold into a
+    // "+N more" marker once the fully-query-folded line overflows
+    var fs = failed
+    var dropped = 0
+    var line = foldQueries(failedJson(fs, dropped))
+    while (line.length > LineBudget && fs.nonEmpty) {
+      fs = fs.dropRight(1); dropped += 1
+      line = foldQueries(failedJson(fs, dropped))
+    }
+    line
   }
 }

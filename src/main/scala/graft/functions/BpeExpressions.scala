@@ -117,23 +117,32 @@ object BpeOps {
   val Default: BpeVocab = new BpeVocab(Merges)
 
   private val vocabCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, BpeVocab)]()
 
   /** Load a merges artifact: one "a b" pair per line, rank = line order
     * (the merges.txt format BPE toolchains emit); blank lines and
-    * `#`-prefixed headers are skipped. Read driver-side once per
-    * (path, mtime) — the vocab then travels inside the serialized
+    * `#`-prefixed headers are skipped. Read driver-side and cached ONE
+    * entry per path (superseded mtimes are replaced, not accumulated —
+    * an iterate-on-artifact session must not leak one vocab per
+    * regeneration) — the vocab then travels inside the serialized
     * expression, so executors never touch the file, and replacing the
-    * artifact on disk is picked up by the next query (the mtime in the
-    * cache key changes) instead of serving a stale vocab for the JVM
-    * lifetime. The path must be DRIVER-LOCAL (java.nio, not the Hadoop
+    * artifact on disk is picked up by the next query via the mtime
+    * check. The mtime is re-stat'ed AFTER the read so a swap racing
+    * the read caches under the post-read stamp and re-loads next call.
+    * The path must be DRIVER-LOCAL (java.nio, not the Hadoop
     * filesystem layer): ship remote artifacts with `SparkFiles`/
     * `--files` or read them to a local temp first.
     */
   def loadVocab(path: String): BpeVocab = {
-    val mtime = java.nio.file.Files
+    def mtimeOf: Long = java.nio.file.Files
       .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
-    vocabCache.computeIfAbsent(s"$path@$mtime", _ => loadVocabUncached(path))
+    val cur = mtimeOf
+    vocabCache.compute(path, (_, old) =>
+      if (old != null && old._1 == cur) old
+      else {
+        val v = loadVocabUncached(path)
+        (mtimeOf, v) // post-read stamp: a racing swap forces a re-load
+      })._2
   }
 
   private def loadVocabUncached(p: String): BpeVocab = {

@@ -55,9 +55,13 @@ object RuntimeFilter {
     */
   private val KmMask = (1L << 32) - 1L
 
+  /** The codegen'd md5_prefix60 expression computes the identical value
+    * to conv(substring(md5(x),1,15),16,10) minus the hex-string round
+    * trip — on the fact-scan probe path the md5 is the per-row cost
+    * that matters (the simhash signatures use it for the same reason).
+    */
   def bloomHashes(key: Column): (Column, Column) = {
-    val p = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val p = call_function("md5_prefix60", key.cast("string"))
     (shiftright(p, 28).bitwiseAND(lit(KmMask)),
       p.bitwiseAND(lit(KmMask)).bitwiseOR(lit(1L)))
   }
@@ -71,7 +75,8 @@ object RuntimeFilter {
     * 64-bit words. One cheap shuffle of the (already predicate-reduced)
     * key column; the result is broadcast to every probe join.
     */
-  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame =
+  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(keys.sparkSession)
     keys
       .select(explode(array((0 until BloomK).map(j =>
         bloomPos(j, col(keyCol))): _*)).as("pos"))
@@ -80,6 +85,7 @@ object RuntimeFilter {
       .groupBy(col("w_idx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
         .as("word"))
+  }
 
   /** Keep only fact rows the filter might contain: k broadcast hash joins
     * against the word table (no shuffle of the fact side anywhere — the
@@ -88,6 +94,7 @@ object RuntimeFilter {
     */
   def bloomMightContain(fact: DataFrame, keyCol: String,
                         words: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(fact.sparkSession)
     val tested = (0 until BloomK).foldLeft(fact) { (df, j) =>
       val w = broadcast(words.select(col("w_idx").as(s"_w$j"),
         col("word").as(s"_word$j")))

@@ -76,22 +76,28 @@ object Skew {
 
   def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
-    def profile(keyCol: String): org.apache.spark.sql.DataFrame =
-      li.groupBy(col(keyCol).as("k"))
-        .agg(count(lit(1)).as("c"))
-        // lexicographic struct max = arg-max on count with LOWEST key as
-        // the deterministic tie-break (keys are non-negative, so -k
-        // orders them reversed)
-        .agg(count(lit(1)).as("n_keys"),
-          sum(col("c")).as("n_rows"),
-          max(struct(col("c").as("c"), (-col("k")).as("nk"))).as("m"),
-          round(expr("percentile(c, 0.5)"), 4).as("p50_cnt"),
-          round(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))
-        .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
-          col("m.c").as("max_cnt"), (-col("m.nk")).as("top_key"),
-          round(col("m.c").cast("double") / col("n_rows").cast("double"),
-            6).as("top_share"),
-          col("p50_cnt"), col("p99_cnt"))
-    SkewKeyCols.map(profile).reduce(_.unionByName(_))
+    // ONE scan of the fact table profiles every key column: each row
+    // explodes to (key_col, key) pairs, so the per-key counts for all
+    // columns ride a single shuffle (a per-column loop would re-read
+    // the 100 TB fact table once per key). The lexicographic struct max
+    // is the arg-max on count with the LOWEST key as the deterministic
+    // tie-break (keys are non-negative, so -k orders them reversed).
+    val keyed = li.select(explode(array(SkewKeyCols.map(c =>
+        struct(lit(c).as("key_col"), col(c).cast("long").as("k"))): _*))
+      .as("e"))
+      .select(col("e.key_col").as("key_col"), col("e.k").as("k"))
+    keyed.groupBy(col("key_col"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("key_col"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(struct(col("c").as("c"), (-col("k")).as("nk"))).as("m"),
+        round(expr("percentile(c, 0.5)"), 4).as("p50_cnt"),
+        round(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"),
+        col("m.c").as("max_cnt"), (-col("m.nk")).as("top_key"),
+        round(col("m.c").cast("double") / col("n_rows").cast("double"),
+          6).as("top_share"),
+        col("p50_cnt"), col("p99_cnt"))
   }
 }

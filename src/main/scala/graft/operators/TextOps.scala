@@ -84,8 +84,13 @@ object TextOps {
     */
   def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
+    // tokenize ONCE for the three n-gram orders: each grams(nn) consumes
+    // this frame, and without staging it the corpus would be re-scanned
+    // and re-tokenized per order (the dedupContainment multi-consumer
+    // device)
     val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
+      .localCheckpoint()
     def grams(nn: Int): DataFrame = {
       // i-th n-gram = toks[i..i+nn-1], built by zipping nn shifted
       // slices (same device as Ranking's bigrams/trigrams — all engines

@@ -42,9 +42,19 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("rendered line is valid JSON shape with failed passthrough") {
-    val line = Bench.renderLine(Seq("q1_agg" -> 1.23), "sf0.01", "[\"x\"]")
+    val line = Bench.renderLine(Seq("q1_agg" -> 1.23), "sf0.01", Seq("x"))
     assert(line.contains(""""queries":{"q1_agg":1.23}"""))
     assert(line.contains(""""failed":["x"]"""))
     assert(line.endsWith(""""sf":"sf0.01"}"""))
+  }
+
+  test("sweeping failure (every query failed) still fits the tail budget") {
+    val names = (1 to 160).map(i => f"some_long_query_name_$i%03d")
+    val results = names.map(_ -> 0.01)
+    val line = Bench.renderLine(results, "sf0.1", failed = names)
+    assert(line.length <= Bench.LineBudget, line.length.toString)
+    // the slowest-query map folds AND the failed list folds, but the
+    // marker preserves the true failure count
+    assert(line.contains("more\"]"), line.takeRight(200))
   }
 }
