@@ -59,6 +59,17 @@ object SparkEntry {
     "events_retention" -> (graft.streaming.EventStreams.eventsRetention _),
     "length_filter" -> (Curation.lengthFilter _),
     "skew_diagnose" -> (Skew.skewDiagnose _),
+    // custom physical operator: bounded per-key heaps instead of the
+    // window's full per-partition sort (plans/GroupedTopK.scala)
+    "grouped_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopKPlans.groupedTopK(
+        graft.sources.Tables.table(s, d, "orders"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
     // --- second tranche: remaining joins, windows, aggregates, functions ---
     "join_cross" -> (RelationalExt.joinCross _),
     "join_right" -> (RelationalExt.joinRight _),
@@ -606,6 +617,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "zorder_layout" -> zorderOracleSql,
     "skew_diagnose" -> skewDiagnoseOracleSql,
+    "grouped_topk" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3""",
     "dedup_containment" -> dedupContainmentOracleSql,
     "events_retention" -> """
       WITH cohorts AS (

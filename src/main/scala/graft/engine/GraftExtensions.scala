@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1)))
     inject("vec_cosine", classOf[VecCosine], es => VecCosine(es(0), es(1)))
     inject("vec_l2sq", classOf[VecL2sq], es => VecL2sq(es(0), es(1)))
+    // custom physical operator (LogicalPlan -> Strategy -> SparkPlan):
+    // sessions without extensions get it lazily via
+    // TopKPlans.ensureStrategy
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPlans
+
+/** The custom GroupedTopK physical operator: result parity with the
+  * window formulation, the partial->shuffle->final plan shape, and the
+  * bounded-memory reduction property.
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def topk(k: Int) = TopKPlans.groupedTopK(
+    spark.read.parquet(s"$dir/orders.parquet"),
+    Seq(col("o_orderpriority")),
+    Seq(col("o_totalprice").desc, col("o_orderkey").asc), k)
+    .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+
+  private def windowed(k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  test("grouped top-k equals the row_number window formulation") {
+    for (k <- Seq(1, 3, 10)) {
+      val a = topk(k)
+      val b = windowed(k)
+      assert(a.count() === b.count(), s"k=$k")
+      assert(a.except(b).count() === 0L, s"k=$k")
+      assert(b.except(a).count() === 0L, s"k=$k")
+    }
+  }
+
+  test("plan is partial heap -> exchange -> final heap; no window, no sort") {
+    val p = topk(3).queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopKPartial"), p.take(600))
+    assert(p.contains("GroupedTopKFinal"), p.take(600))
+    assert(p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+    assert(!p.toLowerCase.contains("sortmerge"), p.take(600))
+  }
+
+  test("partial pass bounds what the shuffle moves: <= k rows per key per task") {
+    // spread the input over many partitions, then check the operator's
+    // OUTPUT row count equals sum(min(k, group size)) — the partial
+    // stage cannot leak more than k rows per key per input partition,
+    // and the final stage reduces to exactly the top k per key
+    val k = 5
+    val orders = spark.read.parquet(s"$dir/orders.parquet").repartition(7)
+    val out = TopKPlans.groupedTopK(orders, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k)
+    val expect = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => math.min(k.toLong, r.getLong(1))).sum
+    assert(out.count() === expect)
+    // k larger than every group degenerates to identity
+    val all = TopKPlans.groupedTopK(orders, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 1000000)
+    assert(all.count() === orders.count())
+  }
+}
