@@ -32,6 +32,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * actual seams: logical node + strategy (injectable via
   * `GraftExtensions` or `spark.experimental.extraStrategies`) +
   * physical `UnaryExecNode`.
+  *
+  * Relation to Spark's own optimization: Spark 3.5+ rewrites
+  * rank-filter windows through `WindowGroupLimit`, which prunes each
+  * group to k rows — but its physical plan (verified on this repo's
+  * `window_rank`) still plants a full per-partition `Sort` BELOW both
+  * the Partial and Final group-limit passes, because the limiter
+  * walks sorted runs. The heap here needs no sorted input at all, so
+  * the O(n log n) sorts disappear, not just the window buffering.
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
