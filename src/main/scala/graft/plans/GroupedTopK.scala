@@ -44,6 +44,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(groupExprs.nonEmpty,
+    "grouped top-k needs group keys; for global top-k use orderBy().limit()" +
+      " (TakeOrderedAndProject already has the bounded-heap plan)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): GroupedTopK =
     copy(child = c)
