@@ -40,6 +40,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * the Partial and Final group-limit passes, because the limiter
   * walks sorted runs. The heap here needs no sorted input at all, so
   * the O(n log n) sorts disappear, not just the window buffering.
+  *
+  * Memory contract (the tradeoff for skipping the sort): each task
+  * holds up to k rows per DISTINCT KEY IN THAT TASK on heap, with no
+  * spill path — right for the dimensional group keys top-k is run on
+  * (priority, language, segment: thousands of keys), wrong for
+  * near-unique keys (user_id at k=100), where k*|keys| approaches the
+  * input and the spilling sort-based window is the correct plan. The
+  * operator is a deliberate specialization, not a universal
+  * replacement.
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
@@ -60,8 +69,14 @@ case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopK(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, partial = false,
-        GroupedTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+      // normalize float group keys (NaN bit patterns, -0.0 in nested
+      // fields) exactly like Window partition specs get normalized —
+      // without this, distinct NaN encodings would hash to different
+      // groups/partitions and the operator would diverge from the
+      // row_number formulation it must match
+      val gn = g.map(org.apache.spark.sql.GraftSqlBridge.normalizeFloats)
+      GroupedTopKExec(gn, o, k, partial = false,
+        GroupedTopKExec(gn, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -93,7 +108,11 @@ case class GroupedTopKExec(groupExprs: Seq[Expression],
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
+          // start small and let the queue grow: an eager k+1 capacity
+          // would allocate O(k) slots for every group even when groups
+          // hold a handful of rows (k is a bound, not a size hint)
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(kk, 16) + 1, reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kk) heap.add(row.copy())

@@ -22,4 +22,13 @@ object GraftSqlBridge {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Float normalization for grouping/partitioning keys (NaN bit
+    * patterns, nested -0.0) — the same rule the optimizer applies to
+    * Window partition specs; private[sql], hence bridged.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

@@ -43,7 +43,28 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("GroupedTopKFinal"), p.take(600))
     assert(p.contains("Exchange hashpartitioning"), p.take(600))
     assert(!p.contains("Window"), p.take(600))
-    assert(!p.toLowerCase.contains("sortmerge"), p.take(600))
+    // no Sort NODE anywhere — eliminating the per-partition sort is the
+    // operator's entire point ("Sort [" is the node's simpleString
+    // prefix; a sort-merge join would also surface through it)
+    assert(!p.contains("Sort ["), p.take(600))
+  }
+
+  test("float group keys: NaN and signed zeros group like the window does") {
+    import spark.implicits._
+    val weird = Seq(
+      (Double.NaN, 1L), (0.0 / 0.0, 2L), (math.sqrt(-1.0), 3L),
+      (0.0, 4L), (-0.0, 5L), (1.5, 6L), (1.5, 7L))
+      .toDF("key", "v").repartition(5)
+    val topk = TopKPlans.groupedTopK(weird, Seq(col("key")),
+      Seq(col("v").desc), 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("v").desc)
+    val windowed = weird.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // all NaN encodings are ONE group, +0.0/-0.0 are ONE group — the
+    // NormalizeFloatingNumbers treatment Window partition specs get
+    assert(topk.count() === windowed.count())
+    assert(topk.count() === 3L)
   }
 
   test("partial pass bounds what the shuffle moves: <= k rows per key per task") {
