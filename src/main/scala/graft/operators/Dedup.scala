@@ -771,7 +771,8 @@ object Dedup {
     * mirrored in SQL.
     */
   def dedupContainment(s: SparkSession, dir: String,
-                       threshold: Double = ContainThreshold): DataFrame = {
+                       threshold: Double = ContainThreshold,
+                       maxDf: Int = MaxContainDf): DataFrame = {
     val q = ContainGramLen
     val docs = table(s, dir, "documents")
     // The gram profile feeds FOUR consumers (prefix side, build side,
@@ -808,8 +809,8 @@ object Dedup {
       .localCheckpoint()
     val pref = gd.filter(
       col("rn") <= floor(col("n") * expr(ContainPrefixFrac)) + 1 &&
-        col("df") <= MaxContainDf)
-    val build = gd.filter(col("df") <= MaxContainDf)
+        col("df") <= maxDf)
+    val build = gd.filter(col("df") <= maxDf)
       .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"))
     val cand = pref.select(col("doc_id").as("a"), col("n").as("na"),
         col("gram"))

@@ -342,6 +342,33 @@ class PipelineSpec extends AnyFunSuite {
       s"recomputed containment $cont")
   }
 
+  test("containment prefix theorem: uncapped operator finds EVERY true containment") {
+    // brute-force ground truth over the sampled gram sets, then assert
+    // the prefix-filtered candidate generation (with the stop-gram df
+    // cap lifted) misses nothing — the theorem's zero-false-negative
+    // guarantee, verified end to end
+    val q = graft.operators.Dedup.ContainGramLen
+    val t = graft.operators.Dedup.ContainThreshold
+    def grams(txt: String): Set[String] = {
+      val s0 = txt.trim.toLowerCase
+      (0 to s0.length - q).map(i => s0.substring(i, i + q)).toSet
+        .filter(g => "0123".contains(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(g).charAt(0)))
+    }
+    val gs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, ga) <- gs; (b, gb) <- gs
+      if a != b && (ga & gb).size.toDouble >= t * ga.size
+    } yield a).toSet
+    val flagged = graft.operators.Dedup
+      .dedupContainment(spark, dir, maxDf = Int.MaxValue)
+      .filter(!col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged === expected)
+  }
+
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = graft.operators.Dedup.dedupSegments(spark, dir)
