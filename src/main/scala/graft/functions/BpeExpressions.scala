@@ -127,8 +127,11 @@ object BpeOps {
     * regeneration) — the vocab then travels inside the serialized
     * expression, so executors never touch the file, and replacing the
     * artifact on disk is picked up by the next query via the mtime
-    * check. The mtime is re-stat'ed AFTER the read so a swap racing
-    * the read caches under the post-read stamp and re-loads next call.
+    * check. The cache entry is stamped with the PRE-read mtime: if a
+    * swap races the read, the (possibly new) content is paired with the
+    * old stamp, which the next call's mtime check invalidates — a
+    * post-read stamp would instead pin stale content under the new
+    * mtime permanently.
     * The path must be DRIVER-LOCAL (java.nio, not the Hadoop
     * filesystem layer): ship remote artifacts with `SparkFiles`/
     * `--files` or read them to a local temp first.
@@ -141,7 +144,8 @@ object BpeOps {
       if (old != null && old._1 == cur) old
       else {
         val v = loadVocabUncached(path)
-        (mtimeOf, v) // post-read stamp: a racing swap forces a re-load
+        (cur, v) // pre-read stamp: a racing swap leaves a stale stamp
+                 // that the next call's re-stat invalidates
       })._2
   }
 

@@ -17,21 +17,32 @@ import graft.sources.Tables.table
   */
 object Layout {
 
-  /** Bits taken from each dimension; 2*ZBits = 32-bit Z values. */
+  /** Bits taken from each dimension in the DEMO query; 2*ZBits = 32-bit
+    * Z values. This is a per-deployment knob, not a universal constant:
+    * it must cover the key domain (TPC-H l_partkey reaches
+    * 200,000 x sf, so 16 bits holds to sf ~0.32; a 100 TB layout pass
+    * picks 24-31 bits — [[zInterleave]] takes the width as a parameter
+    * and is correct to 31). [[zorderLayout]] guards the bound with a
+    * per-row raise_error instead of silently aliasing distant keys into
+    * one zval, which would quietly void the rectangle-pruning property.
+    */
   val ZBits = 16
 
   /** Top bits of z used as the coarse layout bucket (1024 buckets). */
   val ZBucketShift = 2 * ZBits - 10
 
-  /** Morton-interleave the low [[ZBits]] bits of two non-negative longs:
-    * dimension a occupies even bit positions, b odd. A 32-term
+  /** Morton-interleave the low `zBits` bits of two non-negative longs:
+    * dimension a occupies even bit positions, b odd. A 2*zBits-term
     * shift/mask sum — entirely inside whole-stage codegen, no UDF.
+    * Valid for zBits <= 31 (62-bit Z values in a long).
     */
-  def zInterleave(a: Column, b: Column): Column =
-    (0 until ZBits).map { i =>
+  def zInterleave(a: Column, b: Column, zBits: Int = ZBits): Column = {
+    require(zBits >= 1 && zBits <= 31, s"zBits=$zBits outside [1,31]")
+    (0 until zBits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
 
   /** Per-row Z-order assignment over (l_partkey, l_suppkey)
     * (oracle-checked): emits the Morton value and the coarse bucket a
@@ -45,11 +56,19 @@ object Layout {
     */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val mask = (1L << ZBits) - 1L
+    // loud bound check: a key past 2^ZBits would alias distant keys to
+    // one zval and silently break the rectangle property — fail the job
+    // instead (two codegen'd comparisons per row; never fires in-range,
+    // so the oracle SQL needs no mirror of it)
+    def guarded(c: Column): Column =
+      when(c < 0L || c > mask, raise_error(concat(
+        lit(s"zorderLayout: key out of [0, $mask] (ZBits=$ZBits): "),
+        c.cast("string")))).otherwise(c)
     table(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"),
-      zInterleave(col("l_partkey").bitwiseAND(lit(mask)),
-        col("l_suppkey").bitwiseAND(lit(mask))).as("zval"))
+      zInterleave(guarded(col("l_partkey")),
+        guarded(col("l_suppkey"))).as("zval"))
       .withColumn("zbucket", shiftright(col("zval"), ZBucketShift))
   }
 

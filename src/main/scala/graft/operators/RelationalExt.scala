@@ -268,10 +268,25 @@ object RelationalExt {
     */
   val MergeUpdateThreshold = "20000000" // ~12.5% of keys updated
   val MergeInsertThreshold = "10000000" // ~6.25% re-keyed as inserts
+
+  /** Insert-slice re-key offset. TPC-H sparse o_orderkey reaches
+    * 6,000,000 x sf, so this bound holds to sf ~16; past that the
+    * shifted keys would collide with live base keys and the full-outer
+    * join would silently duplicate rows — [[mergeUpsert]] therefore
+    * asserts max(o_orderkey) < shift (a parquet footer-stats max, near
+    * metadata speed) and fails loudly instead. A production merge has
+    * real batch keys and needs no shift at all; this constant only
+    * makes the DEMO batch deterministic for the oracle.
+    */
   val MergeKeyShift = 100000000L
 
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val orders = table(s, dir, "orders")
+    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    require(maxKey < MergeKeyShift,
+      s"mergeUpsert demo requires max(o_orderkey)=$maxKey < " +
+        s"MergeKeyShift=$MergeKeyShift: shifted insert keys would " +
+        "collide with base keys and duplicate merge output")
     def coin(c: Column): Column =
       substring(md5(concat(lit("mg:"), c.cast("string"))), 1, 8)
     val updates = orders

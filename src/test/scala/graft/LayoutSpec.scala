@@ -59,6 +59,49 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("property: zInterleave round-trips at production width (zBits=26)") {
+    // the 100 TB key domain: partkey to 67M needs 26 bits; zvals are
+    // 52-bit and must still de-interleave exactly
+    import spark.implicits._
+    val zb = 26
+    def deinter(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      (0 until zb).foreach { i =>
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val rnd = new scala.util.Random(7)
+    val mask = (1L << zb) - 1L
+    val pairs = Seq.fill(500)((rnd.nextLong().abs & mask,
+      rnd.nextLong().abs & mask)) :+ ((mask, mask)) :+ ((0L, mask))
+    val df = pairs.toDF("a", "b").select(col("a"), col("b"),
+      Layout.zInterleave(col("a"), col("b"), zb).as("z"))
+    df.collect().foreach { r =>
+      val (a, b) = deinter(r.getAs[Long]("z"))
+      assert(a === r.getAs[Long]("a"))
+      assert(b === r.getAs[Long]("b"))
+    }
+  }
+
+  test("zorderLayout fails loudly on keys past the ZBits bound") {
+    // a key past 2^ZBits must raise, not silently alias (the guard that
+    // protects the rectangle property at scale)
+    import spark.implicits._
+    val wide = Seq((1L, 1L, (1L << Layout.ZBits) + 5L, 3L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("zguard").toString
+    wide.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val e = intercept[Exception] {
+      Layout.zorderLayout(spark, tmp).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("key out of")))
+  }
+
   test("zorderWrite clusters: each range partition holds a contiguous z-range") {
     import spark.implicits._
     val parted = Layout.zorderWrite(Layout.zorderLayout(spark, dir), 8)
