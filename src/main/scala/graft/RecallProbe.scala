@@ -19,12 +19,12 @@ object RecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (bf & got).size.toDouble / bf.size
     }
-    for (bits <- Seq(3, 4, 5, 6))
-      println(f"lsh nBits=$bits recall=${
-        recallOf(graft.operators.Ann.annLsh(spark, sfDir, bits))}%.3f")
-    for (probe <- Seq(1, 2, 3, 4, 6))
-      println(f"ivf nProbe=$probe recall=${
-        recallOf(graft.operators.Ann.annIvf(spark, sfDir, nProbe = probe))}%.3f")
+    for (tables <- Seq(1, 2, 3, 4); pb <- Seq(1, 2))
+      println(f"lsh nBits=6 nTables=$tables probeBits=$pb recall=${
+        recallOf(graft.operators.Ann.annLsh(spark, sfDir, 6, tables, pb))}%.3f")
+    for (nc <- Seq(16, 32); probe <- Seq(2, 4, 6, 8))
+      println(f"ivf nCentroids=$nc nProbe=$probe recall=${
+        recallOf(graft.operators.Ann.annIvf(spark, sfDir, nc, probe))}%.3f")
     spark.stop()
   }
 }

@@ -161,43 +161,101 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   /** ann_lsh oracle, generated from the SAME deterministic hyperplane
-    * matrix the Spark query uses (Ann.planes is seeded) — the signature,
-    * multi-probe expansion, and ranking are all plain SQL once the planes
-    * are literals. Double literals round-trip exactly (shortest-repr
-    * toString), and list_dot_product/list_cosine_similarity evaluate the
-    * same sequential double arithmetic as VectorFunctions.
+    * matrices the Spark query uses (Ann.planes is seeded per table) —
+    * the nTables signatures, depth-probeBits multi-probe expansion,
+    * cross-table dedup (max over identical cosines), and ranking are all
+    * plain SQL once the planes are literals. Double literals round-trip
+    * exactly (shortest-repr toString), and list_dot_product/
+    * list_cosine_similarity evaluate the same sequential double
+    * arithmetic as VectorFunctions.
     */
   private def annLshOracleSql: String = {
-    val planes = graft.operators.Ann.planes(6, 64)
-    val bucket = planes.zipWithIndex.map { case (p, j) =>
-      val lst = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) " +
-        s"> 0.0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n          + ")
-    val masks = (Seq(0L) ++ (0 until 6).map(j => 1L << j))
+    val (nBits, nTables, probeBits) = (6, 3, 2)
+    val sigExprs = (0 until nTables).map { t =>
+      val planes = graft.operators.Ann.planes(nBits, 64,
+        graft.operators.Ann.lshSeed(t))
+      val b = planes.zipWithIndex.map { case (p, j) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) " +
+          s"> 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n          + ")
+      s"CAST($b AS BIGINT) AS b$t"
+    }
+    val masks = graft.operators.Ann.probeMasks(nBits, probeBits)
       .mkString("[", ", ", "]")
+    val tbls = (0 until nTables).mkString("[", ", ", "]")
+    val caseB = "CASE t.tbl " +
+      (0 until nTables).map(t => s"WHEN $t THEN b$t ").mkString + "END"
     s"""
       WITH e AS (
-        SELECT vec_id, embedding,
-          CAST($bucket AS BIGINT) AS bucket
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+          ${sigExprs.mkString(",\n          ")}
         FROM embeddings),
+      c AS (
+        SELECT vec_id AS cand_id, emb AS ce, t.tbl, $caseB AS bucket
+        FROM e, unnest($tbls) AS t(tbl)),
       q AS (
-        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
-          xor(bucket, m) AS bucket
-        FROM e, unnest($masks) AS t(m)
+        SELECT vec_id AS q_id, emb AS qe, t.tbl, xor($caseB, m.m) AS bucket
+        FROM e, unnest($tbls) AS t(tbl), unnest($masks) AS m(m)
         WHERE vec_id < 10),
-      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
-              bucket
-            FROM e),
-      s AS (SELECT q_id, cand_id,
-              round(list_cosine_similarity(qe, ce), 6) AS cos_r, bucket
-            FROM c JOIN q USING (bucket) WHERE q_id <> cand_id),
-      r AS (SELECT q_id, cand_id, cos_r, bucket,
+      s AS (
+        SELECT q_id, cand_id,
+          max(round(list_cosine_similarity(qe, ce), 6)) AS cos_r
+        FROM c JOIN q USING (tbl, bucket) WHERE q_id <> cand_id
+        GROUP BY q_id, cand_id),
+      r AS (SELECT q_id, cand_id, cos_r,
               row_number() OVER (PARTITION BY q_id
                 ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
-      SELECT q_id, rank, cand_id, cos_r, bucket FROM r WHERE rank <= 10"""
+      SELECT q_id, rank, cand_id, cos_r FROM r WHERE rank <= 10"""
   }
+
+  /** ann_ivf oracle, generated from the SAME fitted centroid matrix the
+    * plan broadcast (Ann.lastIvfFit, recorded when the query ran —
+    * Verify dumps oracleSql only AFTER running every query, so the cache
+    * is populated). DuckDB independently recomputes cell assignment
+    * (argmin squared-L2 over the literals, lowest cell wins ties), probe
+    * choice (top-nProbe cells per query), and the cosine re-rank.
+    * Absent — rows-only fallback — only if ann_ivf did not run in this
+    * JVM (e.g. a SPARK_GRAFT_ONLY subset).
+    */
+  private def annIvfOracleSqlOpt: Option[(String, String)] =
+    Option(graft.operators.Ann.lastIvfFit.get()).map {
+      case (_, nProbe, cents) =>
+        val dim = cents.head.length
+        val vals = cents.zipWithIndex.map { case (c, ci) =>
+          s"($ci, ${c.mkString("[", ", ", "]")})"
+        }.mkString(",\n          ")
+        "ann_ivf" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      d AS (SELECT e.vec_id, e.emb, c.cell,
+              list_sum(list_transform(range(1, ${dim + 1}),
+                i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM d)
+        WHERE rn = 1),
+      probe AS (
+        SELECT q_id, qe, cell FROM (
+          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM d WHERE vec_id < 10)
+        WHERE pr <= $nProbe),
+      s AS (
+        SELECT p.q_id, a.vec_id AS cand_id,
+          round(list_cosine_similarity(p.qe, a.emb), 6) AS cos_r, a.cell
+        FROM assign a JOIN probe p ON a.cell = p.cell
+        WHERE p.q_id <> a.vec_id),
+      r AS (SELECT q_id, cand_id, cos_r, cell, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rank
+            FROM s)
+      SELECT q_id, rank, cand_id, cos_r, cell FROM r WHERE rank <= 10"""
+    }
 
   /** dedup_embedding_lsh oracle, generated from the SAME seeded
     * hyperplanes as the Spark query (the annLshOracleSql device): bucket
@@ -1697,5 +1755,5 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
-  )
+  ) ++ annIvfOracleSqlOpt
 }
