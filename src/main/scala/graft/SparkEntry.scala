@@ -103,7 +103,7 @@ object SparkEntry {
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
     "lang_id" -> (TextOps.langId _),
-    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "pii_redact" -> (Curation.piiRedact _),
     "decontaminate" -> (Curation.decontaminate _),
     "quality_model" -> (Curation.qualityModel _),
@@ -209,6 +209,93 @@ object SparkEntry {
             FROM s)
       SELECT q_id, rank, cand_id, cos_r FROM r WHERE rank <= 10"""
   }
+
+  /** Shared DuckDB fragments for the md5-gram winnowing device
+    * (TextFunctions.gramHashes/windowMins): the gram-hash stream and its
+    * sliding-window minima, with the same short-text edges as the Spark
+    * side (empty -> empty; shorter than one gram -> one whole-text hash;
+    * fewer hashes than one window -> one global min). K/W interpolated
+    * from the SAME constants the Spark expressions use.
+    */
+  private def winnowHsSqlFragment: String = {
+    val k = graft.functions.TextFunctions.WinnowK
+    s"""CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+           WHEN length(text) - $k + 1 < 1
+             THEN [CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)]
+           ELSE list_transform(range(1, length(text) - $k + 2),
+             i -> CAST('0x' || substr(md5(substr(text, i, $k)), 1, 15)
+                    AS BIGINT)) END"""
+  }
+
+  private def winnowWinsSqlFragment: String = {
+    val w = graft.functions.TextFunctions.WinnowW
+    s"""CASE WHEN len(hs) = 0 THEN hs
+           WHEN len(hs) <= $w THEN [list_min(hs)]
+           ELSE list_transform(range(1, len(hs) - $w + 2),
+             j -> list_min(hs[j:j+${w - 1}])) END"""
+  }
+
+  /** dedup_winnow oracle: DuckDB recomputes the ENTIRE winnowing dedup —
+    * gram hashes, window minima, distinct fingerprint sets, the
+    * MaxBucket hot-fingerprint cap, pair overlap counts, the
+    * shared/ratio gates, and the per-doc verdict.
+    */
+  private def dedupWinnowOracleSql: String = {
+    val d = graft.operators.Dedup
+    s"""
+      WITH h AS (
+        SELECT doc_id, $winnowHsSqlFragment AS hs FROM documents),
+      wi AS (
+        SELECT doc_id, $winnowWinsSqlFragment AS wins FROM h),
+      fps AS (
+        SELECT doc_id, f.fp
+        FROM wi, unnest(list_distinct(wins)) AS f(fp)),
+      capped AS (
+        SELECT doc_id, fp FROM fps
+        QUALIFY count(*) OVER (PARTITION BY fp) <= ${d.MaxBucket}),
+      counts AS (
+        SELECT doc_id, count(*) AS nf FROM capped GROUP BY doc_id),
+      shared AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+        FROM capped x JOIN capped y
+          ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY a, b
+        HAVING count(*) >= ${d.MinSharedFps}),
+      rs AS (
+        SELECT s.a, s.b, s.n_shared
+        FROM shared s
+        JOIN counts ca ON s.a = ca.doc_id
+        JOIN counts cb ON s.b = cb.doc_id
+        WHERE CAST(s.n_shared AS DOUBLE) / CAST(least(ca.nf, cb.nf)
+            AS DOUBLE) >= ${d.MinSharedRatio}),
+      dups AS (
+        SELECT b AS doc_id, min(a) AS dup_of, max(n_shared) AS best_shared
+        FROM rs GROUP BY b)
+      SELECT t.doc_id, dup_of, best_shared, dup_of IS NULL AS keep
+      FROM documents t LEFT JOIN dups USING (doc_id)"""
+  }
+
+  /** doc_fingerprint oracle: min gram hash as the document fingerprint,
+    * consecutive-deduped winnow pick count, and the exact-collision dup
+    * verdict — all recomputed by DuckDB from the text.
+    */
+  private def docFingerprintOracleSql: String =
+    s"""
+      WITH h AS (
+        SELECT doc_id, $winnowHsSqlFragment AS hs FROM documents),
+      wi AS (
+        SELECT doc_id, hs, $winnowWinsSqlFragment AS wins FROM h),
+      f AS (
+        SELECT doc_id, list_min(hs) AS fp,
+          CAST(CASE WHEN len(wins) = 0 THEN 0
+            ELSE len(list_filter(range(1, len(wins) + 1),
+              j -> j = 1 OR wins[j] <> wins[greatest(j - 1, 1)])) END
+            AS INT) AS n_winnow
+        FROM wi)
+      SELECT doc_id, fp, n_winnow,
+        min(doc_id) OVER (PARTITION BY fp) AS first_doc,
+        doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM f"""
 
   /** ann_ivf oracle, generated from the SAME fitted centroid matrix the
     * plan broadcast (Ann.lastIvfFit, recorded when the query ran —
@@ -712,6 +799,8 @@ object SparkEntry {
         (n_chars >= p05 AND n_chars <= p95) AS keep
       FROM documents d JOIN b USING (lang)""",
     "ann_lsh" -> annLshOracleSql,
+    "dedup_winnow" -> dedupWinnowOracleSql,
+    "doc_fingerprint" -> docFingerprintOracleSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,

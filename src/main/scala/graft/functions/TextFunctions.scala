@@ -39,6 +39,60 @@ object TextFunctions {
     */
   def bpeEncode(c: Column): Column = call_function("bpe_encode", c)
 
+  // ------------------------------------------------ md5-gram winnowing
+
+  /** Winnowing fingerprint parameters shared by the SQL-device and
+    * Rabin paths: k-char grams, window of w consecutive gram hashes.
+    */
+  val WinnowK = 8
+  val WinnowW = 16
+
+  /** All k-char-gram hashes of `text`, 60-bit md5 prefixes, in position
+    * order — the SQL-expressible twin of the Rabin rolling-hash stream
+    * (DuckDB mirror: `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)`).
+    * Short-text edges match RabinHash: empty text -> empty stream; text
+    * shorter than one gram -> a single whole-text hash. Requires
+    * GraftFunctions.register (md5_prefix60).
+    *
+    * The lambda runs interpreted (higher-order functions skip codegen),
+    * but the hash itself is the digest-bytes fast path and documents
+    * bound the gram count — for corpora where this pass dominates, the
+    * codegen'd `rabin_winnow` expression is the perf path (same
+    * windowing algorithm, pinned equivalent in WinnowSpec).
+    */
+  def gramHashes(text: Column, k: Int = WinnowK): Column = {
+    val m = length(text) - k + 1
+    when(length(text) === 0, expr("array()").cast("array<bigint>"))
+      .when(m < 1, array(call_function("md5_prefix60", text)))
+      .otherwise(transform(sequence(lit(1), m),
+        i => call_function("md5_prefix60", text.substr(i, lit(k)))))
+  }
+
+  /** Sliding-window minima of a gram-hash stream — winnowing's pick per
+    * window position, BEFORE consecutive-dedup. `array_distinct` of this
+    * is exactly the winnowed fingerprint SET (consecutive-dedup only
+    * drops adjacent repeats, so the distinct sets agree), which is all
+    * the overlap-dedup consumers need; [[winnowCount]] mirrors the
+    * dedup'd pick count for fingerprint-density stats.
+    */
+  def windowMins(hs: Column, w: Int = WinnowW): Column =
+    when(size(hs) === 0, hs)
+      .when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(1), size(hs) - w + 1),
+        j => array_min(slice(hs, j, lit(w)))))
+
+  /** Number of winnowed picks with consecutive-dedup applied (the
+    * Schleimer et al. output length): position 1 always counts, position
+    * j>1 counts when it differs from its predecessor. The greatest()
+    * clamp keeps element_at in range at j=1 (the j=1 disjunct already
+    * decides that position) — same clamp in the DuckDB mirror.
+    */
+  def winnowCount(wins: Column): Column =
+    when(size(wins) === 0, lit(0)).otherwise(
+      size(filter(sequence(lit(1), size(wins)), j =>
+        (j === 1) || (element_at(wins, j) =!=
+          element_at(wins, greatest(j - 1, lit(1)))))))
+
   /** Fraction of characters that are punctuation. */
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "\\p{Punct}", "")))

@@ -459,27 +459,42 @@ object Dedup {
   val MinSharedRatio = 0.5
 
   /** Winnowing-overlap near-dup (the MOSS approach, Schleimer et al.
-    * SIGMOD'03): docs whose winnowed Rabin fingerprint sets overlap by
+    * SIGMOD'03): docs whose winnowed fingerprint sets overlap by
     * >= MinSharedRatio (and at least MinSharedFps) are near-duplicates.
     * The fingerprint VALUE is the blocking key — its cardinality grows
     * with the corpus — and buckets are capped like every other pair
     * source (see the guard inventory in COVERAGE.md); dropping hot
     * buckets doubles as an IDF filter (common boilerplate carries no
-    * dedup signal). Rows-only check (Rabin hashing has no DuckDB mirror);
-    * PipelineSpec bounds recall on the synthetic-dup corpus.
+    * dedup signal).
+    *
+    * Fingerprints come from the md5-gram SQL device by default
+    * (TextFunctions.gramHashes/windowMins — hash-checked against a
+    * DuckDB mirror of the whole pipeline); `rabin = true` swaps in the
+    * codegen'd rolling-hash expression (same windowing algorithm —
+    * pinned in WinnowSpec — different hash base, so fingerprints and
+    * hence verdicts can differ on boundary pairs) for corpora where the
+    * gram pass dominates.
     */
   def dedupWinnow(s: SparkSession, dir: String,
                   minShared: Int = MinSharedFps,
-                  minRatio: Double = MinSharedRatio): DataFrame = {
+                  minRatio: Double = MinSharedRatio,
+                  rabin: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import graft.functions.{TextFunctions => T}
     val docs = table(s, dir, "documents")
     val par = s.sparkContext.defaultParallelism
+    // md5_winnow_set is the COMPILED twin of the SQL-device formulation
+    // array_distinct(T.windowMins(T.gramHashes(text))) — value-identical
+    // (pinned in WinnowSpec), ~40x faster (one codegen'd call per row vs
+    // interpreted per-window slice lambdas)
+    val fpSet =
+      if (rabin) array_distinct(expr("rabin_winnow(text)"))
+      else expr("md5_winnow_set(text)")
     // per-doc fp dedup happens INSIDE the row (array_distinct before the
     // explode) — a post-explode distinct() would shuffle the whole
     // fingerprint stream for the same result
     val fps = docs.repartition(par)
-      .select(col("doc_id"),
-        explode(array_distinct(expr("rabin_winnow(text)"))).as("fp"))
+      .select(col("doc_id"), explode(fpSet).as("fp"))
     val capped = capBuckets(fps, Seq("fp"))
     val counts = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val shared = capped.as("x").hint("merge").join(capped.as("y"),
