@@ -1838,8 +1838,9 @@ object SparkEntry {
     "multimodal_meta" -> """
       SELECT doc_id,
         CAST(strlen(text) AS INT) AS n_bytes,
-        CASE WHEN strlen(text) % 3 = 0 THEN 'image/png'
-             WHEN strlen(text) % 3 = 1 THEN 'image/jpeg'
+        CASE WHEN strlen(text) % 4 = 0 THEN 'image/png'
+             WHEN strlen(text) % 4 = 1 THEN 'image/jpeg'
+             WHEN strlen(text) % 4 = 2 THEN 'audio/wav'
              ELSE 'video/mp4' END AS mime,
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height

@@ -9,11 +9,13 @@ import graft.sources.Tables.table
   *
   * Image payloads (PNG/JPEG/GIF/BMP) go through a REAL decode — the
   * JDK's ImageIO, no external codec needed — producing true dimensions
-  * and a pixel-luminance histogram. Non-image payloads (video/audio,
-  * which would need ffmpeg via FFI) fall back to a clearly-marked
-  * deterministic byte-level STUB, so the pipeline shape — schema,
-  * partition-wise batching, feature layout — is identical for every
-  * mime. mapPartitions is the JVM analog of Python's mapInPandas:
+  * and a pixel-luminance histogram. Audio payloads go through a REAL
+  * RIFF/WAVE PCM parse (pure JVM, no FFI): amplitude histogram +
+  * sample-point "frames". Video (which would need ffmpeg via FFI) and
+  * undecodable records fall back to a clearly-marked deterministic
+  * byte-level STUB, so the pipeline shape — schema, partition-wise
+  * batching, feature layout — is identical for every mime.
+  * mapPartitions is the JVM analog of Python's mapInPandas:
   * per-partition batch iteration, no per-row setup cost.
   */
 object Multimodal {
@@ -39,8 +41,9 @@ object Multimodal {
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       octet_length(col("text")).as("n_bytes"),
-      when(octet_length(col("text")) % 3 === 0, "image/png")
-        .when(octet_length(col("text")) % 3 === 1, "image/jpeg")
+      when(octet_length(col("text")) % 4 === 0, "image/png")
+        .when(octet_length(col("text")) % 4 === 1, "image/jpeg")
+        .when(octet_length(col("text")) % 4 === 2, "audio/wav")
         .otherwise("video/mp4").as("mime"),
       (lit(64) + octet_length(col("text")) % 512).as("width"),
       (lit(64) + (octet_length(col("text")) * 7) % 512).as("height"))
@@ -123,10 +126,83 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** FALLBACK decode for payloads no in-JVM codec handles (video/audio —
-    * a real implementation hands those to ffmpeg via FFI here): a
-    * deterministic byte-level histogram, so tests and rows-only checks
-    * are stable.
+  /** PCM sample cap — [[MaxDecodePixels]]'s audio twin: a hostile
+    * data-chunk length must not demand an unbounded decode loop.
+    */
+  val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** REAL audio decode: RIFF/WAVE PCM header parse + amplitude histogram
+    * + sample-point "frames", pure JVM (~the codec work ffmpeg would do
+    * for compressed audio; PCM needs none). Strictly validated — wrong
+    * magic, non-PCM format codes, 24-bit samples, chunk lengths past the
+    * payload, or zero samples all return None and take the byte-level
+    * fallback, so a corrupt record can never fail the stage OR silently
+    * masquerade as decoded.
+    *
+    * Channels are interleaved in PCM data; the histogram and frame
+    * samples read the interleaved stream directly (amplitude statistics
+    * are channel-agnostic). 16-bit bins: (s + 32768) >> 12; 8-bit
+    * (unsigned storage, per the WAV spec): (byte - 128 + 128) >> 4 —
+    * both land in the same 16-bin layout as the image luminance
+    * histogram, so downstream feature consumers see one shape.
+    */
+  private def decodeWav(payload: Array[Byte])
+      : Option[(Array[Double], Array[Long])] =
+    try {
+      def u16(i: Int): Int =
+        (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+      def u32(i: Int): Long =
+        (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+      if (payload.length < 44) return None
+      if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+            payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+            payload(10) == 'V' && payload(11) == 'E')) return None
+      var pos = 12
+      var bits = -1
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = 0L
+      while (pos + 8 <= payload.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(payload, pos, 4, "US-ASCII")
+        val sz = u32(pos + 4)
+        val body = pos + 8
+        if (body + sz > payload.length) return None // truncated/hostile
+        if (id == "fmt " && sz >= 16) {
+          val audioFormat = u16(body)
+          bits = u16(body + 14)
+          if (audioFormat != 1 || (bits != 8 && bits != 16)) return None
+          fmtOk = true
+        } else if (id == "data") { dataOff = body; dataLen = sz }
+        pos = body + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
+      }
+      if (!fmtOk || dataOff < 0) return None
+      val n = dataLen / (bits / 8)
+      if (n <= 0 || n > MaxDecodeSamples) return None
+      def sample(i: Long): Int =
+        if (bits == 8) (payload(dataOff + i.toInt) & 0xff) - 128
+        else {
+          val o = dataOff + 2 * i.toInt
+          ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
+        }
+      val hist = new Array[Double](16)
+      var i = 0L
+      while (i < n) {
+        val v = sample(i)
+        hist(if (bits == 8) (v + 128) >> 4 else (v + 32768) >> 12) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < 16) { hist(j) /= n; j += 1 }
+      val frames = Array(0L, n / 4, n / 2, 3 * n / 4, n - 1)
+        .map(o => sample(math.min(o, n - 1)).toLong)
+      Some((hist, frames))
+    } catch { case _: Exception => None }
+
+  /** FALLBACK decode for payloads no in-JVM codec handles (video — a
+    * real implementation hands those to ffmpeg via FFI here — plus
+    * undecodable images/audio): a deterministic byte-level histogram, so
+    * tests and rows-only checks are stable.
     */
   // format: off
   private def decodeStub(payload: Array[Byte]): (Array[Double], Array[Long]) = {
@@ -147,9 +223,11 @@ object Multimodal {
 
   /** Feature extraction over any (doc_id, payload, mime, width, height)
     * media frame — partition-wise batch processing through the typed
-    * Dataset API. Payloads with an image mime go through the REAL
-    * ImageIO decode (true dims override the metadata claim); everything
-    * else (and undecodable images) falls back to the byte-level stub.
+    * Dataset API. Image mimes go through the REAL ImageIO decode (true
+    * dims override the metadata claim); audio mimes through the REAL
+    * RIFF/WAVE PCM parse (metadata dims kept — audio has no raster);
+    * everything else (and undecodable records) falls back to the
+    * byte-level stub.
     */
   def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
@@ -163,22 +241,28 @@ object Multimodal {
           // fallback, it must not fail the stage
           val payload =
             if (r.payload == null) Array.emptyByteArray else r.payload
-          val real =
-            if (r.mime != null && r.mime.startsWith("image/"))
-              decodeImage(payload)
-            else None
-          val (hist, frames, w, h) = real match {
-            case Some((hs, fr, dw, dh)) => (hs, fr, dw, dh)
-            case None =>
+          val mime = if (r.mime == null) "" else r.mime
+          val (hist, frames, w, h, decoded) =
+            if (mime.startsWith("image/")) decodeImage(payload) match {
+              case Some((hs, fr, dw, dh)) => (hs, fr, dw, dh, true)
+              case None =>
+                val (hs, fr) = decodeStub(payload)
+                (hs, fr, r.width, r.height, false)
+            } else if (mime.startsWith("audio/")) decodeWav(payload) match {
+              case Some((hs, fr)) => (hs, fr, r.width, r.height, true)
+              case None =>
+                val (hs, fr) = decodeStub(payload)
+                (hs, fr, r.width, r.height, false)
+            } else {
               val (hs, fr) = decodeStub(payload)
-              (hs, fr, r.width, r.height)
-          }
+              (hs, fr, r.width, r.height, false)
+            }
           // resize: clamp dims to a thumbnail box, aspect ratio kept
           val scale = math.min(1.0, 128.0 / math.max(w, h))
           MediaFeatures(r.doc_id, payload.length, r.mime, hist, frames,
             math.max(1, (w * scale).toInt),
             math.max(1, (h * scale).toInt),
-            decoded = real.isDefined)
+            decoded = decoded)
         }
       }
       .toDF()

@@ -668,4 +668,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(out(2L).fieldIndex("decoded")))
     assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
   }
+
+  /** Minimal valid RIFF/WAVE PCM container around raw sample bytes. */
+  private def wavBytes(fmt: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def s4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    s4("RIFF"); le32(36 + data.length); s4("WAVE")
+    s4("fmt "); le32(16)
+    le16(fmt); le16(1); le32(8000); le32(8000 * bits / 8)
+    le16(bits / 8); le16(bits)
+    s4("data"); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  test("multimodal: real WAV payload decodes sample-exact") {
+    // 64 16-bit samples: half at -32768 (bin 0), half at +32767 (bin 15),
+    // alternating — every frame-sample position is known exactly
+    val pcm16 = new java.io.ByteArrayOutputStream()
+    (0 until 64).foreach { i =>
+      val v = if (i % 2 == 0) -32768 else 32767
+      pcm16.write(v & 0xff); pcm16.write((v >> 8) & 0xff)
+    }
+    val wav16 = wavBytes(fmt = 1, bits = 16, pcm16.toByteArray)
+    // 8-bit (unsigned storage): all samples at 0xFF -> amplitude +127,
+    // bin 15
+    val wav8 = wavBytes(fmt = 1, bits = 8, Array.fill(32)(0xff.toByte))
+    // hostile: data chunk claims more bytes than the payload carries
+    val bad = wavBytes(fmt = 1, bits = 16, pcm16.toByteArray)
+      .dropRight(10)
+    // non-PCM format code (e.g. 3 = IEEE float) must refuse, not garble
+    val floatFmt = wavBytes(fmt = 3, bits = 16, pcm16.toByteArray)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, wav16, "audio/wav", 30, 40),
+      org.apache.spark.sql.Row(2L, wav8, "audio/wav", 10, 10),
+      org.apache.spark.sql.Row(3L, bad, "audio/wav", 10, 10),
+      org.apache.spark.sql.Row(4L, floatFmt, "audio/wav", 10, 10),
+      org.apache.spark.sql.Row(5L, wav16, "video/mp4", 10, 10))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, payload BINARY, mime STRING, width INT, height INT")
+    val media = spark.createDataFrame(rows, schema)
+    val out = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getBoolean(a.fieldIndex("decoded")))
+    val hist = a.getSeq[Double](a.fieldIndex("hist"))
+    assert(math.abs(hist(0) - 0.5) < 1e-9 &&
+      math.abs(hist(15) - 0.5) < 1e-9)
+    assert(hist.slice(1, 15).forall(_ === 0.0))
+    // frame positions 0, 16, 32, 48, 63: even -> -32768, odd -> 32767
+    assert(a.getSeq[Long](a.fieldIndex("frames")) ===
+      Seq(-32768L, -32768L, -32768L, -32768L, 32767L))
+    // audio keeps metadata dims (no raster): thumb from (30, 40)
+    assert(a.getInt(a.fieldIndex("thumb_w")) === 30 &&
+      a.getInt(a.fieldIndex("thumb_h")) === 40)
+    val b = out(2L)
+    assert(b.getBoolean(b.fieldIndex("decoded")))
+    val h8 = b.getSeq[Double](b.fieldIndex("hist"))
+    assert(math.abs(h8(15) - 1.0) < 1e-9)
+    assert(b.getSeq[Long](b.fieldIndex("frames")) === Seq.fill(5)(127L))
+    // truncated data chunk, non-PCM format, and audio-in-video-mime all
+    // take the declared fallback — never a silent half-decode
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
+    assert(!out(4L).getBoolean(out(4L).fieldIndex("decoded")))
+    assert(!out(5L).getBoolean(out(5L).fieldIndex("decoded")))
+  }
 }
