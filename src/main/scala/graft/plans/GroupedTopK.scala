@@ -48,7 +48,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * near-unique keys (user_id at k=100), where k*|keys| approaches the
   * input and the spilling sort-based window is the correct plan. The
   * operator is a deliberate specialization, not a universal
-  * replacement.
+  * replacement — and the contract is ENFORCED, not just documented:
+  * each task counts its distinct keys and fails fast past
+  * `spark.graft.groupedTopK.maxKeysPerTask` (default 1,000,000) with a
+  * pointer at the window formulation, the same honest-contract
+  * treatment dedupClusters gives non-convergence. Silent degradation
+  * here would be an executor OOM with no actionable message.
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
@@ -81,6 +86,13 @@ object GroupedTopKStrategy extends SparkStrategy {
   }
 }
 
+object GroupedTopKExec {
+  /** Per-task distinct-key ceiling — the enforced edge of the bounded-
+    * heap memory contract (see the operator scaladoc).
+    */
+  val MaxKeysPerTaskKey = "spark.graft.groupedTopK.maxKeysPerTask"
+}
+
 case class GroupedTopKExec(groupExprs: Seq[Expression],
                            order: Seq[SortOrder], k: Int, partial: Boolean,
                            child: SparkPlan) extends UnaryExecNode {
@@ -96,6 +108,9 @@ case class GroupedTopKExec(groupExprs: Seq[Expression],
     // capture only serializable expression trees; the projection and
     // generated ordering are built per-task inside the closure
     val (gExprs, ord, childOut, kk) = (groupExprs, order, child.output, k)
+    // read driver-side (SQLConf does not travel into task closures)
+    val maxKeys = conf.getConfString(
+      GroupedTopKExec.MaxKeysPerTaskKey, "1000000").toInt
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(gExprs, childOut)
       val ordering = new LazilyGeneratedOrdering(ord, childOut)
@@ -108,6 +123,15 @@ case class GroupedTopKExec(groupExprs: Seq[Expression],
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // the enforced memory contract: distinct keys per task are
+          // bounded, or this is the wrong operator for the data
+          if (heaps.size() >= maxKeys)
+            throw new IllegalStateException(
+              s"GroupedTopK: task exceeded $maxKeys distinct group keys " +
+                s"(${GroupedTopKExec.MaxKeysPerTaskKey}); near-unique " +
+                "keys break the bounded-heap memory contract - use the " +
+                "sort-based window (row_number() OVER (PARTITION BY key " +
+                "ORDER BY ord) <= k), which spills, or raise the bound")
           // start small and let the queue grow: an eager k+1 capacity
           // would allocate O(k) slots for every group even when groups
           // hold a handful of rows (k is a bound, not a size hint)
