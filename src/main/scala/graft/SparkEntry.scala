@@ -143,6 +143,7 @@ object SparkEntry {
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
     "bigram_ll" -> ((s, d) => Ranking.bigramLogLikelihood(s, d)),
     "trigram_ll" -> ((s, d) => Ranking.trigramLogLikelihood(s, d)),
+    "fivegram_ll" -> ((s, d) => Ranking.fivegramLogLikelihood(s, d)),
     "quality_repetition" -> (TextOps.qualityRepetition _),
     "ann_recall" -> (Ann.annRecall _),
     // Bare catalog-table SQL — the one reference node
@@ -208,6 +209,92 @@ object SparkEntry {
                 ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
       SELECT q_id, rank, cand_id, cos_r FROM r WHERE rank <= 10"""
+  }
+
+  /** Generated oracle for [[graft.operators.Ranking.ngramLogLikelihood]]
+    * at any order n >= 3 — the ladder's tier chain, count tables, and
+    * fp-op association are emitted from the SAME n/LmMinCount/
+    * BackoffAlpha the Spark side uses (fivegram_ll runs it at n=5; the
+    * hand-written trigram_ll oracle doubles as an independent cross-check
+    * of the generator's n=3 shape).
+    */
+  private def ngramLlOracleSql(n: Int, keepAbove: Double, countCol: String,
+                               avgCol: String): String = {
+    val minC = graft.operators.Ranking.LmMinCount
+    val alpha = graft.operators.Ranking.BackoffAlpha
+    def coefSql(j: Int): String = s"$alpha * " * j
+    def gramList(m: Int): String =
+      s"list_transform(range(1, len(toks) - ${m - 2}), i -> " +
+        (0 until m).map(d => if (d == 0) "toks[i]" else s"toks[i+$d]")
+          .mkString(" || ' ' || ") + ")"
+    def words(ps: Range): String =
+      ps.map(p => s"split_part(g, ' ', $p)").mkString(" || ' ' || ")
+    val cntCtes = (2 until n).map { m =>
+      s"""cnt$m AS (
+        SELECT x.g, count(*) AS c
+        FROM (SELECT ${gramList(m)} AS gs FROM t WHERE len(toks) >= $m),
+          unnest(gs) AS x(g)
+        GROUP BY x.g)"""
+    }
+    val keyCols = (0 to n - 2).map(j =>
+      s"${words((1 + j) to (n - 1))} AS dk$j") ++
+      (1 to n - 2).map(j => s"${words((1 + j) to n)} AS nk$j") :+
+      s"split_part(g, ' ', $n) AS wn"
+    val joins = s"LEFT JOIN cnt${n - 1} d0 ON tfc.dk0 = d0.g" +:
+      (1 to n - 2).flatMap(j => Seq(
+        s"LEFT JOIN cnt${n - j} n$j ON tfc.nk$j = n$j.g",
+        if (n - 1 - j == 1) s"LEFT JOIN cnt1 d$j ON tfc.dk$j = d$j.g"
+        else s"LEFT JOIN cnt${n - 1 - j} d$j ON tfc.dk$j = d$j.g"))
+    val tiers =
+      s"WHEN ctg >= $minC THEN ln(CAST(ctg AS DOUBLE) / CAST(d0.c AS DOUBLE))" +:
+        (1 to n - 2).map(j =>
+          s"WHEN coalesce(n$j.c, 0) >= $minC THEN ln(${coefSql(j)}" +
+            s"CAST(n$j.c AS DOUBLE) / CAST(d$j.c AS DOUBLE))")
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tg AS (
+        SELECT doc_id, g.g
+        FROM (SELECT doc_id, ${gramList(n)} AS gs
+              FROM t WHERE len(toks) >= $n), unnest(gs) AS g(g)),
+      cnt1 AS (
+        SELECT u.g, count(*) AS c FROM t, unnest(toks) AS u(g)
+        GROUP BY u.g),
+      ${cntCtes.mkString(",\n      ")},
+      totals AS (SELECT CAST(sum(c) AS BIGINT) AS n_toks,
+                   count(*) AS vocab FROM cnt1),
+      tf AS (
+        SELECT doc_id, g, count(*) AS tf,
+          ${keyCols.mkString(",\n          ")}
+        FROM tg GROUP BY doc_id, g),
+      tfc AS (
+        SELECT *, CAST(sum(tf) OVER (PARTITION BY g) AS BIGINT) AS ctg
+        FROM tf),
+      scored AS (
+        SELECT doc_id, tf,
+          CASE ${tiers.mkString("\n               ")}
+               ELSE ln(${coefSql(n - 1)}
+                 (CAST(CASE WHEN coalesce(ub.c, 0) >= $minC THEN ub.c
+                       ELSE 0 END AS DOUBLE) + 1.0) /
+                 (CAST(n_toks AS DOUBLE) + CAST(vocab AS DOUBLE)))
+          END AS lp
+        FROM tfc
+        ${joins.mkString("\n        ")}
+        LEFT JOIN cnt1 ub ON tfc.wn = ub.g
+        CROSS JOIN totals),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nn,
+          sum(CAST(tf AS DOUBLE) * lp) AS ll
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(doc.nn, 0) AS $countCol,
+        round(doc.ll / CAST(doc.nn AS DOUBLE), 3) AS $avgCol,
+        coalesce(doc.ll / CAST(doc.nn AS DOUBLE) >= $keepAbove, false)
+          AS keep
+      FROM documents d LEFT JOIN doc USING (doc_id)"""
   }
 
   /** Shared DuckDB fragments for the md5-gram winnowing device
@@ -799,6 +886,7 @@ object SparkEntry {
         (n_chars >= p05 AND n_chars <= p95) AS keep
       FROM documents d JOIN b USING (lang)""",
     "ann_lsh" -> annLshOracleSql,
+    "fivegram_ll" -> ngramLlOracleSql(5, -5.0, "n_fivegrams", "avg_ll5"),
     "dedup_winnow" -> dedupWinnowOracleSql,
     "doc_fingerprint" -> docFingerprintOracleSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,

@@ -179,91 +179,119 @@ object Ranking {
   val LmMinCount = 2
   val BackoffAlpha = 0.4
 
-  /** Trigram stupid-backoff LM log-likelihood (oracle-checked): mean
-    * per-trigram ln S(w3 | w1 w2) with Brants et al. (2007) stupid
-    * backoff —
-    *   S = c123 / c12                    if c123 >= LmMinCount
-    *     | a * c23 / c2                  else if c23 >= LmMinCount
-    *     | a^2 * (c3' + 1) / (N + V)     otherwise (add-one unigram base;
-    *                                     c3' = c3 if c3 >= LmMinCount else 0)
+  /** Parameterized n-gram stupid-backoff LM log-likelihood — the KenLM
+    * query shape as one ladder for any order n >= 3 (oracle-checked at
+    * n = 3 and n = 5): mean per-n-gram ln S(w_n | w_1..w_{n-1}) with
+    * Brants et al. (2007) stupid backoff —
+    *   tier j (j = 0..n-2):
+    *     S = a^j * c(w_{1+j}..w_n) / c(w_{1+j}..w_{n-1})
+    *         taken at the FIRST j whose numerator count >= LmMinCount
+    *   base:
+    *     S = a^(n-1) * (c'(w_n) + 1) / (N + V)   (add-one unigram;
+    *         c' = c(w_n) if >= LmMinCount else 0)
     * Pruning count-1 n-grams from the model is what makes backoff
-    * actually fire on a self-scored corpus; counts nest (c12 >= c123,
-    * c2 >= c23), so every denominator is present whenever its numerator
-    * clears the prune and no division ever sees null.
+    * actually fire on a self-scored corpus; prefix counts nest
+    * (c(w_{1+j}..w_{n-1}) >= c(w_{1+j}..w_n)), so every denominator is
+    * present whenever its numerator clears the prune and no division
+    * ever sees null.
     *
-    * One more rung up the n-gram ladder from [[bigramLogLikelihood]], and
-    * the full KenLM query shape: the trigram tf frame is scored against
-    * its own corpus counts via a window sum (single consumer of the
-    * expensive explode+aggregate), while the lower-order count tables are
-    * VOCAB-sized and join back on their n-gram keys as shuffle joins —
-    * nothing corpus-sized is ever broadcast.
+    * Scale shape: the order-n tf frame is scored against its own corpus
+    * counts via a window sum (single consumer of the expensive top
+    * explode), while the 2(n-1) lower-order count-table joins are
+    * VOCAB-sized shuffle joins on their n-gram keys — nothing
+    * corpus-sized is ever broadcast, at any n.
     */
-  def trigramLogLikelihood(s: SparkSession, dir: String,
-                           keepAbove: Double = -12.0): DataFrame = {
+  def ngramLogLikelihood(s: SparkSession, dir: String, n: Int,
+                         keepAbove: Double, countCol: String,
+                         avgCol: String): DataFrame = {
+    require(n >= 3, s"the backoff ladder starts at n=3 (got $n); " +
+      "unigram/bigram scoring have their own closed forms")
     val docs = table(s, dir, "documents")
     val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")))
-    val trigrams = base.filter(col("n") >= 3)
-      .select(col("doc_id"), explode(zip_with(
-        zip_with(
-          slice(col("toks"), lit(1), col("n") - 2),
-          slice(col("toks"), lit(2), col("n") - 2),
-          (a, b) => concat_ws(" ", a, b)),
-        slice(col("toks"), lit(3), col("n") - 2),
-        (ab, c) => concat_ws(" ", ab, c))).as("tg"))
-    val bigramCounts = base.filter(col("n") >= 2)
-      .select(explode(zip_with(
-        slice(col("toks"), lit(1), col("n") - 1),
-        slice(col("toks"), lit(2), col("n") - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val unigramCounts = base
-      .select(explode(col("toks")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
-    val totals = unigramCounts.agg(sum(col("cu")).as("n_toks"),
+      .withColumn("nt", size(col("toks")))
+    // m-gram strings by position — one generator for every rung
+    def gramsOf(m: Int): Column =
+      if (m == 1) col("toks")
+      else transform(sequence(lit(1), col("nt") - (m - 1)),
+        i => concat_ws(" ", (0 until m).map(d =>
+          element_at(col("toks"), i + lit(d))): _*))
+    def countsOf(m: Int): DataFrame = base.filter(col("nt") >= m)
+      .select(explode(gramsOf(m)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as(s"c$m"))
+    val cnt: Map[Int, DataFrame] = (1 until n).map(m => m -> countsOf(m)).toMap
+    val totals = cnt(1).agg(sum(col("c1")).as("n_toks"),
       count(lit(1)).as("vocab"))
-    val tf = trigrams.groupBy(col("doc_id"), col("tg"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("w12", substring_index(col("tg"), " ", 2))
-      .withColumn("w23", substring_index(col("tg"), " ", -2))
-      .withColumn("w2", substring_index(col("w23"), " ", 1))
-      .withColumn("w3", substring_index(col("tg"), " ", -1))
-      // corpus trigram count via window sum — the tf frame stays the
-      // single consumer of the trigram explode (see tfIdfTopTerms)
-      .withColumn("ctg", sum(col("tf")).over(Window.partitionBy(col("tg"))))
-    val joined = tf
-      .join(bigramCounts.select(col("bg").as("w12"), col("cb").as("cb12")),
-        Seq("w12"), "left")
-      .join(bigramCounts.select(col("bg").as("w23"), col("cb").as("cb23")),
-        Seq("w23"), "left")
-      .join(unigramCounts.select(col("term").as("w2"), col("cu").as("cu2")),
-        Seq("w2"), "left")
-      .join(unigramCounts.select(col("term").as("w3"), col("cu").as("cu3")),
-        Seq("w3"), "left")
+    // suffix of L words / tier-j context (positions 1+j .. n-1) of the
+    // top gram, via the same split-join both engines reproduce
+    def sfx(of: Column, l: Int): Column = substring_index(of, " ", -l)
+    def ctx(j: Int): Column =
+      substring_index(sfx(col("g"), n - j), " ", n - 1 - j)
+    val tf0 = base.filter(col("nt") >= n)
+      .select(col("doc_id"), explode(gramsOf(n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      // corpus top-order count via window sum — the tf frame stays the
+      // single consumer of the top explode (see tfIdfTopTerms)
+      .withColumn("ctg", sum(col("tf")).over(Window.partitionBy(col("g"))))
+    val withKeys = (0 to n - 2).foldLeft(tf0) { (df, j) =>
+      val d = df.withColumn(s"dk$j", ctx(j))
+      if (j == 0) d else d.withColumn(s"nk$j", sfx(col("g"), n - j))
+    }.withColumn("wn", sfx(col("g"), 1))
+    val joined0 = (0 to n - 2).foldLeft(withKeys) { (df, j) =>
+      val withDen = df.join(
+        cnt(n - 1 - j).select(col("g").as(s"dk$j"),
+          col(s"c${n - 1 - j}").as(s"cden$j")), Seq(s"dk$j"), "left")
+      if (j == 0) withDen
+      else withDen.join(
+        cnt(n - j).select(col("g").as(s"nk$j"),
+          col(s"c${n - j}").as(s"cnum$j")), Seq(s"nk$j"), "left")
+    }
+    val joined = joined0
+      .join(cnt(1).select(col("g").as("wn"), col("c1").as("cun")),
+        Seq("wn"), "left")
       .crossJoin(broadcast(totals))
     val a = lit(BackoffAlpha)
-    val c23 = coalesce(col("cb23"), lit(0L))
-    val c3p = when(coalesce(col("cu3"), lit(0L)) >= LmMinCount, col("cu3"))
+    def coef(j: Int): Column = (1 until j).foldLeft(a)((acc, _) => acc * a)
+    val cnp = when(coalesce(col("cun"), lit(0L)) >= LmMinCount, col("cun"))
       .otherwise(lit(0L))
-    val lp =
-      when(col("ctg") >= LmMinCount,
-        log(col("ctg").cast("double") / col("cb12").cast("double")))
-      .when(c23 >= LmMinCount,
-        log(a * c23.cast("double") / col("cu2").cast("double")))
-      .otherwise(log(a * a * (c3p.cast("double") + 1.0) /
-        (col("n_toks").cast("double") + col("vocab").cast("double"))))
+    val baseTier = log(coef(n - 1) * (cnp.cast("double") + 1.0) /
+      (col("n_toks").cast("double") + col("vocab").cast("double")))
+    val lp = (0 to n - 2).foldRight(baseTier) { (j, below) =>
+      val num = if (j == 0) col("ctg") else coalesce(col(s"cnum$j"), lit(0L))
+      // (a^j * num) / den, left-associated — the exact fp op order the
+      // SQL mirror's ln(0.4 * ... * CAST(num) / CAST(den)) evaluates
+      val tier =
+        if (j == 0) num.cast("double") / col(s"cden$j").cast("double")
+        else coef(j) * num.cast("double") / col(s"cden$j").cast("double")
+      when(num >= LmMinCount, log(tier)).otherwise(below)
+    }
     val doc = joined
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_trigrams"),
+      .agg(sum(col("tf")).as(countCol),
         sum(col("tf").cast("double") * lp).as("ll"))
     docs.select(col("doc_id"))
       .join(doc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        round(col("ll") / col("n_trigrams").cast("double"), 3).as("avg_ll3"),
-        coalesce(col("ll") / col("n_trigrams").cast("double") >= keepAbove,
+        coalesce(col(countCol), lit(0L)).as(countCol),
+        round(col("ll") / col(countCol).cast("double"), 3).as(avgCol),
+        coalesce(col("ll") / col(countCol).cast("double") >= keepAbove,
           lit(false)).as("keep"))
   }
+
+  /** Trigram rung of [[ngramLogLikelihood]] (oracle-checked). */
+  def trigramLogLikelihood(s: SparkSession, dir: String,
+                           keepAbove: Double = -12.0): DataFrame =
+    ngramLogLikelihood(s, dir, 3, keepAbove, "n_trigrams", "avg_ll3")
+
+  /** Five-gram rung of [[ngramLogLikelihood]] (oracle-checked) — at this
+    * order a self-scored corpus backs off on most grams, which is the
+    * point: the ladder exercises every tier. The keep threshold sits at
+    * the measured low tail of avg_ll5 (p05 is -5.3..-4.9 across SFs), so
+    * the verdict drops the least-likely docs rather than degenerating to
+    * all-true.
+    */
+  def fivegramLogLikelihood(s: SparkSession, dir: String,
+                            keepAbove: Double = -5.0): DataFrame =
+    ngramLogLikelihood(s, dir, 5, keepAbove, "n_fivegrams", "avg_ll5")
 
   def unigramLogLikelihood(s: SparkSession, dir: String,
                            keepAbove: Double = -9.0): DataFrame = {

@@ -173,15 +173,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("trigram_ll: one trigram explode; count tables join, not broadcast") {
-    // the trigram tf frame must be the single consumer of the trigram
+  test("ngram ladder: one top-order explode; count tables join, not broadcast") {
+    // the order-n tf frame must be the single consumer of the top-order
     // explode (window-sum ctg, no second tokenize of the corpus for it);
     // lower-order count tables are vocab-sized shuffle joins — at web
-    // scale the vocab does NOT fit a broadcast
-    val p = plan("trigram_ll")
-    val trigramScans = p.linesIterator.count(l =>
-      l.contains("zip_with(zip_with"))
-    assert(trigramScans === 1, p.take(2000))
+    // scale the vocab does NOT fit a broadcast. The top-order gram
+    // generator is identifiable by its sequence bound (nt - (n-1)):
+    // count tables stop one order below.
+    for ((q, n) <- Seq("trigram_ll" -> 3, "fivegram_ll" -> 5)) {
+      val p = plan(q)
+      // attribute ids vary: "sequence(1, (nt#7 - 2)" for the top order
+      val topScans = s"nt#\\d+ - ${n - 1}\\)".r.findAllIn(p).length
+      assert(topScans === 1, s"$q: ${p.take(2000)}")
+    }
   }
 
   test("ann_ivf: probe assignment is in the plan, not driver-side") {
