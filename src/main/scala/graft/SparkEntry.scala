@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_segments" -> (Dedup.dedupSegments _),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d)),
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "embedding_centroids" -> (Ann.embeddingCentroids _),
@@ -296,6 +297,52 @@ object SparkEntry {
           AS keep
       FROM documents d LEFT JOIN doc USING (doc_id)"""
   }
+
+  /** dedup_semantic oracle, from the fitted centroid literals cached in
+    * Dedup.lastSemFit when the query ran (the ann_ivf device): DuckDB
+    * recomputes cluster assignment (argmin squared-L2, lowest cell wins
+    * ties), the MaxBucket hot-cell cap, within-cluster pair cosines,
+    * and the min-id-representative verdicts. Absent (rows-only
+    * fallback) only if dedup_semantic did not run in this JVM.
+    */
+  private def dedupSemanticOracleSqlOpt: Option[(String, String)] =
+    Option(graft.operators.Dedup.lastSemFit.get()).map {
+      case (_, threshold, cents) =>
+        val dim = cents.head.length
+        val vals = cents.zipWithIndex.map { case (c, ci) =>
+          s"($ci, ${c.mkString("[", ", ", "]")})"
+        }.mkString(",\n          ")
+        "dedup_semantic" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      d AS (SELECT e.vec_id, e.emb, c.cell,
+              list_sum(list_transform(range(1, ${dim + 1}),
+                i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM d)
+        WHERE rn = 1),
+      capped AS (
+        SELECT vec_id, emb, cell FROM assign
+        QUALIFY count(*) OVER (PARTITION BY cell)
+          <= ${graft.operators.Dedup.MaxBucket}),
+      pr AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+          list_cosine_similarity(x.emb, y.emb) AS cos
+        FROM capped x JOIN capped y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      prf AS (SELECT * FROM pr WHERE cos >= $threshold),
+      dd AS (
+        SELECT b AS vec_id, min(a) AS dup_of, max(cos) AS best_cos
+        FROM prf GROUP BY b)
+      SELECT a2.vec_id, a2.cell, dup_of,
+        round(best_cos, 4) AS best_cos, dup_of IS NULL AS keep
+      FROM assign a2 LEFT JOIN dd USING (vec_id)"""
+    }
 
   /** Shared DuckDB fragments for the md5-gram winnowing device
     * (TextFunctions.gramHashes/windowMins): the gram-hash stream and its
@@ -1933,5 +1980,5 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
-  ) ++ annIvfOracleSqlOpt
+  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt
 }

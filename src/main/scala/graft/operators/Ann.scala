@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -87,9 +87,15 @@ object Ann {
   val lastIvfFit = new java.util.concurrent.atomic.AtomicReference[
     (String, Int, Array[Array[Double]])]()
 
-  def annIvf(s: SparkSession, dir: String, nCentroids: Int = IvfCentroids,
-             nProbe: Int = IvfProbe): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** Fit the KMeans coarse quantizer on a bounded deterministic sample
+    * — shared by [[annIvf]] and Dedup.dedupSemantic. The returned
+    * centroid matrix is what both the plan (broadcast literals) and the
+    * DuckDB oracles (cached literals) consume. nCentroids is the
+    * corpus-scaling knob: production SemDeDup/IVF picks k ~ sqrt(N) and
+    * up, so cells stay bounded as the corpus grows.
+    */
+  def fitCentroids(s: SparkSession, dir: String,
+                   nCentroids: Int): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = table(s, dir, "embeddings")
@@ -98,22 +104,33 @@ object Ann {
       .setFeaturesCol("vec").setPredictionCol("cell")
     // this count prunes to zero columns (parquet row counting, near
     // metadata speed) and buys the right sample fraction — far cheaper
-    // than the 5 full KMeans passes an unsampled fit would cost
+    // than the 10 full KMeans passes an unsampled fit would cost
     val corpusN = e.count()
     val fitSet = if (corpusN <= FitSampleMax) e
       else e.sample(withReplacement = false,
         FitSampleMax.toDouble / corpusN, seed = 42L)
-    val fitted = model.fit(fitSet)
-    val centroids = fitted.clusterCenters.map(_.toArray)
+    model.fit(fitSet).clusterCenters.map(_.toArray)
+  }
+
+  /** Squared-L2 distances of a vector column to every centroid, as one
+    * literal-array expression — the shared assignment formula both
+    * engines evaluate (argmin over it = cell; first-min index = lowest
+    * cell wins ties).
+    */
+  def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => V.l2sq(v, array(c.map(lit): _*))): _*)
+
+  def annIvf(s: SparkSession, dir: String, nCentroids: Int = IvfCentroids,
+             nProbe: Int = IvfProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = fitCentroids(s, dir, nCentroids)
     lastIvfFit.set((dir, nProbe, centroids))
     // Corpus assignment in the plan, NOT via MLlib transform: argmin
-    // squared-L2 over the centroid literals (first-min index = lowest
-    // cell wins ties) — codegen'd, shuffle-free, and the exact formula
-    // the DuckDB oracle mirrors, so assignment is engine-agreed.
-    val distArr = array(centroids.map(c =>
-      V.l2sq(col("embedding"), array(c.map(lit): _*))): _*)
+    // squared-L2 over the centroid literals — codegen'd, shuffle-free,
+    // and the exact formula the DuckDB oracle mirrors, so assignment is
+    // engine-agreed.
     val assigned = table(s, dir, "embeddings")
-      .withColumn("dists", distArr)
+      .withColumn("dists", centroidDists(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"),
         (array_position(col("dists"), array_min(col("dists"))) - 1)
           .cast("int").as("cell"))

@@ -739,6 +739,66 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  // ------------------------------------------------ semantic (SemDeDup)
+
+  /** Within-cluster cosine above this marks a semantic duplicate —
+    * aligned with the 0.4 the other embedding tiers use, which on this
+    * corpus sits at ~p99.8 of the within-cluster pair-cosine
+    * distribution (measured via the oracle CTEs at sf0.01: 25 of 500
+    * vectors pruned; 0.35 = p99 would prune 19%).
+    */
+  val SemDedupCos = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, oracle-checked): the semantic tier
+    * between exact/near-dup text matching and nothing — embeddings are
+    * coarse-clustered by a KMeans quantizer, and ONLY within-cluster
+    * pairs are cosine-checked; of any semantic-duplicate pair the
+    * higher vec_id is pruned (min-id representative survives, matching
+    * every other dedup tier here).
+    *
+    * Scale shape: the cluster id is the blocking key; k is the
+    * corpus-scaling knob (production picks k ~ sqrt(N)+, keeping cells
+    * bounded as the corpus grows — Ann.fitCentroids doc), the fit sees
+    * a bounded sample, assignment is one codegen'd in-plan argmin pass
+    * over centroid literals, and hot cells are capped like every other
+    * pair source ([[MaxBucket]]). Oracle-checked end to end via the
+    * fitted-literal device proven on ann_ivf: DuckDB recomputes
+    * assignment, cap, pair cosines, and verdicts from the cached
+    * centroid literals ([[lastSemFit]]).
+    */
+  def dedupSemantic(s: SparkSession, dir: String, nClusters: Int = 16,
+                    threshold: Double = SemDedupCos): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = Ann.fitCentroids(s, dir, nClusters)
+    lastSemFit.set((dir, threshold, centroids))
+    val assigned = table(s, dir, "embeddings")
+      .withColumn("dists", Ann.centroidDists(col("embedding"), centroids))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("cell"))
+    val capped = capBuckets(assigned, Seq("cell"))
+    val pairs = capped.as("x").hint("merge").join(capped.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        V.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val dupOf = pairs.groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"), max(col("cos")).as("best_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        round(col("best_cos"), 4).as("best_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** Last fitted SemDeDup quantizer (dir, threshold, centroids) — the
+    * oracle-generation cache, populated when the query runs (Verify
+    * dumps oracleSql afterwards; the ann_ivf device).
+    */
+  val lastSemFit = new java.util.concurrent.atomic.AtomicReference[
+    (String, Double, Array[Array[Double]])]()
+
   // ------------------------------- prefix-filtered containment join
 
   /** Containment threshold: flag A when >= this fraction of A's grams

@@ -175,6 +175,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(col("dup_of") >= col("vec_id")).count() === 0L)
   }
 
+  test("dedup_semantic: verdicts hold under exact cosine, within-cluster only") {
+    import graft.operators.Dedup
+    val r = Dedup.dedupSemantic(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(r.count() === e.count())
+    val dups = r.filter(col("dup_of").isNotNull)
+    assert(dups.count() > 0L, "threshold must fire on the synthetic corpus")
+    // every flagged pair is a true semantic near-dup under exact cosine
+    val checked = dups
+      .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("eb")),
+        "dup_of")
+      .withColumn("true_cos",
+        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")))
+    assert(checked.filter(col("true_cos") < Dedup.SemDedupCos - 1e-9)
+      .count() === 0L)
+    // canonical representative: dup_of is a smaller id, and the
+    // representative is in the SAME cluster (the blocking invariant)
+    assert(dups.filter(col("dup_of") >= col("vec_id")).count() === 0L)
+    val cells = r.select(col("vec_id"), col("cell"))
+    assert(dups.select(col("vec_id"), col("dup_of"))
+      .join(cells, "vec_id")
+      .join(cells.select(col("vec_id").as("dup_of"),
+        col("cell").as("rep_cell")), "dup_of")
+      .filter(col("cell") =!= col("rep_cell")).count() === 0L)
+    // keep <-> no dup_of, exactly
+    assert(r.filter(col("keep") === col("dup_of").isNotNull).count() === 0L)
+  }
+
   test("vec_dot/vec_cosine/vec_l2sq: bit-identical to the HOF fold") {
     import graft.functions.{VectorFunctions => V}
     graft.functions.GraftFunctions.register(spark)
