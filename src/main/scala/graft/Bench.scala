@@ -118,10 +118,17 @@ object Bench {
     * keeps only the LAST ~2000 chars of output), the SLOWEST queries are
     * kept verbatim — those carry the performance signal — and the
     * fastest remainder is folded into one "_other" entry whose value is
-    * their sum, so "value" still equals the sum of the map. Full
-    * per-query precision always lands in target/bench_detail.json.
+    * their sum, so "value" still equals the sum of the map. Two classes
+    * are PROTECTED from folding — the top [[ProtectTopN]] by time and
+    * every query at or above [[ProtectFloorSec]] — so the driver
+    * artifact always carries the queries a perf reviewer needs, at any
+    * suite size (only a pathological overflow may fold into them, since
+    * an unparseable tail is worse than a folded one). Full per-query
+    * precision always lands in target/bench_detail.json.
     */
   val LineBudget = 1900
+  val ProtectTopN = 30
+  val ProtectFloorSec = 0.5
 
   def renderLine(results: Seq[(String, Double)], sfName: String,
                  failed: Seq[String] = Nil): String = {
@@ -138,14 +145,21 @@ object Bench {
       val full = render(results, fj)
       if (full.length <= LineBudget) full
       else {
-        // drop fastest-first (stable: name tiebreak) until it fits
+        val byTime = results.sortBy { case (n, v) => (-v, n) }
+        val protectedNames = (byTime.take(ProtectTopN).map(_._1) ++
+          results.filter(_._2 >= ProtectFloorSec).map(_._1)).toSet
+        // fold fastest-first (stable: name tiebreak), unprotected before
+        // protected — protected entries fold only if the line cannot
+        // otherwise fit at all
         val bySpeed = results.sortBy { case (n, v) => (v, n) }
+        val foldOrder = bySpeed.filterNot(r => protectedNames(r._1)) ++
+          bySpeed.filter(r => protectedNames(r._1))
         val keep = scala.collection.mutable.Map(results.toMap.toSeq: _*)
         var other = 0.0
         var it = 0
         var line = full
-        while (line.length > LineBudget && it < bySpeed.length) {
-          val (n, v) = bySpeed(it)
+        while (line.length > LineBudget && it < foldOrder.length) {
+          val (n, v) = foldOrder(it)
           keep.remove(n); other += v; it += 1
           line = render(results.filter(r => keep.contains(r._1)) :+
             ("_other" -> other), fj)

@@ -41,6 +41,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""value":451.5"""))
   }
 
+  test("folding protects the top-30 by time and every query >= 0.5s") {
+    // 200 queries: 160 fast fillers + 40 slow ones (>= 0.5s). The line
+    // must fold ONLY fillers: all 40 slow entries (a superset of the
+    // top 30) survive individually in the driver artifact.
+    val fillers = (1 to 160).map(i => f"filler_query_$i%03d" -> 0.02)
+    val slow = (1 to 40).map(i => f"slow_query_$i%02d" -> (0.5 + i * 0.1))
+    val line = Bench.renderLine(
+      new scala.util.Random(1).shuffle(fillers ++ slow), "sf0.1")
+    assert(line.length <= Bench.LineBudget, line.length.toString)
+    assert(line.contains(""""_other":"""))
+    slow.foreach { case (n, _) =>
+      assert(line.contains("\"" + n + "\":"), s"$n folded away")
+    }
+  }
+
   test("rendered line is valid JSON shape with failed passthrough") {
     val line = Bench.renderLine(Seq("q1_agg" -> 1.23), "sf0.01", Seq("x"))
     assert(line.contains(""""queries":{"q1_agg":1.23}"""))
