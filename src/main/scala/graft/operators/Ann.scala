@@ -95,22 +95,32 @@ object Ann {
     * up, so cells stay bounded as the corpus grows.
     */
   def fitCentroids(s: SparkSession, dir: String,
-                   nCentroids: Int): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = table(s, dir, "embeddings")
-      .withColumn("vec", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("vec").setPredictionCol("cell")
-    // this count prunes to zero columns (parquet row counting, near
-    // metadata speed) and buys the right sample fraction — far cheaper
-    // than the 10 full KMeans passes an unsampled fit would cost
-    val corpusN = e.count()
-    val fitSet = if (corpusN <= FitSampleMax) e
-      else e.sample(withReplacement = false,
-        FitSampleMax.toDouble / corpusN, seed = 42L)
-    model.fit(fitSet).clusterCenters.map(_.toArray)
-  }
+                   nCentroids: Int): Array[Array[Double]] =
+    // the fit is seeded and the sample deterministic, so per-(dir, k)
+    // memoization is pure for immutable table dirs (the operating
+    // assumption everywhere here; a pipeline that rewrites a dir in
+    // place needs a new session or key) — it saves the repeated ~1 s
+    // MLlib fit when several queries share a quantizer in one session
+    // (annIvf, annRecall, dedupSemantic; a bench pass hits each)
+    fitCache.computeIfAbsent((dir, nCentroids), { _ =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = table(s, dir, "embeddings")
+        .withColumn("vec", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("vec").setPredictionCol("cell")
+      // this count prunes to zero columns (parquet row counting, near
+      // metadata speed) and buys the right sample fraction — far cheaper
+      // than the 10 full KMeans passes an unsampled fit would cost
+      val corpusN = e.count()
+      val fitSet = if (corpusN <= FitSampleMax) e
+        else e.sample(withReplacement = false,
+          FitSampleMax.toDouble / corpusN, seed = 42L)
+      model.fit(fitSet).clusterCenters.map(_.toArray)
+    })
+
+  private val fitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[Array[Double]]]()
 
   /** Squared-L2 distances of a vector column to every centroid, as one
     * literal-array expression — the shared assignment formula both
