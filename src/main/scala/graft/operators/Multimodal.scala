@@ -11,10 +11,13 @@ import graft.sources.Tables.table
   * JDK's ImageIO, no external codec needed — producing true dimensions
   * and a pixel-luminance histogram. Audio payloads go through a REAL
   * RIFF/WAVE PCM parse (pure JVM, no FFI): amplitude histogram +
-  * sample-point "frames". Video (which would need ffmpeg via FFI) and
-  * undecodable records fall back to a clearly-marked deterministic
-  * byte-level STUB, so the pipeline shape — schema, partition-wise
-  * batching, feature layout — is identical for every mime.
+  * sample-point "frames". Video payloads get a REAL MP4/ISO-BMFF
+  * container probe (brand, duration, track count, presentation dims —
+  * the facts a pipeline filters on before paying for GPU decode);
+  * frame DECODE (which would need ffmpeg via FFI) and undecodable
+  * records fall back to a clearly-marked deterministic byte-level
+  * STUB, so the pipeline shape — schema, partition-wise batching,
+  * feature layout — is identical for every mime.
   * mapPartitions is the JVM analog of Python's mapInPandas:
   * per-partition batch iteration, no per-row setup cost.
   */
@@ -199,10 +202,84 @@ object Multimodal {
       Some((hist, frames))
     } catch { case _: Exception => None }
 
-  /** FALLBACK decode for payloads no in-JVM codec handles (video — a
-    * real implementation hands those to ffmpeg via FFI here — plus
-    * undecodable images/audio): a deterministic byte-level histogram, so
-    * tests and rows-only checks are stable.
+  /** Parsed MP4/ISO-BMFF container metadata — the box-level facts a
+    * training pipeline filters on BEFORE shipping bytes to a GPU decode
+    * tier (resolution, duration, track count). No sample decode.
+    */
+  case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
+                     nTracks: Int, width: Int, height: Int)
+
+  /** REAL MP4/ISO-BMFF container probe, pure JVM: walks the top-level
+    * box sequence (64-bit largesize and size-0-to-EOF handled), descends
+    * into moov for mvhd (v0/v1 timescale + duration) and per-trak tkhd
+    * (16.16 fixed-point presentation dims; first visual track wins).
+    * Strictly bounds-checked — a hostile size field truncates the walk
+    * rather than reading out of range. Returns None for anything that
+    * is not a plausible MP4 (no ftyp, no usable mvhd), routing the
+    * record to the byte-level fallback. Frame/sample DECODE remains the
+    * documented ffmpeg seam; this probe only reads container structure.
+    */
+  def mp4Meta(p: Array[Byte]): Option[Mp4Meta] =
+    try {
+      def be32(i: Int): Long =
+        ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+          ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      if (p.length < 16) return None
+      var brand: String = null
+      var timescale = 0L
+      var duration = -1L
+      var nTracks = 0
+      var w = 0
+      var h = 0
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          var sz = be32(pos.toInt)
+          val typ = new String(p, pos.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          if (sz == 1) {
+            if (pos + 16 > end) return
+            sz = be64(pos.toInt + 8); hdr = 16
+          } else if (sz == 0) sz = end - pos
+          if (sz < hdr || pos + sz > end) return // hostile size field
+          val body = (pos + hdr).toInt
+          val boxEnd = pos + sz
+          typ match {
+            case "ftyp" if brand == null && body + 4 <= boxEnd =>
+              brand = new String(p, body, 4, "ISO-8859-1")
+            case "moov" if depth == 0 => walk(body, boxEnd, 1)
+            case "trak" if depth == 1 =>
+              nTracks += 1; walk(body, boxEnd, 2)
+            case "mvhd" if depth == 1 && body < boxEnd =>
+              if ((p(body) & 0xff) == 1 && body + 32 <= boxEnd) {
+                timescale = be32(body + 20); duration = be64(body + 24)
+              } else if (body + 24 <= boxEnd) {
+                timescale = be32(body + 12); duration = be32(body + 16)
+              }
+            case "tkhd" if depth == 2 && body < boxEnd =>
+              val off = if ((p(body) & 0xff) == 1) 88 else 76
+              if (body + off + 8 <= boxEnd) {
+                val tw = (be32(body + off) >> 16).toInt
+                val th = (be32(body + off + 4) >> 16).toInt
+                // audio/metadata tracks carry 0x0 dims; first visual wins
+                if (w == 0 && tw > 0 && th > 0) { w = tw; h = th }
+              }
+            case _ =>
+          }
+          pos += sz
+        }
+      }
+      walk(0, p.length, 0)
+      if (brand == null || timescale <= 0 || duration < 0) None
+      else Some(Mp4Meta(brand, timescale, duration * 1000 / timescale,
+        nTracks, w, h))
+    } catch { case _: Exception => None }
+
+  /** FALLBACK decode for payloads no in-JVM codec handles (video frame
+    * decode — a real implementation hands those to ffmpeg via FFI here —
+    * plus undecodable images/audio): a deterministic byte-level
+    * histogram, so tests and rows-only checks are stable.
     */
   // format: off
   private def decodeStub(payload: Array[Byte]): (Array[Double], Array[Long]) = {
@@ -253,6 +330,17 @@ object Multimodal {
               case None =>
                 val (hs, fr) = decodeStub(payload)
                 (hs, fr, r.width, r.height, false)
+            } else if (mime.startsWith("video/")) {
+              // container probe only: true presentation dims from tkhd
+              // override the metadata claim when the payload parses as
+              // MP4; hist/frames stay byte-level and `decoded` stays
+              // false — no SAMPLE decode ran (the ffmpeg seam)
+              val (hs, fr) = decodeStub(payload)
+              mp4Meta(payload) match {
+                case Some(m) if m.width > 0 =>
+                  (hs, fr, m.width, m.height, false)
+                case _ => (hs, fr, r.width, r.height, false)
+              }
             } else {
               val (hs, fr) = decodeStub(payload)
               (hs, fr, r.width, r.height, false)

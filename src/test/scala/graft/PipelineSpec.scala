@@ -698,6 +698,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
   }
 
+  /** Minimal valid MP4: ftyp + moov{mvhd, video trak, audio trak}. */
+  private def mp4Bytes(tkhdV1: Boolean = false): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(512) ++ "iso2avc1".getBytes)
+    // mvhd v0: flags, ctime, mtime, timescale=1000, duration=5000, then
+    // rate/volume/reserved/matrix/predefined/next-track padding
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(5000) ++ Array.fill(80)(0.toByte))
+    def tkhd(w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val ver = if (v1) Array[Byte](1, 0, 0, 0) else be32(0)
+      val times = if (v1) Array.fill(20)(0.toByte) // ctime8+mtime8+id4
+        else Array.fill(12)(0.toByte)
+      val durEtc = if (v1) Array.fill(4 + 8 + 8)(0.toByte) // res4+dur8+res8
+        else Array.fill(4 + 4 + 8)(0.toByte)
+      box("tkhd", ver ++ times ++ durEtc ++
+        Array.fill(2 + 2 + 2 + 2 + 36)(0.toByte) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    }
+    val vtrak = box("trak", tkhd(320, 240, tkhdV1))
+    val atrak = box("trak", tkhd(0, 0, v1 = false))
+    ftyp ++ box("moov", mvhd ++ vtrak ++ atrak)
+  }
+
+  test("multimodal: MP4 container probe reads brand, duration, and dims") {
+    val m = Multimodal.mp4Meta(mp4Bytes()).get
+    assert(m.brand === "isom")
+    assert(m.timescale === 1000L && m.durationMs === 5000L)
+    assert(m.nTracks === 2)
+    assert(m.width === 320 && m.height === 240)
+    // tkhd version 1 shifts the fixed-point dims by the 64-bit times
+    val m1 = Multimodal.mp4Meta(mp4Bytes(tkhdV1 = true)).get
+    assert(m1.width === 320 && m1.height === 240)
+    // truncation and non-MP4 bytes refuse rather than misparse
+    assert(Multimodal.mp4Meta(mp4Bytes().dropRight(30)).isEmpty)
+    assert(Multimodal.mp4Meta("plainly not a video".getBytes).isEmpty)
+    // extractFeatures: container dims override the metadata claim for
+    // video mimes, but decoded stays false (no sample decode ran)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, mp4Bytes(), "video/mp4", 999, 999),
+      org.apache.spark.sql.Row(2L, "junk".getBytes, "video/mp4", 17, 13))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, payload BINARY, mime STRING, width INT, height INT")
+    val out = Multimodal.extractFeatures(spark,
+      spark.createDataFrame(rows, schema)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v = out(1L)
+    assert(!v.getBoolean(v.fieldIndex("decoded")))
+    assert(v.getInt(v.fieldIndex("thumb_w")) === 128) // 320x240 -> 128x96
+    assert(v.getInt(v.fieldIndex("thumb_h")) === 96)
+    val j = out(2L)
+    assert(j.getInt(j.fieldIndex("thumb_w")) === 17 &&
+      j.getInt(j.fieldIndex("thumb_h")) === 13)
+  }
+
   /** Minimal valid RIFF/WAVE PCM container around raw sample bytes. */
   private def wavBytes(fmt: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
