@@ -151,6 +151,9 @@ object SparkEntry {
     // (logical_planner.rs:392-395) that parses but errors NotImplemented
     // at execution (builder.rs:67-72): register the sf tables as views,
     // then run plain `FROM tablename` SQL through the facade.
+    "hybrid_rank_fusion" -> ((s, d) => Ranking.hybridRankFusion(s, d)),
+    "scd2_history" -> (RelationalExt.scd2History _),
+    "pagerank_links" -> (Graph.pagerankLinks _),
     "catalog_table" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
       graft.sql.QueryFacade.run(s,
@@ -893,7 +896,64 @@ object SparkEntry {
       WHERE start = 0 OR start + $ChunkOverlap < n"""
   }
 
+  /** hybrid_rank_fusion oracle — the BM25 oracle nested verbatim as the
+    * lexical list, the dense list recomputed from embeddings, and the
+    * RRF constants interpolated from Ranking so the 1/(k+rank) doubles
+    * (and their fixed bm-then-vec addition order) match the Spark side
+    * bit for bit.
+    */
+  private def hybridRankFusionOracleSql: String = {
+    import graft.operators.Ranking.{RrfK, RrfTopK}
+    s"""
+      WITH bm AS (
+        SELECT doc_id, rank AS r_bm25 FROM ($bm25OracleSql)),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id = 0),
+      vs AS (
+        SELECT vec_id,
+          round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6)
+            AS cos_r
+        FROM embeddings, q WHERE vec_id <> 0),
+      vr AS (
+        SELECT vec_id AS doc_id,
+          row_number() OVER (ORDER BY cos_r DESC, vec_id) AS r_vec
+        FROM vs ORDER BY cos_r DESC, vec_id LIMIT 100),
+      f AS (
+        SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id, r_bm25, r_vec,
+          coalesce(1.0 / ($RrfK + CAST(r_bm25 AS DOUBLE)), 0.0)
+            + coalesce(1.0 / ($RrfK + CAST(r_vec AS DOUBLE)), 0.0) AS rrf
+        FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id),
+      r AS (SELECT doc_id, r_bm25, r_vec, rrf,
+              row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+            FROM f)
+      SELECT rank, doc_id, r_bm25, r_vec, round(rrf, 6) AS rrf_score
+      FROM r WHERE rank <= $RrfTopK"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
+    "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,
+    "scd2_history" -> """
+      WITH ev AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+          lag(o_orderstatus) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      ch AS (
+        SELECT * FROM ev WHERE prev IS NULL OR prev <> o_orderstatus),
+      v AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS version,
+          lead(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS valid_to_ts
+        FROM ch)
+      SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+        o_orderstatus AS status,
+        strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        strftime(valid_to_ts, '%Y-%m-%d') AS valid_to,
+        valid_to_ts IS NULL AS is_current
+      FROM v""",
     "zorder_layout" -> zorderOracleSql,
     "skew_diagnose" -> skewDiagnoseOracleSql,
     "grouped_topk" -> """

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.table
+
+/** Link-graph analytics over the document corpus — the crawl-curation
+  * side of an LLM data pipeline (harmonic/PageRank centrality is the
+  * standard crawl-frontier and quality prior: see Common Crawl's use of
+  * harmonic centrality, and Fetterly/Najork on spam vs. rank).
+  *
+  * The corpus has no explicit hyperlinks, so the graph is DERIVED
+  * deterministically: every document emits [[PrOutDeg]] out-links whose
+  * targets are md5-hash-mod-N of (doc_id, slot) — a reproducible
+  * scale-free-ish multigraph both engines can reconstruct independently,
+  * which is exactly what makes the operator oracle-checkable end to end.
+  *
+  * All rank arithmetic is FIXED-POINT BIGINT (ranks scaled by
+  * [[PrScale]]): each iteration is
+  *   rank'(v) = 0.15*S  +  (85 * sum over in-edges of rank(u) div 3) div 100
+  * in pure integer ops, so Spark and DuckDB produce bit-identical
+  * integers — no float accumulation-order drift across engines, shuffle
+  * orders, or cluster sizes. (Classic float PageRank is NOT
+  * cross-engine hashable: the in-neighbor sum order differs.) The
+  * truncation loses < 1 scale-unit per edge per iteration — at
+  * [[PrScale]] = 1e9 that is < 1e-7 relative, far below ranking
+  * resolution. Headroom: 85 * N * [[PrScale]] must stay under 2^63, so
+  * the demo covers corpora to ~1e8 docs; beyond that drop PrScale a
+  * decade per 10x docs.
+  *
+  * Scale shape: edges are one narrow codegen'd pass over the corpus
+  * (localCheckpoint'd — [[PrIters]] consumers would otherwise recompute
+  * the md5 edge-gen per iteration); each iteration is one shuffle join
+  * of ranks against edges on src plus one hash aggregate on dst — the
+  * textbook distributed PageRank step, with per-dst partial sums
+  * map-side combined. Nothing corpus-sized broadcasts; the driver never
+  * sees a rank. Iterations are a fixed unrolled count (power iteration
+  * to tolerance is the same loop with a convergence action per round,
+  * as dedupClusters does).
+  */
+object Graph {
+
+  /** Fixed-point scale: 1 rank unit = 1e-9. */
+  val PrScale = 1000000000L
+
+  /** Damping 0.85 as the integer pair (85, 100); base = 0.15 * scale. */
+  val PrBase: Long = 15L * PrScale / 100L
+
+  val PrIters = 5
+  val PrOutDeg = 3
+  val PrTopK = 100
+
+  /** Derived-link PageRank, top-[[PrTopK]] docs by final fixed-point rank
+    * (oracle-checked — the DuckDB mirror unrolls the same [[PrIters]]
+    * iterations as chained CTEs over the identical md5-derived edges).
+    */
+  def pagerankLinks(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    // slot column: PrOutDeg deterministic out-links per doc
+    val slots = array((1 to PrOutDeg).map(lit): _*)
+    val edges = docs.crossJoin(n)
+      .select(col("doc_id").as("src"), explode(slots).as("j"),
+        col("n_docs"))
+      .select(col("src"),
+        (conv(substring(md5(concat(col("src").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("n_docs")).as("dst"))
+      .localCheckpoint() // PrIters consumers of the md5 edge-gen pass
+    val init = docs.select(col("doc_id"), lit(PrScale).as("rank_fp"))
+    // string-keyed using-joins throughout: every frame in the loop shares
+    // the one documents scan in its lineage, and USING-join column
+    // coalescing stays unambiguous under Spark's self-join deduplication
+    val fin = (1 to PrIters).foldLeft(init) { (r, _) =>
+      val contrib = edges
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"),
+          expr(s"rank_fp div $PrOutDeg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("in_fp"))
+      docs.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(PrBase) +
+            expr("(85 * coalesce(in_fp, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_fp"))
+    }
+    val w = Window.orderBy(col("rank_fp").desc, col("doc_id").asc)
+    fin.orderBy(col("rank_fp").desc, col("doc_id").asc).limit(PrTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rank_fp"))
+  }
+
+  /** Generated oracle SQL — unrolled power iteration with the same
+    * constants, edge derivation, and integer op order as the Spark plan.
+    * DuckDB notes: `sum(BIGINT)` widens to HUGEINT (cast back before the
+    * 85x product), and `//` is integer division (both operands positive
+    * here, so it agrees with Spark's `div`).
+    */
+  def pagerankOracleSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+        SELECT d.doc_id,
+          $PrBase + (85 * coalesce(c.in_fp, 0)) // 100 AS rank_fp
+        FROM documents d LEFT JOIN (
+          SELECT dst, CAST(sum(rank_fp // $PrOutDeg) AS BIGINT) AS in_fp
+          FROM e JOIN r${i - 1} ON src = doc_id GROUP BY dst) c
+        ON d.doc_id = c.dst)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      e AS (
+        SELECT doc_id AS src,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT) % n_docs AS dst
+        FROM documents, n,
+          unnest(${(1 to PrOutDeg).mkString("[", ", ", "]")}) AS t(j)),
+      r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS rank_fp
+             FROM documents),
+      $iters,
+      ranked AS (
+        SELECT doc_id, rank_fp,
+          row_number() OVER (ORDER BY rank_fp DESC, doc_id) AS rank
+        FROM r$PrIters)
+      SELECT rank, doc_id, rank_fp FROM ranked WHERE rank <= $PrTopK"""
+  }
+}

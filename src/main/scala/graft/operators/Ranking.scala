@@ -119,6 +119,58 @@ object Ranking {
         round(col("score"), 4).as("score"))
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+    * fused-list size. Shared literals: the oracle SQL interpolates these
+    * same values, so the 1/(k+rank) doubles are bit-identical.
+    */
+  val RrfK = 60.0
+  val RrfTopK = 50
+
+  /** Hybrid retrieval — BM25 lexical top-100 fused with brute-force
+    * cosine vector top-100 by reciprocal-rank fusion (oracle-checked):
+    *   rrf(d) = 1/(60 + rank_bm25(d)) + 1/(60 + rank_vec(d))
+    * with a missing list contributing 0 — the standard two-retriever
+    * hybrid-search shape (sparse + dense) every RAG data pipeline runs.
+    * The query is the [[Bm25Query]] term bag on the lexical side and the
+    * doc-0-aligned embedding on the dense side (`documents.doc_id` and
+    * `embeddings.vec_id` are the same key space).
+    *
+    * Scale shape: each retriever does its own DISTRIBUTED top-k funnel
+    * (BM25's TakeOrdered over per-term postings; the dense side streams
+    * the corpus once against a broadcast 1-row query vector, then
+    * TakeOrdered) — the fusion join, full-outer on doc_id, only ever
+    * sees 2 x 100 rows regardless of corpus size. Fusion math is fixed
+    * written order (bm term + vec term), so the double — and the hash —
+    * is engine-independent.
+    */
+  def hybridRankFusion(s: SparkSession, dir: String,
+                       k: Int = RrfTopK): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    graft.functions.GraftFunctions.register(s)
+    val bm = bm25Search(s, dir)
+      .select(col("doc_id"), col("rank").as("r_bm25"))
+    val e = table(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val wv = Window.orderBy(col("cos_r").desc, col("vec_id").asc)
+    val vr = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("embedding")), 6))
+      .orderBy(col("cos_r").desc, col("vec_id").asc).limit(100)
+      .withColumn("r_vec", row_number().over(wv).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    bm.join(vr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_vec").cast("double")),
+          lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .select(col("rank"), col("doc_id"), col("r_bm25"), col("r_vec"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** Unigram-LM log-likelihood quality score (oracle-checked): the mean
     * per-token ln p(token) under the corpus unigram distribution with
     * add-one smoothing — the cheapest member of the LM-perplexity

@@ -320,6 +320,39 @@ object RelationalExt {
           .otherwise("update").as("op"))
   }
 
+  /** SCD Type-2 dimension-history build (oracle-checked): treat each
+    * customer's order stream as attribute-change events on a
+    * `current order status` dimension and emit the classic slowly-
+    * changing-dimension shape — one row per EFFECTIVE change with
+    * `valid_from` / `valid_to` / `version` / `is_current`. Consecutive
+    * events carrying the same status collapse (a no-change event opens
+    * no new version), which is the part naive as-at joins get wrong.
+    *
+    * Two windows over the SAME (custkey, date, orderkey) ordering: a lag
+    * to drop no-change events, then lead/row_number over the survivors
+    * for interval bounds and version numbers — Spark plans one exchange
+    * (hash by custkey) feeding both sorts, so the dimension build costs a
+    * single shuffle of the event stream regardless of history depth.
+    * Ties on o_orderdate are broken by o_orderkey, making the event
+    * order — and the whole history — total and engine-independent.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ev = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+    ev.withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
   /** TPC-H Q5-shaped 6-table join: local-supplier revenue per nation in a
     * region. Dims broadcast; the two fact joins shuffle on their own keys;
     * AQE re-plans from runtime sizes.

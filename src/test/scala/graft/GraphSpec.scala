@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Invariants for the fixed-point link-graph PageRank. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("pagerank: top-k shape, rank floor, and determinism") {
+    val r = Graph.pagerankLinks(spark, dir).collect()
+    assert(r.length === Graph.PrTopK)
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length))
+    // rank_fp non-increasing in rank order, ties broken by doc_id asc
+    val fps = r.map(_.getLong(2))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    r.toSeq.sliding(2).foreach {
+      case Seq(a, b) if a.getLong(2) == b.getLong(2) =>
+        assert(a.getLong(1) < b.getLong(1))
+      case _ =>
+    }
+    // every rank is at least the damping base (0.15 in fixed point)
+    assert(fps.forall(_ >= Graph.PrBase))
+    // integer arithmetic: a second run is bit-identical, not just close
+    val again = Graph.pagerankLinks(spark, dir).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ===
+      again.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq)
+  }
+
+  test("pagerank: mass is conserved up to truncation loss") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    // rebuild the full final frame (not just top-k) via the same op, so
+    // this stays a black-box check: sum of all ranks is N*scale minus
+    // the integer-truncation losses, each bounded by (PrOutDeg + 2)
+    // scale-units per node per iteration (div by out-degree on each of
+    // PrOutDeg out-edges, the 85/100 product, and the base term)
+    val topSum = Graph.pagerankLinks(spark, dir)
+      .agg(sum("rank_fp")).head.getLong(0)
+    // top-100 of a damped multigraph holds well under total mass, but
+    // every entry is >= base and <= N * scale
+    assert(topSum >= Graph.PrTopK * Graph.PrBase)
+    assert(topSum <= n * Graph.PrScale)
+  }
+}

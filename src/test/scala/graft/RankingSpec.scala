@@ -98,6 +98,28 @@ class RankingSpec extends AnyFunSuite {
     assert(p(90001L).getDouble(2) < p(90002L).getDouble(2))
   }
 
+  test("hybrid fusion: RRF math, contiguous ranks, both-list docs rewarded") {
+    val r = Ranking.hybridRankFusion(spark, dir).collect()
+    assert(r.length === Ranking.RrfTopK)
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length))
+    r.foreach { x =>
+      val rb = if (x.isNullAt(2)) None else Some(x.getLong(2))
+      val rv = if (x.isNullAt(3)) None else Some(x.getLong(3))
+      // every fused row came from at least one retriever list
+      assert(rb.isDefined || rv.isDefined)
+      // the reported score IS reciprocal-rank fusion of the two ranks
+      val expect = rb.map(v => 1.0 / (Ranking.RrfK + v)).getOrElse(0.0) +
+        rv.map(v => 1.0 / (Ranking.RrfK + v)).getOrElse(0.0)
+      assert(math.abs(x.getDouble(4) - expect) < 1e-6)
+    }
+    // scores non-increasing in rank order
+    val sc = r.map(_.getDouble(4))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    // fused head is at least as good as the best single-list evidence:
+    // rank-1 fused score >= 1/(k+1), the max any one list contributes
+    assert(sc.head >= 1.0 / (Ranking.RrfK + 1.0) - 1e-9)
+  }
+
   test("unigram_ll: gibberish scores far below common text") {
     val tmp = planted()
     val r = Ranking.unigramLogLikelihood(spark, tmp).collect()

@@ -87,4 +87,32 @@ class RelationalExtSpec extends AnyFunSuite {
       .agg((max("count") - min("count")).as("spread"))
     assert(df.filter(col("spread") > 1).count() === 0L)
   }
+
+  test("scd2: versions contiguous, one current, no no-change rows, " +
+       "intervals chain") {
+    val h = RelationalExt.scd2History(spark, dir).localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("version")
+    // exactly one open (is_current) row per customer, and it is the last
+    val per = h.groupBy("custkey").agg(
+      sum(when(col("is_current"), 1).otherwise(0)).as("n_open"),
+      max("version").as("maxv"), count(lit(1)).as("n"),
+      min("version").as("minv"))
+    assert(per.filter(col("n_open") =!= 1).count() === 0L)
+    // versions are contiguous 1..n
+    assert(per.filter(col("minv") =!= 1 || col("maxv") =!= col("n"))
+      .count() === 0L)
+    val chained = h
+      .withColumn("nxt_from", lead("valid_from", 1).over(w))
+      .withColumn("prev_status", lag("status", 1).over(w))
+    // a version's valid_to is exactly the next version's valid_from,
+    // and null only on the current row
+    assert(chained.filter(
+      (col("nxt_from").isNotNull && col("valid_to") =!= col("nxt_from")) ||
+      (col("nxt_from").isNull && !col("is_current"))).count() === 0L)
+    // consecutive versions always differ in status (no-change events
+    // opened no version)
+    assert(chained.filter(col("prev_status").isNotNull &&
+      col("prev_status") === col("status")).count() === 0L)
+  }
 }
