@@ -243,4 +243,38 @@ class PlanSpec extends AnyFunSuite {
     assert(below.contains("Generate"), below.take(1500))
     assert(!below.contains("HashAggregate"), below.take(1500))
   }
+
+  test("hybrid fusion: both retrievers funnel through distributed top-k; " +
+       "dense query broadcasts") {
+    val p = plan("hybrid_rank_fusion")
+    // each retriever list is cut with TakeOrderedAndProject BEFORE the
+    // single-partition rank window ever sees a row
+    assert(p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject") >= 2, p.take(1500))
+    // the 1-row query embedding is a broadcast NL join against the
+    // corpus stream, and the corpus is never cross-joined to itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("scd2: one exchange feeds both window sorts") {
+    val p = plan("scd2_history")
+    // lag-filter and lead/row_number share the custkey partitioning: a
+    // second hashpartitioning exchange would mean the window ordering
+    // was re-shuffled rather than reused
+    assert(p.sliding("hashpartitioning".length)
+      .count(_ == "hashpartitioning") === 1, p.take(1500))
+  }
+
+  test("pagerank: edges computed once (localCheckpoint), ranks never " +
+       "broadcast") {
+    val p = plan("pagerank_links")
+    // the md5 edge-gen pass is cut from the plan by the checkpoint: no
+    // conv/md5 expression may appear in the iteration lineage
+    assert(!p.contains("md5("), p.take(2000))
+    // iteration joins are shuffle hash/SMJ on the growing rank frame —
+    // broadcasting a corpus-sized rank table would die at scale. (The
+    // tiny n_docs scalar IS broadcast; rank_fp frames must not be.)
+    assert(!p.contains("BroadcastHashJoin [doc_id"), p.take(2000))
+  }
 }
