@@ -152,6 +152,8 @@ object SparkEntry {
     // at execution (builder.rs:67-72): register the sf tables as views,
     // then run plain `FROM tablename` SQL through the facade.
     "hybrid_rank_fusion" -> ((s, d) => Ranking.hybridRankFusion(s, d)),
+    "dsir_weights" -> (Curation.dsirWeights _),
+    "inverted_index" -> ((s, d) => Ranking.invertedIndex(s, d)),
     "scd2_history" -> (RelationalExt.scd2History _),
     "pagerank_links" -> (Graph.pagerankLinks _),
     "catalog_table" -> ((s, d) => {
@@ -930,8 +932,87 @@ object SparkEntry {
       FROM r WHERE rank <= $RrfTopK"""
   }
 
+  /** dsir_weights oracle — bucket count, target slice, and threshold
+    * interpolated from Curation so the hashed-feature space and smoothing
+    * denominators stay single-sourced.
+    */
+  private def dsirWeightsOracleSql: String = {
+    import graft.operators.Curation.{DsirBuckets, DsirTargetLang, DsirKeepAbove}
+    s"""
+      WITH base AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(t.term), 1, 15) AS BIGINT)
+            % $DsirBuckets AS b,
+          count(*) AS tf
+        FROM base, unnest(toks) AS t(term)
+        GROUP BY doc_id, lang, b),
+      bk AS (
+        SELECT b,
+          CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN tf ELSE 0 END)
+            AS BIGINT) AS ct,
+          CAST(sum(tf) AS BIGINT) AS cr
+        FROM tf GROUP BY b),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                     CAST(sum(cr) AS BIGINT) AS nr FROM bk),
+      lam AS (
+        SELECT b,
+          ln((CAST(ct AS DOUBLE) + 1.0) /
+             (CAST(nt AS DOUBLE) + ${DsirBuckets.toDouble}))
+          - ln((CAST(cr AS DOUBLE) + 1.0) /
+             (CAST(nr AS DOUBLE) + ${DsirBuckets.toDouble})) AS lw
+        FROM bk, tot),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+          sum(CAST(tf AS DOUBLE) * lw) AS w
+        FROM tf JOIN lam USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, d.lang,
+        coalesce(doc.n_toks, 0) AS n_toks,
+        round(doc.w / CAST(doc.n_toks AS DOUBLE), 3) AS avg_w,
+        coalesce(doc.w / CAST(doc.n_toks AS DOUBLE) > $DsirKeepAbove,
+          false) AS keep
+      FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id"""
+  }
+
+  /** inverted_index oracle — df band interpolated from Ranking; the
+    * stop cap is relative to corpus size on both sides.
+    */
+  private def invertedIndexOracleSql: String = {
+    import graft.operators.Ranking.{IndexMinDf, IndexStopFrac}
+    s"""
+      WITH p AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> length(x) > 0) AS toks
+              FROM documents), unnest(toks) AS t(term)),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      d AS (
+        SELECT doc_id, term,
+          count(*) OVER (PARTITION BY term) AS df
+        FROM p),
+      g AS (
+        SELECT term, CAST(df AS BIGINT) AS df,
+          list(doc_id ORDER BY doc_id) AS postings
+        FROM d, n
+        WHERE df >= $IndexMinDf
+          AND CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * $IndexStopFrac
+        GROUP BY term, df)
+      SELECT term, df, postings,
+        list_transform(range(1, len(postings) + 1),
+          i -> CASE WHEN i = 1 THEN postings[1]
+               ELSE postings[i] - postings[i - 1] END) AS gaps
+      FROM g"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
+    "dsir_weights" -> dsirWeightsOracleSql,
+    "inverted_index" -> invertedIndexOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,
     "scd2_history" -> """
       WITH ev AS (

@@ -327,4 +327,67 @@ object Curation {
         round(col("rate"), 6).as("rate"),
         (coin < col("rate")).as("keep"))
   }
+
+  /** DSIR hashed-feature space size and selection threshold. 4096 buckets
+    * is far above this corpus's vocabulary; the paper's 10k serves web
+    * scale. Threshold 0: keep docs whose token distribution is closer to
+    * the target domain than to the raw corpus.
+    */
+  val DsirBuckets = 4096
+  val DsirTargetLang = "en"
+  val DsirKeepAbove = 0.0
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) with
+    * hashed unigram features (oracle-checked): estimate a target-domain
+    * unigram distribution (here: the `en` slice standing in for the
+    * high-quality target corpus) and the raw-corpus distribution over
+    * [[DsirBuckets]] md5-hashed token buckets, then score every document
+    * by its mean per-token log importance ratio
+    *   ln p_target(bucket) - ln p_raw(bucket)
+    * with add-one smoothing on both estimates. Positive means
+    * "target-like" — the DSIR selection device that outperformed manual
+    * heuristics for LM pretraining data selection.
+    *
+    * Scale shape: ONE token-explode pass feeds a (doc, bucket) count
+    * aggregate; both domain distributions re-aggregate that frame to
+    * exactly [[DsirBuckets]] rows (bounded, independent of corpus size),
+    * which broadcast back onto it. The corpus is never joined against
+    * anything corpus-sized, and the feature hash keeps the model table
+    * bounded no matter how large the open-web vocabulary gets — the
+    * entire point of DSIR's hashing trick. avg_w quantizes at 1e-3, far
+    * above accumulated-ulp noise of the per-doc double sums.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = table(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(T.tokens(col("text"))).as("term"))
+      .withColumn("b", pmod(call_function("md5_prefix60", col("term")),
+        lit(DsirBuckets.toLong)))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val buckets = tf.groupBy(col("b")).agg(
+      sum(when(col("lang") === DsirTargetLang, col("tf"))
+        .otherwise(lit(0L))).as("ct"),
+      sum(col("tf")).as("cr"))
+    val totals = buckets.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct").cast("double") + 1.0) /
+          (col("nt").cast("double") + lit(DsirBuckets.toDouble))) -
+         log((col("cr").cast("double") + 1.0) /
+          (col("nr").cast("double") + lit(DsirBuckets.toDouble)))).as("lw"))
+    val doc = tf.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf").cast("double") * col("lw")).as("w"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(doc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(col("w") / col("n_toks").cast("double"), 3).as("avg_w"),
+        coalesce(col("w") / col("n_toks").cast("double") > DsirKeepAbove,
+          lit(false)).as("keep"))
+  }
 }

@@ -119,6 +119,48 @@ object Ranking {
         round(col("score"), 4).as("score"))
   }
 
+  /** Posting-list df band: singletons are noise (df < 2), and terms in
+    * more than [[IndexStopFrac]] of all documents are stop-terms — their
+    * near-corpus-sized posting lists live in a separate impact-ordered
+    * tier in real engines (building them inline is the classic
+    * index-build OOM). The cap is RELATIVE to corpus size: a fixed df
+    * ceiling silently empties (or stops capping) as the corpus grows.
+    */
+  val IndexMinDf = 2L
+  val IndexStopFrac = 0.8
+
+  /** Inverted-index build (oracle-checked): per term, the document
+    * frequency, the doc_id-sorted posting list, and its delta (gap)
+    * encoding — the storage layout every lexical search engine compresses
+    * (gaps are small ints → varint/PForDelta friendly).
+    *
+    * Scale shape: one token explode → distinct (term, doc) → ONE shuffle
+    * on term that both counts df (window) and, for terms surviving the
+    * df band, collects the sorted posting list. The df filter runs
+    * BEFORE collect_list, so a stop-term's corpus-sized posting list is
+    * never materialized in an aggregation buffer — df-banding first is
+    * what makes the build memory-safe at web scale.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val posting = toksOf(docs).distinct()
+    val wdf = Window.partitionBy(col("term"))
+    posting
+      .withColumn("df", count(lit(1)).over(wdf))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= IndexMinDf &&
+        col("df").cast("double") <=
+          col("n_docs").cast("double") * IndexStopFrac)
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .withColumn("gaps", transform(sequence(lit(1), size(col("postings"))),
+        i => when(i === 1, element_at(col("postings"), 1))
+          .otherwise(element_at(col("postings"), i) -
+            element_at(col("postings"), i - lit(1)))))
+      .select(col("term"), col("df"), col("postings"), col("gaps"))
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
     * fused-list size. Shared literals: the oracle SQL interpolates these
     * same values, so the 1/(k+rank) doubles are bit-identical.

@@ -825,4 +825,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out(4L).getBoolean(out(4L).fieldIndex("decoded")))
     assert(!out(5L).getBoolean(out(5L).fieldIndex("decoded")))
   }
+
+  test("dsir: target-language docs score above off-target; keep = w > 0") {
+    val r = graft.operators.Curation.dsirWeights(spark, dir)
+      .localCheckpoint()
+    // the importance ratio separates the domains: mean weight of the
+    // target slice is strictly above every other language's mean
+    val means = r.filter(col("avg_w").isNotNull)
+      .groupBy("lang").agg(avg("avg_w").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val tgt = graft.operators.Curation.DsirTargetLang
+    assert(means.keySet.size >= 2)
+    means.filter(_._1 != tgt).foreach { case (l, m) =>
+      assert(means(tgt) > m, s"target $tgt=${means(tgt)} !> $l=$m")
+    }
+    // verdict column is exactly the threshold predicate
+    assert(r.filter(col("keep") =!=
+      (col("avg_w") > graft.operators.Curation.DsirKeepAbove)).count()
+      === 0L)
+    // n_toks agrees with the tokenizer
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    assert(r.join(toks, "doc_id")
+      .filter(col("n_toks") =!= col("n")).count() === 0L)
+  }
+
+  test("inverted index: postings sorted+unique, gaps reconstruct, df band") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val r = graft.operators.Ranking.invertedIndex(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val df = row.getLong(1)
+      val post = row.getSeq[Long](2)
+      val gaps = row.getSeq[Long](3)
+      assert(df === post.length)
+      assert(df >= graft.operators.Ranking.IndexMinDf)
+      assert(df.toDouble <= nDocs * graft.operators.Ranking.IndexStopFrac)
+      // strictly increasing postings (sorted, no duplicate docs)
+      assert(post.zip(post.tail).forall { case (a, b) => a < b })
+      // delta decoding: prefix sums of gaps are exactly the postings
+      assert(gaps.scanLeft(0L)(_ + _).tail === post)
+    }
+    // cross-check one term's posting list against a direct scan
+    val term = r.head.getString(0)
+    val expect = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(array_contains(col("t"), term))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r.head.getSeq[Long](2) === expect)
+  }
 }
