@@ -154,6 +154,9 @@ object SparkEntry {
     "hybrid_rank_fusion" -> ((s, d) => Ranking.hybridRankFusion(s, d)),
     "dsir_weights" -> (Curation.dsirWeights _),
     "inverted_index" -> ((s, d) => Ranking.invertedIndex(s, d)),
+    "vocab_coverage" -> (Ranking.vocabCoverage _),
+    "graph_degrees" -> (Graph.graphDegrees _),
+    "events_anomaly" -> (graft.streaming.EventStreams.eventsAnomaly _),
     "scd2_history" -> (RelationalExt.scd2History _),
     "pagerank_links" -> (Graph.pagerankLinks _),
     "catalog_table" -> ((s, d) => {
@@ -1009,10 +1012,90 @@ object SparkEntry {
       FROM g"""
   }
 
+  /** vocab_coverage oracle — targets interpolated from Ranking; DuckDB
+    * unnest of a decimal literal list is cast to DOUBLE so the coverage
+    * column type matches Spark's.
+    */
+  private def vocabCoverageOracleSql: String = {
+    import graft.operators.Ranking.CoverageTargets
+    s"""
+      WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tf AS (
+        SELECT t.term, count(*) AS cnt
+        FROM base, unnest(toks) AS t(term) GROUP BY t.term),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+      sh AS (
+        SELECT
+          row_number() OVER (ORDER BY cnt DESC, term) AS vocab_size,
+          CAST(CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM tf, tot),
+      t AS (SELECT CAST(c AS DOUBLE) AS coverage
+            FROM unnest(${CoverageTargets.mkString("[", ", ", "]")})
+              AS u(c)),
+      m AS (
+        SELECT coverage, CAST(min(vocab_size) AS BIGINT) AS vocab_size
+        FROM sh, t WHERE share >= coverage GROUP BY coverage)
+      SELECT m.coverage, m.vocab_size, round(sh.share, 6) AS cum_share
+      FROM m JOIN sh ON m.vocab_size = sh.vocab_size"""
+  }
+
+  /** events_anomaly oracle — baseline window, warmup floor, and sigma
+    * threshold interpolated from EventStreams; moments from integer
+    * window sums so the derived doubles match Spark bit for bit.
+    */
+  private def eventsAnomalyOracleSql: String = {
+    import graft.streaming.EventStreams.{AnomalyBaselineHours,
+      AnomalyMinBaseline, AnomalyZ}
+    s"""
+      WITH hourly AS (
+        SELECT event_type,
+          date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hr,
+          count(*) AS cnt
+        FROM events GROUP BY event_type, hr),
+      w AS (
+        SELECT event_type, hr, cnt,
+          count(*) OVER win AS n_base,
+          CAST(sum(cnt) OVER win AS BIGINT) AS s1,
+          CAST(sum(cnt * cnt) OVER win AS BIGINT) AS s2
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY hr
+          RANGE BETWEEN $AnomalyBaselineHours PRECEDING
+            AND 1 PRECEDING)),
+      z AS (
+        SELECT event_type, hr, cnt, n_base,
+          CASE WHEN n_base >= $AnomalyMinBaseline
+                AND (CAST(s2 AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                    CAST(n_base AS DOUBLE)) /
+                  (CAST(n_base AS DOUBLE) - 1.0) > 0.0
+            THEN round((CAST(cnt AS DOUBLE) -
+                CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)) /
+              sqrt((CAST(s2 AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                    CAST(n_base AS DOUBLE)) /
+                (CAST(n_base AS DOUBLE) - 1.0)), 3) END AS z
+        FROM w)
+      SELECT event_type,
+        strftime(to_timestamp(hr * 3600), '%Y-%m-%d %H:00:00')
+          AS hour_start,
+        cnt, n_base, z,
+        coalesce(abs(z) >= $AnomalyZ, false) AS anomaly
+      FROM z"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
     "dsir_weights" -> dsirWeightsOracleSql,
     "inverted_index" -> invertedIndexOracleSql,
+    "vocab_coverage" -> vocabCoverageOracleSql,
+    "graph_degrees" -> graft.operators.Graph.graphDegreesOracleSql,
+    "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,
     "scd2_history" -> """
       WITH ev AS (

@@ -51,22 +51,44 @@ object Graph {
   val PrOutDeg = 3
   val PrTopK = 100
 
-  /** Derived-link PageRank, top-[[PrTopK]] docs by final fixed-point rank
-    * (oracle-checked — the DuckDB mirror unrolls the same [[PrIters]]
-    * iterations as chained CTEs over the identical md5-derived edges).
+  /** The derived link multigraph: [[PrOutDeg]] md5-mod-N out-edges per
+    * document — one narrow codegen'd pass over the corpus. Callers that
+    * consume it repeatedly (the power iteration) should localCheckpoint
+    * the result.
     */
-  def pagerankLinks(s: SparkSession, dir: String): DataFrame = {
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select(col("doc_id"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     // slot column: PrOutDeg deterministic out-links per doc
     val slots = array((1 to PrOutDeg).map(lit): _*)
-    val edges = docs.crossJoin(n)
+    docs.crossJoin(n)
       .select(col("doc_id").as("src"), explode(slots).as("j"),
         col("n_docs"))
       .select(col("src"),
         (conv(substring(md5(concat(col("src").cast("string"), lit(":"),
           col("j").cast("string"))), 1, 15), 16, 10).cast("long")
           % col("n_docs")).as("dst"))
+  }
+
+  /** The edge CTE both oracle mirrors share, built from the same
+    * constants as [[linkEdges]].
+    */
+  private def linkEdgesSqlCte: String =
+    s"""n AS (SELECT count(*) AS n_docs FROM documents),
+      e AS (
+        SELECT doc_id AS src,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT) % n_docs AS dst
+        FROM documents, n,
+          unnest(${(1 to PrOutDeg).mkString("[", ", ", "]")}) AS t(j))"""
+
+  /** Derived-link PageRank, top-[[PrTopK]] docs by final fixed-point rank
+    * (oracle-checked — the DuckDB mirror unrolls the same [[PrIters]]
+    * iterations as chained CTEs over the identical md5-derived edges).
+    */
+  def pagerankLinks(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val edges = linkEdges(s, dir)
       .localCheckpoint() // PrIters consumers of the md5 edge-gen pass
     val init = docs.select(col("doc_id"), lit(PrScale).as("rank_fp"))
     // string-keyed using-joins throughout: every frame in the loop shares
@@ -107,13 +129,7 @@ object Graph {
         ON d.doc_id = c.dst)"""
     }.mkString(",\n      ")
     s"""
-      WITH n AS (SELECT count(*) AS n_docs FROM documents),
-      e AS (
-        SELECT doc_id AS src,
-          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-            CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT) % n_docs AS dst
-        FROM documents, n,
-          unnest(${(1 to PrOutDeg).mkString("[", ", ", "]")}) AS t(j)),
+      WITH $linkEdgesSqlCte,
       r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS rank_fp
              FROM documents),
       $iters,
@@ -123,4 +139,32 @@ object Graph {
         FROM r$PrIters)
       SELECT rank, doc_id, rank_fp FROM ranked WHERE rank <= $PrTopK"""
   }
+
+  /** In-degree distribution of the link graph (oracle-checked): how many
+    * nodes receive k in-links, including the zero-in-degree bucket — the
+    * first diagnostic run on any crawl graph (a missing low tail or a
+    * monster hub both mean the link extractor is broken). Pure integer
+    * counts; one shuffle to per-dst counts, one to the histogram, both
+    * on keys far smaller than the corpus.
+    */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val indeg = linkEdges(s, dir)
+      .groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+      .withColumnRenamed("dst", "doc_id")
+    docs.join(indeg, Seq("doc_id"), "left")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  def graphDegreesOracleSql: String =
+    s"""
+      WITH $linkEdgesSqlCte,
+      indeg AS (
+        SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_deg
+        FROM e GROUP BY dst),
+      nodes AS (
+        SELECT coalesce(i.in_deg, 0) AS in_deg
+        FROM documents d LEFT JOIN indeg i ON d.doc_id = i.doc_id)
+      SELECT in_deg, count(*) AS n_nodes FROM nodes GROUP BY in_deg"""
 }

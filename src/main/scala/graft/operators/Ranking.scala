@@ -161,6 +161,44 @@ object Ranking {
       .select(col("term"), col("df"), col("postings"), col("gaps"))
   }
 
+  /** Coverage cutoffs reported by [[vocabCoverage]]. */
+  val CoverageTargets: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Tokenizer-vocabulary coverage curve (oracle-checked): the minimal
+    * frequency-ranked vocabulary size reaching each of
+    * [[CoverageTargets]] token coverage, with the share actually
+    * attained there — the sizing query run before training a tokenizer
+    * (how big must the vocab be so OOV/byte-fallback stays under x%?).
+    *
+    * Scale shape: the corpus collapses to a VOCAB-sized term-frequency
+    * table in one shuffle; the cumulative-share window then runs
+    * single-partition over that bounded frame (vocab, not corpus,
+    * cardinality — the same justified-tiny-window shape as bm25's final
+    * rank). Integer cumulative sums; one double division at the end.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = toksOf(table(s, dir, "documents"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val sh = tf
+      .withColumn("vocab_size", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("share"))
+    val targets = s.range(1).select(
+      explode(array(CoverageTargets.map(lit): _*)).as("coverage"))
+    sh.crossJoin(broadcast(targets))
+      .filter(col("share") >= col("coverage"))
+      .groupBy(col("coverage")).agg(min(col("vocab_size")).as("vocab_size"))
+      .join(sh, Seq("vocab_size"))
+      .select(col("coverage"), col("vocab_size"),
+        round(col("share"), 6).as("cum_share"))
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
     * fused-list size. Shared literals: the oracle SQL interpolates these
     * same values, so the 1/(k+rank) doubles are bit-identical.

@@ -243,4 +243,63 @@ object EventStreams {
           when(min(col("t2")).isNull, 0).otherwise(1) +
           when(min(col("t3")).isNull, 0).otherwise(1)).as("stage"))
   }
+
+  /** Anomaly-detection warmup (hours of trailing baseline required) and
+    * flag threshold (|z| >= 3 — the classic three-sigma rule).
+    */
+  val AnomalyBaselineHours = 24
+  val AnomalyMinBaseline = 12
+  val AnomalyZ = 3.0
+
+  /** Rolling z-score anomaly detection on event rates (oracle-checked):
+    * per (event_type, hour) counts scored against the TRAILING-24h
+    * baseline — the monitoring query every event pipeline runs against
+    * its own ingest volumes.
+    *
+    * Cross-engine float discipline: the baseline moments come from
+    * INTEGER window sums (n, sum cnt, sum cnt^2 over a RANGE frame on
+    * the epoch-hour key — exact in both engines, any accumulation
+    * order); mean/variance/z are then derived with one fixed written
+    * formula, so the doubles match bit for bit. RANGE (not ROWS) makes
+    * gap hours count as absent rather than silently stretching the
+    * baseline window. Variance 0 (constant baseline) and short warmup
+    * (< [[AnomalyMinBaseline]] observed hours) yield z = null, never an
+    * engine-dependent inf.
+    *
+    * Scale shape: one shuffle to (event_type, hour) counts — the frame
+    * the windows run on is hours-x-types sized, corpus-independent; the
+    * raw event stream is never windowed directly.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-AnomalyBaselineHours, -1)
+    val scored = hourly
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      // CaseWhen is lazy, so the guards keep ANSI mode's divide-by-zero
+      // off the n_base = 0 (empty baseline) and n_base = 1 rows
+      .withColumn("mean", when(col("n_base") >= 1,
+        col("s1").cast("double") / col("n_base").cast("double")))
+      .withColumn("variance", when(col("n_base") >= 2,
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_base").cast("double")) /
+          (col("n_base").cast("double") - 1.0)))
+      .withColumn("z",
+        when(col("n_base") >= AnomalyMinBaseline && col("variance") > 0.0,
+          round((col("cnt").cast("double") - col("mean")) /
+            sqrt(col("variance")), 3)))
+    scored.select(col("event_type"),
+      from_unixtime(col("hr") * 3600L, "yyyy-MM-dd HH:00:00")
+        .as("hour_start"),
+      col("cnt"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+      col("z"),
+      coalesce(abs(col("z")) >= AnomalyZ, lit(false)).as("anomaly"))
+  }
 }

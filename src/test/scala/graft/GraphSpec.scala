@@ -29,6 +29,20 @@ class GraphSpec extends AnyFunSuite {
       again.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq)
   }
 
+  test("graph degrees: histogram conserves nodes and edges") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val h = Graph.graphDegrees(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+    // every node appears in exactly one bucket
+    assert(h.map(_._2).sum === n)
+    // the multigraph emits exactly PrOutDeg edges per node, and every
+    // edge lands on some node's in-degree
+    assert(h.map { case (d, c) => d * c }.sum === n * Graph.PrOutDeg)
+    // the zero bucket exists on any non-trivially-sized corpus (a
+    // Poisson(3) tail leaves ~5% of nodes unhit)
+    assert(h.toMap.contains(0L))
+  }
+
   test("pagerank: mass is conserved up to truncation loss") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()

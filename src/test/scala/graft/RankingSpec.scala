@@ -98,6 +98,31 @@ class RankingSpec extends AnyFunSuite {
     assert(p(90001L).getDouble(2) < p(90002L).getDouble(2))
   }
 
+  test("vocab coverage: minimal cutoffs, shares reach their targets") {
+    val r = Ranking.vocabCoverage(spark, dir).collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(_._1)
+    assert(r.map(_._1).toSeq === Ranking.CoverageTargets.sorted)
+    // attained share clears the target, and cutoffs grow with coverage
+    r.foreach { case (cov, _, share) => assert(share >= cov - 1e-9) }
+    val sizes = r.map(_._2)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
+    // minimality: one fewer term must NOT reach the target — recompute
+    // the frequency-ranked cumulative share directly
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = tf.map(_._2).sum.toDouble
+    val cum = tf.map(_._2).scanLeft(0L)(_ + _).tail
+    r.foreach { case (cov, size, _) =>
+      if (size > 1) assert(cum(size.toInt - 2) / total < cov)
+      assert(cum(size.toInt - 1) / total >= cov - 1e-9)
+    }
+  }
+
   test("hybrid fusion: RRF math, contiguous ranks, both-list docs rewarded") {
     val r = Ranking.hybridRankFusion(spark, dir).collect()
     assert(r.length === Ranking.RrfTopK)

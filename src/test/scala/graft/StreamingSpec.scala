@@ -210,4 +210,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[String]("purchase_ts") === fmt.format(t3))
     }
   }
+
+  test("events_anomaly: warmup yields null z, flags match the 3-sigma rule, " +
+       "one row audited") {
+    import org.apache.spark.sql.functions._
+    val r = EventStreams.eventsAnomaly(spark, dir).localCheckpoint()
+    // totals conserve the event count
+    val total = graft.sources.Tables.events(spark, dir).count()
+    assert(r.agg(sum("cnt")).head.getLong(0) === total)
+    // z exists only past the warmup floor; the flag is exactly |z| >= 3
+    assert(r.filter(col("z").isNotNull &&
+      col("n_base") < EventStreams.AnomalyMinBaseline).count() === 0L)
+    assert(r.filter(col("anomaly") =!=
+      coalesce(abs(col("z")) >= EventStreams.AnomalyZ, lit(false)))
+      .count() === 0L)
+    // audit one scored row end to end: rebuild its trailing window from
+    // the hourly counts and recompute the z-score
+    val hourly = r.select(col("event_type"), col("hour_start"), col("cnt"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val probe = r.filter(col("z").isNotNull).orderBy(col("event_type"),
+      col("hour_start")).head()
+    val (et, hs) = (probe.getString(0), probe.getString(1))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00:00")
+    val hr = java.time.LocalDateTime.parse(hs, fmt)
+    val base = (1 to EventStreams.AnomalyBaselineHours).flatMap { k =>
+      hourly.get((et, hr.minusHours(k.toLong).format(fmt)))
+    }
+    assert(base.length === probe.getLong(3))
+    val n = base.length.toDouble
+    val mean = base.sum / n
+    val variance = (base.map(x => x.toDouble * x).sum - base.sum *
+      (base.sum / n)) / (n - 1.0)
+    val z = (probe.getLong(2) - mean) / math.sqrt(variance)
+    assert(math.abs(probe.getDouble(4) - z) < 2e-3)
+  }
 }
