@@ -153,9 +153,11 @@ object SparkEntry {
     // then run plain `FROM tablename` SQL through the facade.
     "hybrid_rank_fusion" -> ((s, d) => Ranking.hybridRankFusion(s, d)),
     "dsir_weights" -> (Curation.dsirWeights _),
+    "dsir_resample" -> (Curation.dsirResample _),
     "inverted_index" -> ((s, d) => Ranking.invertedIndex(s, d)),
     "vocab_coverage" -> (Ranking.vocabCoverage _),
     "graph_degrees" -> (Graph.graphDegrees _),
+    "label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "events_anomaly" -> (graft.streaming.EventStreams.eventsAnomaly _),
     "scd2_history" -> (RelationalExt.scd2History _),
     "pagerank_links" -> (Graph.pagerankLinks _),
@@ -1089,12 +1091,35 @@ object SparkEntry {
       FROM z"""
   }
 
+  /** dsir_resample oracle — the weights oracle nested verbatim, then the
+    * same deterministic Gumbel-top-k draw (md5 uniform, -ln(-ln u))
+    * with constants from Curation.
+    */
+  private def dsirResampleOracleSql: String = {
+    import graft.operators.Curation.DsirSampleK
+    s"""
+      WITH dw AS (SELECT * FROM ($dsirWeightsOracleSql)),
+      k AS (
+        SELECT doc_id, lang, avg_w,
+          round(avg_w + -ln(-ln(
+            (CAST('0x' || substr(md5('dr:' || CAST(doc_id AS VARCHAR)),
+               1, 8) AS BIGINT) + 0.5) / 4294967296.0)), 6) AS skey
+        FROM dw WHERE avg_w IS NOT NULL),
+      r AS (SELECT doc_id, lang, avg_w, skey,
+              row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
+            FROM k)
+      SELECT rank, doc_id, lang, avg_w, skey
+      FROM r WHERE rank <= $DsirSampleK"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
     "dsir_weights" -> dsirWeightsOracleSql,
+    "dsir_resample" -> dsirResampleOracleSql,
     "inverted_index" -> invertedIndexOracleSql,
     "vocab_coverage" -> vocabCoverageOracleSql,
     "graph_degrees" -> graft.operators.Graph.graphDegreesOracleSql,
+    "label_propagation" -> graft.operators.Graph.labelPropagationOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,
     "scd2_history" -> """

@@ -357,6 +357,37 @@ object Curation {
     * entire point of DSIR's hashing trick. avg_w quantizes at 1e-3, far
     * above accumulated-ulp noise of the per-doc double sums.
     */
+  /** Resample size for [[dsirResample]]. */
+  val DsirSampleK = 100
+
+  /** The RESAMPLING half of DSIR (oracle-checked): draw [[DsirSampleK]]
+    * documents without replacement with probability proportional to
+    * exp(importance weight), via the Gumbel-top-k trick — key_i = w_i +
+    * Gumbel(0,1)_i, take the k largest keys. The Gumbel noise is
+    * DETERMINISTIC (-ln(-ln(u)) over an md5-derived uniform), so the
+    * draw is reproducible across engines, runs, and cluster sizes — the
+    * same seeded-coin discipline as [[langSample]]. Weights enter
+    * already quantized (avg_w at 1e-3 from [[dsirWeights]]) and the key
+    * is re-quantized at 1e-6, so the two engines' ln() ulp differences
+    * cannot flip an ordering the hash sees.
+    *
+    * Scale shape: dsirWeights' bounded-model scan plus one
+    * TakeOrdered top-k — no new shuffle of the corpus, no driver-side
+    * randomness, and k documents is all that ever leaves the funnel.
+    */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeights(s, dir).filter(col("avg_w").isNotNull)
+    val u = (conv(substring(
+      md5(concat(lit("dr:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val wk = Window.orderBy(col("skey").desc, col("doc_id").asc)
+    w.withColumn("skey", round(col("avg_w") + -log(-log(u)), 6))
+      .orderBy(col("skey").desc, col("doc_id").asc).limit(DsirSampleK)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .select(col("rank"), col("doc_id"), col("lang"), col("avg_w"),
+        col("skey"))
+  }
+
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")

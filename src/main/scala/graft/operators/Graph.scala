@@ -167,4 +167,56 @@ object Graph {
         SELECT coalesce(i.in_deg, 0) AS in_deg
         FROM documents d LEFT JOIN indeg i ON d.doc_id = i.doc_id)
       SELECT in_deg, count(*) AS n_nodes FROM nodes GROUP BY in_deg"""
+
+  /** Synchronous min-label rounds for [[labelPropagation]]. */
+  val LpIters = 3
+
+  /** Bounded min-label propagation over the directed link graph
+    * (oracle-checked): every node starts labeled with its own doc_id and
+    * each round adopts the minimum label among itself and its in-
+    * neighbors — after k rounds, label(v) = min doc_id that reaches v
+    * within k hops. The bounded-round semantics IS the contract (the
+    * standard community-seeding / reachability-coloring primitive);
+    * running to convergence is the same loop with a fixed-point action
+    * per round, which [[graft.operators.Dedup.dedupClusters]] already
+    * demonstrates with pointer jumping for the undirected case.
+    *
+    * Integer labels only — no float drift; each round is one shuffle
+    * join of labels against edges plus a min-aggregate on dst, the same
+    * scale shape as a PageRank step.
+    */
+  def labelPropagation(s: SparkSession, dir: String,
+                       iters: Int = LpIters): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val edges = linkEdges(s, dir).localCheckpoint() // iters consumers
+    val init = docs.select(col("doc_id"), col("doc_id").as("label"))
+    (1 to iters).foldLeft(init) { (l, _) =>
+      val inMin = edges
+        .join(l.select(col("doc_id").as("src"), col("label").as("slabel")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(min(col("slabel")).as("in_min"))
+        .withColumnRenamed("dst", "doc_id")
+      l.join(inMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("in_min"), col("label")))
+            .as("label"))
+    }
+  }
+
+  def labelPropagationOracleSql: String = {
+    val iters = (1 to LpIters).map { i =>
+      s"""l$i AS (
+        SELECT l.doc_id,
+          least(l.label, coalesce(m.in_min, l.label)) AS label
+        FROM l${i - 1} l LEFT JOIN (
+          SELECT dst, min(label) AS in_min
+          FROM e JOIN l${i - 1} ON src = doc_id GROUP BY dst) m
+        ON l.doc_id = m.dst)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $linkEdgesSqlCte,
+      l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+      $iters
+      SELECT doc_id, label FROM l$LpIters"""
+  }
 }

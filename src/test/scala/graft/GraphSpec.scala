@@ -43,6 +43,40 @@ class GraphSpec extends AnyFunSuite {
     assert(h.toMap.contains(0L))
   }
 
+  test("label propagation: labels shrink monotonically; round 1 is the " +
+       "in-neighborhood min") {
+    val l0 = Graph.labelPropagation(spark, dir, iters = 0)
+    val l1 = Graph.labelPropagation(spark, dir, iters = 1)
+    val l3 = Graph.labelPropagation(spark, dir, iters = 3)
+    // labels only ever decrease, and never below 0
+    val j = l1.withColumnRenamed("label", "lab1")
+      .join(l3.withColumnRenamed("label", "lab3"), "doc_id")
+    assert(j.filter(col("lab3") > col("lab1") || col("lab3") < 0)
+      .count() === 0L)
+    assert(l0.filter(col("label") =!= col("doc_id")).count() === 0L)
+    // distinct labels shrink as rounds propagate
+    assert(l3.select("label").distinct().count() <=
+      l1.select("label").distinct().count())
+    // audit: one round = min(self, min in-neighbor) recomputed from the
+    // degree histogram's edge rule (md5 of "src:j" mod N)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+      explode(array((1 to Graph.PrOutDeg).map(lit): _*)).as("j"))
+      .select(col("src"), (conv(substring(md5(concat(
+        col("src").cast("string"), lit(":"), col("j").cast("string"))),
+        1, 15), 16, 10).cast("long") % n).as("dst"))
+    val expect = docs.join(
+        edges.groupBy(col("dst").as("doc_id")).agg(min("src").as("m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("m"), col("doc_id")))
+          .as("expect"))
+    assert(l1.join(expect, "doc_id")
+      .filter(col("label") =!= col("expect")).count() === 0L)
+  }
+
   test("pagerank: mass is conserved up to truncation loss") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()

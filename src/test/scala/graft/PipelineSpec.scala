@@ -851,6 +851,27 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_toks") =!= col("n")).count() === 0L)
   }
 
+  test("dsir resample: gumbel keys verified, draw skews toward high weight") {
+    val w = graft.operators.Curation.dsirWeights(spark, dir)
+      .filter(col("avg_w").isNotNull).localCheckpoint()
+    val r = graft.operators.Curation.dsirResample(spark, dir).collect()
+    assert(r.length === graft.operators.Curation.DsirSampleK)
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length))
+    // recompute one row's gumbel key from its md5 coin
+    val row = r.head
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"dr:${row.getLong(1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(md5hex, 16) + 0.5) / 4294967296.0
+    val expect = row.getDouble(3) + -math.log(-math.log(u))
+    assert(math.abs(row.getDouble(4) - expect) < 1e-6)
+    // exp(w)-proportional sampling pulls the sampled mean weight above
+    // the corpus mean
+    val corpusMean = w.agg(avg("avg_w")).head.getDouble(0)
+    val sampleMean = r.map(_.getDouble(3)).sum / r.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("inverted index: postings sorted+unique, gaps reconstruct, df band") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDocs = docs.count()
