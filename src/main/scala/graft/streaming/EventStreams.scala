@@ -244,6 +244,87 @@ object EventStreams {
           when(min(col("t3")).isNull, 0).otherwise(1)).as("stage"))
   }
 
+  // ------------------------------------------------ streaming anomaly
+
+  case class AnomalyState(counts: Map[Long, Long], lastScored: Long)
+  case class AnomalyOut(event_type: String, hr: Long, cnt: Long,
+                        n_base: Long, z: Option[Double], anomaly: Boolean)
+
+  /** Streaming twin of [[eventsAnomaly]]: ONE stateful operator keyed by
+    * event_type whose state is the trailing ring of per-hour counts.
+    * Hours are scored only once the event-time watermark passes their
+    * end (out-of-order events within the horizon update the right
+    * bucket; finalization is watermark-driven, not arrival-driven), and
+    * an EventTimeTimeout flushes closed hours even when no new data
+    * arrives for the key. State is O(baseline horizon) per event type —
+    * bounded forever. StreamingSpec proves the emitted scores equal the
+    * batch twin's rows bit for bit.
+    */
+  def anomalyStream(events: DataFrame): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    // the watermarked ts column must survive into the stateful op's
+    // input schema for EventTimeTimeout to resolve
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600")
+        .as("hr"), col("ts")).as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(anomalyFn)
+  }
+
+  /** Round half-up at 3 decimals — the same rule Spark's round() applies
+    * in the batch twin, so streaming and batch z-scores are identical.
+    */
+  private def round3(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[streaming] def anomalyFn(key: String,
+      rows: Iterator[(String, Long, java.sql.Timestamp)],
+      state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+    val st = state.getOption.getOrElse(AnomalyState(Map.empty, Long.MinValue))
+    val counts = scala.collection.mutable.Map(st.counts.toSeq: _*)
+    rows.foreach { case (_, h, _) =>
+      counts(h) = counts.getOrElse(h, 0L) + 1L
+    }
+    val wmMs = state.getCurrentWatermarkMs()
+    // hour h is closed once (h+1)*3600000 <= watermark
+    val finalUpTo = wmMs / 3600000L - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+    val scorable = counts.keys.filter(h =>
+      h > st.lastScored && h <= finalUpTo).toSeq.sorted
+    scorable.foreach { h =>
+      val c = counts(h)
+      val base = ((h - AnomalyBaselineHours) to (h - 1)).flatMap(counts.get)
+      val n = base.length
+      val z =
+        if (n >= AnomalyMinBaseline) {
+          val s1 = base.sum
+          val s2 = base.map(x => x * x).sum
+          val mean = s1.toDouble / n
+          val variance =
+            (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1.0)
+          if (variance > 0.0) Some(round3((c - mean) / math.sqrt(variance)))
+          else None
+        } else None
+      out += AnomalyOut(key, h, c, n.toLong, z,
+        z.exists(v => math.abs(v) >= AnomalyZ))
+    }
+    val lastScored = scorable.lastOption.map(h =>
+      math.max(h, st.lastScored)).getOrElse(st.lastScored)
+    // evict hours that can never again serve as a baseline entry (guard:
+    // the sentinel lastScored would underflow the subtraction)
+    val kept =
+      if (lastScored == Long.MinValue) counts.toMap
+      else counts.filter { case (h, _) =>
+        h >= lastScored + 1L - AnomalyBaselineHours
+      }.toMap
+    state.update(AnomalyState(kept, lastScored))
+    // fire again as soon as the watermark moves, so closed hours flush
+    // even if this key receives no further events
+    state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1L)
+    out.iterator
+  }
+
   /** Anomaly-detection warmup (hours of trailing baseline required) and
     * flag threshold (|z| >= 3 — the classic three-sigma rule).
     */

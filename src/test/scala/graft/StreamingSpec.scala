@@ -211,6 +211,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly scores equal the batch twin on closed hours") {
+    val q = EventStreams.anomalyStream(
+        EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_out").start()
+    try {
+      q.processAllAvailable()
+      // the scoring flush rides the NO-DATA microbatch that runs after
+      // the watermark advances; processAllAvailable does not wait for
+      // it, so poll briefly
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (spark.table("anomaly_out").isEmpty &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+      val streamed = spark.table("anomaly_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            r.getBoolean(5))).toMap
+      assert(streamed.nonEmpty)
+      // the batch twin on the same file: every streamed (type, hour) row
+      // must agree on count, baseline size, z, and flag BIT FOR BIT
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:00:00")
+      val batch = EventStreams.eventsAnomaly(spark, dir).collect()
+        .map { r =>
+          val hr = java.time.LocalDateTime.parse(r.getString(1), fmt)
+            .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L
+          (r.getString(0), hr) ->
+            (r.getLong(2), r.getLong(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              r.getBoolean(5))
+        }.toMap
+      streamed.foreach { case (k, v) =>
+        assert(batch.contains(k), s"streamed extra row $k")
+        assert(batch(k) === v, s"mismatch at $k")
+      }
+      // watermark-driven finalization emitted everything but the last
+      // horizon's worth of hours
+      assert(streamed.size >= batch.size -
+        5 * (EventStreams.AnomalyBaselineHours / 6) - 5)
+    } finally q.stop()
+  }
+
   test("events_anomaly: warmup yields null z, flags match the 3-sigma rule, " +
        "one row audited") {
     import org.apache.spark.sql.functions._
