@@ -139,6 +139,7 @@ object SparkEntry {
     "subq_correlated" -> (RelationalExt.subqCorrelated _),
     "window_range_frame" -> (RelationalExt.windowRangeFrame _),
     "quantize_embeddings" -> (Ann.quantizeEmbeddings _),
+    "project_embeddings" -> (Ann.projectEmbeddings _),
     "tfidf_topterms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "unigram_ll" -> ((s, d) => Ranking.unigramLogLikelihood(s, d)),
@@ -1120,6 +1121,7 @@ object SparkEntry {
     "vocab_coverage" -> vocabCoverageOracleSql,
     "graph_degrees" -> graft.operators.Graph.graphDegreesOracleSql,
     "label_propagation" -> graft.operators.Graph.labelPropagationOracleSql,
+    "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,
     "scd2_history" -> """

@@ -301,6 +301,52 @@ object Ann {
     * quantized vector is emitted as a canonical comma string (the
     * driver's oracle harness hashes scalars, not arrays).
     */
+  /** Johnson-Lindenstrauss target dimension (perfect square, so the
+    * 1/sqrt(k) scale is the exact double 0.25) and projection seed
+    * (disjoint from the LSH seed family at [[lshSeed]]).
+    */
+  val JlDim = 16
+  val JlSeed = 7777L
+
+  /** Johnson-Lindenstrauss random projection 64 -> [[JlDim]] dims
+    * (oracle-checked): y_i = dot(x, g_i) / sqrt(k) for k seeded Gaussian
+    * rows — the distance-preserving dimensionality reduction run before
+    * ANN indexing / clustering when the raw embedding width makes the
+    * index too fat (JL lemma: pairwise distances survive within
+    * 1 +- eps with k = O(ln n / eps^2); the distortion actually attained
+    * is measured in PipelineSpec). Per-row codegen'd arithmetic against
+    * a k x d literal matrix — zero shuffles, scan speed at any corpus
+    * size, and the same fixed-seed-literal discipline as the LSH planes
+    * makes the DuckDB mirror exact.
+    */
+  def projectEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val g = planes(JlDim, 64, JlSeed)
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val comps = g.map { row =>
+      round(V.dot(col("embedding"), array(row.map(lit): _*)) * scale, 6)
+    }
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), array(comps: _*).as("proj"))
+  }
+
+  /** Generated oracle for [[projectEmbeddings]] — the same Gaussian rows
+    * as SQL list literals; list_dot_product evaluates the identical
+    * sequential double fold as the codegen'd vec_dot.
+    */
+  def projectEmbeddingsOracleSql: String = {
+    val g = planes(JlDim, 64, JlSeed)
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val comps = g.map { row =>
+      val lst = row.mkString("[", ", ", "]")
+      s"round(list_dot_product(CAST(embedding AS DOUBLE[]), $lst) * $scale, 6)"
+    }.mkString(",\n          ")
+    s"""
+      SELECT vec_id, label,
+        [$comps] AS proj
+      FROM embeddings"""
+  }
+
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "embeddings")
       .withColumn("qmax",

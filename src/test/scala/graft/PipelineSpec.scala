@@ -851,6 +851,43 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_toks") =!= col("n")).count() === 0L)
   }
 
+  test("jl projection: components recompute exactly, distances survive") {
+    val g = graft.operators.Ann.planes(
+      graft.operators.Ann.JlDim, 64, graft.operators.Ann.JlSeed)
+    val scale = 1.0 / math.sqrt(graft.operators.Ann.JlDim.toDouble)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val proj = graft.operators.Ann.projectEmbeddings(spark, dir)
+      .filter(col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    // every component equals the hand-computed dot / sqrt(k)
+    raw.foreach { case (id, x) =>
+      val expect = g.map { row =>
+        math.rint(row.zip(x).map { case (a, b) => a * b }.sum * scale * 1e6) / 1e6
+      }
+      expect.zip(proj(id)).foreach { case (e, p) =>
+        assert(math.abs(e - p) < 2e-6, s"vec $id")
+      }
+    }
+    // JL distance preservation: median pairwise-distance distortion at
+    // k=16 stays modest (the lemma gives eps ~ sqrt(ln n / k); this is
+    // a regression guard on the measured reality, not the bound)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = raw.map(_._1)
+    val dists = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield {
+      val orig = d2(raw(i)._2, raw(j)._2)
+      val prj = d2(proj(ids(i)), proj(ids(j)))
+      math.abs(prj / orig - 1.0)
+    }
+    val sorted = dists.sorted
+    assert(sorted(sorted.length / 2) < 0.35,
+      s"median distortion ${sorted(sorted.length / 2)}")
+  }
+
   test("dsir resample: gumbel keys verified, draw skews toward high weight") {
     val w = graft.operators.Curation.dsirWeights(spark, dir)
       .filter(col("avg_w").isNotNull).localCheckpoint()
