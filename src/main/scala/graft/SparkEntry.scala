@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_segments" -> (Dedup.dedupSegments _),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d)),
+    "dedup_recall" -> (Dedup.dedupRecall _),
     "fuzzy_join" -> (EntityResolution.fuzzyJoin _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "embedding_centroids" -> (Ann.embeddingCentroids _),
@@ -1113,7 +1114,59 @@ object SparkEntry {
       FROM r WHERE rank <= $DsirSampleK"""
   }
 
+  /** dedup_recall oracle — the full minhash oracle nested as the
+    * "flagged" side, the exact shingle-set Jaccard ground truth
+    * recomputed over the same fixed audit slice.
+    */
+  private def dedupRecallOracleSql: String = {
+    import graft.operators.Dedup.{DedupRecallSlice, DedupRecallFloor}
+    s"""
+      WITH mh AS (
+        SELECT doc_id FROM ($dedupMinhashOracleSql)
+        WHERE dup_of IS NOT NULL),
+      t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents WHERE doc_id < $DedupRecallSlice),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t),
+      ex AS (SELECT doc_id, s.g FROM sh, unnest(sh.shingles) AS s(g)),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      tp AS (
+        SELECT da, db FROM p
+        JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        WHERE CAST(inter AS DOUBLE) /
+          CAST(x.n + y.n - inter AS DOUBLE) >= 0.8),
+      j AS (
+        SELECT count(*) AS n_truth_pairs,
+          CAST(coalesce(sum(CASE WHEN a.doc_id IS NOT NULL
+            OR b.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            AS n_found_pairs
+        FROM tp LEFT JOIN mh a ON tp.da = a.doc_id
+                LEFT JOIN mh b ON tp.db = b.doc_id)
+      SELECT n_truth_pairs, n_found_pairs,
+        CASE WHEN n_truth_pairs > 0 THEN
+          round(CAST(n_found_pairs AS DOUBLE) /
+            CAST(n_truth_pairs AS DOUBLE), 4)
+        END AS recall,
+        coalesce(CASE WHEN n_truth_pairs > 0 THEN
+          CAST(n_found_pairs AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE)
+            >= $DedupRecallFloor END, false) AS pass
+      FROM j"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_recall" -> dedupRecallOracleSql,
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
     "dsir_weights" -> dsirWeightsOracleSql,
     "dsir_resample" -> dsirResampleOracleSql,

@@ -991,4 +991,64 @@ object Dedup {
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** Audit-slice size and recall floor for [[dedupRecall]]. The slice is
+    * a FIXED number of documents, so the exact ground-truth computation
+    * costs the same at any corpus size; statistical power scales with
+    * the slice, not the corpus (run a larger slice as a one-off batch
+    * audit when more is wanted).
+    */
+  val DedupRecallSlice = 500L
+  val DedupRecallFloor = 0.9
+
+  /** In-plan recall measurement of the MinHash dedup path
+    * (oracle-checked) — the same honest-measurement device as
+    * `ann_recall`: exact 3-shingle-set Jaccard ground truth over a
+    * fixed [[DedupRecallSlice]]-doc audit slice (shared-shingle pair
+    * join — never a cross product), then PAIR-level recall: a true
+    * duplicate pair (in-slice Jaccard >= 0.8) counts as found when the
+    * FULL minhash pipeline flagged at least one member as a duplicate —
+    * the canonical representative of a cluster is deliberately kept, so
+    * doc-level counting would tax the dedup for doing its job. Banding
+    * at 8x8 gives a >= 0.8-Jaccard pair a >= 77% single-table collision
+    * floor that rises to ~1 at the 0.95+ Jaccards real near-dups
+    * exhibit, so the floor is a tight regression guard, not a formality.
+    */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val flagged = dedupMinhash(s, dir).filter(col("dup_of").isNotNull)
+      .select(col("doc_id"))
+    val sh = table(s, dir, "documents")
+      .filter(col("doc_id") < DedupRecallSlice)
+      .select(col("doc_id"),
+        array_distinct(T.wordShingles(col("text"), 3)).as("shs"))
+      .withColumn("n", size(col("shs")))
+      .localCheckpoint() // consumed by the explode and both size joins
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val pairs = ex.select(col("doc_id").as("da"), col("g"))
+      .join(ex.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val truthPairs = pairs
+      .join(sh.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= 0.8)
+    val fa = flagged.select(col("doc_id").as("da"), lit(1L).as("hit_a"))
+    val fb = flagged.select(col("doc_id").as("db"), lit(1L).as("hit_b"))
+    truthPairs.select(col("da"), col("db"))
+      .join(fa, Seq("da"), "left").join(fb, Seq("db"), "left")
+      .agg(count(lit(1)).as("n_truth_pairs"),
+        coalesce(sum(when(col("hit_a").isNotNull ||
+          col("hit_b").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_found_pairs"))
+      .select(col("n_truth_pairs"), col("n_found_pairs"),
+        when(col("n_truth_pairs") > 0,
+          round(col("n_found_pairs").cast("double") /
+            col("n_truth_pairs").cast("double"), 4)).as("recall"),
+        coalesce(when(col("n_truth_pairs") > 0,
+          col("n_found_pairs").cast("double") /
+            col("n_truth_pairs").cast("double") >= DedupRecallFloor),
+          lit(false)).as("pass"))
+  }
 }

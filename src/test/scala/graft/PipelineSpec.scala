@@ -851,6 +851,17 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_toks") =!= col("n")).count() === 0L)
   }
 
+  test("dedup recall: audit slice finds real pairs and minhash covers them") {
+    val r = graft.operators.Dedup.dedupRecall(spark, dir).head()
+    val (truth, found) = (r.getLong(0), r.getLong(1))
+    // the synthetic corpus plants real near-dups; the audit must see them
+    assert(truth > 0L)
+    assert(found <= truth)
+    // the 8x8 banding floor at the planted 0.95+ Jaccards: full coverage
+    assert(r.getBoolean(3), s"recall ${r.get(2)} below floor")
+    assert(math.abs(r.getDouble(2) - found.toDouble / truth.toDouble) < 1e-4)
+  }
+
   test("jl projection: components recompute exactly, distances survive") {
     val g = graft.operators.Ann.planes(
       graft.operators.Ann.JlDim, 64, graft.operators.Ann.JlSeed)
