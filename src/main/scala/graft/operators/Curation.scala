@@ -391,6 +391,10 @@ object Curation {
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")
+    // localCheckpoint: the (doc, bucket) count frame has two consumers
+    // (the bucket-table aggregate and the per-doc score join) whose
+    // pushed filters differ, which defeats ReuseExchange — without the
+    // barrier the corpus tokenizes twice (verified in the plan)
     val tf = docs
       .select(col("doc_id"), col("lang"),
         explode(T.tokens(col("text"))).as("term"))
@@ -398,6 +402,7 @@ object Curation {
         lit(DsirBuckets.toLong)))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val buckets = tf.groupBy(col("b")).agg(
       sum(when(col("lang") === DsirTargetLang, col("tf"))
         .otherwise(lit(0L))).as("ct"),

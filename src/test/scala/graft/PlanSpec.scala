@@ -266,6 +266,27 @@ class PlanSpec extends AnyFunSuite {
       .count(_ == "hashpartitioning") === 1, p.take(1500))
   }
 
+  test("dsir: corpus tokenizes once (checkpoint barrier), models broadcast") {
+    val p = plan("dsir_weights")
+    // the (doc, bucket) frame is checkpoint-materialized: the score path
+    // consumes it (Scan ExistingRDD) instead of re-running the explode
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    // both domain models come back as broadcasts, never a corpus shuffle
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("inverted index: one tokenize; window and collect share the term " +
+       "exchange") {
+    val p = plan("inverted_index")
+    assert(p.sliding("Generate".length).count(_ == "Generate") === 1,
+      p.take(1500))
+    // df-band filter runs between the window and the collect_list with
+    // no re-shuffle: exactly one term-keyed exchange in the plan
+    assert(p.sliding("hashpartitioning(term".length)
+      .count(_ == "hashpartitioning(term") === 1, p.take(1500))
+  }
+
   test("pagerank: edges computed once (localCheckpoint), ranks never " +
        "broadcast") {
     val p = plan("pagerank_links")
