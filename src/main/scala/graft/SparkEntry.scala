@@ -162,6 +162,7 @@ object SparkEntry {
     "label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "events_anomaly" -> (graft.streaming.EventStreams.eventsAnomaly _),
     "scd2_history" -> (RelationalExt.scd2History _),
+    "sketch_merge" -> (RelationalExt.sketchMerge _),
     "pagerank_links" -> (Graph.pagerankLinks _),
     "catalog_table" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
@@ -1198,6 +1199,18 @@ object SparkEntry {
         strftime(valid_to_ts, '%Y-%m-%d') AS valid_to,
         valid_to_ts IS NULL AS is_current
       FROM v""",
+    "sketch_merge" -> """
+      WITH toks AS (
+        SELECT lang, source, t.term
+        FROM (SELECT lang, source,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> length(x) > 0) AS toks
+              FROM documents), unnest(toks) AS t(term))
+      SELECT lang,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        count(DISTINCT term) AS exact_tokens,
+        true AS ok
+      FROM toks GROUP BY lang""",
     "zorder_layout" -> zorderOracleSql,
     "skew_diagnose" -> skewDiagnoseOracleSql,
     "grouped_topk" -> """

@@ -320,6 +320,43 @@ object RelationalExt {
           .otherwise("update").as("op"))
   }
 
+  /** Sketch-merge accuracy band (HLL at default lgConfigK=12 is ~2%
+    * relative standard error; 10% is a conservative deterministic
+    * verdict bound).
+    */
+  val SketchMergeTol = 0.1
+
+  /** Mergeable-sketch reaggregation (oracle-checked via the verdict
+    * device): per-(lang, source) HyperLogLog sketches over tokens are
+    * UNIONED up to per-lang distinct-token estimates — the property that
+    * makes sketches a first-class 100 TB primitive: yesterday's
+    * per-shard sketches re-aggregate to any coarser grouping without
+    * touching raw data (Spark's datasketches hll_sketch_agg /
+    * hll_union_agg / hll_sketch_estimate). The estimate itself is
+    * engine-specific, so the output carries the EXACT distinct count
+    * plus a deterministic within-[[SketchMergeTol]] verdict the oracle
+    * reproduces as its own exact computation — the agg_approx_distinct
+    * device applied to the merge path.
+    */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+    val perSource = toks.groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("term")).as("sk"))
+    val merged = perSource.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(count_distinct(col("term")).as("exact_tokens"))
+    merged.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_sources"), col("exact_tokens"),
+        (abs(col("est").cast("double") -
+          col("exact_tokens").cast("double")) <=
+          col("exact_tokens").cast("double") * SketchMergeTol).as("ok"))
+  }
+
   /** SCD Type-2 dimension-history build (oracle-checked): treat each
     * customer's order stream as attribute-change events on a
     * `current order status` dimension and emit the classic slowly-

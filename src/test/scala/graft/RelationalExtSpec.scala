@@ -88,6 +88,26 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(df.filter(col("spread") > 1).count() === 0L)
   }
 
+  test("sketch merge: verdicts hold and union tracks the direct sketch") {
+    val r = RelationalExt.sketchMerge(spark, dir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getBoolean(3)), "estimate left the 10% band")
+    // merging per-source sketches must agree with sketching the whole
+    // lang slice directly (the property that makes shard-level sketch
+    // storage sound)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+    val direct = toks.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"))).as("d"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val exact = row.getLong(2).toDouble
+      assert(math.abs(direct(row.getString(0)) - exact) <= exact * 0.1)
+    }
+  }
+
   test("scd2: versions contiguous, one current, no no-change rows, " +
        "intervals chain") {
     val h = RelationalExt.scd2History(spark, dir).localCheckpoint()
