@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessions without extensions get it lazily via
     // TopKPlans.ensureStrategy
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // optimizer rule (opt-in via spark.graft.rewriteRankLimit): rank-
+    // filter windows with an unused rank column become GroupedTopK
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
   }
 }

@@ -109,4 +109,37 @@ class PlansSpec extends AnyFunSuite {
       Seq(col("o_orderkey")), Seq(col("o_totalprice").desc), 2)
     assert(ok.count() > 0L)
   }
+
+  test("opt-in optimizer rule rewrites rank-filter windows to GroupedTopK") {
+    val key = graft.plans.RankLimitRewrite.ConfKey
+    // default off: the window formulation keeps its window plan
+    val off = windowed(3).queryExecution.executedPlan.toString
+    assert(!off.contains("GroupedTopK"), off.take(600))
+    spark.conf.set(key, "true")
+    try {
+      val df = windowed(3)
+      val p = df.queryExecution.executedPlan.toString
+      // the rewrite fired: heap operator present, window + its sort gone
+      assert(p.contains("GroupedTopKFinal"), p.take(800))
+      assert(!p.contains("Window"), p.take(800))
+      assert(!p.toLowerCase.contains("sort"), p.take(800))
+      // and the results are exactly the window formulation's
+      spark.conf.set(key, "false")
+      val rows = windowed(3)
+      spark.conf.set(key, "true")
+      assert(df.except(rows).count() === 0L)
+      assert(rows.except(df).count() === 0L)
+      // a query that still SELECTS the rank column must NOT rewrite
+      // (GroupedTopK has no rank output — the guard is load-bearing)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val keepsRn = spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"))
+      val kp = keepsRn.queryExecution.executedPlan.toString
+      assert(!kp.contains("GroupedTopK"), kp.take(800))
+      assert(keepsRn.count() > 0L)
+    } finally spark.conf.unset(key)
+  }
 }
