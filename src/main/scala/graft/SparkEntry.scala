@@ -153,6 +153,13 @@ object SparkEntry {
     // (logical_planner.rs:392-395) that parses but errors NotImplemented
     // at execution (builder.rs:67-72): register the sf tables as views,
     // then run plain `FROM tablename` SQL through the facade.
+    "catalog_table" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      graft.sql.QueryFacade.run(s,
+        "SELECT n_name, count(*) AS n_cust FROM customer " +
+          "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+    }),
+    // round-6 wave 2: retrieval, selection, graph, history, monitoring
     "hybrid_rank_fusion" -> ((s, d) => Ranking.hybridRankFusion(s, d)),
     "dsir_weights" -> (Curation.dsirWeights _),
     "dsir_resample" -> (Curation.dsirResample _),
@@ -164,12 +171,6 @@ object SparkEntry {
     "scd2_history" -> (RelationalExt.scd2History _),
     "sketch_merge" -> (RelationalExt.sketchMerge _),
     "pagerank_links" -> (Graph.pagerankLinks _),
-    "catalog_table" -> ((s, d) => {
-      graft.sources.Tables.registerAll(s, d)
-      graft.sql.QueryFacade.run(s,
-        "SELECT n_name, count(*) AS n_cust FROM customer " +
-          "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
-    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,8 +258,7 @@ object SparkEntry {
     val joins = s"LEFT JOIN cnt${n - 1} d0 ON tfc.dk0 = d0.g" +:
       (1 to n - 2).flatMap(j => Seq(
         s"LEFT JOIN cnt${n - j} n$j ON tfc.nk$j = n$j.g",
-        if (n - 1 - j == 1) s"LEFT JOIN cnt1 d$j ON tfc.dk$j = d$j.g"
-        else s"LEFT JOIN cnt${n - 1 - j} d$j ON tfc.dk$j = d$j.g"))
+        s"LEFT JOIN cnt${n - 1 - j} d$j ON tfc.dk$j = d$j.g"))
     val tiers =
       s"WHEN ctg >= $minC THEN ln(CAST(ctg AS DOUBLE) / CAST(d0.c AS DOUBLE))" +:
         (1 to n - 2).map(j =>
@@ -319,7 +319,8 @@ object SparkEntry {
     * fallback) only if dedup_semantic did not run in this JVM.
     */
   private def dedupSemanticOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Dedup.lastSemFit.get()).map {
+    Option(graft.operators.Dedup.lastSemFit.get())
+      .filter { case (d, _, _) => fitDirOk(d) }.map {
       case (_, threshold, cents) =>
         val dim = cents.head.length
         val vals = cents.zipWithIndex.map { case (c, ci) =>
@@ -453,8 +454,22 @@ object SparkEntry {
     * Absent — rows-only fallback — only if ann_ivf did not run in this
     * JVM (e.g. a SPARK_GRAFT_ONLY subset).
     */
+  /** The sfDir the current oracle dump targets (set by Verify). The
+    * fitted-literal generators refuse fits recorded for a DIFFERENT
+    * dir — otherwise a session that ran ann_ivf/dedup_semantic against
+    * dir A and dumps oracles for dir B would embed A's centroids, and
+    * the failure would present as engine divergence instead of a
+    * stale-fit skip.
+    */
+  val oracleDumpDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def fitDirOk(fitDir: String): Boolean =
+    Option(oracleDumpDir.get()).forall(_ == fitDir)
+
   private def annIvfOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Ann.lastIvfFit.get()).map {
+    Option(graft.operators.Ann.lastIvfFit.get())
+      .filter { case (d, _, _) => fitDirOk(d) }.map {
       case (_, nProbe, cents) =>
         val dim = cents.head.length
         val vals = cents.zipWithIndex.map { case (c, ci) =>

@@ -291,16 +291,6 @@ object Ann {
             .otherwise(IvfRecallMin)).as("recall_ok"))
   }
 
-  /** Symmetric int8 quantization of the embedding column (oracle-checked)
-    * — the standard 4x storage/bandwidth cut before an ANN index is
-    * built or embeddings ship to a serving tier. Per-vector max-abs
-    * scaling: q_i = round_half_up(x_i * 127 / max|x|); the half-up
-    * rounding is spelled floor(x + 0.5) so both engines round identical
-    * doubles identically (their native round() functions disagree on
-    * negative halves). Per-row, shuffle-free — runs at scan speed; the
-    * quantized vector is emitted as a canonical comma string (the
-    * driver's oracle harness hashes scalars, not arrays).
-    */
   /** Johnson-Lindenstrauss target dimension (perfect square, so the
     * 1/sqrt(k) scale is the exact double 0.25) and projection seed
     * (disjoint from the LSH seed family at [[lshSeed]]).
@@ -347,6 +337,16 @@ object Ann {
       FROM embeddings"""
   }
 
+  /** Symmetric int8 quantization of the embedding column (oracle-checked)
+    * — the standard 4x storage/bandwidth cut before an ANN index is
+    * built or embeddings ship to a serving tier. Per-vector max-abs
+    * scaling: q_i = round_half_up(x_i * 127 / max|x|); the half-up
+    * rounding is spelled floor(x + 0.5) so both engines round identical
+    * doubles identically (their native round() functions disagree on
+    * negative halves). Per-row, shuffle-free — runs at scan speed; the
+    * quantized vector is emitted as a canonical comma string (the
+    * driver's oracle harness hashes scalars, not arrays).
+    */
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "embeddings")
       .withColumn("qmax",

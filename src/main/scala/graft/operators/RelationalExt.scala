@@ -282,7 +282,11 @@ object RelationalExt {
 
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val orders = table(s, dir, "orders")
-    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    // max() over an empty table is null — an empty merge base is fine
+    // (no key can collide), so only enforce the shift bound when rows
+    // exist rather than NPE-ing inside the guard itself
+    val maxRow = orders.agg(max(col("o_orderkey"))).head
+    val maxKey = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     require(maxKey < MergeKeyShift,
       s"mergeUpsert demo requires max(o_orderkey)=$maxKey < " +
         s"MergeKeyShift=$MergeKeyShift: shifted insert keys would " +

@@ -112,9 +112,14 @@ class PlansSpec extends AnyFunSuite {
 
   test("opt-in optimizer rule rewrites rank-filter windows to GroupedTopK") {
     val key = graft.plans.RankLimitRewrite.ConfKey
-    // default off: the window formulation keeps its window plan
+    // default off: the window formulation keeps its window plan — and
+    // COLLECT the expected rows now, while the rule cannot fire (a lazy
+    // frame captured here would be re-optimized under conf=true at
+    // action time, making the parity check rewritten-vs-rewritten)
     val off = windowed(3).queryExecution.executedPlan.toString
     assert(!off.contains("GroupedTopK"), off.take(600))
+    val expected = windowed(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     spark.conf.set(key, "true")
     try {
       val df = windowed(3)
@@ -124,11 +129,9 @@ class PlansSpec extends AnyFunSuite {
       assert(!p.contains("Window"), p.take(800))
       assert(!p.toLowerCase.contains("sort"), p.take(800))
       // and the results are exactly the window formulation's
-      spark.conf.set(key, "false")
-      val rows = windowed(3)
-      spark.conf.set(key, "true")
-      assert(df.except(rows).count() === 0L)
-      assert(rows.except(df).count() === 0L)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
       // a query that still SELECTS the rank column must NOT rewrite
       // (GroupedTopK has no rank output — the guard is load-bearing)
       val w = org.apache.spark.sql.expressions.Window
