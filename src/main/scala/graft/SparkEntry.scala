@@ -171,6 +171,7 @@ object SparkEntry {
     "scd2_history" -> (RelationalExt.scd2History _),
     "sketch_merge" -> (RelationalExt.sketchMerge _),
     "pagerank_links" -> (Graph.pagerankLinks _),
+    "curate_pipeline" -> (Curation.curatePipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1181,7 +1182,117 @@ object SparkEntry {
       FROM j"""
   }
 
+  private def decontaminateOracleSql: String = """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 8 THEN
+            list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t),
+      h AS (
+        SELECT doc_id, md5(s.sh) AS h
+        FROM sh, unnest(sh.shingles) AS s(sh)),
+      bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT doc_id, count(DISTINCT h.h) AS n_hits
+        FROM h JOIN bench USING (h)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(hits.n_hits, 0) AS n_hits,
+        coalesce(hits.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      WHERE d.doc_id % 97 <> 0"""
+
+  private def qualityModelOracleSql: String = """
+      WITH t AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_norm
+        FROM t),
+      z AS (
+        SELECT doc_id,
+          -1.2 + 2.4 * stop_ratio + 1.1 * uniq_ratio + 0.9 * len_norm
+            + -1.8 * punct_ratio AS z
+        FROM f)
+      SELECT doc_id,
+        round(1.0 / (1.0 + exp(-z)), 4) AS model_score,
+        (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
+      FROM z"""
+
+  private def dedupExactOracleSql: String = """
+      WITH n AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents)
+      SELECT doc_id,
+        doc_id = min(doc_id) OVER (PARTITION BY norm) AS keep,
+        count(*) OVER (PARTITION BY norm) AS n_copies
+      FROM n"""
+
+  private def lengthFilterOracleSql: String = s"""
+      WITH b AS (
+        SELECT lang,
+          round(quantile_cont(n_chars,
+            ${graft.operators.Curation.LengthLowQ}), 4) AS p05,
+          round(quantile_cont(n_chars,
+            ${graft.operators.Curation.LengthHighQ}), 4) AS p95
+        FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang, n_chars, p05, p95,
+        (n_chars >= p05 AND n_chars <= p95) AS keep
+      FROM documents d JOIN b USING (lang)"""
+
+  /** curate_pipeline oracle — the four gate oracles nested verbatim and
+    * joined on doc_id with the same reason-code precedence. The
+    * decontaminate gate's output excludes the benchmark slice, so it
+    * joins left and a null verdict becomes the benchmark_doc reason.
+    */
+  private def curatePipelineOracleSql: String =
+    s"""
+      WITH q AS (SELECT doc_id, keep AS q_ok
+                 FROM ($qualityModelOracleSql)),
+      l AS (SELECT doc_id, keep AS len_ok FROM ($lengthFilterOracleSql)),
+      d AS (SELECT doc_id, keep AS uniq_ok FROM ($dedupExactOracleSql)),
+      c AS (SELECT doc_id, n_hits = 0 AS clean_raw
+            FROM ($decontaminateOracleSql)),
+      j AS (
+        SELECT dd.doc_id, dd.lang, q_ok, len_ok, uniq_ok,
+          c.doc_id IS NULL AS is_bench,
+          coalesce(clean_raw, false) AS clean_ok
+        FROM documents dd
+        JOIN q ON dd.doc_id = q.doc_id
+        JOIN l ON dd.doc_id = l.doc_id
+        JOIN d ON dd.doc_id = d.doc_id
+        LEFT JOIN c ON dd.doc_id = c.doc_id)
+      SELECT doc_id, lang, q_ok, len_ok, uniq_ok, clean_ok,
+        (q_ok AND len_ok AND uniq_ok AND clean_ok) AS keep,
+        CASE WHEN is_bench THEN 'benchmark_doc'
+             WHEN NOT uniq_ok THEN 'duplicate'
+             WHEN NOT clean_ok THEN 'contaminated'
+             WHEN NOT q_ok THEN 'low_quality'
+             WHEN NOT len_ok THEN 'length_outlier'
+             ELSE 'keep' END AS verdict
+      FROM j"""
+
   def oracleSql: Map[String, String] = Map(
+    "curate_pipeline" -> curatePipelineOracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
     "dsir_weights" -> dsirWeightsOracleSql,
@@ -1253,17 +1364,7 @@ object SparkEntry {
       SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
         offset_weeks, count(DISTINCT user_id) AS n_users
       FROM j GROUP BY cohort_week, offset_weeks""",
-    "length_filter" -> s"""
-      WITH b AS (
-        SELECT lang,
-          round(quantile_cont(n_chars,
-            ${graft.operators.Curation.LengthLowQ}), 4) AS p05,
-          round(quantile_cont(n_chars,
-            ${graft.operators.Curation.LengthHighQ}), 4) AS p95
-        FROM documents GROUP BY lang)
-      SELECT doc_id, d.lang, n_chars, p05, p95,
-        (n_chars >= p05 AND n_chars <= p95) AS keep
-      FROM documents d JOIN b USING (lang)""",
+    "length_filter" -> lengthFilterOracleSql,
     "ann_lsh" -> annLshOracleSql,
     "fivegram_ll" -> ngramLlOracleSql(5, -5.0, "n_fivegrams", "avg_ll5"),
     "dedup_winnow" -> dedupWinnowOracleSql,
@@ -2102,59 +2203,8 @@ object SparkEntry {
             'g'),
           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
       FROM documents""",
-    "decontaminate" -> """
-      WITH t AS (
-        SELECT doc_id,
-          list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                      x -> length(x) > 0) AS toks
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(CASE WHEN len(toks) >= 8 THEN
-            list_transform(range(1, len(toks) - 6),
-              i -> array_to_string(toks[i:i+7], ' '))
-          ELSE [array_to_string(toks, ' ')] END) AS shingles
-        FROM t),
-      h AS (
-        SELECT doc_id, md5(s.sh) AS h
-        FROM sh, unnest(sh.shingles) AS s(sh)),
-      bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
-      hits AS (
-        SELECT doc_id, count(DISTINCT h.h) AS n_hits
-        FROM h JOIN bench USING (h)
-        WHERE doc_id % 97 <> 0
-        GROUP BY doc_id)
-      SELECT d.doc_id,
-        coalesce(hits.n_hits, 0) AS n_hits,
-        coalesce(hits.n_hits, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
-      WHERE d.doc_id % 97 <> 0""",
-    "quality_model" -> """
-      WITH t AS (
-        SELECT doc_id, text,
-          list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                      x -> length(x) > 0) AS toks
-        FROM documents),
-      f AS (
-        SELECT doc_id,
-          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-            AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-          CAST(len(list_filter(toks,
-            x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
-            CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
-          CAST(len(list_distinct(toks)) AS DOUBLE) /
-            CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
-          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_norm
-        FROM t),
-      z AS (
-        SELECT doc_id,
-          -1.2 + 2.4 * stop_ratio + 1.1 * uniq_ratio + 0.9 * len_norm
-            + -1.8 * punct_ratio AS z
-        FROM f)
-      SELECT doc_id,
-        round(1.0 / (1.0 + exp(-z)), 4) AS model_score,
-        (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
-      FROM z""",
+    "decontaminate" -> decontaminateOracleSql,
+    "quality_model" -> qualityModelOracleSql,
     "pack_sequences" -> """
       WITH t AS (
         SELECT doc_id, lang,
@@ -2183,15 +2233,7 @@ object SparkEntry {
                     ELSE 'g' END AS thr
         FROM documents)
       SELECT doc_id, lang, coin FROM c WHERE coin < thr""",
-    "dedup_exact" -> """
-      WITH n AS (
-        SELECT doc_id,
-          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        FROM documents)
-      SELECT doc_id,
-        doc_id = min(doc_id) OVER (PARTITION BY norm) AS keep,
-        count(*) OVER (PARTITION BY norm) AS n_copies
-      FROM n""",
+    "dedup_exact" -> dedupExactOracleSql,
     "dedup_ngram" -> """
       WITH g AS (
         SELECT doc_id, lang, n_chars // 64 AS blk,

@@ -328,6 +328,52 @@ object Curation {
         (coin < col("rate")).as("keep"))
   }
 
+  /** The capstone composition (oracle-checked): the full curation
+    * pipeline as ONE query — model-based quality, robust length bounds,
+    * exact dedup, and benchmark decontamination each emit their per-doc
+    * verdict, and the composition joins them on doc_id into a final
+    * keep decision with a single drop-reason code (precedence:
+    * benchmark membership > duplicate > contaminated > low quality >
+    * length outlier). This is the query a training-data team actually
+    * ships: every gate is itself an oracle-checked operator, and the
+    * composition is hash-checked end to end on top of them.
+    *
+    * Scale shape: each gate keeps its own optimal internal plan (scan-
+    * speed scoring, broadcast quantile bounds, norm-window dedup,
+    * broadcast benchmark set); the composition adds only doc_id-keyed
+    * joins, which AQE plans from runtime sizes. Decontamination's
+    * output domain EXCLUDES the benchmark slice itself, so that join
+    * is a left join and a null clean verdict means "this IS benchmark
+    * material" — dropped with its own reason, not conflated with
+    * contamination.
+    */
+  def curatePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val q = qualityModel(s, dir).select(col("doc_id"),
+      col("keep").as("q_ok"))
+    val l = lengthFilter(s, dir).select(col("doc_id"),
+      col("keep").as("len_ok"))
+    val d = Dedup.dedupExact(s, dir).select(col("doc_id"),
+      col("keep").as("uniq_ok"))
+    val c = decontaminate(s, dir).select(col("doc_id"),
+      (col("n_hits") === 0L).as("clean_raw"))
+    docs.join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+      .join(d, Seq("doc_id")).join(c, Seq("doc_id"), "left")
+      .withColumn("is_bench", col("clean_raw").isNull)
+      .withColumn("clean_ok", coalesce(col("clean_raw"), lit(false)))
+      .withColumn("keep", col("q_ok") && col("len_ok") &&
+        col("uniq_ok") && col("clean_ok"))
+      .withColumn("verdict",
+        when(col("is_bench"), lit("benchmark_doc"))
+          .when(!col("uniq_ok"), lit("duplicate"))
+          .when(!col("clean_ok"), lit("contaminated"))
+          .when(!col("q_ok"), lit("low_quality"))
+          .when(!col("len_ok"), lit("length_outlier"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("lang"), col("q_ok"), col("len_ok"),
+        col("uniq_ok"), col("clean_ok"), col("keep"), col("verdict"))
+  }
+
   /** DSIR hashed-feature space size and selection threshold. 4096 buckets
     * is far above this corpus's vocabulary; the paper's 10k serves web
     * scale. Threshold 0: keep docs whose token distribution is closer to

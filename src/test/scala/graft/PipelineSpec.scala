@@ -851,6 +851,32 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_toks") =!= col("n")).count() === 0L)
   }
 
+  test("curate pipeline: gates agree with standalone ops, reasons ranked") {
+    val r = graft.operators.Curation.curatePipeline(spark, dir)
+      .localCheckpoint()
+    // composition agrees with each standalone gate
+    val q = graft.operators.Curation.qualityModel(spark, dir)
+      .select(col("doc_id"), col("keep").as("e"))
+    assert(r.join(q, "doc_id").filter(col("q_ok") =!= col("e"))
+      .count() === 0L)
+    val d = graft.operators.Dedup.dedupExact(spark, dir)
+      .select(col("doc_id"), col("keep").as("e"))
+    assert(r.join(d, "doc_id").filter(col("uniq_ok") =!= col("e"))
+      .count() === 0L)
+    // keep iff all four gates pass; verdict "keep" iff keep
+    assert(r.filter(col("keep") =!= (col("q_ok") && col("len_ok") &&
+      col("uniq_ok") && col("clean_ok"))).count() === 0L)
+    assert(r.filter((col("verdict") === "keep") =!= col("keep"))
+      .count() === 0L)
+    // the benchmark slice (doc_id % 97 = 0) is dropped with its own code
+    assert(r.filter(col("doc_id") % 97 === 0)
+      .filter(col("verdict") =!= "benchmark_doc").count() === 0L)
+    // the pipeline keeps a substantial fraction and drops something
+    val n = r.count().toDouble
+    val kept = r.filter(col("keep")).count().toDouble
+    assert(kept / n > 0.2 && kept / n < 1.0, s"kept ${kept / n}")
+  }
+
   test("dedup recall: audit slice finds real pairs and minhash covers them") {
     val r = graft.operators.Dedup.dedupRecall(spark, dir).head()
     val (truth, found) = (r.getLong(0), r.getLong(1))
