@@ -465,8 +465,13 @@ object SparkEntry {
   val oracleDumpDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** FAIL CLOSED: a fitted-literal oracle is only emitted when the dump
+    * dir is known AND matches the fit — an oracle consumer that skips
+    * the [[oracleDumpDir]] handshake gets the rows-only degrade, never
+    * another directory's centroids.
+    */
   private def fitDirOk(fitDir: String): Boolean =
-    Option(oracleDumpDir.get()).forall(_ == fitDir)
+    Option(oracleDumpDir.get()).contains(fitDir)
 
   private def annIvfOracleSqlOpt: Option[(String, String)] =
     Option(graft.operators.Ann.lastIvfFit.get())
@@ -1268,19 +1273,19 @@ object SparkEntry {
     s"""
       WITH q AS (SELECT doc_id, keep AS q_ok
                  FROM ($qualityModelOracleSql)),
-      l AS (SELECT doc_id, keep AS len_ok FROM ($lengthFilterOracleSql)),
+      l AS (SELECT doc_id, lang, keep AS len_ok
+            FROM ($lengthFilterOracleSql)),
       d AS (SELECT doc_id, keep AS uniq_ok FROM ($dedupExactOracleSql)),
       c AS (SELECT doc_id, n_hits = 0 AS clean_raw
             FROM ($decontaminateOracleSql)),
       j AS (
-        SELECT dd.doc_id, dd.lang, q_ok, len_ok, uniq_ok,
+        SELECT q.doc_id, l.lang, q_ok, len_ok, uniq_ok,
           c.doc_id IS NULL AS is_bench,
           coalesce(clean_raw, false) AS clean_ok
-        FROM documents dd
-        JOIN q ON dd.doc_id = q.doc_id
-        JOIN l ON dd.doc_id = l.doc_id
-        JOIN d ON dd.doc_id = d.doc_id
-        LEFT JOIN c ON dd.doc_id = c.doc_id)
+        FROM q
+        JOIN l ON q.doc_id = l.doc_id
+        JOIN d ON q.doc_id = d.doc_id
+        LEFT JOIN c ON q.doc_id = c.doc_id)
       SELECT doc_id, lang, q_ok, len_ok, uniq_ok, clean_ok,
         (q_ok AND len_ok AND uniq_ok AND clean_ok) AS keep,
         CASE WHEN is_bench THEN 'benchmark_doc'

@@ -348,16 +348,17 @@ object Curation {
     * contamination.
     */
   def curatePipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
     val q = qualityModel(s, dir).select(col("doc_id"),
       col("keep").as("q_ok"))
-    val l = lengthFilter(s, dir).select(col("doc_id"),
+    // the length gate already carries lang for every document — reusing
+    // it saves a fifth full documents scan and a fifth doc_id join
+    val l = lengthFilter(s, dir).select(col("doc_id"), col("lang"),
       col("keep").as("len_ok"))
     val d = Dedup.dedupExact(s, dir).select(col("doc_id"),
       col("keep").as("uniq_ok"))
     val c = decontaminate(s, dir).select(col("doc_id"),
       (col("n_hits") === 0L).as("clean_raw"))
-    docs.join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+    q.join(l, Seq("doc_id"))
       .join(d, Seq("doc_id")).join(c, Seq("doc_id"), "left")
       .withColumn("is_bench", col("clean_raw").isNull)
       .withColumn("clean_ok", coalesce(col("clean_raw"), lit(false)))

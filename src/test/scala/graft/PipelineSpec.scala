@@ -854,7 +854,7 @@ class PipelineSpec extends AnyFunSuite {
   test("curate pipeline: gates agree with standalone ops, reasons ranked") {
     val r = graft.operators.Curation.curatePipeline(spark, dir)
       .localCheckpoint()
-    // composition agrees with each standalone gate
+    // composition agrees with EVERY standalone gate
     val q = graft.operators.Curation.qualityModel(spark, dir)
       .select(col("doc_id"), col("keep").as("e"))
     assert(r.join(q, "doc_id").filter(col("q_ok") =!= col("e"))
@@ -863,6 +863,25 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("keep").as("e"))
     assert(r.join(d, "doc_id").filter(col("uniq_ok") =!= col("e"))
       .count() === 0L)
+    val l = graft.operators.Curation.lengthFilter(spark, dir)
+      .select(col("doc_id"), col("keep").as("e"))
+    assert(r.join(l, "doc_id").filter(col("len_ok") =!= col("e"))
+      .count() === 0L)
+    val c = graft.operators.Curation.decontaminate(spark, dir)
+      .select(col("doc_id"), (col("n_hits") === 0L).as("e"))
+    // inner join: the benchmark slice is absent from the standalone op
+    assert(r.join(c, "doc_id").filter(col("clean_ok") =!= col("e"))
+      .count() === 0L)
+    // reason-code precedence: a non-benchmark duplicate reads
+    // "duplicate" whatever its other gates say; a doc failing ONLY the
+    // length gate reads "length_outlier"
+    assert(r.filter(!col("verdict").isin("benchmark_doc") &&
+      !col("uniq_ok") && col("verdict") =!= "duplicate").count() === 0L)
+    assert(r.filter(col("uniq_ok") && col("clean_ok") && col("q_ok") &&
+      !col("len_ok") && col("verdict") =!= "length_outlier")
+      .count() === 0L)
+    assert(r.filter(col("uniq_ok") && col("clean_ok") && !col("q_ok") &&
+      col("verdict") =!= "low_quality").count() === 0L)
     // keep iff all four gates pass; verdict "keep" iff keep
     assert(r.filter(col("keep") =!= (col("q_ok") && col("len_ok") &&
       col("uniq_ok") && col("clean_ok"))).count() === 0L)
