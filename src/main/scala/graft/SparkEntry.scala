@@ -172,6 +172,7 @@ object SparkEntry {
     "sketch_merge" -> (RelationalExt.sketchMerge _),
     "pagerank_links" -> (Graph.pagerankLinks _),
     "curate_pipeline" -> (Curation.curatePipeline _),
+    "curriculum_bins" -> (Curation.curriculumBins _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1296,7 +1297,29 @@ object SparkEntry {
              ELSE 'keep' END AS verdict
       FROM j"""
 
+  /** curriculum_bins oracle — quality oracle nested; cut points from
+    * the same Curation literals; bin = boundaries strictly below.
+    */
+  private def curriculumBinsOracleSql: String = {
+    import graft.operators.Curation.curriculumCuts
+    s"""
+      WITH sc AS (SELECT doc_id, model_score
+                  FROM ($qualityModelOracleSql)),
+      j AS (
+        SELECT d.doc_id, d.lang, sc.model_score
+        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+      b AS (
+        SELECT lang,
+          quantile_cont(model_score,
+            ${curriculumCuts.mkString("[", ", ", "]")}) AS qs
+        FROM j GROUP BY lang)
+      SELECT j.doc_id, j.lang, j.model_score,
+        CAST(len(list_filter(qs, q -> j.model_score > q)) AS INT) AS bin
+      FROM j JOIN b USING (lang)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "curriculum_bins" -> curriculumBinsOracleSql,
     "curate_pipeline" -> curatePipelineOracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,

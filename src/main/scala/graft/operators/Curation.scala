@@ -257,6 +257,36 @@ object Curation {
           .as("keep"))
   }
 
+  /** Decile count for [[curriculumBins]] and the shared cut-point
+    * literals (interpolated into BOTH engines' SQL so the quantile
+    * probabilities are the same doubles).
+    */
+  val CurriculumBins = 10
+  def curriculumCuts: Seq[Double] = (1 until CurriculumBins).map(_ / 10.0)
+
+  /** Curriculum binning (oracle-checked): per-language quality-score
+    * deciles — the ordering a curriculum-learning schedule consumes
+    * (feed bin 9 first, bin 0 last, or anneal across bins). Boundaries
+    * are EXACT per-lang percentiles of the model score computed from
+    * the corpus (the [[lengthFilter]] device: a |langs| x 9 bounds
+    * table broadcast back onto the stream), and a document's bin is the
+    * count of boundaries strictly below its score — ties land in the
+    * lower bin in both engines. The score is 1e-4-quantized upstream,
+    * which keeps interpolated boundaries off the ulp knife-edge.
+    */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val scored = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(qualityModel(s, dir).select(col("doc_id"), col("model_score")),
+        Seq("doc_id"))
+    val bounds = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile(model_score, " +
+        s"array(${curriculumCuts.mkString(", ")}))").as("qs"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("model_score"),
+        aggregate(col("qs"), lit(0), (acc, q) =>
+          acc + when(col("model_score") > q, 1).otherwise(0)).as("bin"))
+  }
+
   /** Exact sample size for [[sampleExactK]]. */
   val ExactSampleK = 200
 

@@ -851,6 +851,26 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n_toks") =!= col("n")).count() === 0L)
   }
 
+  test("curriculum bins: deciles in range, monotone with score, balanced") {
+    val r = graft.operators.Curation.curriculumBins(spark, dir)
+      .localCheckpoint()
+    assert(r.filter(col("bin") < 0 || col("bin") >
+      graft.operators.Curation.CurriculumBins - 1).count() === 0L)
+    // within a language, bin is monotone in score
+    val viol = r.as("a").join(r.as("b"),
+      col("a.lang") === col("b.lang") &&
+        col("a.model_score") < col("b.model_score") &&
+        col("a.bin") > col("b.bin"))
+    assert(viol.count() === 0L)
+    // deciles are roughly balanced (quantized scores tie heavily, so
+    // allow generous slack: each bin within 3x of the ideal share)
+    val bad = r.groupBy("lang").count().withColumnRenamed("count", "n")
+      .join(r.groupBy("lang", "bin").count(), "lang")
+      .filter(col("count") > col("n") * 3 /
+        graft.operators.Curation.CurriculumBins)
+    assert(bad.count() === 0L, bad.collect().mkString(","))
+  }
+
   test("curate pipeline: gates agree with standalone ops, reasons ranked") {
     val r = graft.operators.Curation.curatePipeline(spark, dir)
       .localCheckpoint()
