@@ -39,6 +39,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("bucket_join: bucket-aligned SMJ, only the final rollup shuffles") {
+    val p = plan("bucket_join")
+    // both scans are bucketed on the join key, so the sort-merge join
+    // needs no exchange AND no per-partition sort (files are sortBy'd,
+    // one per bucket); the only exchange left is the 5-row priority
+    // rollup's. A second exchange here means the layout was ignored.
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") === 1,
+      p.take(1200))
+    assert(!p.contains("ReusedExchange"), p.take(1200))
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(!p.substring(joinIdx).contains("Sort "), // scans arrive sorted
+      p.substring(joinIdx).take(800))
+  }
+
   test("bloom_join: word-table probes broadcast; fact side unshuffled pre-filter") {
     val p = plan("bloom_join")
     // the k=3 probe joins against the 4096-word filter table must all be
