@@ -99,6 +99,7 @@ object SparkEntry {
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
+    "bucket_join" -> (Bucketing.bucketJoin _),
     // --- training-data pipeline ops (north-star scope) ---
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
+    "ann_pq" -> (Ann.annPq _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "join_range" -> (RelationalExt.joinRange _),
@@ -473,6 +475,61 @@ object SparkEntry {
     */
   private def fitDirOk(fitDir: String): Boolean =
     Option(oracleDumpDir.get()).contains(fitDir)
+
+  /** ann_pq oracle, from the fitted per-subspace codebooks the plan
+    * broadcast (Ann.lastPqFit; the ann_ivf device): DuckDB recomputes
+    * the per-subspace argmin codes (lowest code wins ties), the
+    * centroid-concatenation reconstruction, the flat 64-term ADC, and
+    * the ascending-distance rank. Absent — rows-only fallback — only if
+    * ann_pq did not run in this JVM.
+    */
+  private def annPqOracleSqlOpt: Option[(String, String)] =
+    Option(graft.operators.Ann.lastPqFit.get())
+      .filter { case (d, _) => fitDirOk(d) }.map { case (_, cbs) =>
+        val sd = graft.operators.Ann.PqSubDim
+        val vals = (for {
+          m <- cbs.indices; j <- cbs(m).indices
+        } yield s"($m, $j, ${cbs(m)(j).mkString("[", ", ", "]")})")
+          .mkString(",\n          ")
+        "ann_pq" -> s"""
+      WITH cb AS (SELECT * FROM (VALUES $vals) AS t(m, j, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      sd AS (SELECT e.vec_id, c.m, c.j,
+              list_sum(list_transform(range(1, ${sd + 1}),
+                i -> (emb[c.m * $sd + i] - cv[i])
+                   * (emb[c.m * $sd + i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cb c),
+      code AS (
+        SELECT vec_id, m, j FROM (
+          SELECT vec_id, m, j, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+          FROM sd)
+        WHERE rn = 1),
+      rec AS (
+        SELECT code.vec_id, flatten(list(cv ORDER BY code.m)) AS rv
+        FROM code JOIN cb USING (m, j) GROUP BY code.vec_id),
+      q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+      s AS (
+        SELECT q.q_id, q.qe, r.vec_id AS cand_id,
+          round(list_sum(list_transform(range(1, ${cbs.length * sd + 1}),
+            i -> (qe[i] - rv[i]) * (qe[i] - rv[i]))), 6) AS adc_r
+        FROM q JOIN rec r ON q.q_id <> r.vec_id),
+      short AS (
+        SELECT q_id, qe, cand_id, adc_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_r ASC, cand_id ASC) AS rank_adc
+          FROM s)
+        WHERE rank_adc <= ${graft.operators.Ann.PqShortlist}),
+      ref AS (
+        SELECT sh.q_id, sh.cand_id, sh.adc_r,
+          round(list_cosine_similarity(sh.qe, e2.emb), 6) AS cos_r
+        FROM short sh JOIN e e2 ON sh.cand_id = e2.vec_id),
+      rk AS (SELECT q_id, cand_id, cos_r, adc_r, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_r DESC, cand_id ASC) AS rank
+             FROM ref)
+      SELECT q_id, rank, cand_id, cos_r, adc_r FROM rk WHERE rank <= 10"""
+      }
 
   private def annIvfOracleSqlOpt: Option[(String, String)] =
     Option(graft.operators.Ann.lastIvfFit.get())
@@ -2108,6 +2165,16 @@ object SparkEntry {
       SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'""",
+    // bucket_join: bucketing changes the LAYOUT (one-time shuffle at
+    // write, exchange-free joins forever after), never the answer — the
+    // oracle is the same join+rollup over the un-bucketed parquet.
+    "bucket_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
     "events_sessionize" -> """
       WITH x AS (
         SELECT user_id, event_id, ts,
@@ -2382,5 +2449,5 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
-  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt
+  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++ annPqOracleSqlOpt
 }

@@ -174,6 +174,135 @@ object Ann {
         col("cell"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims = [[PqSub]] subspaces x [[PqSubDim]] dims,
+    * [[PqCodes]] centroids per subspace — a vector compresses to 8
+    * 4-bit codes (4 bytes vs 256: a 64x cut; the codebook itself is
+    * 8 x 16 x 8 doubles, always broadcastable). At 100 TB the index the
+    * ANN layer actually scans is the CODES column — PQ is what makes a
+    * corpus-sized in-memory index possible at all (Jégou et al., TPAMI
+    * 2011), and composes with IVF (scan codes only in probed cells).
+    */
+  val PqSub = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Seed family for the per-subspace KMeans fits — disjoint from
+    * [[lshSeed]] and the global fit seed 42.
+    */
+  def pqSeed(m: Int): Long = 5042L + m
+
+  /** The last fitted codebook, recorded for the Verify-time DuckDB
+    * oracle (the [[lastIvfFit]] device): (sfDir, codebooks[m][j][d]).
+    */
+  val lastPqFit = new java.util.concurrent.atomic.AtomicReference[
+    (String, Array[Array[Array[Double]]])]()
+
+  /** Fit the [[PqSub]] per-subspace codebooks on one bounded
+    * deterministic sample (cached across the 8 fits; the fit never
+    * scales with the corpus — [[FitSampleMax]], as in [[fitCentroids]]).
+    */
+  def fitPqCodebooks(s: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    pqFitCache.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = table(s, dir, "embeddings")
+      val corpusN = e.count()
+      val fitSet = (if (corpusN <= FitSampleMax) e
+        else e.sample(withReplacement = false,
+          FitSampleMax.toDouble / corpusN, seed = 42L))
+        .select(col("embedding")).persist()
+      try {
+        (0 until PqSub).toArray.map { m =>
+          val sub = fitSet.select(array_to_vector(
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)).as("vec"))
+          new KMeans().setK(PqCodes).setSeed(pqSeed(m)).setMaxIter(10)
+            .setFeaturesCol("vec").setPredictionCol("cell")
+            .fit(sub).clusterCenters.map(_.toArray)
+        }
+      } finally fitSet.unpersist()
+    })
+
+  private val pqFitCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** ADC shortlist depth: the exact re-rank touches at most this many
+    * candidates per query. The PQ-only top-10 measures recall 0.20-0.31
+    * here (32-bit codes on near-isotropic unit vectors — quantization
+    * error dominates), which is exactly why production PQ (FAISS
+    * IVF-PQ + refine) uses ADC as a CANDIDATE GENERATOR: over-fetch by
+    * 10x on codes, re-rank the short list exactly.
+    */
+  val PqShortlist = 100
+
+  /** PQ ANN, shortlist + exact refine (oracle-checked via the
+    * fitted-codebook-literal device): every vector is encoded to its
+    * per-subspace argmin code IN THE PLAN (codegen'd squared-L2 against
+    * the codebook literals — the annIvf assignment device per
+    * subspace); queries rank candidates by the asymmetric distance
+    * ADC(q, c) = ||q - rec(c)||² where rec(c) concatenates the code
+    * centroids; the [[PqShortlist]] nearest-by-ADC then get an exact
+    * cosine re-rank and the top-[[K]] are emitted. ADC is evaluated as
+    * ONE flat 64-dim squared-L2 against the reconstruction — the same
+    * value as the textbook per-subspace table lookup (the sub-distances
+    * are disjoint coordinate ranges), spelled flat so both engines fold
+    * the 64 terms in the identical order. Embeddings are unit-norm, so
+    * ADC-L2 ordering is cosine ordering (L2² = 2 − 2·cos) and recall vs
+    * the cosine brute-force is the honest quantization-loss measure
+    * (PipelineSpec pins the measured floor).
+    *
+    * Scale shape: encoding is a shuffle-free scan; the query side is
+    * small and broadcast; the ADC pass ranks (corpus x nQueries) pairs
+    * of 4-byte codes, never vectors — that compressed scan is the whole
+    * point of PQ (the full-precision column stays in cold storage); the
+    * refine pass gathers shortlist vectors by broadcasting the
+    * (nQueries x [[PqShortlist]])-row shortlist against the corpus, so
+    * full vectors stream through exactly one scan and only shortlist
+    * hits survive it. The fit is bounded-sample. Composes with
+    * [[annIvf]]: probe cells first, ADC-scan codes within them.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cbs = fitPqCodebooks(s, dir)
+    lastPqFit.set((dir, cbs))
+    val codeCols = (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      val dists = array(cbs(m).map(cv =>
+        V.l2sq(sub, array(cv.map(lit): _*))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val encoded = table(s, dir, "embeddings")
+      .select(col("vec_id") +: codeCols: _*)
+    val cbLits = (0 until PqSub).map(m =>
+      array(cbs(m).map(cv => array(cv.map(lit): _*)): _*))
+    val rec = concat((0 until PqSub).map(m =>
+      element_at(cbLits(m), col(s"c$m") + 1)): _*)
+    val q = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_r").asc, col("cand_id").asc)
+    val short = encoded.select(col("vec_id").as("cand_id"), rec.as("rec"))
+      .join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn("adc_r", round(V.l2sq(col("qe"), col("rec")), 6))
+      .withColumn("rank_adc", row_number().over(wAdc))
+      .filter(col("rank_adc") <= PqShortlist)
+      .select(col("q_id"), col("qe"), col("cand_id"), col("adc_r"))
+    // exact refine: gather shortlist vectors in one corpus scan (the
+    // tiny shortlist broadcasts; only its hits survive the scan)
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    table(s, dir, "embeddings")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .join(broadcast(short), Seq("cand_id"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"),
+        col("adc_r"))
+  }
+
   /** All XOR probe masks over nBits bits with popcount <= probeBits —
     * the classic multi-probe LSH expansion (Lv et al., VLDB'07): a true
     * neighbor differing from the query in up to probeBits signature bits
@@ -264,6 +393,13 @@ object Ann {
     */
   val LshRecallMin = 0.6
   val IvfRecallMin = 0.8
+
+  /** PQ shortlist+refine floor — measured 0.86 / 0.87 / 0.70 at
+    * sf0.001/0.01/0.1 ([[PqShortlist]] = 100 of a corpus growing
+    * 500→2000; deepen the shortlist to hold recall as the corpus
+    * grows — it is the PQ recall knob, like nProbe for IVF).
+    */
+  val PqRecallMin = 0.65
 
   /** Per-method recall@K of the ANN paths vs [[annBruteforce]] — the
     * number an ANN evaluation actually reports, computed in-plan (the

@@ -547,6 +547,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.select("cell").distinct().count() <= 16L)
   }
 
+  test("ann_pq: codes shortlist + exact refine recalls the true top-k") {
+    val exact = Ann.annBruteforce(spark, dir)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.annPq(spark, dir).collect()
+    assert(pq.nonEmpty)
+    val approx = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // calibrated floor — 0.86 / 0.87 / 0.70 measured at sf0.001/0.01/0.1
+    // (shortlist 100 of a growing corpus; seeded fits, so exact per
+    // dataset). PQ-only top-10 without the refine measured 0.20-0.31 —
+    // the shortlist+refine IS the operator's design, not a tweak.
+    assert(recall >= Ann.PqRecallMin, s"recall=$recall")
+    // refine can only reorder within the ADC shortlist: per query at
+    // most K rows, each carrying both distances
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= Ann.K)
+    }
+  }
+
   test("ann_bruteforce ranks by cosine descending per query") {
     val rows = Ann.annBruteforce(spark, dir)
       .orderBy("q_id", "rank").collect()
