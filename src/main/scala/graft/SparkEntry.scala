@@ -100,6 +100,7 @@ object SparkEntry {
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
+    "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
     // --- training-data pipeline ops (north-star scope) ---
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
@@ -2162,6 +2163,13 @@ object SparkEntry {
     // the result IS the plain join — the join_salted/agg_twophase oracle
     // treatment for scale devices that must be invisible in the output.
     "bloom_join" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'""",
+    // bloom_join_auto: the optimizer-injected bloom filter must be
+    // invisible in the output — the oracle is the plain join, same
+    // contract as bloom_join (no false negatives by construction).
+    "bloom_join_auto" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'""",

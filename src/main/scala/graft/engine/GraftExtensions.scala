@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule (opt-in via spark.graft.rewriteRankLimit): rank-
     // filter windows with an unused rank column become GroupedTopK
     e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
+    // optimizer rule (opt-in via spark.graft.rewriteBloomJoin): plain
+    // star joins get the portable Bloom fact-side pre-filter injected
+    e.injectOptimizerRule(_ => graft.plans.BloomJoinRewrite)
   }
 }

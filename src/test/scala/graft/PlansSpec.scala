@@ -110,6 +110,42 @@ class PlansSpec extends AnyFunSuite {
     assert(ok.count() > 0L)
   }
 
+  test("opt-in optimizer rule injects the bloom pre-filter into a plain star join") {
+    val key = graft.plans.BloomJoinRewrite.ConfKey
+    def naive = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // default off: no word-table aggregate anywhere in the plan; collect
+    // the expected multiset now, while the rule cannot fire
+    val off = naive.queryExecution.executedPlan.toString
+    assert(!off.contains("bit_or"), off.take(600))
+    val expected = rows(naive)
+    spark.conf.set(key, "true")
+    try {
+      val df = naive
+      val p = df.queryExecution.executedPlan.toString
+      // fired: the 4096-word bloom table (bit_or aggregate) feeds >= 3
+      // broadcast probe joins ahead of the real join
+      assert(p.contains("bit_or"), p.take(1200))
+      assert(p.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") >= 3, p.take(1200))
+      // and the rewrite is invisible in the output (exact multiset)
+      assert(rows(df) === expected)
+      // a join with no selective dim predicate must NOT rewrite
+      val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(!plain.queryExecution.executedPlan.toString.contains("bit_or"))
+    } finally spark.conf.unset(key)
+  }
+
   test("opt-in optimizer rule rewrites rank-filter windows to GroupedTopK") {
     val key = graft.plans.RankLimitRewrite.ConfKey
     // default off: the window formulation keeps its window plan — and
