@@ -176,6 +176,11 @@ object SparkEntry {
     "pagerank_links" -> (Graph.pagerankLinks _),
     "curate_pipeline" -> (Curation.curatePipeline _),
     "curriculum_bins" -> (Curation.curriculumBins _),
+    // round-6 wave 3: graph structure, collocations, LM smoothing,
+    // time series, model fitting, kNN graph
+    "graph_triangles" -> (Graph.graphTriangles _),
+    "colloc_pmi" -> (Ranking.collocationsPmi _),
+    "kneser_ney_ll" -> ((s, d) => Ranking.kneserNeyLogLikelihood(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1387,6 +1392,9 @@ object SparkEntry {
     "vocab_coverage" -> vocabCoverageOracleSql,
     "graph_degrees" -> graft.operators.Graph.graphDegreesOracleSql,
     "label_propagation" -> graft.operators.Graph.labelPropagationOracleSql,
+    "graph_triangles" -> graft.operators.Graph.graphTrianglesOracleSql,
+    "colloc_pmi" -> graft.operators.Ranking.collocationsPmiOracleSql,
+    "kneser_ney_ll" -> graft.operators.Ranking.kneserNeyOracleSql,
     "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,

@@ -219,4 +219,110 @@ object Graph {
       $iters
       SELECT doc_id, label FROM l$LpIters"""
   }
+
+  /** Triangle count + global clustering coefficient of the link graph
+    * (oracle-checked) — the standard graph-health diagnostic (a crawl
+    * graph with near-zero clustering is a spam farm or a broken
+    * extractor; Watts–Strogatz C is the number everyone quotes).
+    *
+    * Algorithm: degree-ordered edge orientation (the classic
+    * O(m^{3/2}) bound — Chiba–Nishizeki / Schank–Wagner). Each
+    * undirected simple edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, so out-degrees are bounded by O(sqrt(m))
+    * even on power-law hubs; wedges are enumerated only at each
+    * triangle's smallest vertex and each triangle is counted EXACTLY
+    * once — no /3 or /6 correction, no duplicate pairs.
+    *
+    * Scale shape: one distinct-shuffle to simple edges (checkpointed —
+    * three consumers), one count-aggregate for degrees (node-sized),
+    * then two shuffle joins on edge keys: the wedge self-join on the
+    * orientation source and the closing-edge probe on (b, c). The
+    * orientation is what keeps the wedge join from exploding on hubs —
+    * a 10M-follower node contributes no wedges at its own apex unless
+    * its neighbors out-rank it. All-integer arithmetic except the final
+    * scalar clustering coefficient.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val simple = linkEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: degrees, orientation, edge count
+    val deg = simple.select(col("u").as("x"))
+      .union(simple.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // 2 consumers: orientation join, wedge total
+    val fwd = col("udeg") < col("vdeg") ||
+      (col("udeg") === col("vdeg") && col("u") < col("v"))
+    val oriented = simple
+      .join(deg.select(col("x").as("u"), col("deg").as("udeg")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("vdeg")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("vdeg")).otherwise(col("udeg")).as("bdeg"))
+      .localCheckpoint() // 3 consumers: two wedge legs + closing probe
+    val wedges = oriented.select(col("a"), col("b"), col("bdeg"))
+      .join(oriented.select(col("a"), col("b").as("c"),
+        col("bdeg").as("cdeg")), Seq("a"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val nTri = wedges
+      .join(oriented.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = docs.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = simple.agg(count(lit(1)).as("n_edges"))
+    // wedge total for C = 3T / W: sum over nodes of deg-choose-2
+    val wTot = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+      .crossJoin(broadcast(wTot))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("global_cc"))
+  }
+
+  /** DuckDB mirror of [[graphTriangles]] — identical edge derivation,
+    * orientation predicate, and wedge/closing joins; `//` is DuckDB
+    * integer division (operands non-negative, agrees with Spark `div`).
+    */
+  def graphTrianglesOracleSql: String =
+    s"""
+      WITH $linkEdgesSqlCte,
+      simple AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e WHERE src <> dst),
+      deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS x FROM simple
+              UNION ALL SELECT v AS x FROM simple)
+        GROUP BY x),
+      o AS (
+        SELECT
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN u ELSE v END AS a,
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN v ELSE u END AS b,
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN dv.deg ELSE du.deg END AS bdeg
+        FROM simple JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+      wed AS (
+        SELECT e1.b, e2.b AS c
+        FROM o e1 JOIN o e2 ON e1.a = e2.a
+        WHERE e1.bdeg < e2.bdeg OR (e1.bdeg = e2.bdeg AND e1.b < e2.b)),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM wed JOIN o ON o.a = wed.b AND o.b = wed.c),
+      stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_nodes,
+          (SELECT CAST(count(*) AS BIGINT) FROM simple) AS n_edges,
+          (SELECT n_triangles FROM tri) AS n_triangles,
+          (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+           FROM deg) AS n_wedges)
+      SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        round(3.0 * CAST(n_triangles AS DOUBLE) /
+              CAST(n_wedges AS DOUBLE), 6) AS global_cc
+      FROM stats"""
 }

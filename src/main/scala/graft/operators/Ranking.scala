@@ -454,4 +454,201 @@ object Ranking {
         coalesce(col("ll") / col("dl").cast("double") >= keepAbove,
           lit(false)).as("keep"))
   }
+
+  /** Shared adjacent-bigram generator: one codegen'd zip_with over the
+    * token array — no posexplode + self-join (which would shuffle the
+    * corpus against itself on (doc, pos)).
+    */
+  private def bigramsOf(docs: DataFrame, keep: Column*): DataFrame =
+    docs.select(keep :+ T.tokens(col("text")).as("toks"): _*)
+      .filter(size(col("toks")) >= 2)
+      .select(keep :+ explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"): _*)
+
+  /** Collocation extraction floor and report size. */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** Top-[[CollocTopK]] collocations by pointwise mutual information
+    * (oracle-checked) — Church & Hanks (1990): bigrams whose observed
+    * corpus frequency most exceeds the independence expectation, the
+    * classic multi-word-expression miner ("new york", "machine
+    * learning") used to build tokenizer merge candidates and phrase
+    * vocabularies for LLM corpora.
+    *
+    * PMI = ln c(xy) + ln N - ln c(x.) - ln c(.y), with N = total bigram
+    * events and the marginals taken over the same bigram event space
+    * (position-1 / position-2 sums), so probabilities sum to one by
+    * construction. Log-sum form instead of a product ratio: no int64
+    * overflow at any corpus size. Ranked on the 4-decimal rounding with
+    * the bigram string as tiebreak — rank order is engine-independent
+    * unless two raw PMIs differ by < 1e-4 across a rounding boundary,
+    * far below libm ulp drift.
+    *
+    * Scale shape: one bigram-explode pass into a hash aggregate
+    * (map-side combined); marginals are window sums over the
+    * VOCAB-sized count table (single consumer of the explode — the
+    * tfIdfTopTerms device); the min-count filter prunes the long tail
+    * before ranking so the TakeOrdered sees only candidate phrases.
+    */
+  def collocationsPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cnt = bigramsOf(docs)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val totals = cnt.agg(sum(col("cbg")).as("nb"))
+    val scored = cnt
+      .withColumn("cw1", sum(col("cbg")).over(Window.partitionBy(col("w1"))))
+      .withColumn("cw2", sum(col("cbg")).over(Window.partitionBy(col("w2"))))
+      .crossJoin(broadcast(totals))
+      .filter(col("cbg") >= CollocMinCount)
+      .withColumn("pmi", round(
+        log(col("cbg").cast("double")) + log(col("nb").cast("double")) -
+          log(col("cw1").cast("double")) - log(col("cw2").cast("double")),
+        4))
+    val w = Window.orderBy(col("pmi").desc, col("bg").asc)
+    scored.orderBy(col("pmi").desc, col("bg").asc).limit(CollocTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("bg"), col("cbg"), col("pmi"))
+  }
+
+  def collocationsPmiOracleSql: String =
+    s"""
+      WITH t AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      bg AS (
+        SELECT b.bg
+        FROM (SELECT list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bgs
+              FROM t WHERE len(toks) >= 2), unnest(bgs) AS b(bg)),
+      cnt AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS cbg,
+          split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        FROM bg GROUP BY bg),
+      marg AS (
+        SELECT bg, cbg,
+          CAST(sum(cbg) OVER (PARTITION BY w1) AS BIGINT) AS cw1,
+          CAST(sum(cbg) OVER (PARTITION BY w2) AS BIGINT) AS cw2,
+          (SELECT CAST(sum(cbg) AS BIGINT) FROM cnt) AS nb
+        FROM cnt),
+      scored AS (
+        SELECT bg, cbg,
+          round(ln(CAST(cbg AS DOUBLE)) + ln(CAST(nb AS DOUBLE)) -
+                ln(CAST(cw1 AS DOUBLE)) - ln(CAST(cw2 AS DOUBLE)), 4)
+            AS pmi
+        FROM marg WHERE cbg >= $CollocMinCount),
+      ranked AS (
+        SELECT row_number() OVER (ORDER BY pmi DESC, bg) AS rank,
+          bg, cbg, pmi
+        FROM scored)
+      SELECT rank, bg, cbg, pmi FROM ranked WHERE rank <= $CollocTopK"""
+
+  /** Absolute discount for interpolated Kneser-Ney. */
+  val KnDiscount = 0.75
+
+  /** Per-document interpolated Kneser-Ney bigram log-likelihood
+    * (oracle-checked) — the smoothing KenLM actually ships (Kneser &
+    * Ney 1995; Chen & Goodman 1999), upgrading the stupid-backoff
+    * ladder: mass subtracted from observed bigrams (absolute discount
+    * D) is redistributed via the CONTINUATION unigram ("how many
+    * distinct contexts precede w", not "how often w occurs" — the
+    * device that stops 'francisco' absorbing unigram mass it only ever
+    * earns after 'san').
+    *
+    *   p(w2|w1) = (c(w1 w2) - D  +  D * N1+(w1 .) * N1+(. w2) / B)
+    *              / c(w1 .)
+    *
+    * with B = distinct bigram types. Self-scored corpus: every scored
+    * bigram is observed, so c >= 1 > D and every term is positive — no
+    * unseen-event branch is needed and the formula is total.
+    *
+    * Scale shape: doc-level tf is the only corpus-sized frame; the
+    * count/context/continuation tables are VOCAB-sized aggregates of
+    * it, composed by shuffle joins on their n-gram keys (never
+    * broadcast — web-scale vocab is not small), and the final score
+    * join brings the per-bigram probability back onto tf by bigram key,
+    * exactly the ngramLogLikelihood shape.
+    */
+  def kneserNeyLogLikelihood(s: SparkSession, dir: String,
+                             keepAbove: Double = -9.0): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val tf = bigramsOf(docs, col("doc_id"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val ctx = cnt.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("n1f"))
+    val cont = cnt.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = cnt.agg(count(lit(1)).as("bt"))
+    val prob = cnt.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp", log(
+        (col("cbg").cast("double") - KnDiscount +
+          lit(KnDiscount) * col("n1f").cast("double") *
+            col("n1b").cast("double") / col("bt").cast("double")) /
+          col("cw1").cast("double")))
+      .select(col("bg"), col("lp"))
+    val doc = tf.join(prob, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("double") * col("lp")).as("ll"))
+    docs.select(col("doc_id"))
+      .join(doc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("ll") / col("n_bigrams").cast("double"), 3)
+          .as("avg_kn_ll"),
+        coalesce(col("ll") / col("n_bigrams").cast("double") >= keepAbove,
+          lit(false)).as("keep"))
+  }
+
+  def kneserNeyOracleSql: String =
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, b.bg
+        FROM (SELECT doc_id, list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bgs
+              FROM t WHERE len(toks) >= 2), unnest(bgs) AS b(bg)),
+      tf AS (
+        SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg),
+      cnt AS (
+        SELECT bg, CAST(sum(tf) AS BIGINT) AS cbg,
+          split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        FROM tf GROUP BY bg),
+      ctx AS (
+        SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1,
+          CAST(count(*) AS BIGINT) AS n1f
+        FROM cnt GROUP BY w1),
+      cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cnt GROUP BY w2),
+      types AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM cnt),
+      prob AS (
+        SELECT bg,
+          ln((CAST(cbg AS DOUBLE) - $KnDiscount +
+              $KnDiscount * CAST(n1f AS DOUBLE) *
+                CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE)) /
+             CAST(cw1 AS DOUBLE)) AS lp
+        FROM cnt JOIN ctx USING (w1) JOIN cont USING (w2), types),
+      doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          sum(CAST(tf AS DOUBLE) * lp) AS ll
+        FROM tf JOIN prob USING (bg)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(doc.n_bigrams, 0) AS n_bigrams,
+        round(doc.ll / CAST(doc.n_bigrams AS DOUBLE), 3) AS avg_kn_ll,
+        coalesce(doc.ll / CAST(doc.n_bigrams AS DOUBLE) >= -9.0, false)
+          AS keep
+      FROM documents d LEFT JOIN doc USING (doc_id)"""
 }
