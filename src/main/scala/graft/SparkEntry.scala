@@ -181,6 +181,8 @@ object SparkEntry {
     "graph_triangles" -> (Graph.graphTriangles _),
     "colloc_pmi" -> (Ranking.collocationsPmi _),
     "kneser_ney_ll" -> ((s, d) => Ranking.kneserNeyLogLikelihood(s, d)),
+    "timeseries_fill" -> (TimeSeries.timeseriesFill _),
+    "quality_regression" -> (Curation.qualityRegression _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1395,6 +1397,9 @@ object SparkEntry {
     "graph_triangles" -> graft.operators.Graph.graphTrianglesOracleSql,
     "colloc_pmi" -> graft.operators.Ranking.collocationsPmiOracleSql,
     "kneser_ney_ll" -> graft.operators.Ranking.kneserNeyOracleSql,
+    "timeseries_fill" -> graft.operators.TimeSeries.timeseriesFillOracleSql,
+    "quality_regression" ->
+      graft.operators.Curation.qualityRegressionOracleSql,
     "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,

@@ -503,4 +503,128 @@ object Curation {
         coalesce(col("w") / col("n_toks").cast("double") > DsirKeepAbove,
           lit(false)).as("keep"))
   }
+
+  /** Cramer-rule solve of the 3x3 normal equations, shared TEXTUALLY by
+    * the Spark plan (selectExpr) and the DuckDB oracle (interpolated) —
+    * identical expression trees mean identical IEEE double op order, so
+    * the fitted coefficients are bit-equal cross-engine. Matrix names:
+    * a11..a33 = X'X (a11 = n), sy/s1y/s2y = X'y, syy = y'y.
+    */
+  val RegDet: String =
+    "a11*(a22*a33-a23*a23) - a12*(a12*a33-a23*a13) + a13*(a12*a23-a22*a13)"
+  val RegB0: String =
+    "(sy*(a22*a33-a23*a23) - a12*(s1y*a33-a23*s2y) + a13*(s1y*a23-a22*s2y)) / det"
+  val RegB1: String =
+    "(a11*(s1y*a33-a23*s2y) - sy*(a12*a33-a23*a13) + a13*(a12*s2y-s1y*a13)) / det"
+  val RegB2: String =
+    "(a11*(a22*s2y-s1y*a23) - a12*(a12*s2y-s1y*a13) + sy*(a12*a23-a22*a13)) / det"
+
+  /** SSE via the normal-equation identity e'e = y'y - b'X'y (no second
+    * data pass); clamped at 0 against float residue on a near-exact fit.
+    */
+  val RegSse: String = "greatest(syy - (b0*sy + b1*s1y + b2*s2y), 0.0)"
+
+  /** Closed-form OLS fit of a document-quality model (oracle-checked):
+    * regress y = ln(1 + token count) on x1 = ln(1 + n_chars) and
+    * x2 = type-token ratio (the repetition feature — punctuation and
+    * digit densities are degenerate on the synthetic corpus, which the
+    * fit guard below would reject), solving the 3x3 normal equations
+    * exactly
+    * — the distributed "train a quality scorer" primitive (a linear
+    * probe over cheap features is the first-stage filter in CCNet-style
+    * pipelines; logistic IRLS is this same sums-then-solve loop run to
+    * fixed point).
+    *
+    * Determinism device: features are quantized to DECIMAL(18,6), so
+    * all ten sufficient statistics (X'X, X'y, y'y) are EXACT decimal
+    * sums — invariant to row order, partitioning, and engine — and the
+    * scalar Cramer solve shares its expression text with the oracle.
+    * The model itself never sees the corpus twice: one scan builds the
+    * sufficient statistics (map-side combined into ten numbers), the
+    * solve is O(1) on the driver-side single row. This is the textbook
+    * 100 TB shape for any fixed-dimension linear fit.
+    */
+  def qualityRegression(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val feats = docs
+      .select(col("n_chars"), T.tokens(col("text")).as("toks"))
+      .select(
+        round(log(lit(1.0) + size(col("toks")).cast("double")), 6)
+          .cast(dec).as("y"),
+        round(log(lit(1.0) + col("n_chars").cast("double")), 6)
+          .cast(dec).as("x1"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6)
+          .cast(dec).as("x2"))
+    val sums = feats.agg(
+      count(lit(1)).cast("double").as("a11"),
+      sum(col("x1")).cast("double").as("a12"),
+      sum(col("x2")).cast("double").as("a13"),
+      sum(col("x1") * col("x1")).cast("double").as("a22"),
+      sum(col("x1") * col("x2")).cast("double").as("a23"),
+      sum(col("x2") * col("x2")).cast("double").as("a33"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x1") * col("y")).cast("double").as("s1y"),
+      sum(col("x2") * col("y")).cast("double").as("s2y"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    // fail-closed fit guard: a collinear/constant feature makes the
+    // normal matrix singular — raise rather than emit garbage ratios
+    // (ANSI would raise anyway on det = 0.0 exactly; this catches the
+    // numerically-singular neighborhood too, with a diagnosable message)
+    sums.selectExpr("*", s"$RegDet AS det0")
+      .selectExpr("*", "CASE WHEN abs(det0) < 1e-6 THEN " +
+        "CAST(raise_error('qualityRegression: singular design matrix " +
+        "(degenerate or collinear features)') AS DOUBLE) " +
+        "ELSE det0 END AS det")
+      .selectExpr("*", s"$RegB0 AS b0", s"$RegB1 AS b1", s"$RegB2 AS b2")
+      .selectExpr("*", s"$RegSse AS sse", "syy - sy*sy/a11 AS sst")
+      .selectExpr("CAST(a11 AS BIGINT) AS n_docs",
+        "round(b0, 6) AS b0", "round(b1, 6) AS b1", "round(b2, 6) AS b2",
+        "round(1.0 - sse/sst, 6) AS r2",
+        "round(sqrt(sse/a11), 6) AS rmse")
+  }
+
+  def qualityRegressionOracleSql: String =
+    s"""
+      WITH tk AS (
+        SELECT n_chars,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> length(t) > 0) AS toks
+        FROM documents),
+      feats AS (
+        SELECT
+          CAST(round(ln(1.0 + CAST(len(toks) AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS y,
+          CAST(round(ln(1.0 + CAST(n_chars AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS x1,
+          CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS x2
+        FROM tk),
+      sums AS (
+        SELECT
+          CAST(count(*) AS DOUBLE) AS a11,
+          CAST(sum(x1) AS DOUBLE) AS a12,
+          CAST(sum(x2) AS DOUBLE) AS a13,
+          CAST(sum(x1 * x1) AS DOUBLE) AS a22,
+          CAST(sum(x1 * x2) AS DOUBLE) AS a23,
+          CAST(sum(x2 * x2) AS DOUBLE) AS a33,
+          CAST(sum(y) AS DOUBLE) AS sy,
+          CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+          CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+          CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM feats),
+      det0_t AS (SELECT *, $RegDet AS det0 FROM sums),
+      det_t AS (SELECT *, CASE WHEN abs(det0) < 1e-6
+          THEN error('qualityRegression: singular design matrix')
+          ELSE det0 END AS det FROM det0_t),
+      bs AS (SELECT *, $RegB0 AS b0, $RegB1 AS b1, $RegB2 AS b2
+             FROM det_t),
+      errs AS (SELECT *, $RegSse AS sse, syy - sy*sy/a11 AS sst FROM bs)
+      SELECT CAST(a11 AS BIGINT) AS n_docs,
+        round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        round(1.0 - sse/sst, 6) AS r2,
+        round(sqrt(sse/a11), 6) AS rmse
+      FROM errs"""
 }
