@@ -183,6 +183,7 @@ object SparkEntry {
     "kneser_ney_ll" -> ((s, d) => Ranking.kneserNeyLogLikelihood(s, d)),
     "timeseries_fill" -> (TimeSeries.timeseriesFill _),
     "quality_regression" -> (Curation.qualityRegression _),
+    "knn_graph" -> (Ann.knnGraph _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1400,6 +1401,7 @@ object SparkEntry {
     "timeseries_fill" -> graft.operators.TimeSeries.timeseriesFillOracleSql,
     "quality_regression" ->
       graft.operators.Curation.qualityRegressionOracleSql,
+    "knn_graph" -> graft.operators.Ann.knnGraphOracleSql,
     "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,

@@ -531,4 +531,68 @@ object Ann {
         // in the 7th place
         sum(col("v").cast("string").cast(DecimalType(25, 7)))
           .cast("double").as("sum_v"))
+
+  /** kNN-graph fan-out and query stride. */
+  val KnnK = 5
+  val KnnStride = 20
+
+  /** k-nearest-neighbor graph over the embedding corpus
+    * (oracle-checked): exact cosine top-[[KnnK]] per query node — the
+    * adjacency every graph-based semantic method consumes (kNN-LM
+    * retrieval, graph-clustering curation, NN-descent seeding,
+    * label-spreading QA). Query nodes are a deterministic 1-in-
+    * [[KnnStride]] stride of the corpus; edges run query -> corpus, so
+    * the result is the directed kNN adjacency restricted to the stride.
+    *
+    * Execution is the [[graft.plans.GroupedTopK]] custom physical
+    * operator composed with the codegen'd `vec_cosine` expression: the
+    * pair stream is heap-reduced to k survivors per query INSIDE each
+    * scan partition, and only k * |queries| * partitions rows reach the
+    * exchange — vs. the window formulation, which shuffles and sorts
+    * the full |queries| x |corpus| pair stream. The broadcast side is
+    * the query subset (corpus/[[KnnStride]] rows — bounded and small);
+    * the corpus streams once, never shuffling pre-reduction. Scaling
+    * the stride to "every node" moves the broadcast to an LSH/IVF
+    * bucket join (dedupEmbeddingLsh / annIvf show both), with the same
+    * top-k reduction downstream.
+    *
+    * Rank key is round(cos, 6) + dst id, the [[annBruteforce]]
+    * reproducibility device.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = table(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % KnnStride === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val pairs = c.join(broadcast(q), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(V.cosine(col("qe"), col("ce")), 6).as("cos_r"))
+    val top = graft.plans.TopKPlans.groupedTopK(pairs,
+      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), KnnK)
+    // rank numbering over the <= k survivors per key (top-k-first, then
+    // window — the Ranking.bm25 device; the window never sees the corpus)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos_r"))
+  }
+
+  def knnGraphOracleSql: String =
+    s"""
+      WITH q AS (
+        SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % $KnnStride = 0),
+      c AS (
+        SELECT vec_id AS dst, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings),
+      s AS (
+        SELECT src, dst, round(list_cosine_similarity(qe, ce), 6) AS cos_r
+        FROM q, c WHERE src <> dst),
+      r AS (
+        SELECT src, dst, cos_r,
+          row_number() OVER (PARTITION BY src
+            ORDER BY cos_r DESC, dst) AS rank
+        FROM s)
+      SELECT src, rank, dst, cos_r FROM r WHERE rank <= $KnnK"""
 }
