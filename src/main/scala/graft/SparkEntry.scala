@@ -184,6 +184,13 @@ object SparkEntry {
     "timeseries_fill" -> (TimeSeries.timeseriesFill _),
     "quality_regression" -> (Curation.qualityRegression _),
     "knn_graph" -> (Ann.knnGraph _),
+    // round-6 wave 4: per-domain caps, weighted sampling, robust scaling,
+    // content-defined chunking, frequency sketch
+    "domain_cap" -> (Curation.domainCap _),
+    "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    "winsorize_scores" -> (Curation.winsorizeScores _),
+    "cdc_chunks" -> (Dedup.cdcChunks _),
+    "sketch_freq" -> (TextOps.sketchFreq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2092,6 +2099,108 @@ object SparkEntry {
       SELECT doc_id, lang, md5('xk:' || CAST(doc_id AS VARCHAR)) AS coin
       FROM documents ORDER BY coin, doc_id
       LIMIT ${graft.operators.Curation.ExactSampleK}""",
+    // domain_cap: the GroupedTopK execution is Spark-side; semantics are
+    // a per-source row_number over the salted md5 coin
+    "domain_cap" -> s"""
+      WITH c AS (
+        SELECT doc_id, source,
+          md5('dc:' || CAST(doc_id AS VARCHAR)) AS coin
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY coin, doc_id)
+            AS rk
+        FROM c)
+      SELECT doc_id, source, rk FROM r
+      WHERE rk <= ${graft.operators.Curation.DomainCapK}""",
+    // weighted_sample: the A-ES race key — the 60*ln2 constant is
+    // interpolated from the SAME Scala double so both engines subtract
+    // an identical literal; the hex-prefix -> BIGINT -> DOUBLE route
+    // produces the identical correctly-rounded double as Spark's
+    // conv -> long -> double
+    "weighted_sample" -> s"""
+      WITH k AS (
+        SELECT doc_id, n_chars,
+          round((${60.0 * math.log(2.0)} - ln(
+            CAST(CAST('0x' || substr(
+              md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS DOUBLE) + 1.0)) /
+            CAST(n_chars AS DOUBLE), 9) AS race_key
+        FROM documents)
+      SELECT doc_id, n_chars, race_key FROM k
+      ORDER BY race_key, doc_id
+      LIMIT ${graft.operators.Curation.WeightedSampleK}""",
+    // winsorize_scores: quality oracle nested (the curriculum_bins
+    // device); quantile_cont == Spark's exact interpolated percentile on
+    // the 1e-4-quantized score, and the rescale division is one
+    // correctly-rounded IEEE op on identical inputs in both engines
+    "winsorize_scores" -> s"""
+      WITH sc AS (SELECT doc_id, model_score
+                  FROM ($qualityModelOracleSql)),
+      j AS (
+        SELECT d.doc_id, d.lang, sc.model_score
+        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+      b AS (
+        SELECT lang,
+          quantile_cont(model_score,
+            ${graft.operators.Curation.WinsorLowQ}) AS p05,
+          quantile_cont(model_score,
+            ${graft.operators.Curation.WinsorHighQ}) AS p95
+        FROM j GROUP BY lang)
+      SELECT j.doc_id, j.lang, j.model_score,
+        CASE WHEN p95 > p05 THEN
+          round((least(greatest(j.model_score, p05), p95) - p05)
+            / (p95 - p05), 6)
+        ELSE 0.5 END AS w_score
+      FROM j JOIN b USING (lang)""",
+    // cdc_chunks: content-defined boundaries from the md5-60 mod, chunk
+    // ids as a running boundary count, ordered string_agg reassembly —
+    // all integer/string arithmetic, bit-identical cross-engine
+    "cdc_chunks" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        FROM (
+          SELECT doc_id, list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'),
+            x -> length(x) > 0) AS toks
+          FROM documents)),
+      b AS (
+        SELECT doc_id, pos, tok,
+          CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+            % ${graft.operators.Dedup.CdcDivisor} = 0
+          THEN 1 ELSE 0 END AS bnd
+        FROM t),
+      ch AS (
+        SELECT doc_id,
+          sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id,
+          tok, pos
+        FROM b),
+      cc AS (
+        SELECT doc_id, chunk_id,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM ch GROUP BY doc_id, chunk_id)
+      SELECT md5(chunk_text) AS chunk_hash,
+        count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        max(length(chunk_text)) AS chunk_chars
+      FROM cc GROUP BY chunk_hash
+      HAVING count(*) > 1
+      ORDER BY n_occ DESC, chunk_hash
+      LIMIT ${graft.operators.Dedup.CdcTopN}""",
+    // sketch_freq: the exact top-k and total are SQL; the Misra-Gries
+    // verdict is theory-guaranteed TRUE over any merge tree (the
+    // agg_approx_distinct in-bound-verdict device)
+    "sketch_freq" -> s"""
+      WITH t AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> length(x) > 0)) AS token
+        FROM documents)
+      SELECT token, count(*) AS exact_cnt, TRUE AS est_in_bound
+      FROM t GROUP BY token
+      ORDER BY exact_cnt DESC, token
+      LIMIT ${graft.operators.TextOps.MgTopK}""",
     // dedup_segments: tokens, aligned slicing, the distinct-doc df count
     // and the ordered filtered reassembly are all mirrorable; DuckDB's
     // `//` is integer division (its `/` is float), and string_agg of an

@@ -627,4 +627,117 @@ object Curation {
         round(1.0 - sse/sst, 6) AS r2,
         round(sqrt(sse/a11), 6) AS rmse
       FROM errs"""
+
+  // ------------------------------------------------------ per-domain caps
+
+  /** Per-domain document budget for [[domainCap]] — small enough that the
+    * cap actually binds at the correctness-gate scale (sf0.01 has ~25
+    * docs per source), so the gate exercises truncation, not just rank
+    * numbering.
+    */
+  val DomainCapK = 15
+
+  /** Per-domain document caps (oracle-checked): keep at most K documents
+    * per source/domain, chosen by a deterministic md5 coin — the
+    * CommonCrawl-style guard against a single site dominating the
+    * mixture. The coin is salted "dc:" so the kept subset is independent
+    * of every other sampling decision in the pipeline.
+    *
+    * Scale shape: executed by the [[graft.plans.GroupedTopK]] custom
+    * physical operator — each scan task keeps a K-bounded heap per
+    * domain, so only k*|domains| rows per partition enter the exchange
+    * and no domain is ever fully sorted. That is precisely the regime
+    * the operator was built for (few keys, huge groups, tiny k): a
+    * mega-domain with a billion pages costs the same K-row heap as a
+    * blog with ten. Rank numbering afterwards is a window over <= K rows
+    * per domain (the bm25 top-k-first device).
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val coined = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("dc:"), col("doc_id").cast("string"))).as("coin"))
+    val top = graft.plans.TopKPlans.groupedTopK(coined,
+      Seq(col("source")), Seq(col("coin").asc, col("doc_id").asc),
+      DomainCapK)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("coin").asc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  // -------------------------------------------- weighted sampling (A-ES)
+
+  /** Sample size for [[weightedSample]]. */
+  val WeightedSampleK = 150
+
+  /** Deterministic weighted sampling without replacement (oracle-checked)
+    * via the Efraimidis–Spirakis exponential-race key: item i with
+    * weight w_i draws u_i ~ U(0,1] and wins rank by key = -ln(u_i)/w_i
+    * ascending — the k smallest keys are a weighted sample without
+    * replacement (here w = n_chars: longer documents proportionally
+    * more likely, the token-budget-aware carve). u comes from the md5
+    * 60-bit prefix ((m+1)/2^60, never 0), so the "random" race is
+    * reproducible on any engine and any cluster size; ln runs on an
+    * exactly-representable integer-valued double in both engines and
+    * doc_id breaks ties, so the selected set is unique.
+    *
+    * Scale shape: per-row key computation at scan speed, then
+    * orderBy(key).limit(k) = TakeOrderedAndProject — per-task k-heaps,
+    * no global sort, same contract as [[sampleExactK]] but
+    * weight-aware.
+    */
+  def weightedSample(s: SparkSession, dir: String,
+                     k: Int = WeightedSampleK): DataFrame = {
+    // exact long first (conv returns STRING), then one correctly-rounded
+    // long->double conversion — the same value DuckDB's hex-cast route
+    // produces, so the race keys agree bit for bit
+    val m = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double")
+    // -ln((m+1)/2^60) / w  =  (60*ln2 - ln(m+1)) / w
+    val key = (lit(60.0 * math.log(2.0)) - log(m + 1.0)) /
+      col("n_chars").cast("double")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), round(key, 9).as("race_key"))
+      .orderBy(col("race_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------ robust score scaling
+
+  /** Winsorization quantiles for [[winsorizeScores]]. */
+  val WinsorLowQ = 0.05
+  val WinsorHighQ = 0.95
+
+  /** Per-language winsorized min-max scaling of the model quality score
+    * (oracle-checked): clamp to the [P5, P95] band, then rescale the
+    * band to [0, 1] — the robust normalization that makes quality
+    * scores comparable ACROSS languages before a global threshold or
+    * curriculum consumes them (raw score distributions differ by
+    * language; a fixed global cut would over-drop some languages).
+    * Degenerate bands (P5 == P95) map to 0.5. The score is
+    * 1e-4-quantized upstream ([[qualityModel]]), keeping the
+    * interpolated quantiles off the ulp knife-edge, and the scaled
+    * output is rounded to 6 decimals (the knn cosine device).
+    *
+    * Scale shape: the bounds table is |languages| x 2 exact percentiles
+    * (map-side partial agg) broadcast back onto the stream — the corpus
+    * never shuffles; clamp+rescale is per-row at scan speed.
+    */
+  def winsorizeScores(s: SparkSession, dir: String): DataFrame = {
+    val scored = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(qualityModel(s, dir).select(col("doc_id"), col("model_score")),
+        Seq("doc_id"))
+    val bounds = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile(model_score, array($WinsorLowQ, $WinsorHighQ))")
+        .as("pq"))
+      .select(col("lang"), col("pq").getItem(0).as("p05"),
+        col("pq").getItem(1).as("p95"))
+    val clamped = least(greatest(col("model_score"), col("p05")), col("p95"))
+    scored.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("model_score"),
+        when(col("p95") > col("p05"),
+          round((clamped - col("p05")) / (col("p95") - col("p05")), 6))
+          .otherwise(0.5).as("w_score"))
+  }
 }

@@ -1051,4 +1051,60 @@ object Dedup {
             col("n_truth_pairs").cast("double") >= DedupRecallFloor),
           lit(false)).as("pass"))
   }
+
+  // ----------------------------------- content-defined chunking (CDC tier)
+
+  /** Expected CDC chunk length in tokens: a token opens a new chunk when
+    * its 60-bit md5 prefix is divisible by this, so boundaries fall on
+    * CONTENT, not positions.
+    */
+  val CdcDivisor = 16
+
+  /** Bound on the emitted duplicate-chunk report. */
+  val CdcTopN = 100
+
+  /** Content-defined chunking dedup (oracle-checked): the FastCDC/rsync
+    * idea at token granularity — chunk boundaries are chosen by a hash
+    * of the CONTENT (token t starts a new chunk iff md5_60(t) ≡ 0 mod
+    * [[CdcDivisor]]), so inserting or deleting a sentence shifts only
+    * the chunks it touches while every other chunk keeps its identity;
+    * fixed-stride segmentation ([[dedupSegments]]) loses all alignment
+    * after one edit. Emits the top duplicated chunks across the corpus
+    * (distinct-doc and total occurrence counts) — the sub-document
+    * boilerplate a fixed grid cannot see.
+    *
+    * Scale shape: one posexplode of the corpus tokens; the chunk id is a
+    * per-document running sum (window over the document's own tokens —
+    * partitions by doc_id, never global); chunk reassembly is a
+    * (doc_id, chunk_id) groupBy with map-side partial aggregation; the
+    * final per-chunk-hash count groups on a key whose cardinality grows
+    * with the corpus, and the report is a TakeOrderedAndProject. All
+    * arithmetic is integer/string — both engines agree bit for bit.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(T.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    // conv returns STRING; the cast to long is exact (60-bit < 2^63) —
+    // a double roundtrip would corrupt the low bits the mod depends on
+    val withB = toks.withColumn("b",
+      (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+        % CdcDivisor === 0).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = withB
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("chunk_text"))
+    chunks
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        max(length(col("chunk_text"))).cast("long").as("chunk_chars"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("n_occ").desc, col("chunk_hash"))
+      .limit(CdcTopN)
+  }
 }

@@ -163,4 +163,42 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(HeavyHittersK)
+
+  /** Misra–Gries counter capacity and report size for [[sketchFreq]]. */
+  val MgCap = 32
+  val MgTopK = 10
+
+  /** Frequency sketch vs exact truth (oracle-checked): runs the
+    * [[graft.functions.MisraGriesAggregator]] mergeable sketch over the
+    * full token stream next to the exact counts, and emits, for the
+    * exact top-[[MgTopK]] tokens, the exact count plus the sketch's
+    * deterministic error verdict (0 <= exact - est <= N/(cap+1), the
+    * MG guarantee over ANY reduce/merge tree). The verdict is the
+    * hash-checkable surface — the `agg_approx_distinct` device applied
+    * to the second sketch family: a partition-order-dependent estimate
+    * becomes engine-portable by emitting the theory-guaranteed bound
+    * check instead of the estimate.
+    *
+    * Scale shape: the sketch side ships O(cap) bytes per task (the
+    * whole point of MG at 100 TB — frequent-token mining with NO
+    * token-keyed shuffle); the exact side is [[heavyHitters]]'s
+    * partial-count + TakeOrdered shape and exists to audit the sketch.
+    */
+  def sketchFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+    val mg = toks.agg(
+      graft.functions.MisraGries.mgSketch(MgCap)(col("token")).as("mg"),
+      count(lit(1)).as("n"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(MgTopK)
+    val est = coalesce(element_at(col("mg"), col("token")), lit(0L))
+    top.crossJoin(broadcast(mg))
+      .select(col("token"), col("exact_cnt"),
+        (col("exact_cnt") - est >= 0L &&
+          (col("exact_cnt") - est).cast("double") <=
+            col("n").cast("double") / (MgCap + 1)).as("est_in_bound"))
+  }
 }
