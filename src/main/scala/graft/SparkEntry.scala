@@ -191,6 +191,11 @@ object SparkEntry {
     "winsorize_scores" -> (Curation.winsorizeScores _),
     "cdc_chunks" -> (Dedup.cdcChunks _),
     "sketch_freq" -> (TextOps.sketchFreq _),
+    // round-6 wave 5: distribution analytics, table profiling,
+    // containment-tier decontamination
+    "window_ntile" -> (RelationalExt.windowNtile _),
+    "profile_table" -> (Profile.profileTable _),
+    "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2201,6 +2206,83 @@ object SparkEntry {
       FROM t GROUP BY token
       ORDER BY exact_cnt DESC, token
       LIMIT ${graft.operators.TextOps.MgTopK}""",
+    // decontaminate_fuzzy: per-(doc, bench) distinct-shingle containment
+    // over the clean corpus + spliced leak probes; the rounded ratio keys
+    // the best-match window in BOTH engines so tie order can't diverge
+    "decontaminate_fuzzy" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      probes AS (
+        SELECT -b.doc_id AS doc_id,
+          array_to_string(
+            b.toks[1:(len(b.toks) + 1) // 2] ||
+            p.toks[len(p.toks) // 2 + 1:len(p.toks)], ' ') AS text
+        FROM t b JOIN t p ON p.doc_id = b.doc_id + 1
+        WHERE b.doc_id % 97 = 0),
+      scanned AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL SELECT doc_id, text FROM probes),
+      st AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM scanned),
+      ssh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 8 THEN
+            list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM st),
+      shd AS (
+        SELECT doc_id, md5(s.sh) AS h
+        FROM ssh, unnest(ssh.shingles) AS s(sh)),
+      bsh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 8 THEN
+            list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM t WHERE doc_id % 97 = 0),
+      bench AS (
+        SELECT doc_id AS bench_id, md5(s.sh) AS h
+        FROM bsh, unnest(bsh.shingles) AS s(sh)),
+      nb AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id),
+      shared AS (
+        SELECT shd.doc_id, b.bench_id, count(*) AS n_shared
+        FROM shd JOIN bench b USING (h)
+        GROUP BY shd.doc_id, b.bench_id),
+      scored AS (
+        SELECT doc_id, bench_id,
+          round(CAST(n_shared AS DOUBLE) / nb, 6) AS containment
+        FROM shared JOIN nb USING (bench_id)),
+      best AS (
+        SELECT doc_id, bench_id AS best_bench, containment,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY containment DESC, bench_id ASC) AS rn
+        FROM scored)
+      SELECT s.doc_id, b.best_bench,
+        coalesce(b.containment, 0.0) AS containment,
+        coalesce(b.containment >=
+          ${graft.operators.Curation.DecontamFuzzyThreshold},
+          FALSE) AS contaminated
+      FROM scanned s
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
+    // window_ntile: standard bucket rule + integer-ratio doubles, both
+    // engine-agreed on the unique (custkey, orderkey) ordering
+    "window_ntile" -> """
+      SELECT o_orderkey, o_custkey,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+    // profile_table: generated per-column UNION ALL (exact stats; money
+    // min/max through the DECIMAL(18,2) rendering device)
+    "profile_table" -> graft.operators.Profile.profileTableOracleSql,
     // dedup_segments: tokens, aligned slicing, the distinct-doc df count
     // and the ordered filtered reassembly are all mirrorable; DuckDB's
     // `//` is integer division (its `/` is float), and string_agg of an

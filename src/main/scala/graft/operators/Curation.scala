@@ -112,6 +112,84 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** Containment threshold for [[decontaminateFuzzy]] verdicts. */
+  val DecontamFuzzyThreshold = 0.2
+
+  /** Fuzzy (containment-tier) decontamination (oracle-checked): where
+    * [[decontaminate]] flags ANY shared 8-gram (the verbatim tier), this
+    * scores each scanned doc against each benchmark doc by shingle
+    * CONTAINMENT — |shared 8-grams| / |benchmark doc's 8-grams| — and
+    * flags docs whose best containment crosses a threshold. Containment,
+    * not Jaccard: contamination means the doc carries a large FRACTION
+    * OF THE BENCHMARK (a long document quoting a whole eval item must
+    * score high even though its own shingle set is far bigger — the
+    * asymmetric lesson of `dedup_containment` applied to eval leakage).
+    * Catches partially-edited benchmark inclusions the any-hit tier
+    * can't rank and symmetric Jaccard dilutes away.
+    *
+    * The scanned stream is the clean corpus PLUS deterministic leak
+    * probes (the `fuzzy_join` corruption device): for each benchmark
+    * doc, a synthetic doc_id = -bench_id whose text is the benchmark's
+    * first half spliced onto the successor doc's tail — a half-leaked
+    * eval item. The natural corpus shares no 8-grams across docs (max
+    * trigram containment measured 0.054), so the probes are what make
+    * the gate exercise real hit rows, the best-match window, and BOTH
+    * verdict branches; they are built in-plan from the real table and
+    * mirrored exactly in SQL.
+    *
+    * Scale shape: benchmark shingle table (|bench|/|corpus| ≈ 1/97 here;
+    * a few benchmarks' worth in production) broadcasts with bench_id;
+    * the scanned stream explodes once and never self-joins; per-(doc,
+    * bench) shared counts group only HIT rows; the best-match window
+    * sees at most |bench docs| rows per doc. Ratios are one division +
+    * round(6) on exact integers — engine-agreed.
+    */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = table(s, dir, "documents")
+    // leak probes: bench first-ceil-half ++ successor's floor-tail-half,
+    // token-aligned so the re-tokenized splice is exactly the two slices
+    val toked = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    val probes = toked.filter(col("doc_id") % 97 === 0).as("b")
+      .join(toked.as("p"), col("p.doc_id") === col("b.doc_id") + 1)
+      .select((-col("b.doc_id")).as("doc_id"),
+        concat_ws(" ", concat(
+          slice(col("b.toks"), lit(1),
+            expr("(size(b.toks) + 1) div 2")),
+          expr("slice(p.toks, size(p.toks) div 2 + 1, " +
+            "size(p.toks) - size(p.toks) div 2)"))).as("text"))
+    val scanned = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(probes)
+    val par = s.sparkContext.defaultParallelism
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.repartition(par).select(col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), DecontamN)))
+          .as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+    val bench = shingleHashes(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val nb = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    val shared = shingleHashes(scanned)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val scored = shared.join(broadcast(nb), "bench_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("nb"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("containment").desc, col("bench_id").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id").as("best_bench"),
+        col("containment"))
+    scanned.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_bench"),
+        coalesce(col("containment"), lit(0.0)).as("containment"),
+        coalesce(col("containment") >= DecontamFuzzyThreshold, lit(false))
+          .as("contaminated"))
+  }
+
   // ------------------------------------------------- quality-model scoring
 
   /** Linear quality model over the structural features: weights would come

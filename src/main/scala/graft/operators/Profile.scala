@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.table
+
+/** Table profiling: the per-column statistics pass (row count, null
+  * count, exact distinct count, min/max) every warehouse runs before
+  * trusting a new feed — the data-quality surface beside the per-KEY
+  * statistics of [[Skew.skewDiagnose]]. The reference has no statistics
+  * collection at all (SURVEY §4.2).
+  */
+object Profile {
+
+  /** Columns profiled by [[profileTable]] — a heterogeneous set (id,
+    * foreign key, money, date, low-cardinality enum) so the one query
+    * exercises every stat over every shape.
+    */
+  val ProfileCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+
+  /** Reporting type per column where the native one does not render
+    * identically across engines: DOUBLE's shortest-round-trip string
+    * differs (Spark "1.0E7" vs DuckDB "10000000.0"), so money min/max
+    * go through the DECIMAL(18,2) device (`Relational.dsum`) whose
+    * fixed-scale rendering is engine-agreed. BIGINT/TIMESTAMP/VARCHAR
+    * render identically as-is.
+    */
+  val MinMaxCast: Map[String, String] = Map("o_totalprice" -> "DECIMAL(18,2)")
+
+  /** Per-column table profile (oracle-checked): one row per column with
+    * (n_rows, n_null, n_distinct, min_s, max_s). min/max are computed on
+    * the NATIVE type (numeric/date ordering, not lexicographic) and cast
+    * to string only for the uniform report schema; DECIMAL money renders
+    * with its fixed scale in both engines.
+    *
+    * Scale shape: ONE scan. Spark plans the k exact count(DISTINCT)
+    * aggregates via a single Expand (each input row fans to k
+    * single-column rows — total bytes ≈ one row's worth per column, the
+    * same data the scan already read) with map-side partial aggregation;
+    * there is no per-column rescan and nothing driver-side. The row
+    * count and per-column null/min/max ride the same pass. Exactness is
+    * the point (the profile is a CONTRACT check); the sketch alternative
+    * for ndv-only at lower cost is `sketch_merge`'s mergeable HLL.
+    * The k-row result unpivots via one stack() projection.
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "orders")
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: ProfileCols.flatMap {
+      c =>
+        val mm = MinMaxCast.get(c).fold(col(c))(t => col(c).cast(t))
+        Seq(count(col(c)).as(s"_cnt_$c"),
+          countDistinct(col(c)).as(s"_ndv_$c"),
+          min(mm).cast("string").as(s"_min_$c"),
+          max(mm).cast("string").as(s"_max_$c"))
+    }
+    val one = src.agg(aggs.head, aggs.tail: _*)
+    val stacked = ProfileCols.map { c =>
+      s"'$c', _n - _cnt_$c, _ndv_$c, _min_$c, _max_$c"
+    }.mkString(", ")
+    one.select(col("_n").as("n_rows"),
+        expr(s"stack(${ProfileCols.length}, $stacked)")
+          .as(Seq("col_name", "n_null", "n_distinct", "min_s", "max_s")))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
+  /** DuckDB mirror: per-column scalar aggregates unioned — the engines
+    * agree because every stat is exact integer/native-ordered.
+    */
+  def profileTableOracleSql: String =
+    ProfileCols.map { c =>
+      val mm = MinMaxCast.get(c).fold(c)(t => s"CAST($c AS $t)")
+      s"""SELECT '$c' AS col_name,
+        count(*) AS n_rows,
+        count(*) - count($c) AS n_null,
+        count(DISTINCT $c) AS n_distinct,
+        CAST(min($mm) AS VARCHAR) AS min_s,
+        CAST(max($mm) AS VARCHAR) AS max_s
+      FROM orders"""
+    }.mkString("\nUNION ALL\n")
+}

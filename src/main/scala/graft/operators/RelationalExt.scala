@@ -572,4 +572,26 @@ object RelationalExt {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .select(col("o_orderkey"), col("o_totalprice"))
       .offset(50).limit(25)
+
+  /** Distribution-analytic windows (oracle-checked): ntile quartiles,
+    * percent_rank, and cume_dist over each customer's order history —
+    * the remaining SQL-standard analytic functions after rank/row_number
+    * (`window_rank`) and lag/lead (`window_lag_lead`). Both engines
+    * implement the standard's bucket rule (first n_rows mod n buckets
+    * take one extra row) and the same rank ratios, and the ordering key
+    * (o_custkey, o_orderkey) is unique, so the doubles divide identical
+    * integers — engine-agreed after round(6).
+    *
+    * Scale shape: one hash exchange on o_custkey; all three functions
+    * share the single sorted frame (key count grows with the corpus —
+    * no single-partition window).
+    */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Profile, RelationalExt}
+
+/** Invariants for the round-6 wave-5 operators: distribution-analytic
+  * windows, table profiling, and containment-tier decontamination.
+  */
+class Wave5Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("ntile: quartile sizes within a customer differ by at most one, " +
+       "pct_rank/cdist bounded and monotone in order") {
+    val r = RelationalExt.windowNtile(spark, dir).collect()
+    val byCust = r.groupBy(_.getLong(1))
+    for ((_, rows) <- byCust) {
+      val sizes = rows.groupBy(_.getLong(2)).view.mapValues(_.length)
+      if (sizes.nonEmpty)
+        assert(sizes.values.max - sizes.values.min <= 1)
+      val ordered = rows.sortBy(_.getLong(0))
+      ordered.foreach { x =>
+        assert(x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0)
+        assert(x.getDouble(4) > 0.0 && x.getDouble(4) <= 1.0)
+      }
+      // cume_dist and quartile never decrease along the frame order
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(4) <= b.getDouble(4))
+          assert(a.getLong(2) <= b.getLong(2))
+        case _ =>
+      }
+    }
+  }
+
+  test("profile: one row per column, stats consistent, and a direct " +
+       "recompute agrees for the enum column") {
+    val r = Profile.profileTable(spark, dir).collect()
+    assert(r.map(_.getString(0)).sorted === Profile.ProfileCols.sorted)
+    val n = spark.read.parquet(s"$dir/orders.parquet").count()
+    r.foreach { x =>
+      assert(x.getLong(1) === n)
+      assert(x.getLong(2) >= 0L)
+      assert(x.getLong(3) <= x.getLong(1) - x.getLong(2))
+      // lexicographic min<=max only holds for non-numeric renderings
+      if (Set("o_orderpriority", "o_orderdate").contains(x.getString(0)))
+        assert(x.getString(4) <= x.getString(5))
+    }
+    val prio = r.find(_.getString(0) == "o_orderpriority").get
+    val direct = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(countDistinct(col("o_orderpriority")),
+        min(col("o_orderpriority")), max(col("o_orderpriority")))
+      .collect().head
+    assert(prio.getLong(3) === direct.getLong(0))
+    assert(prio.getString(4) === direct.getString(1))
+    assert(prio.getString(5) === direct.getString(2))
+  }
+
+  test("fuzzy decontamination: every probe flags back to its source " +
+       "benchmark doc; the clean stream stays clean") {
+    val r = Curation.decontaminateFuzzy(spark, dir).collect()
+    val probes = r.filter(_.getLong(0) < 0)
+    assert(probes.nonEmpty)
+    probes.foreach { p =>
+      assert(p.getBoolean(3), s"probe ${p.getLong(0)} not flagged")
+      assert(p.getLong(1) === -p.getLong(0),
+        "probe matched a different benchmark than its source")
+      assert(p.getDouble(2) >= Curation.DecontamFuzzyThreshold &&
+        p.getDouble(2) <= 1.0)
+    }
+    // the corpus itself MAY legitimately contain benchmark dups (the
+    // testdata plants duplicate docs) — so the clean-stream claim is
+    // verdict CONSISTENCY, not absence: flagged iff containment crosses
+    // the threshold, and the flag is not vacuously universal
+    r.filter(_.getLong(0) > 0).foreach { c =>
+      assert(c.getBoolean(3) ===
+        (c.getDouble(2) >= Curation.DecontamFuzzyThreshold))
+    }
+    assert(r.exists(x => x.getLong(0) > 0 && !x.getBoolean(3)))
+  }
+}
