@@ -313,4 +313,50 @@ class PlanSpec extends AnyFunSuite {
     // tiny n_docs scalar IS broadcast; rank_fp frames must not be.)
     assert(!p.contains("BroadcastHashJoin [doc_id"), p.take(2000))
   }
+
+  test("profile_table: ONE scan fans through a single Expand; no " +
+       "per-column rescan") {
+    val p = plan("profile_table")
+    assert(p.sliding("Expand".length).count(_ == "Expand") === 1,
+      p.take(1500))
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") === 1,
+      p.take(1500))
+  }
+
+  test("domain_cap: executed by GroupedTopK heaps, not a full window " +
+       "sort; the rank window sees only survivors") {
+    val p = plan("domain_cap")
+    assert(p.contains("GroupedTopK"), p.take(1500))
+    // exactly one Window (the <=K-row rank numbering AFTER the top-k);
+    // the corpus itself is never window-sorted
+    assert(p.sliding("Window".length).count(_ == "Window") === 1,
+      p.take(1500))
+  }
+
+  test("weighted_sample: the race is a TakeOrdered funnel, never a " +
+       "global sort") {
+    val p = plan("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+  }
+
+  test("winsorize/fuzzy-decontam: bounds and benchmark tables broadcast " +
+       "back; the corpus stream is never the broadcast side") {
+    val pw = plan("winsorize_scores")
+    assert(pw.contains("BroadcastHashJoin"), pw.take(1500))
+    val pf = plan("decontaminate_fuzzy")
+    // both the bench-shingle and the nb joins are broadcasts
+    assert(pf.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, pf.take(2000))
+  }
+
+  test("sketch_freq: the sketch side is a two-stage partial/final " +
+       "aggregate — map-side MG buffers, no token-keyed shuffle") {
+    val p = plan("sketch_freq")
+    // the MG aggregator appears in partial and final mode (objHashAgg);
+    // the exact side's token groupBy is the only token-keyed exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.sliding("hashpartitioning(token".length)
+      .count(_ == "hashpartitioning(token") === 1, p.take(2000))
+  }
 }
