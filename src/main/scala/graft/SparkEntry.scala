@@ -196,6 +196,8 @@ object SparkEntry {
     "window_ntile" -> (RelationalExt.windowNtile _),
     "profile_table" -> (Profile.profileTable _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
+    "events_heavy_users" ->
+      (graft.streaming.EventStreams.eventsHeavyUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2271,6 +2273,21 @@ object SparkEntry {
           FALSE) AS contaminated
       FROM scanned s
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
+    // events_heavy_users: the GroupedTopK execution is Spark-side;
+    // semantics are a per-hour count rank (streaming twin:
+    // EventStreams.heavyUsersStream, MG-bounded state)
+    "events_heavy_users" -> s"""
+      WITH hourly AS (
+        SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
+          AS hr, user_id, count(*) AS cnt
+        FROM events GROUP BY hr, user_id),
+      r AS (
+        SELECT hr, user_id, cnt,
+          row_number() OVER (PARTITION BY hr
+            ORDER BY cnt DESC, user_id ASC) AS rk
+        FROM hourly)
+      SELECT hr, rk, user_id, cnt FROM r
+      WHERE rk <= ${graft.streaming.EventStreams.HeavyUsersK}""",
     // window_ntile: standard bucket rule + integer-ratio doubles, both
     // engine-agreed on the unique (custkey, orderkey) ordering
     "window_ntile" -> """

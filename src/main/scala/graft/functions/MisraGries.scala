@@ -24,32 +24,11 @@ class MisraGriesAggregator(cap: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], v: String): Map[String, Long] =
-    buf.get(v) match {
-      case Some(c) => buf.updated(v, c + 1L)
-      case None if buf.size < cap => buf.updated(v, 1L)
-      // over capacity: decrement every counter (the arriving item's
-      // implicit counter cancels against them), dropping zeros
-      case None =>
-        buf.iterator.map { case (k, c) => (k, c - 1L) }
-          .filter(_._2 > 0L).toMap
-    }
+    MisraGries.reduceInto(buf, v, cap)
 
   override def merge(a: Map[String, Long],
-                     b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (m, (k, c)) =>
-      m.updated(k, m.getOrElse(k, 0L) + c)
-    }
-    if (summed.size <= cap) summed
-    else {
-      // subtract the (cap+1)-th largest counter from all, keep positives:
-      // at most cap survive and each counter loses <= what a sequential
-      // decrement cascade would have taken
-      val cut = summed.valuesIterator.toIndexedSeq.sorted(
-        Ordering[Long].reverse)(cap)
-      summed.iterator.map { case (k, c) => (k, c - cut) }
-        .filter(_._2 > 0L).toMap
-    }
-  }
+                     b: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeMaps(a, b, cap)
 
   override def finish(buf: Map[String, Long]): Map[String, Long] = buf
 
@@ -60,6 +39,38 @@ class MisraGriesAggregator(cap: Int)
 }
 
 object MisraGries {
+  /** One MG step: count v, or (over capacity) decrement every counter —
+    * the arriving item's implicit counter cancels against them.
+    */
+  def reduceInto[K](buf: Map[K, Long], v: K, cap: Int): Map[K, Long] =
+    buf.get(v) match {
+      case Some(c) => buf.updated(v, c + 1L)
+      case None if buf.size < cap => buf.updated(v, 1L)
+      case None =>
+        buf.iterator.map { case (k, c) => (k, c - 1L) }
+          .filter(_._2 > 0L).toMap
+    }
+
+  /** Mergeable-summaries merge: pointwise sum, then subtract the
+    * (cap+1)-th largest counter from all and keep positives — at most
+    * cap survive and each counter loses <= what a sequential decrement
+    * cascade would have taken, so the N/(cap+1) guarantee holds over
+    * ANY merge tree.
+    */
+  def mergeMaps[K](a: Map[K, Long], b: Map[K, Long],
+                   cap: Int): Map[K, Long] = {
+    val summed = b.foldLeft(a) { case (m, (k, c)) =>
+      m.updated(k, m.getOrElse(k, 0L) + c)
+    }
+    if (summed.size <= cap) summed
+    else {
+      val cut = summed.valuesIterator.toIndexedSeq.sorted(
+        Ordering[Long].reverse)(cap)
+      summed.iterator.map { case (k, c) => (k, c - cut) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
   /** Column form: usable in agg(). */
   def mgSketch(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(cap),

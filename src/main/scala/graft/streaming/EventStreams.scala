@@ -383,4 +383,92 @@ object EventStreams {
       col("z"),
       coalesce(abs(col("z")) >= AnomalyZ, lit(false)).as("anomaly"))
   }
+
+  // --------------------------------------------- streaming heavy users
+
+  /** Misra-Gries capacity for [[heavyUsersStream]] state and top-k for
+    * the batch twin's report.
+    */
+  val HeavyUsersCap = 16
+  val HeavyUsersK = 10
+
+  case class HeavyState(counts: Map[Long, Long], n: Long)
+  case class HeavyOut(hr: Long, user_id: Long, est: Long, n_events: Long)
+
+  /** Streaming per-hour heavy-user mining on BOUNDED state: one stateful
+    * operator keyed by hour whose state is a [[graft.functions.MisraGries]]
+    * counter map (capacity [[HeavyUsersCap]]) plus the hour's event
+    * total — O(cap) per hour forever, regardless of how many distinct
+    * users the hour sees (the rate-limit/abuse-detection shape: exact
+    * per-user streaming counts would hold |users| state). When the
+    * event-time watermark closes an hour, its MG survivors are emitted
+    * once and the state is dropped; an EventTimeTimeout flushes closed
+    * hours on data-less batches.
+    *
+    * What the emission GUARANTEES (order-independent, so the contract
+    * holds on any partitioning/replay — StreamingSpec checks it against
+    * batch-exact counts): est <= true count; true - est <= n/(cap+1);
+    * and every user with true count > n/(cap+1) is among the survivors.
+    */
+  def heavyUsersStream(events: DataFrame): Dataset[HeavyOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 hour")
+      .select(expr("unix_timestamp(ts) div 3600").as("hr"),
+        col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(heavyFn)
+  }
+
+  private[streaming] def heavyFn(hr: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      state: GroupState[HeavyState]): Iterator[HeavyOut] = {
+    import graft.functions.MisraGries
+    val st = state.getOption.getOrElse(HeavyState(Map.empty, 0L))
+    var counts = st.counts
+    var n = st.n
+    rows.foreach { case (_, u, _) =>
+      counts = MisraGries.reduceInto(counts, u, HeavyUsersCap)
+      n += 1L
+    }
+    val wmMs = state.getCurrentWatermarkMs()
+    if ((hr + 1L) * 3600000L <= wmMs) {
+      // hour closed: emit survivors once, largest-estimate first, and
+      // drop the state for good
+      state.remove()
+      counts.toSeq.sortBy { case (u, c) => (-c, u) }
+        .map { case (u, c) => HeavyOut(hr, u, c, n) }.iterator
+    } else {
+      state.update(HeavyState(counts, n))
+      state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1L)
+      Iterator.empty
+    }
+  }
+
+  /** Batch twin (oracle-checked): EXACT per-hour heavy users — hourly
+    * (user, count) aggregation reduced to the top-[[HeavyUsersK]] per
+    * hour by the [[graft.plans.GroupedTopK]] bounded-heap operator, rank
+    * numbered over the <= k survivors. The streaming MG path trades this
+    * exactness for O(cap) state; this is the ground truth its guarantee
+    * is audited against.
+    *
+    * Scale shape: one shuffle to (hr, user) counts with map-side
+    * partials; GroupedTopK heap-reduces inside partitions so only
+    * k * |hours| * partitions rows reach its exchange; the rank window
+    * sees <= k rows per hour.
+    */
+  def eventsHeavyUsers(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("hr"), col("user_id"))
+      .groupBy(col("hr"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopKPlans.groupedTopK(hourly,
+      Seq(col("hr")), Seq(col("cnt").desc, col("user_id").asc),
+      HeavyUsersK)
+    val w = Window.partitionBy(col("hr"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("hr"), col("rk"), col("user_id"), col("cnt"))
+  }
 }

@@ -289,4 +289,51 @@ class StreamingSpec extends AnyFunSuite {
     val z = (probe.getLong(2) - mean) / math.sqrt(variance)
     assert(math.abs(probe.getDouble(4) - z) < 2e-3)
   }
+
+  test("streaming heavy users: MG emissions honor the deterministic " +
+       "bound and completeness guarantees vs batch-exact counts") {
+    val q = EventStreams.heavyUsersStream(
+        EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("heavy_out").start()
+    try {
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (spark.table("heavy_out").isEmpty &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+      val streamed = spark.table("heavy_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+          r.getLong(3)))
+      assert(streamed.nonEmpty)
+      // batch-exact (hr, user) counts and hour totals
+      val exact = graft.sources.Tables.events(spark, dir)
+        .select(expr("unix_timestamp(ts) div 3600").as("hr"),
+          col("user_id"))
+        .groupBy("hr", "user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val hourTotals = exact.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val byHour = streamed.groupBy(_._1._1)
+      val cap = EventStreams.HeavyUsersCap
+      for ((hr, rows) <- byHour) {
+        val nEv = rows.head._2._2
+        assert(nEv === hourTotals(hr), s"hour $hr total")
+        val bound = nEv / (cap + 1)
+        val survivors = rows.map(_._1._2).toSet
+        rows.foreach { case ((_, u), (est, _)) =>
+          val t = exact((hr, u))
+          assert(est <= t, s"hr=$hr u=$u overestimate")
+          assert(t - est <= bound, s"hr=$hr u=$u undercount")
+        }
+        // completeness: any user above the bound must have survived
+        for (((h, u), t) <- exact if h == hr && t > bound)
+          assert(survivors.contains(u), s"hr=$hr heavy user $u dropped")
+      }
+      // the watermark closed (and so emitted) all but the last hour-ish
+      val allHours = hourTotals.keySet
+      assert(byHour.keySet.size >= allHours.size - 2)
+      // closed hours' state was removed: each (hr, user) emitted once
+      assert(streamed.map(_._1).distinct.length === streamed.length)
+    } finally q.stop()
+  }
 }
