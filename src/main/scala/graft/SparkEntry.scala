@@ -198,6 +198,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "events_heavy_users" ->
       (graft.streaming.EventStreams.eventsHeavyUsers _),
+    "window_firstlast" -> (RelationalExt.windowFirstLast _),
+    "agg_corr" -> (RelationalExt.aggCorr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2273,6 +2275,24 @@ object SparkEntry {
           FALSE) AS contaminated
       FROM scanned s
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
+    // window_firstlast: explicit whole-partition rows frame in BOTH
+    // engines (default-frame last_value is the current row)
+    "window_firstlast" -> """
+      SELECT o_orderkey, o_custkey,
+        first_value(o_orderkey) OVER w AS first_key,
+        last_value(o_orderkey) OVER w AS last_key,
+        nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // agg_corr: shared IEEE accumulation, drift-scaled rounding
+    "agg_corr" -> """
+      SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+        round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
     // events_heavy_users: the GroupedTopK execution is Spark-side;
     // semantics are a per-hour count rank (streaming twin:
     // EventStreams.heavyUsersStream, MG-bounded state)

@@ -573,6 +573,42 @@ object RelationalExt {
       .select(col("o_orderkey"), col("o_totalprice"))
       .offset(50).limit(25)
 
+  /** Value-positional windows (oracle-checked): first_value, last_value,
+    * and nth_value over each customer's order history with an EXPLICIT
+    * whole-partition rows frame — last_value under the default frame is
+    * just the current row (the classic SQL footgun); pinning the frame
+    * makes the semantics, and the two engines, agree. One exchange, one
+    * sorted frame for all three.
+    */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+  }
+
+  /** Bivariate statistical aggregates (oracle-checked): Pearson corr and
+    * sample/population covariance of quantity vs price per return flag —
+    * one pass, map-side partial moments, a 3-row result. Both engines
+    * accumulate IEEE doubles; values are O(1)–O(10^5) with sub-1e-9
+    * relative drift, absorbed by round(4) (the agg_stats device).
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qp"),
+        // covariances are O(10^5): absolute drift scales with the value,
+        // so they round at 2 decimals where corr ([-1,1]) keeps 4
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covs_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covp_qp"),
+        count(lit(1)).as("n"))
+
   /** Distribution-analytic windows (oracle-checked): ntile quartiles,
     * percent_rank, and cume_dist over each customer's order history —
     * the remaining SQL-standard analytic functions after rank/row_number

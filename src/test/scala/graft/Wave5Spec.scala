@@ -57,6 +57,32 @@ class Wave5Spec extends AnyFunSuite {
     assert(prio.getString(5) === direct.getString(2))
   }
 
+  test("first/last/nth windows: keys bound the partition, nth is null " +
+       "only for singleton customers") {
+    val r = RelationalExt.windowFirstLast(spark, dir).collect()
+    val byCust = r.groupBy(_.getLong(1))
+    for ((_, rows) <- byCust) {
+      val keys = rows.map(_.getLong(0)).sorted
+      rows.foreach { x =>
+        assert(x.getLong(2) === keys.head)
+        assert(x.getLong(3) === keys.last)
+        if (keys.length >= 2) assert(x.getLong(4) === keys(1))
+        else assert(x.isNullAt(4))
+      }
+    }
+  }
+
+  test("corr/covar: corr bounded, covar_pop = covar_samp * (n-1)/n") {
+    val r = RelationalExt.aggCorr(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(math.abs(x.getDouble(1)) <= 1.0)
+      val (cs, cp, n) = (x.getDouble(2), x.getDouble(3), x.getLong(4))
+      assert(math.abs(cp - cs * (n - 1).toDouble / n) < 0.02,
+        s"covar identity broke: $cs $cp $n")
+    }
+  }
+
   test("fuzzy decontamination: every probe flags back to its source " +
        "benchmark doc; the clean stream stays clean") {
     val r = Curation.decontaminateFuzzy(spark, dir).collect()
