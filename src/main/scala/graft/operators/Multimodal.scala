@@ -33,7 +33,22 @@ object Multimodal {
     */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, mime: String,
                            hist: Array[Double], frames: Array[Long],
+                           grid: Array[Long], ahash: Long,
                            thumb_w: Int, thumb_h: Int, decoded: Boolean)
+
+  /** Average-hash over an 8x8 luminance/amplitude grid: bit i (row-major)
+    * set iff grid(i) >= the integer mean — the classic aHash, the
+    * cheapest perceptual fingerprint; near-identical images (re-encodes,
+    * minor crops/scales) land within a few Hamming bits, so the hash
+    * feeds the simhash-style pigeonhole dedup tier directly.
+    */
+  def ahashOf(grid: Array[Long]): Long = {
+    val mean = grid.sum / 64L
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (grid(i) >= mean) h |= 1L << i; i += 1 }
+    h
+  }
 
   /** Media table synthesized deterministically from documents: the text's
     * UTF-8 bytes stand in for an encoded image. Metadata (mime, dims) is
@@ -74,7 +89,7 @@ object Multimodal {
     * to the byte-level fallback below.
     */
   private def decodeImage(payload: Array[Byte])
-      : Option[(Array[Double], Array[Long], Int, Int)] =
+      : Option[(Array[Double], Array[Long], Array[Long], Int, Int)] =
     try {
       // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream): the
       // default path spills through a disk-backed FileCache temp file per
@@ -124,7 +139,15 @@ object Multimodal {
             val p = math.min(o, n - 1)
             lum((p % w).toInt, (p / w).toInt).toLong
           }
-          Some((hist, frames, w, h))
+          // REAL pixel resize: 8x8 nearest-neighbor (top-left anchor —
+          // deterministic, spec-recomputable) luminance thumbnail
+          val grid = new Array[Long](64)
+          var g = 0
+          while (g < 64) {
+            grid(g) = lum(((g % 8) * w) / 8, ((g / 8) * h) / 8).toLong
+            g += 1
+          }
+          Some((hist, frames, grid, w, h))
         }
       }
     } catch { case _: Exception => None }
@@ -150,7 +173,7 @@ object Multimodal {
     * histogram, so downstream feature consumers see one shape.
     */
   private def decodeWav(payload: Array[Byte])
-      : Option[(Array[Double], Array[Long])] =
+      : Option[(Array[Double], Array[Long], Array[Long])] =
     try {
       def u16(i: Int): Int =
         (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
@@ -199,7 +222,16 @@ object Multimodal {
       while (j < 16) { hist(j) /= n; j += 1 }
       val frames = Array(0L, n / 4, n / 2, 3 * n / 4, n - 1)
         .map(o => sample(math.min(o, n - 1)).toLong)
-      Some((hist, frames))
+      // waveform thumbnail: 64 evenly spaced samples rescaled to the
+      // image grid's 0..255 range, so every modality shares one shape
+      val grid = new Array[Long](64)
+      var g = 0
+      while (g < 64) {
+        val v = sample(math.min((g * n) / 64, n - 1))
+        grid(g) = (if (bits == 8) v + 128 else (v + 32768) >> 8).toLong
+        g += 1
+      }
+      Some((hist, frames, grid))
     } catch { case _: Exception => None }
 
   /** Parsed MP4/ISO-BMFF container metadata — the box-level facts a
@@ -282,8 +314,10 @@ object Multimodal {
     * histogram, so tests and rows-only checks are stable.
     */
   // format: off
-  private def decodeStub(payload: Array[Byte]): (Array[Double], Array[Long]) = {
-    if (payload.isEmpty) return (new Array[Double](16), new Array[Long](5))
+  private def decodeStub(payload: Array[Byte])
+      : (Array[Double], Array[Long], Array[Long]) = {
+    if (payload.isEmpty)
+      return (new Array[Double](16), new Array[Long](5), new Array[Long](64))
     // ??? <- non-image codec call goes here (ffmpeg via FFI); stubbed:
     val hist = new Array[Double](16)
     var i = 0
@@ -294,7 +328,10 @@ object Multimodal {
     // "frame sampling": first/quarter/mid/three-quarter/last byte offsets
     val frames = Array(0, n / 4, n / 2, 3 * n / 4, n - 1)
       .map(o => (payload(math.min(o, payload.length - 1)) & 0xff).toLong)
-    (hist, frames)
+    val grid = Array.tabulate(64)(g =>
+      (payload(math.min((g * payload.length) / 64,
+        payload.length - 1)) & 0xff).toLong)
+    (hist, frames, grid)
   }
   // format: on
 
@@ -319,35 +356,38 @@ object Multimodal {
           val payload =
             if (r.payload == null) Array.emptyByteArray else r.payload
           val mime = if (r.mime == null) "" else r.mime
-          val (hist, frames, w, h, decoded) =
+          val (hist, frames, grid, w, h, decoded) =
             if (mime.startsWith("image/")) decodeImage(payload) match {
-              case Some((hs, fr, dw, dh)) => (hs, fr, dw, dh, true)
+              case Some((hs, fr, gd, dw, dh)) => (hs, fr, gd, dw, dh, true)
               case None =>
-                val (hs, fr) = decodeStub(payload)
-                (hs, fr, r.width, r.height, false)
+                val (hs, fr, gd) = decodeStub(payload)
+                (hs, fr, gd, r.width, r.height, false)
             } else if (mime.startsWith("audio/")) decodeWav(payload) match {
-              case Some((hs, fr)) => (hs, fr, r.width, r.height, true)
+              case Some((hs, fr, gd)) => (hs, fr, gd, r.width, r.height, true)
               case None =>
-                val (hs, fr) = decodeStub(payload)
-                (hs, fr, r.width, r.height, false)
+                val (hs, fr, gd) = decodeStub(payload)
+                (hs, fr, gd, r.width, r.height, false)
             } else if (mime.startsWith("video/")) {
               // container probe only: true presentation dims from tkhd
               // override the metadata claim when the payload parses as
               // MP4; hist/frames stay byte-level and `decoded` stays
               // false — no SAMPLE decode ran (the ffmpeg seam)
-              val (hs, fr) = decodeStub(payload)
+              val (hs, fr, gd) = decodeStub(payload)
               mp4Meta(payload) match {
                 case Some(m) if m.width > 0 =>
-                  (hs, fr, m.width, m.height, false)
-                case _ => (hs, fr, r.width, r.height, false)
+                  (hs, fr, gd, m.width, m.height, false)
+                case _ => (hs, fr, gd, r.width, r.height, false)
               }
             } else {
-              val (hs, fr) = decodeStub(payload)
-              (hs, fr, r.width, r.height, false)
+              val (hs, fr, gd) = decodeStub(payload)
+              (hs, fr, gd, r.width, r.height, false)
             }
           // resize: clamp dims to a thumbnail box, aspect ratio kept
+          // (the 8x8 `grid` is the real pixel resample; these are the
+          // serving-layer dims)
           val scale = math.min(1.0, 128.0 / math.max(w, h))
           MediaFeatures(r.doc_id, payload.length, r.mime, hist, frames,
+            grid, ahashOf(grid),
             math.max(1, (w * scale).toInt),
             math.max(1, (h * scale).toInt),
             decoded = decoded)
@@ -374,5 +414,8 @@ object Multimodal {
         x => x.cast("decimal(10,4)").cast("string")), ",").as("hist"),
       array_join(transform(col("frames"), _.cast("string")), ",")
         .as("frames"),
+      array_join(transform(col("grid"), _.cast("string")), ",")
+        .as("grid"),
+      col("ahash"),
       col("thumb_w"), col("thumb_h"), col("decoded"))
 }

@@ -713,6 +713,14 @@ class PipelineSpec extends AnyFunSuite {
     // → x = 0,0,0,0,7 → black,black,black,black,white
     assert(real.getSeq[Long](real.fieldIndex("frames")) ===
       Seq(0L, 0L, 0L, 0L, 255L))
+    // REAL pixel resize: on an 8x8 raster the nearest-neighbor 8x8 grid
+    // is the identity — left half 0, right half 255, row-major
+    val grid = real.getSeq[Long](real.fieldIndex("grid"))
+    assert(grid === (0 until 64).map(g =>
+      if (g % 8 < 4) 0L else 255L))
+    // aHash: mean = 32*255/64 = 127 (floor); bits set where lum >= 127
+    // → the high nibble of every row byte → 0xF0 repeated
+    assert(real.getLong(real.fieldIndex("ahash")) === 0xF0F0F0F0F0F0F0F0L)
     // undecodable "image" and non-image mime both take the fallback
     assert(!out(2L).getBoolean(out(2L).fieldIndex("decoded")))
     assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
@@ -831,6 +839,10 @@ class PipelineSpec extends AnyFunSuite {
     // frame positions 0, 16, 32, 48, 63: even -> -32768, odd -> 32767
     assert(a.getSeq[Long](a.fieldIndex("frames")) ===
       Seq(-32768L, -32768L, -32768L, -32768L, 32767L))
+    // waveform thumbnail: 64 samples over 64 -> identity; amplitudes
+    // rescale to 0/255 alternating ((v+32768)>>8)
+    assert(a.getSeq[Long](a.fieldIndex("grid")) ===
+      (0 until 64).map(i => if (i % 2 == 0) 0L else 255L))
     // audio keeps metadata dims (no raster): thumb from (30, 40)
     assert(a.getInt(a.fieldIndex("thumb_w")) === 30 &&
       a.getInt(a.fieldIndex("thumb_h")) === 40)
