@@ -200,6 +200,7 @@ object SparkEntry {
       (graft.streaming.EventStreams.eventsHeavyUsers _),
     "window_firstlast" -> (RelationalExt.windowFirstLast _),
     "agg_corr" -> (RelationalExt.aggCorr _),
+    "histogram_equidepth" -> (Profile.histogramEquidepth _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2320,6 +2321,10 @@ object SparkEntry {
     // profile_table: generated per-column UNION ALL (exact stats; money
     // min/max through the DECIMAL(18,2) rendering device)
     "profile_table" -> graft.operators.Profile.profileTableOracleSql,
+    // histogram_equidepth: percentile/quantile_cont parity + the
+    // strictly-below bucket rule (curriculum_bins device)
+    "histogram_equidepth" ->
+      graft.operators.Profile.histogramEquidepthOracleSql,
     // dedup_segments: tokens, aligned slicing, the distinct-doc df count
     // and the ordered filtered reassembly are all mirrorable; DuckDB's
     // `//` is integer division (its `/` is float), and string_agg of an

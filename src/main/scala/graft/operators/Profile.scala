@@ -66,6 +66,58 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** Decile count for [[histogramEquidepth]]. */
+  val HistBuckets = 10
+  def histCuts: Seq[Double] = (1 until HistBuckets).map(_ / 10.0)
+
+  /** Equi-depth histogram (oracle-checked): per return flag, decile
+    * boundaries of l_extendedprice computed EXACTLY from the data (the
+    * curriculum_bins percentile device), each row assigned the count of
+    * boundaries strictly below its value, then per-bucket count and
+    * DECIMAL-rendered lo/hi. Equi-depth, not equi-width: every bucket
+    * holds ~10% of rows no matter how skewed the distribution — the
+    * histogram an optimizer or drift monitor actually wants (equi-width
+    * buckets collapse under skew). Completes the statistics surface:
+    * [[profileTable]] per-column scalars, [[Skew.skewDiagnose]] per-key,
+    * this per-distribution.
+    *
+    * Scale shape: the bounds table is |flags| x 9 exact percentiles
+    * broadcast back; assignment is per-row at scan speed; the final
+    * aggregate groups |flags| x 10 keys with map-side partials.
+    */
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = src.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, " +
+        s"array(${histCuts.mkString(", ")}))").as("bs"))
+    src.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("bucket", aggregate(col("bs"), lit(0), (acc, b) =>
+        acc + when(col("l_extendedprice") > b, 1).otherwise(0))
+        .cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").as("lo"),
+        max(col("l_extendedprice")).cast("decimal(18,2)").as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  def histogramEquidepthOracleSql: String = s"""
+      WITH b AS (
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice,
+            [${histCuts.mkString(", ")}]) AS bs
+        FROM lineitem GROUP BY l_returnflag),
+      a AS (
+        SELECT l.l_returnflag, l.l_extendedprice,
+          CAST(len(list_filter(bs, x -> l.l_extendedprice > x))
+            AS BIGINT) AS bucket
+        FROM lineitem l JOIN b USING (l_returnflag))
+      SELECT l_returnflag, bucket,
+        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
+        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
+        count(*) AS n
+      FROM a GROUP BY l_returnflag, bucket"""
+
   /** DuckDB mirror: per-column scalar aggregates unioned — the engines
     * agree because every stat is exact integer/native-ordered.
     */

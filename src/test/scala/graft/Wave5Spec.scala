@@ -83,6 +83,31 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: 10 buckets per flag, counts near n/10, " +
+       "ranges tile without overlap") {
+    val r = Profile.histogramEquidepth(spark, dir).collect()
+    val byFlag = r.groupBy(_.getString(0))
+    for ((_, rows) <- byFlag) {
+      assert(rows.length === Profile.HistBuckets)
+      val total = rows.map(_.getLong(4)).sum
+      // equi-depth: every bucket within 25% of the ideal tenth (ties on
+      // 2-decimal prices can shift boundary mass slightly)
+      rows.foreach { b =>
+        val share = b.getLong(4).toDouble / total
+        assert(share > 0.075 && share < 0.125, s"share $share")
+      }
+      // buckets tile the range in order: lo <= hi within, hi <= next lo
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.foreach(b => assert(
+        b.getDecimal(2).compareTo(b.getDecimal(3)) <= 0))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDecimal(3).compareTo(b.getDecimal(2)) <= 0)
+        case _ =>
+      }
+    }
+  }
+
   test("fuzzy decontamination: every probe flags back to its source " +
        "benchmark doc; the clean stream stays clean") {
     val r = Curation.decontaminateFuzzy(spark, dir).collect()
