@@ -201,6 +201,7 @@ object SparkEntry {
     "window_firstlast" -> (RelationalExt.windowFirstLast _),
     "agg_corr" -> (RelationalExt.aggCorr _),
     "histogram_equidepth" -> (Profile.histogramEquidepth _),
+    "cogroup_audit" -> (Profile.cogroupAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2325,6 +2326,9 @@ object SparkEntry {
     // strictly-below bucket rule (curriculum_bins device)
     "histogram_equidepth" ->
       graft.operators.Profile.histogramEquidepthOracleSql,
+    // cogroup_audit: the cogroup is Spark-side; semantics are the carved
+    // full-outer join
+    "cogroup_audit" -> graft.operators.Profile.cogroupAuditOracleSql,
     // dedup_segments: tokens, aligned slicing, the distinct-doc df count
     // and the ordered filtered reassembly are all mirrorable; DuckDB's
     // `//` is integer division (its `/` is float), and string_agg of an

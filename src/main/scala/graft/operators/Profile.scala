@@ -118,6 +118,67 @@ object Profile {
         count(*) AS n
       FROM a GROUP BY l_returnflag, bucket"""
 
+  /** Per-key audit record emitted by [[cogroupAudit]]. */
+  case class KeyAudit(okey: Long, has_order: Boolean, n_lines: Long,
+                      status: String)
+
+  /** Referential-integrity audit via the typed Dataset cogroup
+    * (oracle-checked): orders and lineitem co-grouped by order key, one
+    * audit row per key on either side — `ok` (both present), `orphan`
+    * (lines without their order), `childless` (order without lines).
+    * The feed-corruption check every ingest runs; both failure classes
+    * are exercised by deterministic md5-coin carves (the fuzzy_join
+    * probe device) that drop ~1/16 of each side.
+    *
+    * Why cogroup and not join+groupBy: ONE co-partitioned exchange per
+    * side and a single streaming pass per key — no intermediate
+    * order x line join rows materialize just to be re-aggregated. This
+    * is also the remaining typed-API surface (KeyValueGroupedDataset
+    * .cogroup) next to Aggregator (`agg_topk_udaf`) and
+    * flatMapGroupsWithState (streaming).
+    */
+  def cogroupAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = table(s, dir, "orders")
+      .filter(substring(md5(concat(lit("oc:"),
+        col("o_orderkey").cast("string"))), 1, 1) =!= "0")
+      .select(col("o_orderkey")).as[Long]
+      .groupByKey(identity)
+    val lines = table(s, dir, "lineitem")
+      .filter(substring(md5(concat(lit("lc:"),
+        col("l_orderkey").cast("string"))), 1, 1) =!= "f")
+      .select(col("l_orderkey")).as[Long]
+      .groupByKey(identity)
+    orders.cogroup(lines) { (k, os, ls) =>
+      val hasOrder = os.nonEmpty
+      val nLines = ls.size.toLong
+      val status =
+        if (hasOrder && nLines > 0L) "ok"
+        else if (hasOrder) "childless"
+        else "orphan"
+      Iterator(KeyAudit(k, hasOrder, nLines, status))
+    }.toDF()
+  }
+
+  def cogroupAuditOracleSql: String = """
+      WITH o AS (
+        SELECT o_orderkey FROM orders
+        WHERE substr(md5('oc:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+          <> '0'),
+      l AS (
+        SELECT l_orderkey, count(*) AS n FROM lineitem
+        WHERE substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)), 1, 1)
+          <> 'f'
+        GROUP BY l_orderkey)
+      SELECT coalesce(o.o_orderkey, l.l_orderkey) AS okey,
+        o.o_orderkey IS NOT NULL AS has_order,
+        coalesce(l.n, 0) AS n_lines,
+        CASE WHEN o.o_orderkey IS NOT NULL AND coalesce(l.n, 0) > 0
+               THEN 'ok'
+             WHEN o.o_orderkey IS NOT NULL THEN 'childless'
+             ELSE 'orphan' END AS status
+      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey"""
+
   /** DuckDB mirror: per-column scalar aggregates unioned — the engines
     * agree because every stat is exact integer/native-ordered.
     */

@@ -108,6 +108,21 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("cogroup audit: status classes are consistent and all three " +
+       "appear under the corruption carves") {
+    val r = Profile.cogroupAudit(spark, dir).collect()
+    assert(r.map(_.getString(3)).toSet === Set("ok", "childless", "orphan"))
+    r.foreach { x =>
+      (x.getString(3): @unchecked) match {
+        case "ok" => assert(x.getBoolean(1) && x.getLong(2) > 0L)
+        case "childless" => assert(x.getBoolean(1) && x.getLong(2) === 0L)
+        case "orphan" => assert(!x.getBoolean(1) && x.getLong(2) > 0L)
+      }
+    }
+    // each key appears exactly once
+    assert(r.map(_.getLong(0)).distinct.length === r.length)
+  }
+
   test("fuzzy decontamination: every probe flags back to its source " +
        "benchmark doc; the clean stream stays clean") {
     val r = Curation.decontaminateFuzzy(spark, dir).collect()
