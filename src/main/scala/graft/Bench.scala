@@ -44,9 +44,12 @@ object Bench {
     // 1.2s — a sustained machine-contention burst poisons BOTH
     // back-to-back reps of whichever query it lands on, while with
     // interleaving the burst has to span the entire suite to survive the
-    // min. The dedup_* family (the most expensive queries, where a
-    // phantom 10x dominates the total) gets one extra pass.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // min. Default is min-of-3: the r6 official one-shot landed 1.66x
+    // above the same session's interleaved detail purely from box
+    // contention — two passes leave each query only one chance to dodge
+    // a burst, three make the recorded number reproducible (r7 gate:
+    // official line within ~15% of the detail artifact).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     def repsFor(name: String): Int =
       if (name.startsWith("dedup_")) math.max(reps, 3) else reps
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -69,6 +72,17 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // the rep is fully executed: any RDD still persisted is a dead
+      // operator-internal localCheckpoint (live ones are scoped
+      // persist/unpersist pairs inside the query call). Spark only
+      // reclaims these at the ContextCleaner's periodic GC (30 min
+      // default) — far longer than a bench session — so a 144-query x
+      // 3-rep run otherwise accumulates hundreds of dead frames of
+      // storage pressure (the r6 dedup_clusters 2.15->3.0s drift).
+      // Each rep rebuilds its query from scratch, so sweeping here can
+      // never invalidate a future read.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       // min over SUCCESSFUL reps — a fast failure must not report as the
       // query's time; an always-failing query keeps its (failed) timing
       if (ok) {

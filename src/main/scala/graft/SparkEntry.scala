@@ -558,6 +558,34 @@ object SparkEntry {
       SELECT q_id, rank, cand_id, cos_r, adc_r FROM rk WHERE rank <= 10"""
       }
 
+  /** histogram_equidepth oracle, from the fitted per-flag decile
+    * boundaries the plan compiled in as literals (Profile.lastHistFit;
+    * the ann_ivf device). Scala's shortest-round-trip Double rendering
+    * parses back to the identical bits in DuckDB, so both engines test
+    * the same parquet double against the same boundary double — the r6
+    * ulp-parity wrong answer cannot recur. Absent — rows-only
+    * fallback — only if histogram_equidepth did not run in this JVM.
+    */
+  private def histEquidepthOracleSqlOpt: Option[(String, String)] =
+    Option(graft.operators.Profile.lastHistFit.get())
+      .filter { case (d, _) => fitDirOk(d) }.map { case (_, fit) =>
+        val vals = fit.map { case (f, bs) =>
+          s"('$f', ${bs.mkString("[", ", ", "]")})"
+        }.mkString(",\n          ")
+        "histogram_equidepth" -> s"""
+      WITH b AS (SELECT * FROM (VALUES $vals) AS t(l_returnflag, bs)),
+      a AS (
+        SELECT l.l_returnflag, l.l_extendedprice,
+          CAST(len(list_filter(bs, x -> l.l_extendedprice > x))
+            AS BIGINT) AS bucket
+        FROM lineitem l JOIN b USING (l_returnflag))
+      SELECT l_returnflag, bucket,
+        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
+        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
+        count(*) AS n
+      FROM a GROUP BY l_returnflag, bucket"""
+      }
+
   private def annIvfOracleSqlOpt: Option[(String, String)] =
     Option(graft.operators.Ann.lastIvfFit.get())
       .filter { case (d, _, _) => fitDirOk(d) }.map {
@@ -1111,15 +1139,17 @@ object SparkEntry {
         FROM p),
       g AS (
         SELECT term, CAST(df AS BIGINT) AS df,
-          list(doc_id ORDER BY doc_id) AS postings
+          list(doc_id ORDER BY doc_id) AS plist
         FROM d, n
         WHERE df >= $IndexMinDf
           AND CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * $IndexStopFrac
         GROUP BY term, df)
-      SELECT term, df, postings,
-        list_transform(range(1, len(postings) + 1),
-          i -> CASE WHEN i = 1 THEN postings[1]
-               ELSE postings[i] - postings[i - 1] END) AS gaps
+      SELECT term, df,
+        array_to_string(plist, ',') AS postings,
+        array_to_string(
+          list_transform(range(1, len(plist) + 1),
+            i -> CASE WHEN i = 1 THEN plist[1]
+                 ELSE plist[i] - plist[i - 1] END), ',') AS gaps
       FROM g"""
   }
 
@@ -2222,7 +2252,7 @@ object SparkEntry {
                       x -> length(x) > 0) AS toks
         FROM documents),
       probes AS (
-        SELECT -b.doc_id AS doc_id,
+        SELECT -(b.doc_id + 1) AS doc_id,
           array_to_string(
             b.toks[1:(len(b.toks) + 1) // 2] ||
             p.toks[len(p.toks) // 2 + 1:len(p.toks)], ' ') AS text
@@ -2322,10 +2352,8 @@ object SparkEntry {
     // profile_table: generated per-column UNION ALL (exact stats; money
     // min/max through the DECIMAL(18,2) rendering device)
     "profile_table" -> graft.operators.Profile.profileTableOracleSql,
-    // histogram_equidepth: percentile/quantile_cont parity + the
-    // strictly-below bucket rule (curriculum_bins device)
-    "histogram_equidepth" ->
-      graft.operators.Profile.histogramEquidepthOracleSql,
+    // histogram_equidepth: fitted-boundary-literal oracle appended below
+    // (histEquidepthOracleSqlOpt — the ann_ivf device)
     // cogroup_audit: the cogroup is Spark-side; semantics are the carved
     // full-outer join
     "cogroup_audit" -> graft.operators.Profile.cogroupAuditOracleSql,
@@ -2709,5 +2737,6 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
-  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++ annPqOracleSqlOpt
+  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
+    annPqOracleSqlOpt ++ histEquidepthOracleSqlOpt
 }

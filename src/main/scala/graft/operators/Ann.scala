@@ -444,32 +444,44 @@ object Ann {
     * a k x d literal matrix — zero shuffles, scan speed at any corpus
     * size, and the same fixed-seed-literal discipline as the LSH planes
     * makes the DuckDB mirror exact.
+    *
+    * The projected vector is emitted as a canonical comma string of
+    * micro-unit (1e-6) integers: floor(y_i * 1e6 + 0.5) — the spelled
+    * half-up device from quantize_embeddings. Integer rendering is
+    * byte-identical across engines, where double-to-string is not
+    * (Spark prints 1.0E-6, DuckDB 1e-06), and the driver's oracle
+    * harness hashes scalars, not arrays.
     */
   def projectEmbeddings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val g = planes(JlDim, 64, JlSeed)
     val scale = 1.0 / math.sqrt(JlDim.toDouble)
     val comps = g.map { row =>
-      round(V.dot(col("embedding"), array(row.map(lit): _*)) * scale, 6)
+      floor(V.dot(col("embedding"), array(row.map(lit): _*)) * scale
+        * lit(1e6) + lit(0.5)).cast("long").cast("string")
     }
     table(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), array(comps: _*).as("proj"))
+      .select(col("vec_id"), col("label"),
+        concat_ws(",", comps: _*).as("proj_micro"))
   }
 
   /** Generated oracle for [[projectEmbeddings]] — the same Gaussian rows
     * as SQL list literals; list_dot_product evaluates the identical
-    * sequential double fold as the codegen'd vec_dot.
+    * sequential double fold as the codegen'd vec_dot, and the identical
+    * micro-unit half-up floor renders each component as the same
+    * integer string.
     */
   def projectEmbeddingsOracleSql: String = {
     val g = planes(JlDim, 64, JlSeed)
     val scale = 1.0 / math.sqrt(JlDim.toDouble)
     val comps = g.map { row =>
       val lst = row.mkString("[", ", ", "]")
-      s"round(list_dot_product(CAST(embedding AS DOUBLE[]), $lst) * $scale, 6)"
+      s"CAST(CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]), $lst)" +
+        s" * $scale * 1e6 + 0.5) AS BIGINT) AS VARCHAR)"
     }.mkString(",\n          ")
     s"""
       SELECT vec_id, label,
-        [$comps] AS proj
+        concat_ws(',', $comps) AS proj_micro
       FROM embeddings"""
   }
 

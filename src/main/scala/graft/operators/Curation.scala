@@ -149,10 +149,14 @@ object Curation {
     val docs = table(s, dir, "documents")
     // leak probes: bench first-ceil-half ++ successor's floor-tail-half,
     // token-aligned so the re-tokenized splice is exactly the two slices
+    // probe id is -(bench_id + 1), not -bench_id: doc_ids start at 0 and
+    // 0 % 97 == 0, so a plain negation would emit bench doc 0's probe
+    // with doc_id 0 — indistinguishable from a real corpus doc and
+    // invisible to the probes-are-negative filter contract
     val toked = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
     val probes = toked.filter(col("doc_id") % 97 === 0).as("b")
       .join(toked.as("p"), col("p.doc_id") === col("b.doc_id") + 1)
-      .select((-col("b.doc_id")).as("doc_id"),
+      .select((-(col("b.doc_id") + 1)).as("doc_id"),
         concat_ws(" ", concat(
           slice(col("b.toks"), lit(1),
             expr("(size(b.toks) + 1) div 2")),

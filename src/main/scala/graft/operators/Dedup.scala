@@ -545,18 +545,34 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
-  /** Reliable-checkpoint file of an eagerly checkpointed frame, if any —
-    * Spark never deletes these itself (spark.cleaner cleanCheckpoints
-    * defaults to false), so iterative operators must clean up their own
-    * intermediates or every run leaks the whole round history to
-    * reliable storage.
+  /** Backing storage of an eagerly checkpointed frame — Spark never
+    * reclaims either form itself on the timescale of a query session:
+    * reliable-checkpoint FILES are never deleted (spark.cleaner
+    * cleanCheckpoints defaults to false), and localCheckpoint BLOCKS sit
+    * in the block manager until the ContextCleaner's periodic GC (30 min
+    * default) happens to collect the RDD. Iterative operators must
+    * release their own dead intermediates or every run leaks the whole
+    * round history — to reliable storage in cluster mode, to
+    * storage-memory pressure in local mode (the r6 dedup_clusters bench
+    * drift: hundreds of dead round-frames accumulated across a
+    * 144-query x 3-rep session).
     */
-  private def checkpointFileOf(df: DataFrame): Option[String] =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.getCheckpointFile
+  private final class CkptStorage(df: DataFrame) {
+    private val rdd = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+    val file: Option[String] = rdd.flatMap(_.getCheckpointFile)
+
+    /** Delete the checkpoint file (reliable form) and drop the block-
+      * manager blocks (local form). Only call once nothing can read the
+      * frame again — the lineage is truncated, there is no recompute.
+      */
+    def release(s: SparkSession): Unit = {
+      file.foreach(f => deleteCheckpointFiles(s, Seq(f)))
+      rdd.foreach(_.unpersist(blocking = false))
+    }
+  }
 
   private def deleteCheckpointFiles(s: SparkSession,
                                     files: Seq[String]): Unit = {
@@ -605,7 +621,7 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    val edgesFile = checkpointFileOf(edgesRaw)
+    val edgesStorage = new CkptStorage(edgesRaw)
     // Size the loop frames from the MATERIALIZED edge count (a cheap scan
     // of the checkpoint): the per-round fixed cost is stage scheduling,
     // and running a few-hundred-row graph at full shuffle parallelism
@@ -623,7 +639,7 @@ object Dedup {
     // `observe` metric on that action, not a second job.
     var labels = edges
       .select(col("src").as("doc_id"), col("src").as("label")).distinct()
-    var prevLabelsFile: Option[String] = None
+    var prevLabels: Option[CkptStorage] = None
     var converged = false
     try {
       var changed = 1L
@@ -653,9 +669,10 @@ object Dedup {
             sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)),
             lit(0L)).as("changed")))
         changed = obs.get("changed").asInstanceOf[Long]
-        // this round is materialized: its predecessor's files are dead
-        prevLabelsFile.foreach(f => deleteCheckpointFiles(s, Seq(f)))
-        prevLabelsFile = checkpointFileOf(next)
+        // this round is materialized: its predecessor's storage is dead
+        // (files in cluster mode, block-manager blocks in local mode)
+        prevLabels.foreach(_.release(s))
+        prevLabels = Some(new CkptStorage(next))
         labels = next.select(col("doc_id"), col("label"))
         round += 1
       }
@@ -667,9 +684,8 @@ object Dedup {
     } finally {
       // edges are read by every round but by nothing downstream; on
       // failure also drop the last round's labels — nothing must leak
-      val dead = edgesFile.toSeq ++
-        (if (converged) Nil else prevLabelsFile.toSeq)
-      if (dead.nonEmpty) deleteCheckpointFiles(s, dead)
+      edgesStorage.release(s)
+      if (!converged) prevLabels.foreach(_.release(s))
     }
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))

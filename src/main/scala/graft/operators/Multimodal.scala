@@ -44,6 +44,12 @@ object Multimodal {
     */
   def ahashOf(grid: Array[Long]): Long = {
     val mean = grid.sum / 64L
+    // all-equal grid (empty payload, uniformly flat image): >= mean is
+    // true at every cell, which would hash every such record to
+    // 0xFFFF... and cluster empty/undecoded records as near-dups of
+    // dark images in the pigeonhole dedup tier — emit 0 instead, the
+    // "no structure" fingerprint
+    if (grid.forall(_ == grid(0))) return 0L
     var h = 0L
     var i = 0
     while (i < 64) { if (grid(i) >= mean) h |= 1L << i; i += 1 }

@@ -70,6 +70,14 @@ object Profile {
   val HistBuckets = 10
   def histCuts: Seq[Double] = (1 until HistBuckets).map(_ / 10.0)
 
+  /** The last fitted per-flag decile boundaries, recorded so Verify can
+    * build the DuckDB mirror from the SAME doubles the plan used (the
+    * ann_ivf fitted-literal device). Keyed by sf dir — SparkEntry's
+    * oracle generator refuses a fit recorded for a different dir.
+    */
+  val lastHistFit = new java.util.concurrent.atomic.AtomicReference[
+    (String, Seq[(String, Seq[Double])])]()
+
   /** Equi-depth histogram (oracle-checked): per return flag, decile
     * boundaries of l_extendedprice computed EXACTLY from the data (the
     * curriculum_bins percentile device), each row assigned the count of
@@ -81,18 +89,39 @@ object Profile {
     * [[profileTable]] per-column scalars, [[Skew.skewDiagnose]] per-key,
     * this per-distribution.
     *
-    * Scale shape: the bounds table is |flags| x 9 exact percentiles
-    * broadcast back; assignment is per-row at scan speed; the final
-    * aggregate groups |flags| x 10 keys with map-side partials.
+    * Boundary-parity discipline: interpolated percentiles computed
+    * independently per engine disagree in the last ulp (Spark folds
+    * lo + (hi-lo)*frac, DuckDB quantile_cont folds differently), and a
+    * strictly-below bucket rule flips rows sitting ON a boundary — the
+    * r6 wrong answer. So the fit is collected ONCE (|flags| rows), the
+    * plan tests against the fitted doubles as codegen'd literals, and
+    * [[lastHistFit]] hands the identical doubles to the DuckDB mirror
+    * as shortest-round-trip literals. Both engines compare the same
+    * parquet double to the same boundary double — bit-exact.
+    *
+    * Scale shape: the fit is one full aggregation collapsing to |flags|
+    * rows collected to the driver (the IVF-centroid fit shape, bounded
+    * by flag cardinality); assignment is pure literal arithmetic at
+    * scan speed — no join at all — and the final aggregate groups
+    * |flags| x 10 keys with map-side partials.
     */
   def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
     val src = table(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val bounds = src.groupBy(col("l_returnflag"))
+    val fit: Seq[(String, Seq[Double])] = src
+      .groupBy(col("l_returnflag"))
       .agg(expr(s"percentile(l_extendedprice, " +
         s"array(${histCuts.mkString(", ")}))").as("bs"))
-    src.join(broadcast(bounds), Seq("l_returnflag"))
-      .withColumn("bucket", aggregate(col("bs"), lit(0), (acc, b) =>
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq.sortBy(_._1)
+    lastHistFit.set((dir, fit))
+    val bs = fit.tail.foldLeft(
+      when(col("l_returnflag") === fit.head._1,
+        array(fit.head._2.map(lit): _*))) { case (acc, (f, b)) =>
+      acc.when(col("l_returnflag") === f, array(b.map(lit): _*))
+    }
+    src.withColumn("bucket", aggregate(bs, lit(0), (acc, b) =>
         acc + when(col("l_extendedprice") > b, 1).otherwise(0))
         .cast("long"))
       .groupBy(col("l_returnflag"), col("bucket"))
@@ -100,23 +129,6 @@ object Profile {
         max(col("l_extendedprice")).cast("decimal(18,2)").as("hi"),
         count(lit(1)).as("n"))
   }
-
-  def histogramEquidepthOracleSql: String = s"""
-      WITH b AS (
-        SELECT l_returnflag,
-          quantile_cont(l_extendedprice,
-            [${histCuts.mkString(", ")}]) AS bs
-        FROM lineitem GROUP BY l_returnflag),
-      a AS (
-        SELECT l.l_returnflag, l.l_extendedprice,
-          CAST(len(list_filter(bs, x -> l.l_extendedprice > x))
-            AS BIGINT) AS bucket
-        FROM lineitem l JOIN b USING (l_returnflag))
-      SELECT l_returnflag, bucket,
-        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
-        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
-        count(*) AS n
-      FROM a GROUP BY l_returnflag, bucket"""
 
   /** Per-key audit record emitted by [[cogroupAudit]]. */
   case class KeyAudit(okey: Long, has_order: Boolean, n_lines: Long,

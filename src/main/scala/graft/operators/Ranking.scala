@@ -140,6 +140,10 @@ object Ranking {
     * BEFORE collect_list, so a stop-term's corpus-sized posting list is
     * never materialized in an aggregation buffer — df-banding first is
     * what makes the build memory-safe at web scale.
+    *
+    * Both list columns are emitted as canonical comma-joined strings
+    * (the driver's oracle harness hashes scalars, not arrays — the
+    * quantize_embeddings device).
     */
   def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
@@ -153,12 +157,16 @@ object Ranking {
         col("df").cast("double") <=
           col("n_docs").cast("double") * IndexStopFrac)
       .groupBy(col("term"), col("df"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
-      .withColumn("gaps", transform(sequence(lit(1), size(col("postings"))),
-        i => when(i === 1, element_at(col("postings"), 1))
-          .otherwise(element_at(col("postings"), i) -
-            element_at(col("postings"), i - lit(1)))))
-      .select(col("term"), col("df"), col("postings"), col("gaps"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
+      .withColumn("glist", transform(sequence(lit(1), size(col("plist"))),
+        i => when(i === 1, element_at(col("plist"), 1))
+          .otherwise(element_at(col("plist"), i) -
+            element_at(col("plist"), i - lit(1)))))
+      .select(col("term"), col("df"),
+        array_join(transform(col("plist"), p => p.cast("string")), ",")
+          .as("postings"),
+        array_join(transform(col("glist"), g => g.cast("string")), ",")
+          .as("gaps"))
   }
 
   /** Coverage cutoffs reported by [[vocabCoverage]]. */

@@ -426,12 +426,16 @@ object EventStreams {
       state: GroupState[HeavyState]): Iterator[HeavyOut] = {
     import graft.functions.MisraGries
     val st = state.getOption.getOrElse(HeavyState(Map.empty, 0L))
-    var counts = st.counts
+    // state stays an immutable Map (encoded in GroupState); the
+    // per-trigger hot loop runs on a mutable copy — one O(cap) copy per
+    // trigger instead of an allocation per event
+    val mcounts = scala.collection.mutable.HashMap.from(st.counts)
     var n = st.n
     rows.foreach { case (_, u, _) =>
-      counts = MisraGries.reduceInto(counts, u, HeavyUsersCap)
+      MisraGries.reduceInPlace(mcounts, u, HeavyUsersCap)
       n += 1L
     }
+    val counts: Map[Long, Long] = mcounts.toMap
     val wmMs = state.getCurrentWatermarkMs()
     if ((hr + 1L) * 3600000L <= wmMs) {
       // hour closed: emit survivors once, largest-estimate first, and

@@ -608,6 +608,18 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("decoded")).count() === 0L)
   }
 
+  test("ahash: flat grids (empty/undecoded/uniform) fingerprint to 0, " +
+       "not all-ones") {
+    // empty payload and uniformly dark/bright rasters carry no structure;
+    // hashing them 0xFFFF... would cluster them with dark images in the
+    // pigeonhole dedup tier
+    assert(Multimodal.ahashOf(Array.fill(64)(0L)) === 0L)
+    assert(Multimodal.ahashOf(Array.fill(64)(255L)) === 0L)
+    // a structured grid still hashes by the >= mean rule
+    val half = (0 until 64).map(g => if (g % 8 < 4) 0L else 255L).toArray
+    assert(Multimodal.ahashOf(half) === 0xF0F0F0F0F0F0F0F0L)
+  }
+
   test("chunk_documents: coverage, overlap, and budget invariants") {
     import graft.operators.Curation.{ChunkSize, ChunkStride}
     val chunks = graft.operators.Curation.chunkDocuments(spark, dir)
@@ -968,11 +980,13 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     val proj = graft.operators.Ann.projectEmbeddings(spark, dir)
       .filter(col("vec_id") < 50).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+      .map(r => r.getLong(0) ->
+        r.getString(2).split(",").map(_.toLong / 1e6)).toMap
     // every component equals the hand-computed dot / sqrt(k)
     raw.foreach { case (id, x) =>
       val expect = g.map { row =>
-        math.rint(row.zip(x).map { case (a, b) => a * b }.sum * scale * 1e6) / 1e6
+        math.floor(row.zip(x).map { case (a, b) => a * b }.sum * scale * 1e6
+          + 0.5) / 1e6
       }
       expect.zip(proj(id)).foreach { case (e, p) =>
         assert(math.abs(e - p) < 2e-6, s"vec $id")
@@ -1024,8 +1038,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.nonEmpty)
     r.foreach { row =>
       val df = row.getLong(1)
-      val post = row.getSeq[Long](2)
-      val gaps = row.getSeq[Long](3)
+      // list columns are canonical comma strings (oracle-hashable form)
+      val post = row.getString(2).split(",").map(_.toLong).toSeq
+      val gaps = row.getString(3).split(",").map(_.toLong).toSeq
       assert(df === post.length)
       assert(df >= graft.operators.Ranking.IndexMinDf)
       assert(df.toDouble <= nDocs * graft.operators.Ranking.IndexStopFrac)
@@ -1041,6 +1056,6 @@ class PipelineSpec extends AnyFunSuite {
         graft.functions.TextFunctions.tokens(col("text")).as("t"))
       .filter(array_contains(col("t"), term))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(r.head.getSeq[Long](2) === expect)
+    assert(r.head.getString(2).split(",").map(_.toLong).toSeq === expect)
   }
 }

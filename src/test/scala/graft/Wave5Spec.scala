@@ -130,7 +130,7 @@ class Wave5Spec extends AnyFunSuite {
     assert(probes.nonEmpty)
     probes.foreach { p =>
       assert(p.getBoolean(3), s"probe ${p.getLong(0)} not flagged")
-      assert(p.getLong(1) === -p.getLong(0),
+      assert(p.getLong(1) === -p.getLong(0) - 1,
         "probe matched a different benchmark than its source")
       assert(p.getDouble(2) >= Curation.DecontamFuzzyThreshold &&
         p.getDouble(2) <= 1.0)
