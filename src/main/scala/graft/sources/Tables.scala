@@ -56,17 +56,31 @@ object Tables {
     else spark.read.option("mergeSchema", mergeSchema.toString).parquet(glob)
   }
 
-  /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    * long (legacy conf) and convert to a microsecond timestamp with integer
-    * division — `DIV`, not `/`, because a double mantissa can't hold
-    * nanosecond epochs (~1.7e18 > 2^53).
+  /** The events table's `ts` physical type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * with [PARQUET_TYPE_ILLEGAL] unless read as a raw long) in some drops,
+    * plain TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ under Spark's
+    * inferTimestampNTZ default) in others. Normalize every variant to a
+    * session-TZ TimestampType so downstream operators see one schema:
+    *  - LongType (nanos-as-long): `timestamp_micros(ts DIV 1000)` — `DIV`,
+    *    not `/`, because a double mantissa can't hold nanosecond epochs
+    *    (~1.7e18 > 2^53).
+    *  - TIMESTAMP_NTZ: cast to TimestampType; every graft session pins
+    *    `spark.sql.session.timeZone=UTC` (GraftSession) so the cast is
+    *    epoch-identity and matches DuckDB's naive read of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val df = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df // already a session-TZ timestamp
+    }
   }
 
   /** Register every test table as a temp view so plain

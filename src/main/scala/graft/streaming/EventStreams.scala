@@ -20,8 +20,9 @@ object EventStreams {
 
   val SessionGapMicros: Long = 1800L * 1000000L // 30 min
 
-  /** Explicit schema for readStream (streaming sources can't infer); ts is
-    * the raw nanosecond long (see Tables.events for why).
+  /** Explicit schema for readStream (streaming sources can't infer); `ts`
+    * here is the raw nanosecond long variant — [[readEventStream]] swaps in
+    * the actual on-disk type (see Tables.events for the drift story).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -30,14 +31,27 @@ object EventStreams {
 
   /** Streaming source over a DIRECTORY of event parquet files (streaming
     * file sources require a directory, not a file — new files appearing in
-    * it become micro-batches), ts converted to a microsecond timestamp.
+    * it become micro-batches), ts normalized to a microsecond timestamp.
+    *
+    * The physical `ts` type has drifted across testdata generations
+    * (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS)/NTZ — see
+    * Tables.events), and streaming sources take a FIXED schema, so resolve
+    * the on-disk type once at stream-definition time with a driver-side
+    * footer read (metadata only, not a data scan) and normalize after.
     */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window counts — the canonical streaming agg.
