@@ -558,34 +558,6 @@ object SparkEntry {
       SELECT q_id, rank, cand_id, cos_r, adc_r FROM rk WHERE rank <= 10"""
       }
 
-  /** histogram_equidepth oracle, from the fitted per-flag decile
-    * boundaries the plan compiled in as literals (Profile.lastHistFit;
-    * the ann_ivf device). Scala's shortest-round-trip Double rendering
-    * parses back to the identical bits in DuckDB, so both engines test
-    * the same parquet double against the same boundary double — the r6
-    * ulp-parity wrong answer cannot recur. Absent — rows-only
-    * fallback — only if histogram_equidepth did not run in this JVM.
-    */
-  private def histEquidepthOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Profile.lastHistFit.get())
-      .filter { case (d, _) => fitDirOk(d) }.map { case (_, fit) =>
-        val vals = fit.map { case (f, bs) =>
-          s"('$f', ${bs.mkString("[", ", ", "]")})"
-        }.mkString(",\n          ")
-        "histogram_equidepth" -> s"""
-      WITH b AS (SELECT * FROM (VALUES $vals) AS t(l_returnflag, bs)),
-      a AS (
-        SELECT l.l_returnflag, l.l_extendedprice,
-          CAST(len(list_filter(bs, x -> l.l_extendedprice > x))
-            AS BIGINT) AS bucket
-        FROM lineitem l JOIN b USING (l_returnflag))
-      SELECT l_returnflag, bucket,
-        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
-        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
-        count(*) AS n
-      FROM a GROUP BY l_returnflag, bucket"""
-      }
-
   private def annIvfOracleSqlOpt: Option[(String, String)] =
     Option(graft.operators.Ann.lastIvfFit.get())
       .filter { case (d, _, _) => fitDirOk(d) }.map {
@@ -2352,8 +2324,11 @@ object SparkEntry {
     // profile_table: generated per-column UNION ALL (exact stats; money
     // min/max through the DECIMAL(18,2) rendering device)
     "profile_table" -> graft.operators.Profile.profileTableOracleSql,
-    // histogram_equidepth: fitted-boundary-literal oracle appended below
-    // (histEquidepthOracleSqlOpt — the ann_ivf device)
+    // histogram_equidepth: static ntile mirror over the unique
+    // (price, orderkey, linenumber) ordering — no fit state, no
+    // floating-point boundary, identical bucket rule in both engines
+    "histogram_equidepth" ->
+      graft.operators.Profile.histogramEquidepthOracleSql,
     // cogroup_audit: the cogroup is Spark-side; semantics are the carved
     // full-outer join
     "cogroup_audit" -> graft.operators.Profile.cogroupAuditOracleSql,
@@ -2738,5 +2713,5 @@ object SparkEntry {
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
   ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
-    annPqOracleSqlOpt ++ histEquidepthOracleSqlOpt
+    annPqOracleSqlOpt
 }

@@ -70,42 +70,74 @@ object Profile {
   val HistBuckets = 10
   def histCuts: Seq[Double] = (1 until HistBuckets).map(_ / 10.0)
 
-  /** The last fitted per-flag decile boundaries, recorded so Verify can
-    * build the DuckDB mirror from the SAME doubles the plan used (the
-    * ann_ivf fitted-literal device). Keyed by sf dir — SparkEntry's
-    * oracle generator refuses a fit recorded for a different dir.
-    */
-  val lastHistFit = new java.util.concurrent.atomic.AtomicReference[
-    (String, Seq[(String, Seq[Double])])]()
-
-  /** Equi-depth histogram (oracle-checked): per return flag, decile
-    * boundaries of l_extendedprice computed EXACTLY from the data (the
-    * curriculum_bins percentile device), each row assigned the count of
-    * boundaries strictly below its value, then per-bucket count and
-    * DECIMAL-rendered lo/hi. Equi-depth, not equi-width: every bucket
-    * holds ~10% of rows no matter how skewed the distribution — the
-    * histogram an optimizer or drift monitor actually wants (equi-width
-    * buckets collapse under skew). Completes the statistics surface:
-    * [[profileTable]] per-column scalars, [[Skew.skewDiagnose]] per-key,
-    * this per-distribution.
+  /** Equi-depth histogram (oracle-checked): per return flag, rows ranked
+    * by `ntile(10)` over a DETERMINISTIC total order (price, then the
+    * unique (l_orderkey, l_linenumber) tiebreak), then per-bucket count
+    * and DECIMAL-rendered lo/hi. Equi-depth, not equi-width: every
+    * bucket holds exactly ⌈n/10⌉ or ⌊n/10⌋ rows no matter how skewed the
+    * distribution — the histogram an optimizer or drift monitor actually
+    * wants (equi-width buckets collapse under skew). Completes the
+    * statistics surface: [[profileTable]] per-column scalars,
+    * [[Skew.skewDiagnose]] per-key, this per-distribution.
     *
-    * Boundary-parity discipline: interpolated percentiles computed
-    * independently per engine disagree in the last ulp (Spark folds
-    * lo + (hi-lo)*frac, DuckDB quantile_cont folds differently), and a
-    * strictly-below bucket rule flips rows sitting ON a boundary — the
-    * r6 wrong answer. So the fit is collected ONCE (|flags| rows), the
-    * plan tests against the fitted doubles as codegen'd literals, and
-    * [[lastHistFit]] hands the identical doubles to the DuckDB mirror
-    * as shortest-round-trip literals. Both engines compare the same
-    * parquet double to the same boundary double — bit-exact.
+    * Why ntile and not a percentile fit: the standard SQL ntile bucket
+    * rule (first n mod k buckets take the extra row) over a unique
+    * ordering is engine-agreed with NO floating-point boundary at all —
+    * Spark and DuckDB assign every row the same bucket by construction,
+    * under any execution sequencing. The previous formulation fitted
+    * percentile boundaries and compiled them in as literals, which was
+    * bit-exact in isolation but coupled the oracle to JVM fit state
+    * ([[histogramEquidepthFitted]] keeps that shape as the documented
+    * at-scale variant).
     *
-    * Scale shape: the fit is one full aggregation collapsing to |flags|
-    * rows collected to the driver (the IVF-centroid fit shape, bounded
-    * by flag cardinality); assignment is pure literal arithmetic at
-    * scan speed — no join at all — and the final aggregate groups
-    * |flags| x 10 keys with map-side partials.
+    * Scale shape: one hash exchange on l_returnflag, then a sort within
+    * each flag partition for the window — the ORDER BY sort any
+    * windowed rank pays. Per-flag data must fit a partition's sort
+    * spill budget; at 100 TB with few flags that is real pressure, and
+    * [[histogramEquidepthFitted]] is the scan-speed alternative
+    * (bounded percentile fit + literal assignment, no sort) whose
+    * boundaries are approximate-but-tunable instead of exact-count.
     */
   def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(HistBuckets).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").as("lo"),
+        max(col("l_extendedprice")).cast("decimal(18,2)").as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[histogramEquidepth]] — the identical ntile over
+    * the identical unique ordering; static SQL, no fit state.
+    */
+  def histogramEquidepthOracleSql: String = s"""
+      WITH a AS (
+        SELECT l_returnflag, l_extendedprice,
+          ntile($HistBuckets) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem)
+      SELECT l_returnflag, bucket,
+        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
+        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
+        count(*) AS n
+      FROM a GROUP BY l_returnflag, bucket"""
+
+  /** The at-scale equi-depth variant (spec-checked, not oracle-gated):
+    * per-flag decile boundaries fitted EXACTLY once (a |flags|-row
+    * collect — the IVF-centroid fit shape), then every row assigned by
+    * counting fitted boundaries strictly below its value as codegen'd
+    * literal arithmetic at scan speed — no sort, no window, no join.
+    * This is the shape to prefer when per-flag row counts exceed a
+    * partition's sort budget; its buckets are ~10% ±boundary-tie mass
+    * rather than [[histogramEquidepth]]'s exact ⌈n/10⌉/⌊n/10⌋.
+    */
+  def histogramEquidepthFitted(s: SparkSession, dir: String): DataFrame = {
     val src = table(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
     val fit: Seq[(String, Seq[Double])] = src
@@ -115,7 +147,6 @@ object Profile {
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
       .toSeq.sortBy(_._1)
-    lastHistFit.set((dir, fit))
     val bs = fit.tail.foldLeft(
       when(col("l_returnflag") === fit.head._1,
         array(fit.head._2.map(lit): _*))) { case (acc, (f, b)) =>

@@ -108,6 +108,20 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram, fitted at-scale variant: 10 buckets per " +
+       "flag, counts near n/10 (boundary-tie tolerance)") {
+    val r = Profile.histogramEquidepthFitted(spark, dir).collect()
+    val byFlag = r.groupBy(_.getString(0))
+    for ((_, rows) <- byFlag) {
+      assert(rows.length === Profile.HistBuckets)
+      val total = rows.map(_.getLong(4)).sum
+      rows.foreach { b =>
+        val share = b.getLong(4).toDouble / total
+        assert(share > 0.05 && share < 0.15, s"share $share")
+      }
+    }
+  }
+
   test("cogroup audit: status classes are consistent and all three " +
        "appear under the corruption carves") {
     val r = Profile.cogroupAudit(spark, dir).collect()
