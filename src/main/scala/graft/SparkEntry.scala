@@ -139,6 +139,8 @@ object SparkEntry {
     "ann_pq" -> (Ann.annPq _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "multimodal_features_checked" ->
+      (Multimodal.multimodalFeaturesChecked _),
     "join_range" -> (RelationalExt.joinRange _),
     "subq_correlated" -> (RelationalExt.subqCorrelated _),
     "window_range_frame" -> (RelationalExt.windowRangeFrame _),
@@ -2712,6 +2714,11 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
+    // multimodal_features_checked: the byte-fallback half of the
+    // features pass, recomputed from documents arithmetic (ASCII corpus
+    // — char codes are bytes); hist/ahash stay rows-only
+    "multimodal_features_checked" ->
+      graft.operators.Multimodal.multimodalFeaturesCheckedOracleSql,
   ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
     annPqOracleSqlOpt
 }

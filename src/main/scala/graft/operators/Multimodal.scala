@@ -408,10 +408,67 @@ object Multimodal {
   def multimodalFeaturesRaw(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, mediaMeta(s, dir))
 
-  /** Driver-facing features query (rows-only check; the stub histogram has
-    * no SQL equivalent worth writing). Arrays are canonicalized to joined
-    * strings — the driver's oracle harness can't sort/hash ARRAY outputs,
-    * so the scalar encoding is what makes the row/schema check possible.
+  /** Oracle-checked slice of the features pass (the partial-oracle
+    * split): every column here is computed by the REAL [[extractFeatures]]
+    * path — mapPartitions batching, decode ATTEMPTS against ImageIO /
+    * the WAV parser / the MP4 probe, fallback routing — yet is exactly
+    * SQL-mirrorable on the synthetic corpus, where no text payload
+    * parses under any real codec (verified: no document starts with
+    * RIFF or carries an ftyp box), so every record deterministically
+    * takes the byte-level fallback. Mirrored: n_bytes, mime, the five
+    * frame samples and the 64-cell byte grid (exact integer byte
+    * values — the corpus is pure ASCII, so DuckDB character codes ARE
+    * the UTF-8 bytes), the serving-layer thumb dims, and the `decoded`
+    * flag (false everywhere — asserting the real decoders were TRIED
+    * and correctly refused text bytes rather than being skipped).
+    * Float-derived columns (hist) and the bit-packed ahash stay in the
+    * rows-only query below, the genuinely non-SQL residue.
+    */
+  def multimodalFeaturesChecked(s: SparkSession, dir: String): DataFrame =
+    multimodalFeaturesRaw(s, dir).select(
+      col("doc_id"), col("n_bytes"), col("mime"),
+      array_join(transform(col("frames"), _.cast("string")), ",")
+        .as("frames"),
+      array_join(transform(col("grid"), _.cast("string")), ",")
+        .as("grid"),
+      col("thumb_w"), col("thumb_h"), col("decoded"))
+
+  /** DuckDB mirror of [[multimodalFeaturesChecked]]: byte-fallback
+    * features recomputed from documents arithmetic. trunc() before the
+    * INT cast because DuckDB's double→INT cast rounds where Scala's
+    * .toInt truncates.
+    */
+  def multimodalFeaturesCheckedOracleSql: String = """
+      WITH d AS (
+        SELECT doc_id, text, CAST(strlen(text) AS INT) AS n,
+          64 + CAST(strlen(text) AS INT) % 512 AS w,
+          64 + (CAST(strlen(text) AS INT) * 7) % 512 AS h
+        FROM documents)
+      SELECT doc_id, n AS n_bytes,
+        CASE WHEN n % 4 = 0 THEN 'image/png'
+             WHEN n % 4 = 1 THEN 'image/jpeg'
+             WHEN n % 4 = 2 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+        array_to_string(list_transform([0, n // 4, n // 2, 3 * n // 4,
+            n - 1],
+          o -> CAST(ascii(substr(text, CAST(least(o, n - 1) AS INT) + 1,
+            1)) AS VARCHAR)), ',') AS frames,
+        array_to_string(list_transform(range(0, 64),
+          g -> CAST(ascii(substr(text,
+            CAST(least((g * n) // 64, n - 1) AS INT) + 1, 1))
+            AS VARCHAR)), ',') AS grid,
+        CAST(greatest(1, trunc(w * least(1.0, 128.0 / greatest(w, h))))
+          AS INT) AS thumb_w,
+        CAST(greatest(1, trunc(h * least(1.0, 128.0 / greatest(w, h))))
+          AS INT) AS thumb_h,
+        false AS decoded
+      FROM d"""
+
+  /** Driver-facing features query (rows-only check on the float/bit
+    * residue; the byte-mirrorable half is oracle-gated above). Arrays
+    * are canonicalized to joined strings — the driver's oracle harness
+    * can't sort/hash ARRAY outputs, so the scalar encoding is what
+    * makes the row/schema check possible.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     multimodalFeaturesRaw(s, dir).select(

@@ -608,6 +608,19 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("decoded")).count() === 0L)
   }
 
+  test("multimodal checked slice: one row per doc, all fallback-routed, " +
+       "byte samples within range") {
+    val r = Multimodal.multimodalFeaturesChecked(spark, dir)
+    val n = r.count()
+    assert(n === spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(r.filter(col("decoded")).count() === 0L)
+    // frame samples are byte values: 5 comma-joined ints in 0..255
+    val bad = r.filter(!col("frames").rlike(
+      "^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])(," +
+      "([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){4}$"))
+    assert(bad.count() === 0L)
+  }
+
   test("ahash: flat grids (empty/undecoded/uniform) fingerprint to 0, " +
        "not all-ones") {
     // empty payload and uniformly dark/bright rasters carry no structure;
