@@ -186,6 +186,7 @@ object SparkEntry {
     "timeseries_fill" -> (TimeSeries.timeseriesFill _),
     "quality_regression" -> (Curation.qualityRegression _),
     "knn_graph" -> (Ann.knnGraph _),
+    "knn_graph_bucketed" -> ((s, d) => Ann.knnGraphBucketed(s, d)),
     // round-6 wave 4: per-domain caps, weighted sampling, robust scaling,
     // content-defined chunking, frequency sketch
     "domain_cap" -> (Curation.domainCap _),
@@ -257,6 +258,51 @@ object SparkEntry {
                 ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
       SELECT q_id, rank, cand_id, cos_r FROM r WHERE rank <= 10"""
+  }
+
+  /** knn_graph_bucketed oracle — the annLsh mirror at full-corpus query
+    * coverage: same seeded-plane signature literals, same multi-probe
+    * expansion, no vec_id filter, top-KnnK per src.
+    */
+  private def knnGraphBucketedOracleSql: String = {
+    val (nBits, nTables, probeBits) = (6, 3, 2)
+    val sigExprs = (0 until nTables).map { t =>
+      val planes = graft.operators.Ann.planes(nBits, 64,
+        graft.operators.Ann.lshSeed(t))
+      val b = planes.zipWithIndex.map { case (p, j) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) " +
+          s"> 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n          + ")
+      s"CAST($b AS BIGINT) AS b$t"
+    }
+    val masks = graft.operators.Ann.probeMasks(nBits, probeBits)
+      .mkString("[", ", ", "]")
+    val tbls = (0 until nTables).mkString("[", ", ", "]")
+    val caseB = "CASE t.tbl " +
+      (0 until nTables).map(t => s"WHEN $t THEN b$t ").mkString + "END"
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+          ${sigExprs.mkString(",\n          ")}
+        FROM embeddings),
+      c AS (
+        SELECT vec_id AS dst, emb AS ce, t.tbl, $caseB AS bucket
+        FROM e, unnest($tbls) AS t(tbl)),
+      q AS (
+        SELECT vec_id AS src, emb AS qe, t.tbl, xor($caseB, m.m) AS bucket
+        FROM e, unnest($tbls) AS t(tbl), unnest($masks) AS m(m)),
+      s AS (
+        SELECT src, dst,
+          max(round(list_cosine_similarity(qe, ce), 6)) AS cos_r
+        FROM c JOIN q USING (tbl, bucket) WHERE src <> dst
+        GROUP BY src, dst),
+      r AS (SELECT src, dst, cos_r,
+              row_number() OVER (PARTITION BY src
+                ORDER BY cos_r DESC, dst) AS rank
+            FROM s)
+      SELECT src, rank, dst, cos_r FROM r
+      WHERE rank <= ${graft.operators.Ann.KnnK}"""
   }
 
   /** Generated oracle for [[graft.operators.Ranking.ngramLogLikelihood]]
@@ -1424,6 +1470,8 @@ object SparkEntry {
     "quality_regression" ->
       graft.operators.Curation.qualityRegressionOracleSql,
     "knn_graph" -> graft.operators.Ann.knnGraphOracleSql,
+    // knn_graph_bucketed: the annLsh mirror at full-corpus coverage
+    "knn_graph_bucketed" -> knnGraphBucketedOracleSql,
     "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
     "events_anomaly" -> eventsAnomalyOracleSql,
     "pagerank_links" -> graft.operators.Graph.pagerankOracleSql,

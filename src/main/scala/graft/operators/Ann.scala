@@ -590,6 +590,74 @@ object Ann {
       .select(col("src"), col("rank"), col("dst"), col("cos_r"))
   }
 
+  /** Recall@[[KnnK]] floor for [[knnGraphBucketed]] vs the exact
+    * [[knnGraph]] on the stride subset — measured 0.904 / 0.912 / 0.938
+    * at sf0.001/0.01/0.1 with the (6 bits, 3 tables, 2 probe-bit)
+    * default; deterministic (seeded planes), so the floor is a
+    * regression guard, set with margin under the weakest measurement.
+    */
+  val KnnGraphRecallMin = 0.85
+
+  /** Full-corpus kNN graph on the LSH bucket join (oracle-checked) —
+    * the scale path [[knnGraph]]'s doc promises, demonstrated: EVERY
+    * node is a query (no stride, no broadcast of a query subset), and
+    * the candidate generator is the [[annLsh]] multi-table multi-probe
+    * bucket join instead of the all-pairs product. Pairs only form
+    * inside matching (table, bucket) cells, are deduped across tables
+    * by the max-over-identical-cosines partial aggregate, and the same
+    * [[graft.plans.GroupedTopK]] heap reduction cuts each node's
+    * candidates to [[KnnK]] survivors before the final rank.
+    *
+    * Scale shape: the corpus explodes nTables rows per vector and the
+    * query role explodes nTables x |masks| — both linear in the corpus
+    * — then ONE bucket-keyed shuffle join whose per-cell width is
+    * corpus/2^nBits; nothing broadcasts a corpus-sized side and the
+    * full pair product never materializes. That is the 100 TB contract:
+    * cost tracks sum of bucket-size² per table, tunable by nBits, not
+    * corpus². Recall vs the exact graph is gated in PipelineSpec on the
+    * stride subset ([[KnnGraphRecallMin]]).
+    */
+  def knnGraphBucketed(s: SparkSession, dir: String, nBits: Int = 6,
+                       nTables: Int = 3, probeBits: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = (0 until nTables).map(t =>
+      V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
+        .as(s"b$t"))
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id") +: col("embedding") +: sigs: _*)
+    val cTabs = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)
+    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"),
+        explode(cTabs).as("tb"))
+      .select(col("dst"), col("ce"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val masks = probeMasks(nBits, probeBits)
+    val qProbes = array((for { t <- 0 until nTables; m <- masks } yield
+      struct(lit(t).as("tbl"),
+        col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
+    val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"),
+        explode(qProbes).as("tb"))
+      .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    // bucket-keyed shuffle join, merge-hinted (the Dedup.scala minhash
+    // device): both sides are corpus-sized, and the broadcast AQE would
+    // pick at toy scale is exactly what dies at 100 TB — the pinned SMJ
+    // IS the production shape
+    val pairs = c.hint("merge").join(q, Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
+      // same pair from several tables/probes carries the same cosine:
+      // max() is exact and the map-side partial shrinks the shuffle
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos_r"))
+    val top = graft.plans.TopKPlans.groupedTopK(pairs,
+      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), KnnK)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos_r"))
+  }
+
   def knnGraphOracleSql: String =
     s"""
       WITH q AS (
