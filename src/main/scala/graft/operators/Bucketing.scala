@@ -38,47 +38,72 @@ import graft.sources.Tables.table
   */
 object Bucketing {
 
-  /** Bucket count — at real scale pick it so |table| / n stays a few
-    * hundred MB per bucket (and keep it equal across the tables you
-    * co-locate: Spark joins two bucketed tables shuffle-free when the
-    * counts match, or when one is a multiple of the other).
+  /** Floor bucket count and target on-disk bytes per bucket. The count
+    * a dir actually gets is SIZE-DERIVED ([[numBucketsFor]]): the fact
+    * table's parquet footprint / [[TargetBucketBytes]], rounded UP to a
+    * power of two so any two derived counts divide each other — Spark
+    * joins two bucketed tables shuffle-free when the counts match or
+    * one is a multiple of the other, and power-of-two rounding keeps
+    * that property as tables grow at different rates. At the test SFs
+    * the derivation lands on the floor (8); at sf1000 a ~70 GB
+    * lineitem would get 512+ buckets — the same code path, no retuning.
     */
-  val NumBuckets = 8
+  val MinBuckets = 8
+  val TargetBucketBytes: Long = 128L << 20
 
-  /** dir -> (lineitem view, orders view) registered bucketed tables;
-    * memoized so bench reps and repeated queries pay the write once per
-    * JVM (immutable-dir assumption, same as Ann.fitCache).
+  /** Size-derived bucket count for a dir's lineitem footprint (the
+    * bigger join side governs). Pure function of on-disk bytes, so it
+    * is stable across sessions over an immutable dir.
+    */
+  def numBucketsFor(dir: String): Int = {
+    val p = new java.io.File(s"$dir/lineitem.parquet")
+    val bytes =
+      if (p.isDirectory)
+        p.listFiles().filter(_.isFile).map(_.length()).sum
+      else p.length()
+    val need = (bytes + TargetBucketBytes - 1) / TargetBucketBytes
+    var n = MinBuckets
+    while (n < need && n < (1 << 30)) n <<= 1
+    n
+  }
+
+  /** (dir, nBuckets) -> (lineitem view, orders view) registered bucketed
+    * tables; memoized so bench reps and repeated queries pay the write
+    * once per JVM (immutable-dir assumption, same as Ann.fitCache).
     */
   private val prepared = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String)]()
+    (String, Int), (String, String)]()
 
   /** Write the two join sides bucketed + sorted by the join key, one
     * file per bucket, pruned to the columns the join consumes. Tables
     * are registered in the session catalog (bucketing metadata lives
     * there — a bare parquet read of the same files would not know the
-    * layout); names and paths are keyed by the dir so concurrent specs
-    * over different SFs never collide.
+    * layout); names and paths are keyed by (dir, count) so concurrent
+    * specs over different SFs or bucket counts never collide.
     */
-  def ensureBucketed(s: SparkSession, dir: String): (String, String) =
-    prepared.computeIfAbsent(dir, { _ =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+  def ensureBucketed(s: SparkSession, dir: String,
+                     nBuckets: Int = 0): (String, String) = {
+    val n = if (nBuckets > 0) nBuckets else numBucketsFor(dir)
+    prepared.computeIfAbsent((dir, n), { _ =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$n"
       val base = s"target/bucketed/$tag"
       val lb = s"graft_lineitem_b$tag"
       val ob = s"graft_orders_b$tag"
       table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .repartition(NumBuckets, col("l_orderkey"))
+        .repartition(n, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(lb)
       table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
-        .repartition(NumBuckets, col("o_orderkey"))
+        .repartition(n, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(ob)
       (lb, ob)
     })
+  }
 
   /** lineitem ⋈ orders on the bucket key, then a tiny priority rollup.
     * The merge hint keeps the demo in the sort-merge regime the layout

@@ -124,6 +124,31 @@ class SkewAndExtSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucket count is size-derived and the co-located join stays " +
+       "exchange-free at more than one count") {
+    import graft.operators.Bucketing
+    // test SFs land on the floor; the derivation must round UP to a
+    // power of two once the footprint crosses the per-bucket target
+    assert(Bucketing.numBucketsFor(dir) === Bucketing.MinBuckets)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // every lineitem row joins its (unique) order exactly once
+      val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      for (n <- Seq(4, 8)) {
+        val (lb, ob) = Bucketing.ensureBucketed(spark, dir, n)
+        val joined = spark.table(lb).hint("merge").join(spark.table(ob),
+          col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"n=$n: ${plan.take(800)}")
+        assert(joined.count() === nLines, s"n=$n")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("schema drift across files: mergeSchema unions columns (ref TODO)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("drift").toString
