@@ -79,7 +79,15 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(
           org.apache.spark.sql.types.TimestampType))
-      case _ => df // already a session-TZ timestamp
+      case org.apache.spark.sql.types.TimestampType =>
+        df // already a session-TZ timestamp
+      case other =>
+        // a FOURTH generation (e.g. a future drop surfacing StringType)
+        // must fail here, at the source, with the drift named — not
+        // flow a mistyped column into every downstream operator
+        throw new IllegalStateException(
+          s"events.ts drifted to unhandled type $other in $dir — " +
+            "extend Tables.events' normalization for the new generation")
     }
   }
 

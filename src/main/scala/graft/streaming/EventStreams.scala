@@ -38,19 +38,44 @@ object EventStreams {
     * Tables.events), and streaming sources take a FIXED schema, so resolve
     * the on-disk type once at stream-definition time with a driver-side
     * footer read (metadata only, not a data scan) and normalize after.
+    * The probe reads with mergeSchema: a directory MIXING generations
+    * fails fast here with the drift named, instead of misreading the
+    * other generation's files file-by-file at micro-batch time (a fixed
+    * stream schema cannot represent two physical ts types — homogeneity
+    * is the streaming contract). A NOT-YET-POPULATED directory — the
+    * start-empty-then-append pattern — defines the stream against the
+    * normalized TimestampType; if the files that later appear carry a
+    * drifted generation, redefine the stream once they exist (the probe
+    * then resolves their actual type).
     */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val tsType =
+      try spark.read.option("mergeSchema", "true").parquet(eventsDir)
+        .schema("ts").dataType
+      catch {
+        case e: Throwable if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("merg") =>
+          throw new IllegalStateException(
+            s"events dir $eventsDir mixes ts generations across files " +
+              "(nanos-as-long vs micros/NTZ) — a streaming source needs " +
+              "one physical ts type; split the directory by generation", e)
+        case _: org.apache.spark.sql.AnalysisException => TimestampType
+      }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
     tsType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unhandled type $other in $eventsDir — " +
+          "extend readEventStream's normalization for the new generation")
     }
   }
 

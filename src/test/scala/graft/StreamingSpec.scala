@@ -38,6 +38,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream over a not-yet-populated directory: definable, and " +
+       "appended current-generation files flow through") {
+    val tmp = java.nio.file.Files.createTempDirectory("events_empty")
+    // definition-time probe finds nothing — falls back to the
+    // normalized TimestampType schema instead of throwing
+    val stream = EventStreams.readEventStream(spark, tmp.toString)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("empty_start").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start").count() === 0L)
+      // append a current-generation (TimestampType ts) file: the
+      // already-running stream picks it up as a micro-batch
+      graft.sources.Tables.events(spark, dir)
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+      q.processAllAvailable()
+      assert(spark.table("empty_start").count() === 1000L)
+    } finally q.stop()
+  }
+
+  test("a directory mixing ts generations fails fast at definition " +
+       "time with the drift named") {
+    val tmp = java.nio.file.Files.createTempDirectory("events_mixed")
+    // one file of the on-disk generation (micros/NTZ ts) + one
+    // normalized-TimestampType file — no fixed stream schema reads both
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("gen_ondisk.parquet"))
+    graft.sources.Tables.events(spark, dir)
+      .limit(10).coalesce(1).write.mode("append").parquet(tmp.toString)
+    val e = intercept[IllegalStateException] {
+      EventStreams.readEventStream(spark, tmp.toString)
+    }
+    assert(e.getMessage.contains("mixes ts generations"))
+  }
+
   test("streaming dedup drops a fully replayed file") {
     val tmp = java.nio.file.Files.createTempDirectory("events_dup")
     java.nio.file.Files.copy(
