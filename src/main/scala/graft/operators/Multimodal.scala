@@ -314,10 +314,79 @@ object Multimodal {
         nTracks, w, h))
     } catch { case _: Exception => None }
 
+  /** REAL video frame decode for MJPEG-in-AVI, pure JVM — the RIFF
+    * chunk walk of [[decodeWav]] generalized to AVI's LIST structure,
+    * plus per-frame ImageIO JPEG decode. AVI stores each compressed
+    * video frame as a self-contained '##dc'/'##db' chunk inside the
+    * 'movi' LIST (optionally nested in 'rec ' interleave groups), and
+    * MJPEG frames are plain JFIF payloads — so frame extraction needs
+    * zero FFI. Five frames are sampled at the image tier's fixed
+    * positions (first/quarter/mid/three-quarter/last of the SEQUENCE):
+    *  - hist: mean of the sampled frames' luminance histograms (each
+    *    normalized, so the mean is too);
+    *  - frames: each sampled frame's raster-midpoint luminance — the
+    *    temporal analog of the image tier's five spatial positions;
+    *  - grid: the middle sampled frame's 8x8 thumbnail (the poster
+    *    frame), so video aHash is comparable with image aHash.
+    * Strictly bounds-checked like the other parsers; any sampled frame
+    * that fails the JPEG decode (or an empty movi) returns None and the
+    * record takes the byte-level fallback. Non-MJPEG codecs (H.264…)
+    * have no in-JVM decoder and stay behind the ffmpeg seam in
+    * [[decodeStub]].
+    */
+  private def decodeAviFrames(payload: Array[Byte])
+      : Option[(Array[Double], Array[Long], Array[Long], Int, Int)] =
+    try {
+      def u32(i: Int): Long =
+        (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+      if (payload.length < 12) return None
+      if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+            payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+            payload(10) == 'I' && payload(11) == ' ')) return None
+      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val sz = u32(pos + 4)
+          val body = pos + 8
+          if (body + sz > end) return // truncated/hostile size field
+          if (id == "LIST" && sz >= 4) {
+            val lt = new String(payload, body, 4, "US-ASCII")
+            if (lt == "movi" || lt == "rec ") walk(body + 4, body + sz.toInt)
+          } else if (id(0) >= '0' && id(0) <= '9' && id(1) >= '0' &&
+                     id(1) <= '9' && (id.endsWith("dc") || id.endsWith("db"))
+                     && sz > 0)
+            ranges += ((body, sz.toInt))
+          pos = body + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
+        }
+      }
+      walk(12, payload.length)
+      val n = ranges.length
+      if (n == 0) return None
+      val sampled = Array(0, n / 4, n / 2, 3 * n / 4, n - 1)
+        .map(i => ranges(math.min(i, n - 1)))
+        .map { case (off, len) =>
+          decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len))
+        }
+      if (sampled.exists(_.isEmpty)) return None // a frame ImageIO rejects
+      val decoded = sampled.map(_.get)
+      val hist = new Array[Double](16)
+      decoded.foreach(d => (0 until 16).foreach(j => hist(j) += d._1(j) / 5))
+      // per-frame midpoint luminance: index 2 of the image tier's five
+      // fixed raster positions
+      val frames = decoded.map(_._2(2))
+      val (_, _, grid, w, h) = decoded(2) // middle frame = poster
+      Some((hist, frames, grid, w, h))
+    } catch { case _: Exception => None }
+
   /** FALLBACK decode for payloads no in-JVM codec handles (video frame
-    * decode — a real implementation hands those to ffmpeg via FFI here —
-    * plus undecodable images/audio): a deterministic byte-level
-    * histogram, so tests and rows-only checks are stable.
+    * decode for non-MJPEG codecs — a real implementation hands those to
+    * ffmpeg via FFI here; MJPEG-in-AVI decodes for real in
+    * [[decodeAviFrames]] — plus undecodable images/audio): a
+    * deterministic byte-level histogram, so tests and rows-only checks
+    * are stable.
     */
   // format: off
   private def decodeStub(payload: Array[Byte])
@@ -374,15 +443,21 @@ object Multimodal {
                 val (hs, fr, gd) = decodeStub(payload)
                 (hs, fr, gd, r.width, r.height, false)
             } else if (mime.startsWith("video/")) {
-              // container probe only: true presentation dims from tkhd
-              // override the metadata claim when the payload parses as
-              // MP4; hist/frames stay byte-level and `decoded` stays
-              // false — no SAMPLE decode ran (the ffmpeg seam)
-              val (hs, fr, gd) = decodeStub(payload)
-              mp4Meta(payload) match {
-                case Some(m) if m.width > 0 =>
-                  (hs, fr, gd, m.width, m.height, false)
-                case _ => (hs, fr, gd, r.width, r.height, false)
+              // MJPEG-in-AVI gets a REAL sampled-frame decode (true
+              // raster dims, pixel features, decoded=true). Other
+              // containers: MP4 probe only — true presentation dims
+              // from tkhd override the metadata claim when the payload
+              // parses, hist/frames stay byte-level and `decoded` stays
+              // false since no SAMPLE decode ran (the ffmpeg seam)
+              decodeAviFrames(payload) match {
+                case Some((hs, fr, gd, vw, vh)) => (hs, fr, gd, vw, vh, true)
+                case None =>
+                  val (hs, fr, gd) = decodeStub(payload)
+                  mp4Meta(payload) match {
+                    case Some(m) if m.width > 0 =>
+                      (hs, fr, gd, m.width, m.height, false)
+                    case _ => (hs, fr, gd, r.width, r.height, false)
+                  }
               }
             } else {
               val (hs, fr, gd) = decodeStub(payload)

@@ -836,6 +836,76 @@ class PipelineSpec extends AnyFunSuite {
       j.getInt(j.fieldIndex("thumb_h")) === 13)
   }
 
+  /** Minimal MJPEG-in-AVI: RIFF/AVI wrapping a LIST movi of '00dc'
+    * JPEG chunks (little-endian sizes, odd chunks padded per RIFF).
+    */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0)
+         else Array.emptyByteArray)
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.toArray.flatMap(f => chunk("00dc", f))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi))
+  }
+
+  /** Solid-gray JPEG frame (luminance == v everywhere; JPEG round-trips
+    * a solid plane within ±2).
+    */
+  private def jpegGray(v: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: MJPEG-in-AVI frames decode for real through the " +
+       "RIFF walk (no FFI)") {
+    // three frames at bin-centered luminances; temporal sampling of a
+    // 3-frame sequence hits indices 0,0,1,2,2
+    val avi = aviBytes(Seq(jpegGray(40), jpegGray(136), jpegGray(220)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, avi, "video/x-msvideo", 999, 999),
+      org.apache.spark.sql.Row(2L, avi.dropRight(40), "video/x-msvideo",
+        9, 9),
+      org.apache.spark.sql.Row(3L, aviBytes(Seq("not a jpeg".getBytes)),
+        "video/x-msvideo", 9, 9))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, payload BINARY, mime STRING, width INT, height INT")
+    val out = Multimodal.extractFeatures(spark,
+      spark.createDataFrame(rows, schema)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v = out(1L)
+    assert(v.getBoolean(v.fieldIndex("decoded")))
+    // true raster dims from the decoded frames override the metadata
+    assert(v.getInt(v.fieldIndex("thumb_w")) === 16)
+    assert(v.getInt(v.fieldIndex("thumb_h")) === 16)
+    // per-sampled-frame midpoint luminance, frame-exact within the JPEG
+    // solid-plane round-trip tolerance
+    val fr = v.getSeq[Long](v.fieldIndex("frames"))
+    val want = Seq(40L, 40L, 136L, 220L, 220L)
+    fr.zip(want).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 2L, s"frames=$fr") }
+    // poster grid = middle frame, solid ~136
+    assert(v.getSeq[Long](v.fieldIndex("grid"))
+      .forall(g => math.abs(g - 136L) <= 2L))
+    // averaged histogram: mass 0.4/0.2/0.4 in the three frames' bins
+    val hist = v.getSeq[Double](v.fieldIndex("hist"))
+    assert(math.abs(hist(2) - 0.4) < 0.05, s"hist=$hist")
+    assert(math.abs(hist(8) - 0.2) < 0.05, s"hist=$hist")
+    assert(math.abs(hist(13) - 0.4) < 0.05, s"hist=$hist")
+    // a truncated container and an undecodable frame both refuse the
+    // decode and take the declared fallback
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("decoded")))
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("decoded")))
+  }
+
   /** Minimal valid RIFF/WAVE PCM container around raw sample bytes. */
   private def wavBytes(fmt: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
