@@ -551,6 +551,51 @@ object SparkEntry {
   private def fitDirOk(fitDir: String): Boolean =
     Option(oracleDumpDir.get()).contains(fitDir)
 
+  /** Fit-provenance report for the remaining fitted-literal oracles —
+    * ann_ivf, ann_pq, dedup_semantic, the queries whose DuckDB mirror
+    * is generated from JVM fit state rather than static SQL. Verify
+    * writes this per run so a driver-side plan/oracle desync (the
+    * failure mode that kept histogram_equidepth red for three rounds
+    * until its oracle went static) is diagnosable in one diff of the
+    * committed FIT_PROVENANCE.md: identical literals ⇒ the coupling
+    * held; different literals name exactly which fit moved.
+    */
+  def fitProvenance: String = {
+    def sha8(body: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(body.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    def block(name: String, fit: Option[(String, String)]): String =
+      fit.fold(s"## $name\n\nabsent — query did not run in this JVM " +
+          "(rows-only oracle degrade was in effect)\n") {
+        case (d, lits) =>
+          s"## $name\n\nfit dir: `$d`\nliterals sha256/8: " +
+            s"`${sha8(lits)}`\n\n```\n$lits\n```\n"
+      }
+    val ivf = Option(graft.operators.Ann.lastIvfFit.get()).map {
+      case (d, nProbe, cents) =>
+        (d, s"nProbe=$nProbe\n" + cents.zipWithIndex.map { case (c, i) =>
+          s"c$i: ${c.mkString(", ")}" }.mkString("\n"))
+    }
+    val pq = Option(graft.operators.Ann.lastPqFit.get()).map {
+      case (d, cbs) =>
+        (d, cbs.zipWithIndex.map { case (cb, m) =>
+          cb.zipWithIndex.map { case (cv, j) =>
+            s"m$m j$j: ${cv.mkString(", ")}" }.mkString("\n")
+        }.mkString("\n"))
+    }
+    val sem = Option(graft.operators.Dedup.lastSemFit.get()).map {
+      case (d, thr, cents) =>
+        (d, s"threshold=$thr\n" + cents.zipWithIndex.map { case (c, i) =>
+          s"c$i: ${c.mkString(", ")}" }.mkString("\n"))
+    }
+    "# FIT PROVENANCE\n\nRegenerated by `graft.Verify` each full run: " +
+      "the exact fitted literals interpolated into this round's " +
+      "generated DuckDB oracles, rendered with the same " +
+      "shortest-round-trip Double formatting the oracle SQL embeds.\n\n" +
+      block("ann_ivf", ivf) + "\n" + block("ann_pq", pq) + "\n" +
+      block("dedup_semantic", sem)
+  }
+
   /** ann_pq oracle, from the fitted per-subspace codebooks the plan
     * broadcast (Ann.lastPqFit; the ann_ivf device): DuckDB recomputes
     * the per-subspace argmin codes (lowest code wins ties), the

@@ -45,6 +45,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Fit provenance for the generated (fitted-literal) oracles: always
+    // into the dump dir; into the committed repo copy only on a FULL
+    // run (a SPARK_GRAFT_ONLY diagnostic run has most fits absent and
+    // must not clobber the round's record).
+    try {
+      Files.writeString(Paths.get(s"$outDir/fit_provenance.md"),
+        SparkEntry.fitProvenance)
+      if (only.isEmpty)
+        Files.writeString(Paths.get("FIT_PROVENANCE.md"),
+          SparkEntry.fitProvenance)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] fit provenance write failed: $e")
+    }
     spark.stop()
   }
 }
