@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
       p.substring(joinIdx).take(800))
   }
 
+  test("knn_graph_bucketed: pinned SMJ bucket join (no corpus-sized " +
+       "broadcast) feeding the GroupedTopK heap reduction") {
+    val p = plan("knn_graph_bucketed")
+    // the merge hint must hold against toy-scale AQE: both exploded
+    // sides are corpus-sized, so a broadcast here is the plan that
+    // dies at 100 TB
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+    // the custom heap operator is what bounds the post-join stream
+    assert(p.contains("GroupedTopK"), p.take(1200))
+  }
+
   test("bloom_join: word-table probes broadcast; fact side unshuffled pre-filter") {
     val p = plan("bloom_join")
     // the k=3 probe joins against the 4096-word filter table must all be
