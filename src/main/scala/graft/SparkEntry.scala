@@ -286,9 +286,15 @@ object SparkEntry {
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
           ${sigExprs.mkString(",\n          ")}
         FROM embeddings),
-      c AS (
+      c0 AS (
         SELECT vec_id AS dst, emb AS ce, t.tbl, $caseB AS bucket
         FROM e, unnest($tbls) AS t(tbl)),
+      cnt AS (SELECT count(*) AS n FROM embeddings),
+      c AS (
+        SELECT dst, ce, tbl, bucket FROM (
+          SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz
+          FROM c0), cnt
+        WHERE bsz <= greatest(200, n * 8 // ${1 << nBits})),
       q AS (
         SELECT vec_id AS src, emb AS qe, t.tbl, xor($caseB, m.m) AS bucket
         FROM e, unnest($tbls) AS t(tbl), unnest($masks) AS m(m)),

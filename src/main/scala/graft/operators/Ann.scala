@@ -639,11 +639,31 @@ object Ann {
         explode(qProbes).as("tb"))
       .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
+    // Degenerate-bucket guard (the Dedup.capBuckets device): a cell
+    // holding far more than its expected corpus/2^nBits share — e.g.
+    // a mass of near-identical vectors all signing identically — would
+    // make that one cell's pair product quadratic. Drop such cells
+    // (degenerate, not duplicate, clusters; the other tables still
+    // cover their members). The threshold is computed IN-PLAN from the
+    // corpus count (8x the expected cell share, floored at 200), so
+    // the DuckDB mirror recomputes it — no fitted literal. DIV keeps
+    // the arithmetic integer in both engines. Never binds at the test
+    // SFs (threshold 250 vs ~31-row cells at sf0.1), which the recall
+    // measurements confirm; at a skewed 100 TB it is the guard that
+    // keeps the join's worst cell bounded.
+    val cellW = Window.partitionBy(col("tbl"), col("bucket"))
+    val corpusN = e.agg(count(lit(1)).as("_n"))
+    val cCapped = c
+      .withColumn("_bsz", count(lit(1)).over(cellW))
+      .crossJoin(broadcast(corpusN))
+      .filter(col("_bsz") <=
+        greatest(lit(200L), expr(s"_n * 8 DIV ${1 << nBits}")))
+      .drop("_bsz", "_n")
     // bucket-keyed shuffle join, merge-hinted (the Dedup.scala minhash
     // device): both sides are corpus-sized, and the broadcast AQE would
     // pick at toy scale is exactly what dies at 100 TB — the pinned SMJ
     // IS the production shape
-    val pairs = c.hint("merge").join(q, Seq("tbl", "bucket"))
+    val pairs = cCapped.hint("merge").join(q, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
       .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
       // same pair from several tables/probes carries the same cosine:
