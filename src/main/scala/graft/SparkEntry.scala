@@ -1746,7 +1746,9 @@ object SparkEntry {
       FROM documents d JOIN r USING (lang)""",
     "ann_recall" -> """
       SELECT 'ivf' AS method, TRUE AS recall_ok
-      UNION ALL SELECT 'lsh', TRUE""",
+      UNION ALL SELECT 'lsh', TRUE
+      UNION ALL SELECT 'pq', TRUE
+      UNION ALL SELECT 'knn_lsh', TRUE""",
     "catalog_table" -> """
       SELECT n_name, count(*) AS n_cust FROM customer
       JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",

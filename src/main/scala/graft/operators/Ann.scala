@@ -401,14 +401,17 @@ object Ann {
     */
   val PqRecallMin = 0.65
 
-  /** Per-method recall@K of the ANN paths vs [[annBruteforce]] — the
-    * number an ANN evaluation actually reports, computed in-plan (the
-    * exact and approximate top-K lists join on (q_id, cand_id); no
-    * driver-side set math). Every input is seed-fixed (LSH planes and
-    * KMeans are deterministic), so recall is a stable function of the
-    * data and the emitted `recall_ok` verdicts are hash-checkable: the
-    * oracle asserts them as literals, PipelineSpec bounds the numeric
-    * values themselves.
+  /** Per-method recall@K of EVERY approximate path vs its exact
+    * baseline — the number an ANN evaluation actually reports, computed
+    * in-plan (the exact and approximate top-K lists join on their keys;
+    * no driver-side set math). lsh/ivf/pq measure against
+    * [[annBruteforce]] on the query set; knn_lsh measures
+    * [[knnGraphBucketed]] against the exact [[knnGraph]] on the stride
+    * subset. Every input is seed-fixed (LSH planes and KMeans are
+    * deterministic), so recall is a stable function of the data and the
+    * emitted `recall_ok` verdicts are hash-checkable: the oracle
+    * asserts them as literals, PipelineSpec bounds the numeric values
+    * themselves.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val bf = annBruteforce(s, dir).select(col("q_id"), col("cand_id"))
@@ -416,15 +419,32 @@ object Ann {
       .select(lit("lsh").as("method"), col("q_id"), col("cand_id"))
       .unionByName(annIvf(s, dir)
         .select(lit("ivf").as("method"), col("q_id"), col("cand_id")))
+      .unionByName(annPq(s, dir)
+        .select(lit("pq").as("method"), col("q_id"), col("cand_id")))
     val nBf = bf.agg(count(lit(1)).as("n_exact"))
-    hits.join(bf.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+    val perQuery = hits
+      .join(bf.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
       .groupBy(col("method"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .crossJoin(broadcast(nBf))
       .select(col("method"),
         (col("n_hit").cast("double") / col("n_exact").cast("double") >=
           when(col("method") === "lsh", LshRecallMin)
-            .otherwise(IvfRecallMin)).as("recall_ok"))
+            .when(col("method") === "ivf", IvfRecallMin)
+            .otherwise(PqRecallMin)).as("recall_ok"))
+    val gExact = knnGraph(s, dir).select(col("src"), col("dst"))
+    val gApprox = knnGraphBucketed(s, dir)
+      .filter(col("src") % KnnStride === 0)
+      .select(col("src"), col("dst"))
+    val gN = gExact.agg(count(lit(1)).as("n_exact"))
+    val graphRow = gApprox
+      .join(gExact.withColumn("hit", lit(1)), Seq("src", "dst"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .crossJoin(broadcast(gN))
+      .select(lit("knn_lsh").as("method"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double") >=
+          KnnGraphRecallMin).as("recall_ok"))
+    perQuery.unionByName(graphRow)
   }
 
   /** Johnson-Lindenstrauss target dimension (perfect square, so the

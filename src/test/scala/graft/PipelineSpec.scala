@@ -554,7 +554,8 @@ class PipelineSpec extends AnyFunSuite {
   test("ann_recall emits a TRUE verdict per method (the oracle's claim)") {
     val rows = Ann.annRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(rows == Map("lsh" -> true, "ivf" -> true), rows)
+    assert(rows == Map("lsh" -> true, "ivf" -> true, "pq" -> true,
+      "knn_lsh" -> true), rows)
   }
 
   test("ann_ivf probes cells and recalls a meaningful top-k fraction") {
