@@ -187,6 +187,7 @@ object SparkEntry {
     "quality_regression" -> (Curation.qualityRegression _),
     "knn_graph" -> (Ann.knnGraph _),
     "knn_graph_bucketed" -> ((s, d) => Ann.knnGraphBucketed(s, d)),
+    "ann_ivfpq" -> (Ann.annIvfPq _),
     // round-6 wave 4: per-domain caps, weighted sampling, robust scaling,
     // content-defined chunking, frequency sketch
     "domain_cap" -> (Curation.domainCap _),
@@ -694,6 +695,87 @@ object SparkEntry {
               PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
       SELECT q_id, rank, cand_id, cos_r, cell FROM r WHERE rank <= 10"""
+    }
+
+  /** ann_ivfpq oracle — the two fitted-literal mirrors COMPOSED: the
+    * annIvf assignment/probe CTEs pick the candidate cells, the annPq
+    * code/reconstruction/ADC CTEs rank candidates inside them, then the
+    * exact refine. Present only when both fits were recorded for the
+    * dump dir.
+    */
+  private def annIvfPqOracleSqlOpt: Option[(String, String)] =
+    for {
+      (di, nProbe, cents) <- Option(graft.operators.Ann.lastIvfFit.get())
+      if fitDirOk(di)
+      (dp, cbs) <- Option(graft.operators.Ann.lastPqFit.get())
+      if fitDirOk(dp)
+    } yield {
+      val dim = cents.head.length
+      val sd = graft.operators.Ann.PqSubDim
+      val cVals = cents.zipWithIndex.map { case (c, ci) =>
+        s"($ci, ${c.mkString("[", ", ", "]")})"
+      }.mkString(",\n          ")
+      val cbVals = (for {
+        m <- cbs.indices; j <- cbs(m).indices
+      } yield s"($m, $j, ${cbs(m)(j).mkString("[", ", ", "]")})")
+        .mkString(",\n          ")
+      "ann_ivfpq" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $cVals) AS t(cell, cv)),
+      cb AS (SELECT * FROM (VALUES $cbVals) AS t(m, j, cbv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      d AS (SELECT e.vec_id, e.emb, c.cell,
+              list_sum(list_transform(range(1, ${dim + 1}),
+                i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM d)
+        WHERE rn = 1),
+      probe AS (
+        SELECT q_id, qe, cell FROM (
+          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM d WHERE vec_id < 10)
+        WHERE pr <= $nProbe),
+      sdist AS (SELECT e.vec_id, c.m, c.j,
+              list_sum(list_transform(range(1, ${sd + 1}),
+                i -> (emb[c.m * $sd + i] - cbv[i])
+                   * (emb[c.m * $sd + i] - cbv[i]))) AS dist
+            FROM e CROSS JOIN cb c),
+      code AS (
+        SELECT vec_id, m, j FROM (
+          SELECT vec_id, m, j, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+          FROM sdist)
+        WHERE rn = 1),
+      rec AS (
+        SELECT code.vec_id, flatten(list(cbv ORDER BY code.m)) AS rv
+        FROM code JOIN cb USING (m, j) GROUP BY code.vec_id),
+      s AS (
+        SELECT p.q_id, p.qe, a.vec_id AS cand_id,
+          round(list_sum(list_transform(
+            range(1, ${cbs.length * sd + 1}),
+            i -> (qe[i] - rv[i]) * (qe[i] - rv[i]))), 6) AS adc_r
+        FROM probe p JOIN assign a ON a.cell = p.cell
+          AND a.vec_id <> p.q_id
+        JOIN rec r ON r.vec_id = a.vec_id),
+      short AS (
+        SELECT q_id, qe, cand_id, adc_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_r ASC, cand_id ASC) AS rank_adc
+          FROM s)
+        WHERE rank_adc <= ${graft.operators.Ann.PqShortlist}),
+      ref AS (
+        SELECT sh.q_id, sh.cand_id, sh.adc_r,
+          round(list_cosine_similarity(sh.qe, e2.emb), 6) AS cos_r
+        FROM short sh JOIN e e2 ON sh.cand_id = e2.vec_id),
+      rk AS (SELECT q_id, cand_id, cos_r, adc_r, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_r DESC, cand_id ASC) AS rank
+             FROM ref)
+      SELECT q_id, rank, cand_id, cos_r, adc_r FROM rk WHERE rank <= 10"""
     }
 
   /** dedup_embedding_lsh oracle, generated from the SAME seeded
@@ -2821,5 +2903,5 @@ object SparkEntry {
     "multimodal_features_checked" ->
       graft.operators.Multimodal.multimodalFeaturesCheckedOracleSql,
   ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
-    annPqOracleSqlOpt
+    annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt
 }

@@ -303,6 +303,91 @@ object Ann {
         col("adc_r"))
   }
 
+  /** IVF-PQ recall floor — measured 0.75 / 0.81 / 0.64 at
+    * sf0.001/0.01/0.1 vs the cosine brute force (the intersection of
+    * IVF's probe loss and PQ's quantization loss; deepen nProbe or the
+    * shortlist to trade scan for recall, as in the component paths).
+    * Deterministic (seeded fits), so the floor is an exact regression
+    * guard despite the thin sf0.1 margin.
+    */
+  val IvfPqRecallMin = 0.6
+
+  /** IVF-PQ (oracle-checked via BOTH fitted-literal devices): the
+    * production composition the [[annPq]] doc promises — probe
+    * [[IvfProbe]] cells with the coarse quantizer, ADC-scan the PQ
+    * CODES of candidates inside probed cells only, then exact-refine
+    * the [[PqShortlist]] survivors. This is FAISS's IVFADC shape
+    * (Jégou et al., TPAMI 2011): at 100 TB the scan inside probed
+    * cells touches 4-byte codes, not vectors, and only
+    * nProbe/nCentroids of those — the two sublinear factors compose.
+    *
+    * Scale shape: ONE corpus scan computes cell assignment AND the 8
+    * subspace codes (all codegen'd literal arithmetic); the probe set
+    * is per-query bounded and broadcast; the ADC join touches
+    * candidates in probed cells only; the refine gathers shortlist
+    * vectors through one more corpus scan with the tiny shortlist
+    * broadcast (the annPq device). Fits are bounded-sample, recorded
+    * in [[lastIvfFit]]/[[lastPqFit]] for the composed DuckDB mirror.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = fitCentroids(s, dir, IvfCentroids)
+    lastIvfFit.set((dir, IvfProbe, centroids))
+    val cbs = fitPqCodebooks(s, dir)
+    lastPqFit.set((dir, cbs))
+    // one scan: coarse cell + 8 PQ codes, all literal arithmetic
+    val codeCols = (0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      val dists = array(cbs(m).map(cv =>
+        V.l2sq(sub, array(cv.map(lit): _*))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val encoded = table(s, dir, "embeddings")
+      .withColumn("dists", centroidDists(col("embedding"), centroids))
+      .select(col("vec_id").as("cand_id") +:
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("cell") +: codeCols: _*)
+    val cbLits = (0 until PqSub).map(m =>
+      array(cbs(m).map(cv => array(cv.map(lit): _*)): _*))
+    val rec = concat((0 until PqSub).map(m =>
+      element_at(cbLits(m), col(s"c$m") + 1)): _*)
+    // probe assignment in the plan — the annIvf device
+    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val probeDf = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(centExpr).as("ct"))
+      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
+        V.l2sq(col("qe"), col("ct.cv")).as("d"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= IvfProbe)
+      .select(col("q_id"), col("cell"), col("qe"))
+    // ADC over candidates in probed cells only
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_r").asc, col("cand_id").asc)
+    val short = encoded.select(col("cand_id"), col("cell"), rec.as("rec"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("adc_r", round(V.l2sq(col("qe"), col("rec")), 6))
+      .withColumn("rank_adc", row_number().over(wAdc))
+      .filter(col("rank_adc") <= PqShortlist)
+      .select(col("q_id"), col("qe"), col("cand_id"), col("adc_r"))
+    // exact refine: one corpus scan, shortlist broadcast
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    table(s, dir, "embeddings")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .join(broadcast(short), Seq("cand_id"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"),
+        col("adc_r"))
+  }
+
   /** All XOR probe masks over nBits bits with popcount <= probeBits —
     * the classic multi-probe LSH expansion (Lv et al., VLDB'07): a true
     * neighbor differing from the query in up to probeBits signature bits

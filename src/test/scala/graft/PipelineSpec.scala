@@ -574,6 +574,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.select("cell").distinct().count() <= 16L)
   }
 
+  test("ann_ivfpq: probed cells + ADC codes + refine recall the true " +
+       "top-k (the FAISS IVFADC composition)") {
+    val exact = Ann.annBruteforce(spark, dir)
+      .select(col("q_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Ann.annIvfPq(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // measured 0.75/0.81/0.64 across SFs — the intersection of IVF's
+    // probe loss and PQ's quantization loss (see Ann.IvfPqRecallMin)
+    assert(recall >= Ann.IvfPqRecallMin, s"recall=$recall")
+    // the refine emits both distances, k-bounded per query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= Ann.K) }
+  }
+
   test("ann_pq: codes shortlist + exact refine recalls the true top-k") {
     val exact = Ann.annBruteforce(spark, dir)
       .select(col("q_id"), col("cand_id")).collect()
