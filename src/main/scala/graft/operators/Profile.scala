@@ -108,13 +108,23 @@ object Profile {
         col("l_orderkey"), col("l_linenumber"))
       .withColumn("bucket", ntile(HistBuckets).over(w).cast("long"))
       .groupBy(col("l_returnflag"), col("bucket"))
-      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").as("lo"),
-        max(col("l_extendedprice")).cast("decimal(18,2)").as("hi"),
+      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
+          .as("lo"),
+        max(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
+          .as("hi"),
         count(lit(1)).as("n"))
   }
 
   /** DuckDB mirror of [[histogramEquidepth]] — the identical ntile over
     * the identical unique ordering; static SQL, no fit state.
+    *
+    * lo/hi take the DECIMAL(18,2)→DOUBLE round-trip on BOTH sides (the
+    * q1_agg device): the decimal rounding pins the value to two places
+    * the engines agree on, and the final DOUBLE cast keeps any
+    * decimal-typed object out of the output schema — harnesses that
+    * read the two sides through different libraries (pyarrow Decimal
+    * vs duckdb float64) hash decimal reprs differently even when the
+    * values are identical.
     */
   def histogramEquidepthOracleSql: String = s"""
       WITH a AS (
@@ -123,8 +133,8 @@ object Profile {
             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
         FROM lineitem)
       SELECT l_returnflag, bucket,
-        CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
-        CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi,
+        CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+        CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi,
         count(*) AS n
       FROM a GROUP BY l_returnflag, bucket"""
 
@@ -156,8 +166,10 @@ object Profile {
         acc + when(col("l_extendedprice") > b, 1).otherwise(0))
         .cast("long"))
       .groupBy(col("l_returnflag"), col("bucket"))
-      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").as("lo"),
-        max(col("l_extendedprice")).cast("decimal(18,2)").as("hi"),
+      .agg(min(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
+          .as("lo"),
+        max(col("l_extendedprice")).cast("decimal(18,2)").cast("double")
+          .as("hi"),
         count(lit(1)).as("n"))
   }
 

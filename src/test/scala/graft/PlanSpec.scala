@@ -371,4 +371,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("hashpartitioning(token".length)
       .count(_ == "hashpartitioning(token") === 1, p.take(2000))
   }
+
+  test("registry invariant: no query's output schema carries DecimalType " +
+       "(anywhere, including nested)") {
+    // Decimal-typed outputs hash differently under harnesses that read
+    // the two sides of the oracle compare through different libraries
+    // (pyarrow yields Decimal objects, duckdb float64 — identical values,
+    // different reprs). Every money pipeline may ROUND through
+    // DECIMAL(p,s) internally, but the final schema must land on
+    // DOUBLE/VARCHAR; this held 146/147 for four rounds while the one
+    // exception stayed red, so it is now a permanent invariant.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType,
+      MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val schema = q(spark, dir).schema
+        if (hasDecimal(schema)) Some(s"$name: ${schema.simpleString}")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

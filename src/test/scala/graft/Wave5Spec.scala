@@ -98,11 +98,9 @@ class Wave5Spec extends AnyFunSuite {
       }
       // buckets tile the range in order: lo <= hi within, hi <= next lo
       val ordered = rows.sortBy(_.getLong(1))
-      ordered.foreach(b => assert(
-        b.getDecimal(2).compareTo(b.getDecimal(3)) <= 0))
+      ordered.foreach(b => assert(b.getDouble(2) <= b.getDouble(3)))
       ordered.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(a.getDecimal(3).compareTo(b.getDecimal(2)) <= 0)
+        case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
         case _ =>
       }
     }
