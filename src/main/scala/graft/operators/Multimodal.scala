@@ -493,32 +493,78 @@ object Multimodal {
     * takes the byte-level fallback. Mirrored: n_bytes, mime, the five
     * frame samples and the 64-cell byte grid (exact integer byte
     * values — the corpus is pure ASCII, so DuckDB character codes ARE
-    * the UTF-8 bytes), the serving-layer thumb dims, and the `decoded`
+    * the UTF-8 bytes), the serving-layer thumb dims, the `decoded`
     * flag (false everywhere — asserting the real decoders were TRIED
-    * and correctly refused text bytes rather than being skipped).
-    * Float-derived columns (hist) and the bit-packed ahash stay in the
-    * rows-only query below, the genuinely non-SQL residue.
+    * and correctly refused text bytes rather than being skipped), and
+    * since round 10 the full float histogram and the bit-packed aHash:
+    *  - hist_0..hist_15 export as separate DOUBLE columns, NOT a
+    *    rounded-decimal string: each value is count/n — an exact
+    *    integer count (a sum of 1.0s, exact in a double far below
+    *    2^53) divided by an exact integer, ONE IEEE-754 division both
+    *    engines perform bit-identically — so the doubles hash equal at
+    *    FULL precision with no rounding device at all (a decimal-
+    *    rounded string would reintroduce the shortest-repr-vs-binary
+    *    tie-break asymmetry between engines that the rounding devices
+    *    exist to dodge);
+    *  - ahash is integer bit-packing over the mirrored grid, expressed
+    *    in SQL as a 64-term CASE sum (bit 63 via the signed-overflow
+    *    identity: setting the sign bit adds -2^63).
+    * Nothing computed by the features pass is unchecked on the
+    * synthetic corpus; the legacy `multimodal_features` query keeps
+    * the array-string rendering shape (rows-only) as the driver-facing
+    * canonical-string form.
     */
-  def multimodalFeaturesChecked(s: SparkSession, dir: String): DataFrame =
+  def multimodalFeaturesChecked(s: SparkSession, dir: String): DataFrame = {
+    val histCols = (0 until 16).map(j => col("hist")(j).as(s"hist_$j"))
     multimodalFeaturesRaw(s, dir).select(
-      col("doc_id"), col("n_bytes"), col("mime"),
-      array_join(transform(col("frames"), _.cast("string")), ",")
-        .as("frames"),
-      array_join(transform(col("grid"), _.cast("string")), ",")
-        .as("grid"),
-      col("thumb_w"), col("thumb_h"), col("decoded"))
+      Seq(col("doc_id"), col("n_bytes"), col("mime"),
+        array_join(transform(col("frames"), _.cast("string")), ",")
+          .as("frames"),
+        array_join(transform(col("grid"), _.cast("string")), ",")
+          .as("grid")) ++ histCols ++ Seq(
+        col("ahash"),
+        col("thumb_w"), col("thumb_h"), col("decoded")): _*)
+  }
 
   /** DuckDB mirror of [[multimodalFeaturesChecked]]: byte-fallback
     * features recomputed from documents arithmetic. trunc() before the
     * INT cast because DuckDB's double→INT cast rounds where Scala's
-    * .toInt truncates.
+    * .toInt truncates. hist bins count high nibbles (byte >> 4 =
+    * ascii // 16 on the ASCII corpus) over ALL positions; the
+    * denominator is greatest(n, 1) — [[decodeStub]]'s
+    * max(payload.length, 1) — so empty docs yield 0.0 bins, not a
+    * division error. ahash mirrors [[ahashOf]]: 0 when every grid cell
+    * is equal (the no-structure fingerprint), else Σ 2^i over cells >=
+    * the integer mean, with bit 63 as (-2^63+0) via the BIGINT-safe
+    * literal (-9223372036854775807 - 1).
     */
-  def multimodalFeaturesCheckedOracleSql: String = """
+  def multimodalFeaturesCheckedOracleSql: String = {
+    val histSelects = (0 until 16).map { j =>
+      s"""        CAST(len(list_filter(nib, x -> x = $j)) AS DOUBLE)
+          / CAST(greatest(n, 1) AS DOUBLE) AS hist_$j,"""
+    }.mkString("\n")
+    val ahashTerms = (0 until 64).map { i =>
+      val bit =
+        if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"CASE WHEN gl[${i + 1}] >= gmean THEN CAST($bit AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n          + ")
+    s"""
       WITH d AS (
         SELECT doc_id, text, CAST(strlen(text) AS INT) AS n,
           64 + CAST(strlen(text) AS INT) % 512 AS w,
           64 + (CAST(strlen(text) AS INT) * 7) % 512 AS h
-        FROM documents)
+        FROM documents),
+      g AS (
+        SELECT *,
+          list_transform(range(0, 64),
+            g -> ascii(substr(text,
+              CAST(least((g * n) // 64, n - 1) AS INT) + 1, 1))) AS gl,
+          list_transform(range(1, CAST(n AS BIGINT) + 1),
+            i -> ascii(substr(text, CAST(i AS INT), 1)) // 16) AS nib
+        FROM d),
+      m AS (
+        SELECT *, CAST(list_sum(gl) // 64 AS BIGINT) AS gmean FROM g)
       SELECT doc_id, n AS n_bytes,
         CASE WHEN n % 4 = 0 THEN 'image/png'
              WHEN n % 4 = 1 THEN 'image/jpeg'
@@ -528,16 +574,18 @@ object Multimodal {
             n - 1],
           o -> CAST(ascii(substr(text, CAST(least(o, n - 1) AS INT) + 1,
             1)) AS VARCHAR)), ',') AS frames,
-        array_to_string(list_transform(range(0, 64),
-          g -> CAST(ascii(substr(text,
-            CAST(least((g * n) // 64, n - 1) AS INT) + 1, 1))
-            AS VARCHAR)), ',') AS grid,
+        array_to_string(list_transform(gl,
+          v -> CAST(v AS VARCHAR)), ',') AS grid,
+$histSelects
+        CASE WHEN len(list_distinct(gl)) = 1 THEN CAST(0 AS BIGINT)
+          ELSE CAST($ahashTerms AS BIGINT) END AS ahash,
         CAST(greatest(1, trunc(w * least(1.0, 128.0 / greatest(w, h))))
           AS INT) AS thumb_w,
         CAST(greatest(1, trunc(h * least(1.0, 128.0 / greatest(w, h))))
           AS INT) AS thumb_h,
         false AS decoded
-      FROM d"""
+      FROM m"""
+  }
 
   /** Driver-facing features query (rows-only check on the float/bit
     * residue; the byte-mirrorable half is oracle-gated above). Arrays

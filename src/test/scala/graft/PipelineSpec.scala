@@ -663,6 +663,17 @@ class PipelineSpec extends AnyFunSuite {
       "^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])(," +
       "([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){4}$"))
     assert(bad.count() === 0L)
+    // since r10 the checked slice also carries hist_0..15 + ahash: the
+    // 16 bins must sum to exactly-representable 1 (count/n partitions),
+    // and the exported ahash must equal ahashOf recomputed from the
+    // exported grid string — the oracle checks both against DuckDB;
+    // this pins the Spark-side export to the decode path's own values
+    val histSum = (0 until 16).map(j => col(s"hist_$j")).reduce(_ + _)
+    assert(r.filter(abs(histSum - 1.0) > 1e-9).count() === 0L)
+    r.select(col("grid"), col("ahash")).collect().foreach { row =>
+      val grid = row.getString(0).split(",").map(_.toLong)
+      assert(Multimodal.ahashOf(grid) === row.getLong(1))
+    }
   }
 
   test("ahash: flat grids (empty/undecoded/uniform) fingerprint to 0, " +
