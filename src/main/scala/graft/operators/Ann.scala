@@ -755,7 +755,11 @@ object Ann {
     // the arithmetic integer in both engines. Never binds at the test
     // SFs (threshold 250 vs ~31-row cells at sf0.1), which the recall
     // measurements confirm; at a skewed 100 TB it is the guard that
-    // keeps the join's worst cell bounded.
+    // keeps the join's worst cell bounded. The BINDING path is
+    // exercised by PipelineSpec's planted-cluster cases: identical
+    // vectors (all tables degenerate -> zero sibling edges survive)
+    // and a diverse one-table pileup (only that cell drops; the other
+    // tables hold recall at 0.838 vs the 0.85 three-table point).
     val cellW = Window.partitionBy(col("tbl"), col("bucket"))
     val corpusN = e.agg(count(lit(1)).as("_n"))
     val cCapped = c
