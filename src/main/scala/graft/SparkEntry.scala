@@ -397,17 +397,19 @@ object SparkEntry {
       FROM documents d LEFT JOIN doc USING (doc_id)"""
   }
 
-  /** dedup_semantic oracle, from the fitted centroid literals cached in
-    * Dedup.lastSemFit when the query ran (the ann_ivf device): DuckDB
+  /** dedup_semantic oracle, from the fitted centroid literals looked up
+    * in the pure memoized fit cache by dump dir (Ann.cachedCentroids at
+    * Dedup.SemClusters; threshold is the SemDedupCos constant the query
+    * default uses — no mutable last-fit state anywhere): DuckDB
     * recomputes cluster assignment (argmin squared-L2, lowest cell wins
     * ties), the MaxBucket hot-cell cap, within-cluster pair cosines,
     * and the min-id-representative verdicts. Absent (rows-only
-    * fallback) only if dedup_semantic did not run in this JVM.
+    * fallback) only if no query fitted this dir's quantizer in this JVM.
     */
   private def dedupSemanticOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Dedup.lastSemFit.get())
-      .filter { case (d, _, _) => fitDirOk(d) }.map {
-      case (_, threshold, cents) =>
+    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(
+      d, graft.operators.Dedup.SemClusters)).map { cents =>
+        val threshold = graft.operators.Dedup.SemDedupCos
         val dim = cents.head.length
         val vals = cents.zipWithIndex.map { case (c, ci) =>
           s"($ci, ${c.mkString("[", ", ", "]")})"
@@ -531,32 +533,20 @@ object SparkEntry {
         doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
       FROM f"""
 
-  /** ann_ivf oracle, generated from the SAME fitted centroid matrix the
-    * plan broadcast (Ann.lastIvfFit, recorded when the query ran —
-    * Verify dumps oracleSql only AFTER running every query, so the cache
-    * is populated). DuckDB independently recomputes cell assignment
-    * (argmin squared-L2 over the literals, lowest cell wins ties), probe
-    * choice (top-nProbe cells per query), and the cosine re-rank.
-    * Absent — rows-only fallback — only if ann_ivf did not run in this
-    * JVM (e.g. a SPARK_GRAFT_ONLY subset).
-    */
-  /** The sfDir the current oracle dump targets (set by Verify). The
-    * fitted-literal generators refuse fits recorded for a DIFFERENT
-    * dir — otherwise a session that ran ann_ivf/dedup_semantic against
-    * dir A and dumps oracles for dir B would embed A's centroids, and
-    * the failure would present as engine divergence instead of a
-    * stale-fit skip.
+  /** The sfDir the current oracle dump targets (set by Verify). Since
+    * r10 the fitted-literal generators look fits up in the pure
+    * memoized fit caches KEYED BY THIS DIR (Ann.cachedCentroids /
+    * cachedPqCodebooks) with every knob interpolated from the same
+    * named constants the registry queries use — there is no mutable
+    * last-fit state, so a session that also ran fits against another
+    * dir or with other knobs cannot desync this dir's oracle. FAIL
+    * CLOSED: an unknown dump dir or an absent fit yields the rows-only
+    * degrade, never another directory's centroids.
     */
   val oracleDumpDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
-  /** FAIL CLOSED: a fitted-literal oracle is only emitted when the dump
-    * dir is known AND matches the fit — an oracle consumer that skips
-    * the [[oracleDumpDir]] handshake gets the rows-only degrade, never
-    * another directory's centroids.
-    */
-  private def fitDirOk(fitDir: String): Boolean =
-    Option(oracleDumpDir.get()).contains(fitDir)
+  private def dumpDirOpt: Option[String] = Option(oracleDumpDir.get())
 
   /** Fit-provenance report for the remaining fitted-literal oracles —
     * ann_ivf, ann_pq, dedup_semantic, the queries whose DuckDB mirror
@@ -578,23 +568,25 @@ object SparkEntry {
           s"## $name\n\nfit dir: `$d`\nliterals sha256/8: " +
             s"`${sha8(lits)}`\n\n```\n$lits\n```\n"
       }
-    val ivf = Option(graft.operators.Ann.lastIvfFit.get()).map {
-      case (d, nProbe, cents) =>
-        (d, s"nProbe=$nProbe\n" + cents.zipWithIndex.map { case (c, i) =>
-          s"c$i: ${c.mkString(", ")}" }.mkString("\n"))
-    }
-    val pq = Option(graft.operators.Ann.lastPqFit.get()).map {
-      case (d, cbs) =>
-        (d, cbs.zipWithIndex.map { case (cb, m) =>
-          cb.zipWithIndex.map { case (cv, j) =>
-            s"m$m j$j: ${cv.mkString(", ")}" }.mkString("\n")
-        }.mkString("\n"))
-    }
-    val sem = Option(graft.operators.Dedup.lastSemFit.get()).map {
-      case (d, thr, cents) =>
-        (d, s"threshold=$thr\n" + cents.zipWithIndex.map { case (c, i) =>
-          s"c$i: ${c.mkString(", ")}" }.mkString("\n"))
-    }
+    def centsLines(cents: Array[Array[Double]]): String =
+      cents.zipWithIndex.map { case (c, i) =>
+        s"c$i: ${c.mkString(", ")}" }.mkString("\n")
+    val ivf = for {
+      d <- dumpDirOpt; cents <- graft.operators.Ann.cachedCentroids(d)
+    } yield (d, s"nProbe=${graft.operators.Ann.IvfProbe}\n" +
+      centsLines(cents))
+    val pq = for {
+      d <- dumpDirOpt; cbs <- graft.operators.Ann.cachedPqCodebooks(d)
+    } yield (d, cbs.zipWithIndex.map { case (cb, m) =>
+      cb.zipWithIndex.map { case (cv, j) =>
+        s"m$m j$j: ${cv.mkString(", ")}" }.mkString("\n")
+    }.mkString("\n"))
+    val sem = for {
+      d <- dumpDirOpt
+      cents <- graft.operators.Ann.cachedCentroids(
+        d, graft.operators.Dedup.SemClusters)
+    } yield (d, s"threshold=${graft.operators.Dedup.SemDedupCos}\n" +
+      centsLines(cents))
     "# FIT PROVENANCE\n\nRegenerated by `graft.Verify` each full run: " +
       "the exact fitted literals interpolated into this round's " +
       "generated DuckDB oracles, rendered with the same " +
@@ -604,15 +596,15 @@ object SparkEntry {
   }
 
   /** ann_pq oracle, from the fitted per-subspace codebooks the plan
-    * broadcast (Ann.lastPqFit; the ann_ivf device): DuckDB recomputes
-    * the per-subspace argmin codes (lowest code wins ties), the
-    * centroid-concatenation reconstruction, the flat 64-term ADC, and
-    * the ascending-distance rank. Absent — rows-only fallback — only if
-    * ann_pq did not run in this JVM.
+    * broadcast, looked up by dump dir (Ann.cachedPqCodebooks): DuckDB
+    * recomputes the per-subspace argmin codes (lowest code wins ties),
+    * the centroid-concatenation reconstruction, the flat 64-term ADC,
+    * and the ascending-distance rank. Absent — rows-only fallback —
+    * only if no query fitted this dir's codebooks in this JVM.
     */
   private def annPqOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Ann.lastPqFit.get())
-      .filter { case (d, _) => fitDirOk(d) }.map { case (_, cbs) =>
+    dumpDirOpt.flatMap(graft.operators.Ann.cachedPqCodebooks)
+      .map { cbs =>
         val sd = graft.operators.Ann.PqSubDim
         val vals = (for {
           m <- cbs.indices; j <- cbs(m).indices
@@ -659,9 +651,9 @@ object SparkEntry {
       }
 
   private def annIvfOracleSqlOpt: Option[(String, String)] =
-    Option(graft.operators.Ann.lastIvfFit.get())
-      .filter { case (d, _, _) => fitDirOk(d) }.map {
-      case (_, nProbe, cents) =>
+    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(d))
+      .map { cents =>
+        val nProbe = graft.operators.Ann.IvfProbe
         val dim = cents.head.length
         val vals = cents.zipWithIndex.map { case (c, ci) =>
           s"($ci, ${c.mkString("[", ", ", "]")})"
@@ -705,11 +697,11 @@ object SparkEntry {
     */
   private def annIvfPqOracleSqlOpt: Option[(String, String)] =
     for {
-      (di, nProbe, cents) <- Option(graft.operators.Ann.lastIvfFit.get())
-      if fitDirOk(di)
-      (dp, cbs) <- Option(graft.operators.Ann.lastPqFit.get())
-      if fitDirOk(dp)
+      d <- dumpDirOpt
+      cents <- graft.operators.Ann.cachedCentroids(d)
+      cbs <- graft.operators.Ann.cachedPqCodebooks(d)
     } yield {
+      val nProbe = graft.operators.Ann.IvfProbe
       val dim = cents.head.length
       val sd = graft.operators.Ann.PqSubDim
       val cVals = cents.zipWithIndex.map { case (c, ci) =>

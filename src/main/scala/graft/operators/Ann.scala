@@ -51,12 +51,13 @@ object Ann {
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to one of nCentroids cells; each query probes only its nProbe
     * nearest cells and re-ranks candidates by exact cosine. Oracle-checked
-    * via the fitted-literal device: the centroid matrix the plan
-    * broadcasts is recorded in [[lastIvfFit]], and Verify (which dumps
-    * oracle SQL AFTER running the queries) interpolates those same
-    * literals into a DuckDB mirror of the assignment + probe + re-rank
-    * pipeline — so cell assignment, probe choice, and ranking are all
-    * independently recomputed by the second engine.
+    * via the fitted-literal device: the oracle generator looks the
+    * centroid matrix up in the pure memoized fit cache BY DUMP DIR
+    * ([[cachedCentroids]] — no mutable last-fit state), and Verify
+    * (which dumps oracle SQL AFTER running the queries) interpolates
+    * those same literals into a DuckDB mirror of the assignment +
+    * probe + re-rank pipeline — so cell assignment, probe choice, and
+    * ranking are all independently recomputed by the second engine.
     *
     * Scale shape: the quantizer fits on a bounded deterministic sample
     * (never the full corpus), assignments are one codegen'd pass, probe
@@ -79,13 +80,14 @@ object Ann {
   val IvfCentroids = 16
   val IvfProbe = 8
 
-  /** The last fitted IVF quantizer, recorded so Verify can build the
-    * DuckDB oracle from the SAME centroid literals the plan broadcast
-    * (Verify dumps oracleSql only after every query has run). Holds
-    * (sfDir, nProbe, centroids).
+  /** The fitted centroid matrix for (dir, k), if [[fitCentroids]] ran in
+    * this JVM — the oracle generators' lookup (keyed by the DUMP dir, so
+    * there is no last-query-wins state: a fit against another dir or
+    * with other knobs can never leak into this dir's oracle; a missing
+    * fit degrades to the rows-only oracle, fail-closed).
     */
-  val lastIvfFit = new java.util.concurrent.atomic.AtomicReference[
-    (String, Int, Array[Array[Double]])]()
+  def cachedCentroids(dir: String, k: Int = IvfCentroids)
+      : Option[Array[Array[Double]]] = Option(fitCache.get((dir, k)))
 
   /** Fit the KMeans coarse quantizer on a bounded deterministic sample
     * — shared by [[annIvf]] and Dedup.dedupSemantic. The returned
@@ -134,7 +136,6 @@ object Ann {
              nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = fitCentroids(s, dir, nCentroids)
-    lastIvfFit.set((dir, nProbe, centroids))
     // Corpus assignment in the plan, NOT via MLlib transform: argmin
     // squared-L2 over the centroid literals — codegen'd, shuffle-free,
     // and the exact formula the DuckDB oracle mirrors, so assignment is
@@ -193,11 +194,11 @@ object Ann {
     */
   def pqSeed(m: Int): Long = 5042L + m
 
-  /** The last fitted codebook, recorded for the Verify-time DuckDB
-    * oracle (the [[lastIvfFit]] device): (sfDir, codebooks[m][j][d]).
+  /** The fitted codebooks for dir, if [[fitPqCodebooks]] ran in this JVM
+    * — the [[cachedCentroids]] lookup discipline for the PQ oracle.
     */
-  val lastPqFit = new java.util.concurrent.atomic.AtomicReference[
-    (String, Array[Array[Array[Double]]])]()
+  def cachedPqCodebooks(dir: String): Option[Array[Array[Array[Double]]]] =
+    Option(pqFitCache.get(dir))
 
   /** Fit the [[PqSub]] per-subspace codebooks on one bounded
     * deterministic sample (cached across the 8 fits; the fit never
@@ -266,7 +267,6 @@ object Ann {
   def annPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cbs = fitPqCodebooks(s, dir)
-    lastPqFit.set((dir, cbs))
     val codeCols = (0 until PqSub).map { m =>
       val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
       val dists = array(cbs(m).map(cv =>
@@ -327,14 +327,13 @@ object Ann {
     * candidates in probed cells only; the refine gathers shortlist
     * vectors through one more corpus scan with the tiny shortlist
     * broadcast (the annPq device). Fits are bounded-sample, recorded
-    * in [[lastIvfFit]]/[[lastPqFit]] for the composed DuckDB mirror.
+    * served to the composed DuckDB mirror via [[cachedCentroids]] /
+    * [[cachedPqCodebooks]].
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = fitCentroids(s, dir, IvfCentroids)
-    lastIvfFit.set((dir, IvfProbe, centroids))
     val cbs = fitPqCodebooks(s, dir)
-    lastPqFit.set((dir, cbs))
     // one scan: coarse cell + 8 PQ codes, all literal arithmetic
     val codeCols = (0 until PqSub).map { m =>
       val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)

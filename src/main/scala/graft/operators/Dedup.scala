@@ -765,6 +765,14 @@ object Dedup {
     */
   val SemDedupCos = 0.4
 
+  /** SemDeDup cluster count — happens to equal Ann.IvfCentroids, so the
+    * (dir, k) fit is shared with annIvf in one session, but named
+    * separately: the two knobs scale on different contracts (IVF probes
+    * cells, SemDeDup pair-checks within them). The oracle generator
+    * interpolates THIS constant, so operator and mirror cannot desync.
+    */
+  val SemClusters = 16
+
   /** SemDeDup (Abbas et al. 2023, oracle-checked): the semantic tier
     * between exact/near-dup text matching and nothing — embeddings are
     * coarse-clustered by a KMeans quantizer, and ONLY within-cluster
@@ -779,14 +787,15 @@ object Dedup {
     * over centroid literals, and hot cells are capped like every other
     * pair source ([[MaxBucket]]). Oracle-checked end to end via the
     * fitted-literal device proven on ann_ivf: DuckDB recomputes
-    * assignment, cap, pair cosines, and verdicts from the cached
-    * centroid literals ([[lastSemFit]]).
+    * assignment, cap, pair cosines, and verdicts from the same centroid
+    * literals, looked up in the pure memoized fit cache by dump dir
+    * (Ann.cachedCentroids — no mutable last-fit state).
     */
-  def dedupSemantic(s: SparkSession, dir: String, nClusters: Int = 16,
+  def dedupSemantic(s: SparkSession, dir: String,
+                    nClusters: Int = SemClusters,
                     threshold: Double = SemDedupCos): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = Ann.fitCentroids(s, dir, nClusters)
-    lastSemFit.set((dir, threshold, centroids))
     val assigned = table(s, dir, "embeddings")
       .withColumn("dists", Ann.centroidDists(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"),
@@ -807,13 +816,6 @@ object Dedup {
         round(col("best_cos"), 4).as("best_cos"),
         col("dup_of").isNull.as("keep"))
   }
-
-  /** Last fitted SemDeDup quantizer (dir, threshold, centroids) — the
-    * oracle-generation cache, populated when the query runs (Verify
-    * dumps oracleSql afterwards; the ann_ivf device).
-    */
-  val lastSemFit = new java.util.concurrent.atomic.AtomicReference[
-    (String, Double, Array[Array[Double]])]()
 
   // ------------------------------- prefix-filtered containment join
 
