@@ -478,4 +478,75 @@ class ExecSpec extends AnyFunSuite {
       assert(pager.toGlobal(pager.toCursor(g)) === g)
     }
   }
+
+  test("property: reverse-of-forward returns the origin offsets for " +
+       "random (limit, cursor) sequences (seeded scalacheck)") {
+    import org.scalacheck.{Gen, rng}
+    // SURVEY §7.5's forward∘reverse identity, as a property rather than
+    // the two fixed-direction cases above: for ANY cursor and ANY limit,
+    // a forward page followed by a reverse page anchored at the forward
+    // page's last offset serves exactly the same offsets and rows —
+    // and a whole random-limit reverse WALK retraces a random-limit
+    // forward walk's coverage exactly.
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
+      .select("o_orderkey").repartition(3)
+    val rs = ResultMaterializer.materialize(df, tmp, "q-prop")
+    val pager = new CursorPager(spark, rs)
+    val n = pager.totalRows
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, rng.Seed(seed)).get
+    val genStart = Gen.chooseNum(0L, n - 1)
+    val genLimit = Gen.chooseNum(1, 400)
+    // single-page identity at random (cursor, limit)
+    (1 to 80).foreach { i =>
+      val g0 = sample(genStart, i.toLong)
+      val lim = sample(genLimit, 100000L + i)
+      val fwd = pager.page(pager.toCursor(g0), lim, forward = true)
+      assert(fwd.offsets.nonEmpty)
+      val rev = pager.page(fwd.offsets.last, lim, forward = false)
+      // the reverse page ends AT the anchor inclusive and is contiguous;
+      // when the forward page was full it is EXACTLY the forward page
+      val gEnd = pager.toGlobal(fwd.offsets.last) + 1
+      assert(rev.offsets.map(pager.toGlobal) ===
+        (math.max(gEnd - lim, 0L) until gEnd))
+      if (fwd.offsets.length == lim) {
+        assert(rev.offsets === fwd.offsets)
+        assert(rev.rows.map(_.getLong(0)) === fwd.rows.map(_.getLong(0)))
+      }
+      // next cursors continue contiguously in each direction
+      fwd.next.foreach(c => assert(pager.toGlobal(c) === g0 + fwd.rows.length))
+      rev.next.foreach(c =>
+        assert(pager.toGlobal(c) === math.max(gEnd - lim, 0L) - 1))
+    }
+    // walk identity: forward to the end with random limits, then reverse
+    // from the last offset with a DIFFERENT random limit sequence — the
+    // reverse walk must retrace [0, n) exactly, in reverse page order
+    (1 to 8).foreach { w =>
+      var cursor: Option[Cursor] = Some(Start)
+      val fwdSeen = Vector.newBuilder[Long]
+      var step = 0
+      var lastOffset: Cursor = Start
+      while (cursor.isDefined) {
+        val p = pager.page(cursor.get,
+          sample(genLimit, w * 10000L + step), forward = true)
+        fwdSeen ++= p.offsets.map(pager.toGlobal)
+        lastOffset = p.offsets.last
+        cursor = p.next
+        step += 1
+      }
+      assert(fwdSeen.result() === (0L until n))
+      var rc: Option[Cursor] = Some(lastOffset)
+      val revSeen = Vector.newBuilder[Long]
+      while (rc.isDefined) {
+        val p = pager.page(rc.get,
+          sample(genLimit, w * 20000L + step), forward = false)
+        // pages arrive back-to-front; rows within a page stay forward
+        revSeen ++= p.offsets.map(pager.toGlobal).reverse
+        rc = p.next
+        step += 1
+      }
+      assert(revSeen.result().reverse === (0L until n))
+    }
+  }
 }
