@@ -221,7 +221,8 @@ object SparkEntry {
     * arithmetic as VectorFunctions.
     */
   private def annLshOracleSql: String = {
-    val (nBits, nTables, probeBits) = (6, 3, 2)
+    import graft.operators.Ann.{LshBits => nBits, LshTables => nTables,
+      LshProbeBits => probeBits}
     val sigExprs = (0 until nTables).map { t =>
       val planes = graft.operators.Ann.planes(nBits, 64,
         graft.operators.Ann.lshSeed(t))
@@ -263,10 +264,13 @@ object SparkEntry {
 
   /** knn_graph_bucketed oracle — the annLsh mirror at full-corpus query
     * coverage: same seeded-plane signature literals, same multi-probe
-    * expansion, no vec_id filter, top-KnnK per src.
+    * expansion, no vec_id filter, top-KnnK per src. Operating point AND
+    * cell-cap constants come from the shared Ann vals the operator
+    * itself uses — retuning either cannot desync plan from oracle.
     */
   private def knnGraphBucketedOracleSql: String = {
-    val (nBits, nTables, probeBits) = (6, 3, 2)
+    import graft.operators.Ann.{LshBits => nBits, LshTables => nTables,
+      LshProbeBits => probeBits}
     val sigExprs = (0 until nTables).map { t =>
       val planes = graft.operators.Ann.planes(nBits, 64,
         graft.operators.Ann.lshSeed(t))
@@ -295,7 +299,8 @@ object SparkEntry {
         SELECT dst, ce, tbl, bucket FROM (
           SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz
           FROM c0), cnt
-        WHERE bsz <= greatest(200, n * 8 // ${1 << nBits})),
+        WHERE bsz <= greatest(${graft.operators.Ann.CellCapFloor},
+          n * ${graft.operators.Ann.CellCapFactor} // ${1 << nBits})),
       q AS (
         SELECT vec_id AS src, emb AS qe, t.tbl, xor($caseB, m.m) AS bucket
         FROM e, unnest($tbls) AS t(tbl), unnest($masks) AS m(m)),

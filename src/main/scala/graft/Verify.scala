@@ -48,13 +48,20 @@ object Verify {
     // Fit provenance for the generated (fitted-literal) oracles: always
     // into the dump dir; into the committed repo copy only on a FULL
     // run (a SPARK_GRAFT_ONLY diagnostic run has most fits absent and
-    // must not clobber the round's record).
+    // must not clobber the round's record). The repo copy resolves
+    // against SPARK_GRAFT_REPO_ROOT when set, else sbt's launch dir
+    // (sys.props user.dir — the repo root under `sbt runMain`, and
+    // stable against any library chdir), so running Verify from
+    // elsewhere still lands the round's record in the repo.
     try {
       Files.writeString(Paths.get(s"$outDir/fit_provenance.md"),
         SparkEntry.fitProvenance)
-      if (only.isEmpty)
-        Files.writeString(Paths.get("FIT_PROVENANCE.md"),
+      if (only.isEmpty) {
+        val repoRoot = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+          .orElse(sys.props.get("user.dir")).getOrElse(".")
+        Files.writeString(Paths.get(repoRoot, "FIT_PROVENANCE.md"),
           SparkEntry.fitProvenance)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] fit provenance write failed: $e")
     }

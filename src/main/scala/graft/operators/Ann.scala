@@ -397,6 +397,24 @@ object Ann {
     (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeBits)
       .map(_.toLong)
 
+  /** The calibrated LSH operating point shared by [[annLsh]] and
+    * [[knnGraphBucketed]] AND their generated DuckDB mirrors — single
+    * source of truth, so retuning a knob cannot desync plan from
+    * oracle (see the measured-recall table at [[LshRecallMin]]).
+    */
+  val LshBits = 6
+  val LshTables = 3
+  val LshProbeBits = 2
+
+  /** Degenerate-cell cap for [[knnGraphBucketed]]'s corpus side: a
+    * (table, bucket) cell is dropped when it exceeds
+    * max([[CellCapFloor]], corpus * [[CellCapFactor]] / 2^nBits) rows.
+    * Shared with the oracle generator — the in-plan filter and the
+    * DuckDB mirror interpolate the SAME constants.
+    */
+  val CellCapFloor = 200L
+  val CellCapFactor = 8L
+
   /** LSH-bucketed ANN (oracle-checked — planes/masks are literals in the
     * DuckDB mirror): nTables independent hyperplane signatures, each
     * partitioning the corpus into 2^nBits buckets, with probeBits-deep
@@ -414,8 +432,9 @@ object Ann {
     * synthetic embeddings to clear [[LshRecallMin]] at every SF (see
     * RecallProbe and the measured table at [[LshRecallMin]]).
     */
-  def annLsh(s: SparkSession, dir: String, nBits: Int = 6, nTables: Int = 3,
-             probeBits: Int = 2): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, nBits: Int = LshBits,
+             nTables: Int = LshTables,
+             probeBits: Int = LshProbeBits): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sigs = (0 until nTables).map(t =>
       V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
@@ -721,8 +740,9 @@ object Ann {
     * corpus². Recall vs the exact graph is gated in PipelineSpec on the
     * stride subset ([[KnnGraphRecallMin]]).
     */
-  def knnGraphBucketed(s: SparkSession, dir: String, nBits: Int = 6,
-                       nTables: Int = 3, probeBits: Int = 2): DataFrame = {
+  def knnGraphBucketed(s: SparkSession, dir: String, nBits: Int = LshBits,
+                       nTables: Int = LshTables,
+                       probeBits: Int = LshProbeBits): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sigs = (0 until nTables).map(t =>
       V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
@@ -764,8 +784,8 @@ object Ann {
     val cCapped = c
       .withColumn("_bsz", count(lit(1)).over(cellW))
       .crossJoin(broadcast(corpusN))
-      .filter(col("_bsz") <=
-        greatest(lit(200L), expr(s"_n * 8 DIV ${1 << nBits}")))
+      .filter(col("_bsz") <= greatest(lit(CellCapFloor),
+        expr(s"_n * $CellCapFactor DIV ${1 << nBits}")))
       .drop("_bsz", "_n")
     // bucket-keyed shuffle join, merge-hinted (the Dedup.scala minhash
     // device): both sides are corpus-sized, and the broadcast AQE would

@@ -54,13 +54,20 @@ object Bucketing {
   /** Size-derived bucket count for a dir's lineitem footprint (the
     * bigger join side governs). Pure function of on-disk bytes, so it
     * is stable across sessions over an immutable dir.
+    *
+    * Footprint via the Hadoop FileSystem API, not java.io.File: the
+    * size-derived contract must hold for every URI scheme Tables.table
+    * can read (s3a://, hdfs://, nested layouts), where a local-File
+    * probe would silently report 0 bytes and pin the floor count at
+    * exactly the scale the derivation exists for. getContentSummary
+    * sums recursively, covering partitioned/multi-file layouts. A
+    * missing path is an error, never a 0-byte derivation.
     */
-  def numBucketsFor(dir: String): Int = {
-    val p = new java.io.File(s"$dir/lineitem.parquet")
-    val bytes =
-      if (p.isDirectory)
-        p.listFiles().filter(_.isFile).map(_.length()).sum
-      else p.length()
+  def numBucketsFor(s: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"numBucketsFor: $path does not exist")
+    val bytes = fs.getContentSummary(path).getLength
     val need = (bytes + TargetBucketBytes - 1) / TargetBucketBytes
     var n = MinBuckets
     while (n < need && n < (1 << 30)) n <<= 1
@@ -83,7 +90,7 @@ object Bucketing {
     */
   def ensureBucketed(s: SparkSession, dir: String,
                      nBuckets: Int = 0): (String, String) = {
-    val n = if (nBuckets > 0) nBuckets else numBucketsFor(dir)
+    val n = if (nBuckets > 0) nBuckets else numBucketsFor(s, dir)
     prepared.computeIfAbsent((dir, n), { _ =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$n"
       val base = s"target/bucketed/$tag"

@@ -50,17 +50,32 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Probe-failure classification is by ERROR CONDITION, not message
+    // text (a message substring is Spark-version-fragile and can both
+    // miss a real merge failure and misfire on an unrelated error):
+    // CANNOT_MERGE_SCHEMAS anywhere in the cause chain = generation
+    // mixing; UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND = the
+    // start-empty-then-append pattern (normalized-type fallback).
+    // Everything else propagates as-is.
+    def conditions(t: Throwable): Set[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).collect {
+        case st: org.apache.spark.SparkThrowable
+          if st.getCondition != null => st.getCondition
+      }.toSet
     val tsType =
       try spark.read.option("mergeSchema", "true").parquet(eventsDir)
         .schema("ts").dataType
       catch {
-        case e: Throwable if e.getMessage != null &&
-            e.getMessage.toLowerCase.contains("merg") =>
+        case e: Throwable
+            if conditions(e).contains("CANNOT_MERGE_SCHEMAS") =>
           throw new IllegalStateException(
             s"events dir $eventsDir mixes ts generations across files " +
               "(nanos-as-long vs micros/NTZ) — a streaming source needs " +
               "one physical ts type; split the directory by generation", e)
-        case _: org.apache.spark.sql.AnalysisException => TimestampType
+        case e: org.apache.spark.sql.AnalysisException
+            if (conditions(e) intersect
+              Set("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")).nonEmpty =>
+          TimestampType
       }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))

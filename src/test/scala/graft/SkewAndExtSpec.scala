@@ -129,8 +129,14 @@ class SkewAndExtSpec extends AnyFunSuite {
     import graft.operators.Bucketing
     // test SFs land on the floor; the derivation must round UP to a
     // power of two once the footprint crosses the per-bucket target
-    assert(Bucketing.numBucketsFor(dir) === Bucketing.MinBuckets)
+    assert(Bucketing.numBucketsFor(spark, dir) === Bucketing.MinBuckets)
+    // a nonexistent dir must error, never derive a 0-byte floor count
+    intercept[IllegalArgumentException] {
+      Bucketing.numBucketsFor(spark, s"$dir/__no_such_dir__")
+    }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = spark.conf.getOption(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set(
@@ -145,8 +151,15 @@ class SkewAndExtSpec extends AnyFunSuite {
         assert(!plan.contains("Exchange"), s"n=$n: ${plan.take(800)}")
         assert(joined.count() === nLines, s"n=$n")
       }
-    } finally
+    } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevOrd match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => spark.conf.unset(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
+    }
   }
 
   test("schema drift across files: mergeSchema unions columns (ref TODO)") {
