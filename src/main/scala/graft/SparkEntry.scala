@@ -2894,11 +2894,14 @@ object SparkEntry {
         CAST(64 + strlen(text) % 512 AS INT) AS width,
         CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
       FROM documents""",
-    // multimodal_features_checked: the byte-fallback half of the
-    // features pass, recomputed from documents arithmetic (ASCII corpus
-    // — char codes are bytes); hist/ahash stay rows-only
+    // multimodal features: EVERYTHING the pass computes on the synthetic
+    // corpus, recomputed from documents arithmetic (ASCII corpus — char
+    // codes are bytes); the checked slice carries the histogram as raw
+    // DOUBLE columns, the driver-facing form as micro-unit int strings
     "multimodal_features_checked" ->
       graft.operators.Multimodal.multimodalFeaturesCheckedOracleSql,
+    "multimodal_features" ->
+      graft.operators.Multimodal.multimodalFeaturesOracleSql,
   ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
     annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt
 }

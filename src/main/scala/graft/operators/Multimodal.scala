@@ -587,21 +587,81 @@ $histSelects
       FROM m"""
   }
 
-  /** Driver-facing features query (rows-only check on the float/bit
-    * residue; the byte-mirrorable half is oracle-gated above). Arrays
-    * are canonicalized to joined strings — the driver's oracle harness
-    * can't sort/hash ARRAY outputs, so the scalar encoding is what
-    * makes the row/schema check possible.
+  /** Driver-facing features query, fully oracle-checked since r10
+    * (previously the registry's one rows-only entry). Arrays are
+    * canonicalized to joined strings — the driver's oracle harness
+    * can't sort/hash ARRAY outputs — and the histogram renders in
+    * MICRO-UNIT integers, floor(h * 1e6 + 0.5), the spelled half-up
+    * device proven on projectEmbeddings: both engines compute the
+    * identical double h = count/n (one IEEE division), so the floor of
+    * the identical product is the identical integer — unlike a
+    * decimal-rounded string, whose shortest-repr-vs-binary tie
+    * handling differs between engines.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     multimodalFeaturesRaw(s, dir).select(
       col("doc_id"), col("n_bytes"), col("mime"),
       array_join(transform(col("hist"),
-        x => x.cast("decimal(10,4)").cast("string")), ",").as("hist"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long").cast("string")),
+        ",").as("hist_micro"),
       array_join(transform(col("frames"), _.cast("string")), ",")
         .as("frames"),
       array_join(transform(col("grid"), _.cast("string")), ",")
         .as("grid"),
       col("ahash"),
       col("thumb_w"), col("thumb_h"), col("decoded"))
+
+  /** DuckDB mirror of [[multimodalFeatures]] — the checked-slice mirror
+    * plus the micro-unit histogram string, with the multiply-add-floor
+    * sequence spelled in the exact order the Spark side evaluates.
+    */
+  def multimodalFeaturesOracleSql: String = {
+    val histMicro = (0 until 16).map { j =>
+      "CAST(CAST(floor(CAST(len(list_filter(nib, x -> x = " + j +
+        ")) AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) * 1000000.0" +
+        " + 0.5) AS BIGINT) AS VARCHAR)"
+    }.mkString("[", ",\n          ", "]")
+    val ahashTerms = (0 until 64).map { i =>
+      val bit =
+        if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"CASE WHEN gl[${i + 1}] >= gmean THEN CAST($bit AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n          + ")
+    s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(strlen(text) AS INT) AS n,
+          64 + CAST(strlen(text) AS INT) % 512 AS w,
+          64 + (CAST(strlen(text) AS INT) * 7) % 512 AS h
+        FROM documents),
+      g AS (
+        SELECT *,
+          list_transform(range(0, 64),
+            g -> ascii(substr(text,
+              CAST(least((g * n) // 64, n - 1) AS INT) + 1, 1))) AS gl,
+          list_transform(range(1, CAST(n AS BIGINT) + 1),
+            i -> ascii(substr(text, CAST(i AS INT), 1)) // 16) AS nib
+        FROM d),
+      m AS (
+        SELECT *, CAST(list_sum(gl) // 64 AS BIGINT) AS gmean FROM g)
+      SELECT doc_id, n AS n_bytes,
+        CASE WHEN n % 4 = 0 THEN 'image/png'
+             WHEN n % 4 = 1 THEN 'image/jpeg'
+             WHEN n % 4 = 2 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+        array_to_string($histMicro, ',') AS hist_micro,
+        array_to_string(list_transform([0, n // 4, n // 2, 3 * n // 4,
+            n - 1],
+          o -> CAST(ascii(substr(text, CAST(least(o, n - 1) AS INT) + 1,
+            1)) AS VARCHAR)), ',') AS frames,
+        array_to_string(list_transform(gl,
+          v -> CAST(v AS VARCHAR)), ',') AS grid,
+        CASE WHEN len(list_distinct(gl)) = 1 THEN CAST(0 AS BIGINT)
+          ELSE CAST($ahashTerms AS BIGINT) END AS ahash,
+        CAST(greatest(1, trunc(w * least(1.0, 128.0 / greatest(w, h))))
+          AS INT) AS thumb_w,
+        CAST(greatest(1, trunc(h * least(1.0, 128.0 / greatest(w, h))))
+          AS INT) AS thumb_h,
+        false AS decoded
+      FROM m"""
+  }
 }
