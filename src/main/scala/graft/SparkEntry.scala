@@ -29,6 +29,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference-implemented algebra (SURVEY.md §2.1) ---
     "scan_read_files" -> (Relational.scan _),
+    // CSV/JSON/ORC sink→source round-trips (reference README checkboxes;
+    // oracle recomputes the projection from Parquet, so a hash match
+    // proves value-exact fidelity through the text/typed formats)
+    "scan_csv_roundtrip" -> (graft.sources.RoundTrip.scanCsv _),
+    "scan_json_roundtrip" -> (graft.sources.RoundTrip.scanJson _),
+    "scan_orc_roundtrip" -> (graft.sources.RoundTrip.scanOrc _),
     "filter_where" -> (Relational.filterWhere _),
     "project_expr" -> (Relational.projectExpr _),
     "sort_orderby" -> (Relational.sortOrderBy _),
@@ -1965,6 +1971,15 @@ object SparkEntry {
         coalesce(doc.ll / CAST(doc.dl AS DOUBLE) >= -9.0, false) AS keep
       FROM documents d LEFT JOIN doc USING (doc_id)""",
     "scan_read_files" -> "SELECT * FROM lineitem",
+    "scan_csv_roundtrip" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem""",
+    "scan_json_roundtrip" -> """
+      SELECT event_id, user_id, event_type, value,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM events""",
+    "scan_orc_roundtrip" -> "SELECT * FROM part",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",
     "project_expr" -> """

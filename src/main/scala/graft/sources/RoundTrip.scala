@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink→source round-trips for the non-Parquet formats.
+  *
+  * The reference's README lists CSV/JSON sources as unimplemented
+  * checkboxes (reference: README.md feature table; its only scan is the
+  * Parquet `read_files` task, read_files_task.rs:156-291). Here each
+  * format is a first-class sink AND source: every query below writes a
+  * projection of a driver test table out through the format's
+  * DataFrameWriter, reads it back through [[Tables.readFiles]] (the same
+  * extension-dispatched entry the `read_files` analog uses), and returns
+  * the re-read rows. The DuckDB oracle computes the identical projection
+  * straight from the Parquet table, so a hash match proves the round
+  * trip is value-exact — not just row-count-preserving.
+  *
+  * Scale note: the write is a plain distributed `df.write` (one file per
+  * partition, no driver materialization) and the read-back plans one task
+  * per file split, so the shape is identical at 100 TB; the scratch
+  * location would be an object-store URI instead of java.io.tmpdir.
+  *
+  * Determinism notes, per format:
+  *  - CSV carries no types, so the read-back infers them; numeric
+  *    fidelity survives because Spark's CSV writer emits shortest
+  *    round-trip decimal reprs (Java `Double.toString`) and the columns
+  *    are re-cast to the declared output schema after inference.
+  *    Timestamps are rendered to `yyyy-MM-dd` strings BEFORE the write
+  *    (type inference on bare date strings is Spark-version-dependent;
+  *    the normalization below accepts string, date, or timestamp).
+  *  - JSON-lines preserves longs/doubles natively (Jackson also emits
+  *    shortest round-trip reprs); timestamps are pre-rendered like CSV
+  *    (JSON inference keeps them as strings under the default
+  *    inferTimestamp=false).
+  *  - ORC is typed and lossless; the whole table round-trips with no
+  *    projection device at all.
+  */
+object RoundTrip {
+
+  /** Deterministic scratch dir per (format, sf-dir): repeated runs
+    * overwrite instead of accumulating temp dirs (Bench reps the query).
+    */
+  private def scratch(fmt: String, dir: String): String = {
+    val key = Integer.toHexString(dir.hashCode & 0x7fffffff)
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_$key"
+  }
+
+  /** Accept whatever type inference assigned to a pre-rendered
+    * `yyyy-MM-dd` column (string as-is, or date/timestamp re-rendered)
+    * and normalize back to the canonical string form.
+    */
+  private def asDateString(c: org.apache.spark.sql.Column) =
+    date_format(c.cast("date"), "yyyy-MM-dd")
+
+  /** lineitem slice → CSV (header) → read_files → re-cast. */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    val path = scratch("csv", dir)
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    Tables.readFiles(spark, s"$path/*.csv")
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_returnflag").cast("string").as("l_returnflag"),
+        asDateString(col("ship_date")).as("ship_date"))
+  }
+
+  /** events slice → JSON-lines → read_files → re-cast. Goes through
+    * [[Tables.events]] so the ts generation drift is normalized before
+    * rendering, exactly like every other events query.
+    */
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    val path = scratch("json", dir)
+    src.write.mode("overwrite").json(path)
+    Tables.readFiles(spark, s"$path/*.json")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"),
+        col("ts_s").cast("string").as("ts_s"))
+  }
+
+  /** Whole part table → ORC → read_files. Typed format: no projection
+    * device, no re-cast — the schema itself round-trips.
+    */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.table(spark, dir, "part")
+    val path = scratch("orc", dir)
+    src.write.mode("overwrite").orc(path)
+    Tables.readFiles(spark, s"$path/*.orc")
+  }
+}

@@ -39,6 +39,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(src).count() === 0L && src.except(back).count() === 0L)
   }
 
+  test("registry round-trip scan queries are value-exact vs parquet") {
+    // The driver's gate checks these against DuckDB; this is the local
+    // Spark-side equivalent: the re-read rows must equal the same
+    // projection taken straight from the parquet table, both directions.
+    val expected = Map(
+      "scan_csv_roundtrip" -> spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date")),
+      "scan_json_roundtrip" -> graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s")),
+      "scan_orc_roundtrip" -> spark.read.parquet(s"$dir/part.parquet"))
+    for ((name, exp) <- expected) {
+      val got = SparkEntry.queries(name)(spark, dir)
+      assert(got.count() === exp.count(), name)
+      val gotN = got.select(exp.columns.map(col).toIndexedSeq: _*)
+      assert(gotN.except(exp).count() === 0L, s"$name: extra rows")
+      assert(exp.except(gotN).count() === 0L, s"$name: missing rows")
+    }
+  }
+
   test("partitioned write prunes partitions on read (PartitionFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     spark.read.parquet(s"$dir/orders.parquet")
