@@ -383,7 +383,7 @@ class PlanSpec extends AnyFunSuite {
     // canonicalized to a joined string), and BINARY (bytes-vs-blob
     // reprs). Every pipeline may use them INTERNALLY; the final schema
     // must land on the atomic allowlist below — the exact set the full
-    // 147-query dump exhibits today, pinned permanently.
+    // full registry dump exhibits today, pinned permanently.
     import org.apache.spark.sql.types._
     val allowed: Set[DataType] = Set(BooleanType, ByteType, ShortType,
       IntegerType, LongType, FloatType, DoubleType, StringType,

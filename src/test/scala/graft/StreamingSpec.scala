@@ -189,6 +189,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streams run on the RocksDB state store with changelog " +
+       "checkpointing, and emit the same sessions as the default store") {
+    // The 100-TB streaming posture (ROADMAP item): the default
+    // HDFS-backed state store holds every key in executor memory; the
+    // RocksDB provider spills state to local disk and changelog
+    // checkpointing uploads per-batch deltas instead of full snapshots.
+    // Pure configuration — the pipeline code is untouched — so prove it
+    // here: same closed sessions, and the progress metrics show RocksDB
+    // actually served the state ops.
+    def runSessions(name: String): Set[(Long, Long, Long)] = {
+      val q = EventStreams.sessionizeStream(
+          EventStreams.readEventStream(spark, eventsDir))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty, s"$name: no stateful operators in progress")
+        val rocks = ops.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+          .exists(_.toLowerCase.contains("rocksdb"))
+        val provider = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        assert(rocks === provider.exists(_.contains("RocksDB")),
+          s"$name: state-store metrics disagree with configured provider")
+        spark.table(name).collect().map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+            r.getAs[Long]("n_events"))).toSet
+      } finally q.stop()
+    }
+    val confKeys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = confKeys.map(k => k -> spark.conf.getOption(k))
+    val baseline = runSessions("sessions_default_store")
+    try {
+      spark.conf.set(confKeys(0), "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(confKeys(1), "true")
+      val rocksdb = runSessions("sessions_rocksdb_store")
+      assert(rocksdb === baseline)
+      assert(baseline.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("events_retention: offset-0 covers each cohort; later offsets shrink") {
     import org.apache.spark.sql.functions._
     val ret = EventStreams.eventsRetention(spark, dir)
