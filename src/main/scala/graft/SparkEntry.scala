@@ -119,6 +119,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "chunk_documents" -> (Curation.chunkDocuments _),
     "split_assign" -> (Curation.splitAssign _),
+    "shuffle_shards" -> (Curation.shuffleShards _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
@@ -1690,6 +1691,23 @@ object SparkEntry {
                THEN 'test'
              ELSE 'train' END AS split
       FROM documents""",
+    "shuffle_shards" -> """
+      WITH k AS (
+        SELECT doc_id,
+          md5(concat_ws(':', 'graft-shuffle-v1', CAST(doc_id AS VARCHAR)))
+            AS skey
+        FROM documents),
+      s AS (
+        SELECT doc_id, skey,
+          ((ascii(substr(skey, 1, 1)) -
+              CASE WHEN substr(skey, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
+           + (ascii(substr(skey, 2, 1)) -
+              CASE WHEN substr(skey, 2, 1) <= '9' THEN 48 ELSE 87 END))
+            % 8 AS shard
+        FROM k)
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+      FROM s""",
     "join_range" -> """
       SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal,
         round(abs(c_acctbal - s_acctbal), 2) AS diff

@@ -310,6 +310,55 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("split"))
   }
 
+  /** Seeded-shuffle shard parameters: the seed makes the permutation a
+    * reproducible artifact (re-running the export yields byte-identical
+    * shards); the shard count is what a real export would size from the
+    * corpus footprint (ShardedExport's device) — fixed here so the
+    * oracle is static.
+    */
+  val ShuffleSeed = "graft-shuffle-v1"
+  val NumShuffleShards = 8
+
+  /** Seeded global corpus shuffle → shard + in-shard position
+    * (oracle-checked): the last step of every pre-training data
+    * pipeline — decorrelate neighboring documents (dedup clusters,
+    * crawl order, domain runs are all locality in the source order)
+    * before the trainer streams shards sequentially.
+    *
+    * Device: an md5 over (seed, doc_id) is the permutation key — no RNG
+    * state, reproducible on any engine or cluster size, and a new seed
+    * is a fresh independent permutation. The shard is the key's first
+    * two hex digits mod [[NumShuffleShards]] (256 uniform values, so
+    * shards are balanced); the position is a row_number over the key
+    * WITHIN the shard.
+    *
+    * Scale shape: NO global sort and NO single-partition window — the
+    * shard assignment is per-row at scan speed, and the position window
+    * partitions BY shard, so the only shuffle is one hash exchange on
+    * shard (at 100 TB the shard count is sized so each holds one
+    * trainer-file's worth, e.g. tens of thousands — per-shard sorts stay
+    * small and parallel). A global ORDER BY formulation would range-sort
+    * the whole corpus for the same result.
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat_ws(":", lit(ShuffleSeed),
+      col("doc_id").cast("string")))
+    // hex digit -> value without an engine-specific hex-parse: ascii
+    // arithmetic works identically in Spark and DuckDB (md5 hex is
+    // lowercase in both)
+    def hexVal(c: Column): Column =
+      ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        (hexVal(substring(col("skey"), 1, 1)) * 16 +
+          hexVal(substring(col("skey"), 2, 1))) % NumShuffleShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Robust-statistics length filter (oracle-checked): per-language
     * exact p05/p95 bounds on n_chars, documents outside the band
     * dropped — the outlier-trimming pass (truncated/garbled ingest on

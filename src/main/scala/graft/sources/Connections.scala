@@ -81,11 +81,56 @@ object Connections {
     * deliberately NOT released: other names/sessions may still depend on
     * the bucket's JVM-global fs.s3a.* settings, so different-credential
     * re-registration of a once-configured bucket stays rejected for the
-    * JVM's lifetime (conservative by design — restart to rotate).
+    * JVM's lifetime (conservative by design — [[rotate]] is the explicit
+    * path for changing a bucket's credentials).
     */
   def unregister(spark: SparkSession, name: String): Unit = {
     registry.remove(key(spark, name))
     ()
+  }
+
+  /** Explicit mid-session credential rotation for an S3 connection.
+    *
+    * [[register]] refuses conflicting re-registration of a configured
+    * bucket because silent clobbering is how one tenant's credentials
+    * leak into another's reads; rotation is the sanctioned exception —
+    * same name, same bucket, NEW credentials/endpoint, applied loudly:
+    *  1. the per-bucket fs.s3a.* settings are overwritten on the Hadoop
+    *     conf (new tasks pick them up through the broadcast conf), and
+    *  2. the JVM's cached FileSystem client for `s3a://bucket/` is
+    *     closed and evicted, so the NEXT access builds a client with the
+    *     rotated credentials instead of reusing a connection pool
+    *     authenticated with the old ones. Without the eviction the
+    *     rotation would only apply after an unrelated cache flush —
+    *     exactly the silent-staleness this method exists to remove.
+    * The name must already be registered as S3 on the same bucket; a
+    * bucket change is a different connection, not a rotation.
+    */
+  def rotate(spark: SparkSession, name: String, conn: S3): Unit = {
+    get(spark, name) match {
+      case Some(prior: S3) if prior.bucket == conn.bucket => ()
+      case Some(_: S3) => throw new InvalidConnection(
+        s"rotate '$name': bucket change is not a rotation — unregister " +
+          "and register a new connection")
+      case Some(_) | None => throw new InvalidConnection(
+        s"rotate '$name': no existing s3 connection under this name")
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = s"fs.s3a.bucket.${conn.bucket}"
+    hc.set(s"$p.endpoint", conn.endpoint)
+    hc.set(s"$p.access.key", conn.accessKeyId)
+    hc.set(s"$p.secret.key", conn.secretAccessKey)
+    if (conn.region.nonEmpty) hc.set(s"$p.endpoint.region", conn.region)
+    hc.set(s"$p.path.style.access", conn.forcePathStyle.toString)
+    bucketConf.put(conn.bucket, conn)
+    registry.put(key(spark, name), conn)
+    // Evict the cached client. FileSystem.get returns the cached
+    // instance when one exists; close() removes it from the JVM cache.
+    // Tolerate an unloadable s3a implementation (no hadoop-aws on the
+    // classpath): the conf rotation above is still complete and correct.
+    try org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(s"s3a://${conn.bucket}/"), hc).close()
+    catch { case _: Throwable => () }
   }
 
   /** Resolve a `read_files` glob through a named connection to the URI

@@ -78,6 +78,56 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("connections: rotate swaps a bucket's credentials; register still " +
+       "refuses a conflicting clobber") {
+    import graft.sources.Connections
+    Connections.register(spark, "rotbucket", Connections.S3(
+      endpoint = "http://minio:9000", accessKeyId = "ak1",
+      secretAccessKey = "sk1", bucket = "rotb", root = "lake",
+      region = "us-east-1", forcePathStyle = true))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.rotb.access.key") === "ak1")
+    // a plain re-register with different credentials stays rejected —
+    // rotation must be explicit, not a silent clobber
+    intercept[Connections.InvalidConnection] {
+      Connections.register(spark, "rotbucket2", Connections.S3(
+        endpoint = "http://minio:9000", accessKeyId = "ak2",
+        secretAccessKey = "sk2", bucket = "rotb", root = "lake",
+        region = "us-east-1", forcePathStyle = true))
+    }
+    // the explicit rotation path applies the new credentials
+    Connections.rotate(spark, "rotbucket", Connections.S3(
+      endpoint = "http://minio:9000", accessKeyId = "ak2",
+      secretAccessKey = "sk2", bucket = "rotb", root = "lake",
+      region = "us-east-1", forcePathStyle = true))
+    assert(hc.get("fs.s3a.bucket.rotb.access.key") === "ak2")
+    assert(hc.get("fs.s3a.bucket.rotb.secret.key") === "sk2")
+    // post-rotation, registering another name with the NEW credentials
+    // agrees with the guard; the OLD ones are now the conflicting set
+    Connections.register(spark, "rotbucket3", Connections.S3(
+      endpoint = "http://minio:9000", accessKeyId = "ak2",
+      secretAccessKey = "sk2", bucket = "rotb", root = "other",
+      region = "us-east-1", forcePathStyle = true))
+    intercept[Connections.InvalidConnection] {
+      Connections.register(spark, "rotbucket4", Connections.S3(
+        endpoint = "http://minio:9000", accessKeyId = "ak1",
+        secretAccessKey = "sk1", bucket = "rotb", root = "lake",
+        region = "us-east-1", forcePathStyle = true))
+    }
+    // rotation guards: unknown name, and bucket changes are not rotations
+    intercept[Connections.InvalidConnection] {
+      Connections.rotate(spark, "no-such-name", Connections.S3(
+        endpoint = "e", accessKeyId = "a", secretAccessKey = "s",
+        bucket = "rotb", root = "", region = "", forcePathStyle = false))
+    }
+    intercept[Connections.InvalidConnection] {
+      Connections.rotate(spark, "rotbucket", Connections.S3(
+        endpoint = "e", accessKeyId = "a", secretAccessKey = "s",
+        bucket = "otherbucket", root = "", region = "",
+        forcePathStyle = false))
+    }
+  }
+
   test("runScript: a created temp view referencing read_files survives") {
     val dfs = QueryFacade.runScript(spark,
       s"""-- nightly rollup view (comment must not hide the CREATE)

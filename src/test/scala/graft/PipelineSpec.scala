@@ -854,6 +854,46 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("split") =!= col("split2")).count() === 0L)
   }
 
+  test("shuffle_shards: a complete balanced permutation with contiguous " +
+       "in-shard positions, reproducible, and decorrelated from doc order") {
+    val r = graft.operators.Curation.shuffleShards(spark, dir).cache()
+    try {
+      val total = spark.read.parquet(s"$dir/documents.parquet").count()
+      // complete: every doc exactly once
+      assert(r.count() === total)
+      assert(r.select("doc_id").distinct().count() === total)
+      // balanced: two uniform hex digits mod 8 — no shard may deviate
+      // far from n/8 (3x is far outside any binomial tail at n=500)
+      val sizes = r.groupBy("shard").count().collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap
+      assert(sizes.keySet === (0 until
+        graft.operators.Curation.NumShuffleShards).toSet)
+      val expect = total / graft.operators.Curation.NumShuffleShards
+      sizes.values.foreach(n => assert(n < expect * 3 && n > expect / 3,
+        sizes.toString))
+      // positions are 1..count contiguous within each shard
+      val badPos = r.groupBy("shard")
+        .agg(min("pos").as("lo"), max("pos").as("hi"),
+          count(lit(1)).as("n"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n")).count()
+      assert(badPos === 0L)
+      // reproducible: the permutation is a pure function of (seed, id)
+      val again = graft.operators.Curation.shuffleShards(spark, dir)
+      assert(r.except(again).count() === 0L)
+      assert(again.except(r).count() === 0L)
+      // decorrelated: consecutive doc_ids must not stay neighbors —
+      // within a shard, the mean |id gap| between successive positions
+      // is ~uniform-random (≈ n/3 for ids 0..n), far above the source
+      // order's gap of ~NumShuffleShards
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("pos")
+      val meanGap = r
+        .withColumn("gap", abs(col("doc_id") - lag("doc_id", 1).over(w)))
+        .agg(avg("gap")).collect()(0).getDouble(0)
+      assert(meanGap > total / 10.0, s"meanGap=$meanGap — not shuffled")
+    } finally { r.unpersist(); () }
+  }
+
   test("quantize_embeddings: int8 range and error bound") {
     val r = Ann.quantizeEmbeddings(spark, dir)
       .withColumn("qs", split(col("q"), ","))
