@@ -161,6 +161,7 @@ object SparkEntry {
     "fivegram_ll" -> ((s, d) => Ranking.fivegramLogLikelihood(s, d)),
     "quality_repetition" -> (TextOps.qualityRepetition _),
     "ann_recall" -> (Ann.annRecall _),
+    "ann_autotune" -> (Ann.annAutoProbe _),
     // Bare catalog-table SQL — the one reference node
     // (logical_planner.rs:392-395) that parses but errors NotImplemented
     // at execution (builder.rs:67-72): register the sf tables as views,
@@ -700,6 +701,84 @@ object SparkEntry {
             FROM s)
       SELECT q_id, rank, cand_id, cos_r, cell FROM r WHERE rank <= 10"""
     }
+
+  /** ann_autotune oracle — the annIvf assignment/probe mirror swept
+    * over the probe ladder: one top-K re-rank per rung from the SAME
+    * candidate CTE (pr <= rung), recall vs the brute-force mirror, and
+    * the smallest-sufficient-rung choice recomputed by DuckDB's own
+    * window over the ladder. Recall is a ratio of two BIGINT counts —
+    * one IEEE division, bit-identical cross-engine.
+    */
+  private def annAutoProbeOracleSqlOpt: Option[(String, String)] =
+    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(d))
+      .map { cents =>
+        val ladder = graft.operators.Ann.ProbeLadder
+        val target = graft.operators.Ann.AutoProbeTarget
+        val dim = cents.head.length
+        val vals = cents.zipWithIndex.map { case (c, ci) =>
+          s"($ci, ${c.mkString("[", ", ", "]")})"
+        }.mkString(",\n          ")
+        val ladderVals = ladder.map(p => s"($p)").mkString(", ")
+        "ann_autotune" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      d AS (SELECT e.vec_id, e.emb, c.cell,
+              list_sum(list_transform(range(1, ${dim + 1}),
+                i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM d)
+        WHERE rn = 1),
+      probe AS (
+        SELECT q_id, qe, cell, pr FROM (
+          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM d WHERE vec_id < 10)
+        WHERE pr <= ${ladder.max}),
+      ladder AS (SELECT * FROM (VALUES $ladderVals) AS t(nprobe)),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS cand_id,
+          round(list_cosine_similarity(p.qe, a.emb), 6) AS cos_r, p.pr
+        FROM assign a JOIN probe p ON a.cell = p.cell
+        WHERE p.q_id <> a.vec_id),
+      rk AS (
+        SELECT l.nprobe, c.q_id, c.cand_id,
+          row_number() OVER (PARTITION BY l.nprobe, c.q_id
+            ORDER BY c.cos_r DESC, c.cand_id ASC) AS rank
+        FROM cand c JOIN ladder l ON c.pr <= l.nprobe),
+      topk AS (SELECT nprobe, q_id, cand_id FROM rk WHERE rank <= 10),
+      q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+      bs AS (SELECT q.q_id, e2.vec_id AS cand_id,
+               round(list_cosine_similarity(q.qe, e2.emb), 6) AS cos_r
+             FROM q JOIN e e2 ON q.q_id <> e2.vec_id),
+      bf AS (SELECT q_id, cand_id FROM (
+               SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_r DESC, cand_id) AS rank FROM bs)
+             WHERE rank <= 10),
+      nbf AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM bf),
+      hits AS (
+        SELECT t.nprobe,
+          CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit
+        FROM topk t LEFT JOIN bf b
+          ON t.q_id = b.q_id AND t.cand_id = b.cand_id
+        GROUP BY t.nprobe),
+      scored AS (
+        SELECT nprobe, n_hit,
+          CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        FROM hits CROSS JOIN nbf)
+      SELECT nprobe, n_hit, recall, recall >= $target AS meets,
+        (recall >= $target) AND coalesce(
+          sum(CASE WHEN recall >= $target THEN 1 ELSE 0 END)
+            OVER (ORDER BY nprobe
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) = 0 AS chosen
+      FROM scored"""
+      }
 
   /** ann_ivfpq oracle — the two fitted-literal mirrors COMPOSED: the
     * annIvf assignment/probe CTEs pick the candidate cells, the annPq
@@ -2936,5 +3015,5 @@ object SparkEntry {
     "multimodal_features" ->
       graft.operators.Multimodal.multimodalFeaturesOracleSql,
   ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
-    annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt
+    annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt ++ annAutoProbeOracleSqlOpt
 }

@@ -550,6 +550,90 @@ object Ann {
     perQuery.unionByName(graphRow)
   }
 
+  /** Probe-count autotune ladder and recall target: the tuner sweeps
+    * the ladder and picks the SMALLEST nProbe whose measured recall@K
+    * meets the target — nProbe is IVF's one latency/recall knob
+    * (expected candidates scanned ~ nProbe/nCentroids of the corpus),
+    * so the smallest sufficient value is the cheapest valid operating
+    * point. The ladder is geometric: recall is concave in nProbe, so
+    * doubling resolves the curve where it bends.
+    */
+  val ProbeLadder = Seq(1, 2, 4, 8)
+  val AutoProbeTarget = 0.8
+
+  /** IVF probe-count autotuning from MEASURED recall (oracle-checked):
+    * one ladder row per candidate nProbe with its recall@[[K]] against
+    * the exact brute-force baseline, whether it meets
+    * [[AutoProbeTarget]], and whether it is the chosen (smallest
+    * sufficient) operating point. This is the calibration an ANN
+    * deployment runs whenever the corpus or quantizer changes, as a
+    * query instead of a notebook.
+    *
+    * Cost shape: ONE assignment scan and ONE probe-join at the ladder's
+    * maximum — a candidate found at probe rank pr belongs to every rung
+    * p >= pr, so per-rung top-K lists are re-ranks of the same joined
+    * frame (rung p filters pr <= p), not repeated scans. The exact
+    * baseline is the [[annBruteforce]] query-set pass. Everything stays
+    * in-plan; recall is a ratio of two counted BIGINTs (one IEEE
+    * division — bit-identical cross-engine, no rounding device).
+    */
+  def annAutoProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = fitCentroids(s, dir, IvfCentroids)
+    val maxProbe = ProbeLadder.max
+    val assigned = table(s, dir, "embeddings")
+      .withColumn("dists", centroidDists(col("embedding"), centroids))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("cell"))
+    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val probeDf = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(centExpr).as("ct"))
+      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
+        V.l2sq(col("qe"), col("ct.cv")).as("d"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= maxProbe)
+      .select(col("q_id"), col("cell"), col("pr"), col("qe"))
+    val cand = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .select(col("q_id"), col("cand_id"), col("cos_r"), col("pr"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    val perRung = ProbeLadder.map { p =>
+      cand.filter(col("pr") <= p)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= K)
+        .select(lit(p).as("nprobe"), col("q_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val bf = annBruteforce(s, dir).select(col("q_id"), col("cand_id"))
+    val nBf = bf.agg(count(lit(1)).as("n_exact"))
+    // chosen: smallest rung meeting the target — a 4-row (ladder-sized)
+    // ordered window, never data-sized
+    val wLadder = Window.orderBy(col("nprobe"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perRung
+      .join(bf.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .crossJoin(broadcast(nBf))
+      .select(col("nprobe"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .withColumn("meets", col("recall") >= AutoProbeTarget)
+      .withColumn("chosen", col("meets") &&
+        coalesce(sum(when(col("meets"), 1L).otherwise(0L)).over(wLadder),
+          lit(0L)) === 0L)
+  }
+
   /** Johnson-Lindenstrauss target dimension (perfect square, so the
     * 1/sqrt(k) scale is the exact double 0.25) and projection seed
     * (disjoint from the LSH seed family at [[lshSeed]]).

@@ -854,6 +854,31 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("split") =!= col("split2")).count() === 0L)
   }
 
+  test("ann_autotune: full ladder, recall monotone in nprobe, max rung " +
+       "meets the ivf floor, chosen is the smallest sufficient rung") {
+    val rows = Ann.annAutoProbe(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall"),
+        r.getAs[Boolean]("meets"), r.getAs[Boolean]("chosen")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Ann.ProbeLadder)
+    // a candidate visible at probe rank p is visible at every deeper
+    // rung, so recall can only grow with nprobe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall not monotone: $a -> $b")
+    }
+    // the deepest rung IS annIvf's operating point — it must clear the
+    // same floor ann_recall gates ivf on
+    assert(rows.last._2 >= Ann.IvfRecallMin, rows.mkString(", "))
+    // meets/chosen bookkeeping: chosen = first meeting rung, unique
+    rows.foreach { case (_, rec, meets, _) =>
+      assert(meets === (rec >= Ann.AutoProbeTarget))
+    }
+    val meeting = rows.filter(_._3).map(_._1)
+    val chosen = rows.filter(_._4).map(_._1)
+    if (meeting.isEmpty) assert(chosen.isEmpty)
+    else assert(chosen.toSeq === Seq(meeting.min), rows.mkString(", "))
+  }
+
   test("shuffle_shards: a complete balanced permutation with contiguous " +
        "in-shard positions, reproducible, and decorrelated from doc order") {
     val r = graft.operators.Curation.shuffleShards(spark, dir).cache()
