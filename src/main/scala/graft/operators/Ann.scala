@@ -606,14 +606,21 @@ object Ann {
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
       .select(col("q_id"), col("cand_id"), col("cos_r"), col("pr"))
-    val wr = Window.partitionBy(col("q_id"))
+    // one pass over the candidate frame for ALL rungs: a 4-literal
+    // ladder explode + pr <= nprobe filter (the oracle's ladder join),
+    // then one window partitioned by (nprobe, q_id). A per-rung
+    // union-of-filters formulation would re-execute the assignment scan
+    // and probe-join once per rung — Spark does no common-subplan
+    // elimination across union branches.
+    val wr = Window.partitionBy(col("nprobe"), col("q_id"))
       .orderBy(col("cos_r").desc, col("cand_id").asc)
-    val perRung = ProbeLadder.map { p =>
-      cand.filter(col("pr") <= p)
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= K)
-        .select(lit(p).as("nprobe"), col("q_id"), col("cand_id"))
-    }.reduce(_.unionByName(_))
+    val perRung = cand
+      .withColumn("nprobe",
+        explode(array(ProbeLadder.map(p => lit(p)): _*)))
+      .filter(col("pr") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= K)
+      .select(col("nprobe"), col("q_id"), col("cand_id"))
     val bf = annBruteforce(s, dir).select(col("q_id"), col("cand_id"))
     val nBf = bf.agg(count(lit(1)).as("n_exact"))
     // chosen: smallest rung meeting the target — a 4-row (ladder-sized)

@@ -107,6 +107,12 @@ object Connections {
     * bucket change is a different connection, not a rotation.
     */
   def rotate(spark: SparkSession, name: String, conn: S3): Unit = {
+    // same validity bar as register — a rotation must not be the one
+    // path that writes a malformed connection into the conf
+    if (conn.endpoint.isEmpty || conn.bucket.isEmpty)
+      throw new InvalidConnection(s"rotate '$name' needs endpoint+bucket")
+    if (conn.root.startsWith("/"))
+      throw new InvalidConnection(s"s3 root must be relative: '${conn.root}'")
     get(spark, name) match {
       case Some(prior: S3) if prior.bucket == conn.bucket => ()
       case Some(_: S3) => throw new InvalidConnection(
@@ -120,17 +126,35 @@ object Connections {
     hc.set(s"$p.endpoint", conn.endpoint)
     hc.set(s"$p.access.key", conn.accessKeyId)
     hc.set(s"$p.secret.key", conn.secretAccessKey)
+    // a region-less rotation must CLEAR a previously set region — a
+    // stale one signs requests against the wrong region, silently
     if (conn.region.nonEmpty) hc.set(s"$p.endpoint.region", conn.region)
+    else hc.unset(s"$p.endpoint.region")
     hc.set(s"$p.path.style.access", conn.forcePathStyle.toString)
     bucketConf.put(conn.bucket, conn)
     registry.put(key(spark, name), conn)
     // Evict the cached client. FileSystem.get returns the cached
     // instance when one exists; close() removes it from the JVM cache.
-    // Tolerate an unloadable s3a implementation (no hadoop-aws on the
-    // classpath): the conf rotation above is still complete and correct.
+    // Only an UNLOADABLE s3a implementation (no hadoop-aws on the
+    // classpath) is tolerated silently-ish — the conf rotation above is
+    // still complete and a client can't have been cached for a scheme
+    // that can't load. Any OTHER failure means a pooled client may still
+    // hold the old credentials, so it is logged, loudly.
     try org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(s"s3a://${conn.bucket}/"), hc).close()
-    catch { case _: Throwable => () }
+    catch {
+      case _: ClassNotFoundException | _: NoClassDefFoundError |
+           _: java.util.ServiceConfigurationError |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException => ()
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains("No FileSystem for " +
+            "scheme")) => () // hadoop-common's no-impl signal
+      case e: Throwable =>
+        System.err.println(s"[connections] rotate '$name': FileSystem " +
+          s"cache eviction failed (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — a pooled s3a client may still hold the " +
+          "pre-rotation credentials until the cache is flushed")
+    }
   }
 
   /** Resolve a `read_files` glob through a named connection to the URI

@@ -38,12 +38,28 @@ import org.apache.spark.sql.functions._
   */
 object RoundTrip {
 
-  /** Deterministic scratch dir per (format, sf-dir): repeated runs
-    * overwrite instead of accumulating temp dirs (Bench reps the query).
+  /** Deterministic scratch dir per (format, sf-dir, JVM): repeated runs
+    * IN one process overwrite instead of accumulating temp dirs (Bench
+    * reps each query several times); the PID component keeps concurrent
+    * JVMs on the same sf-dir (a Bench and a Verify, two CI shards) from
+    * racing one directory — an overwrite deletes the UUID-named part
+    * files another session's already-planned read has listed. The key is
+    * an 8-byte SHA-256 prefix of the path, not String.hashCode, so two
+    * distinct dirs cannot silently share a scratch location.
+    *
+    * Contract note: construction EXECUTES the write (the sink half of
+    * the round trip is part of the query's semantics). Callers follow
+    * the registry's construct-then-consume pattern (Verify, Bench, and
+    * the specs all do); holding a DataFrame from an EARLIER construction
+    * across a later one for the same dir would read a replaced
+    * directory.
     */
   private def scratch(fmt: String, dir: String): String = {
-    val key = Integer.toHexString(dir.hashCode & 0x7fffffff)
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_$key"
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_${key}_p$pid"
   }
 
   /** Accept whatever type inference assigned to a pre-rendered

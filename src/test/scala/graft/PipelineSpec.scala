@@ -556,8 +556,8 @@ class PipelineSpec extends AnyFunSuite {
     * strictly positive — the exact expression semantics.
     */
   private def lshBucketOf(v: Array[Float], t: Int): Long = {
-    val pl = Ann.planes(6, 64, Ann.lshSeed(t))
-    (0 until 6).map { j =>
+    val pl = Ann.planes(Ann.LshBits, 64, Ann.lshSeed(t))
+    (0 until Ann.LshBits).map { j =>
       var s = 0.0
       var i = 0
       while (i < 64) { s += v(i).toDouble * pl(j)(i); i += 1 }
@@ -774,12 +774,16 @@ class PipelineSpec extends AnyFunSuite {
       "([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){4}$"))
     assert(bad.count() === 0L)
     // since r10 the checked slice also carries hist_0..15 + ahash: the
-    // 16 bins must sum to exactly-representable 1 (count/n partitions),
-    // and the exported ahash must equal ahashOf recomputed from the
+    // 16 bins must sum to exactly-representable 1 (count/n partitions)
+    // for any non-empty payload — an EMPTY payload's histogram is
+    // defined as all zeros (the oracle's greatest(n,1) denominator),
+    // so the sum contract is 1 when n_bytes > 0, 0 otherwise — and
+    // the exported ahash must equal ahashOf recomputed from the
     // exported grid string — the oracle checks both against DuckDB;
     // this pins the Spark-side export to the decode path's own values
     val histSum = (0 until 16).map(j => col(s"hist_$j")).reduce(_ + _)
-    assert(r.filter(abs(histSum - 1.0) > 1e-9).count() === 0L)
+    assert(r.filter(when(col("n_bytes") > 0, abs(histSum - 1.0) > 1e-9)
+      .otherwise(histSum =!= 0.0)).count() === 0L)
     r.select(col("grid"), col("ahash")).collect().foreach { row =>
       val grid = row.getString(0).split(",").map(_.toLong)
       assert(Multimodal.ahashOf(grid) === row.getLong(1))
