@@ -372,6 +372,37 @@ class PlanSpec extends AnyFunSuite {
       .count(_ == "hashpartitioning(token") === 1, p.take(2000))
   }
 
+  test("shuffle_shards: one shard-hash exchange, no global sort, no " +
+       "single-partition window") {
+    // The export shuffle's scale contract: shard assignment is per-row,
+    // the position window partitions BY shard — the only data-sized
+    // movement is one hash exchange on shard. A global ORDER
+    // BY/row_number formulation would show rangepartitioning or a
+    // SinglePartition exchange here and melt at corpus scale.
+    val p = plan("shuffle_shards")
+    assert(p.contains("hashpartitioning(shard"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("ann_autotune sweeps all ladder rungs from one candidate frame " +
+       "(no per-rung re-scan of the corpus)") {
+    // The rewrite this pins: ladder explode + pr <= nprobe filter over
+    // ONE candidate frame. The union-of-filters formulation it replaced
+    // re-executed the assignment scan and probe-join once per rung.
+    // Static scan accounting for the kept shape: assignment (1) + probe
+    // build (1) + the brute-force baseline's two sides x two uses
+    // (top-k join side and the n_exact count — AQE reuses them at
+    // runtime as ReusedExchange, but the static plan prints both) = 6.
+    // The per-rung formulation prints 4 rungs x 2 + 4 = 12 — the pin
+    // sits between the two shapes.
+    val p = plan("ann_autotune")
+    val scans = p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans <= 6, s"$scans embeddings scans — per-rung re-execution?")
+    assert(p.contains("hashpartitioning(nprobe"), p.take(2000))
+  }
+
   test("registry invariant: every query's output columns are " +
        "harness-atomic types (no decimal, nested, or binary)") {
     // The driver's oracle harness reads the compare's two sides through
