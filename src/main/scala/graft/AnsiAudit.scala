@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Diagnostic main: full-evaluate every registry query with
   * `spark.sql.ansi.enabled=true` and report which ones fail.
   *
@@ -34,7 +36,11 @@ object AnsiAudit {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           None
         } catch {
-          case e: Throwable =>
+          // NonFatal only: an OutOfMemoryError or linkage error is an
+          // environmental crash, not a per-query ANSI failure — let it
+          // abort the audit instead of being misattributed to `name` and
+          // continuing the sweep on a possibly corrupted session.
+          case NonFatal(e) =>
             val head = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString
             System.err.println(s"[ansi] $name FAILED: $head")

@@ -1770,10 +1770,11 @@ object SparkEntry {
                THEN 'test'
              ELSE 'train' END AS split
       FROM documents""",
-    "shuffle_shards" -> """
+    "shuffle_shards" -> s"""
       WITH k AS (
         SELECT doc_id,
-          md5(concat_ws(':', 'graft-shuffle-v1', CAST(doc_id AS VARCHAR)))
+          md5(concat_ws(':', '${Curation.ShuffleSeed}',
+                        CAST(doc_id AS VARCHAR)))
             AS skey
         FROM documents),
       s AS (
@@ -1782,7 +1783,7 @@ object SparkEntry {
               CASE WHEN substr(skey, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
            + (ascii(substr(skey, 2, 1)) -
               CASE WHEN substr(skey, 2, 1) <= '9' THEN 48 ELSE 87 END))
-            % 8 AS shard
+            % ${Curation.NumShuffleShards} AS shard
         FROM k)
       SELECT doc_id, shard,
         row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos

@@ -318,6 +318,12 @@ object Curation {
     */
   val ShuffleSeed = "graft-shuffle-v1"
   val NumShuffleShards = 8
+  // The shard below is (first two md5 hex digits) % NumShuffleShards —
+  // 256 equally-likely values, so the assignment is only UNIFORM when
+  // the modulus divides 256. Fail construction (not silently bias the
+  // shards) if the constant is ever retuned off a power of two ≤ 256.
+  require(256 % NumShuffleShards == 0,
+    s"NumShuffleShards=$NumShuffleShards must divide 256 for uniform shards")
 
   /** Seeded global corpus shuffle → shard + in-shard position
     * (oracle-checked): the last step of every pre-training data

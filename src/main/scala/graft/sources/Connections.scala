@@ -35,6 +35,15 @@ object Connections {
   // was configured with and reject conflicting re-registration loudly.
   private val bucketConf = new ConcurrentHashMap[String, S3]()
 
+  // Register/rotate are control-plane operations (a handful per session
+  // lifetime), so a single JVM-wide lock over the check-then-act on
+  // bucketConf + the Hadoop conf + the registry is the right cost: it
+  // closes the window where a concurrent register with pre-rotation
+  // credentials could interleave with rotate and rewrite the fs.s3a.*
+  // settings back to the revoked keys. Reads (get/resolve) stay lock-free
+  // on the concurrent maps.
+  private val mutationLock = new Object
+
   private def key(spark: SparkSession, name: String) =
     (System.identityHashCode(spark).toString, name)
 
@@ -42,7 +51,7 @@ object Connections {
     * S3 settings are applied to the session's Hadoop conf per-bucket.
     */
   def register(spark: SparkSession, name: String,
-               conn: ConnectionType): Unit = {
+               conn: ConnectionType): Unit = mutationLock.synchronized {
     if (name.isEmpty || !name.forall(c => c < 128))
       throw new InvalidConnection(s"name - '$name'")
     conn match {
@@ -105,8 +114,20 @@ object Connections {
     *     exactly the silent-staleness this method exists to remove.
     * The name must already be registered as S3 on the same bucket; a
     * bucket change is a different connection, not a rotation.
+    *
+    * Because the fs.s3a.* settings are per-BUCKET while names are
+    * per-session aliases, every OTHER registry entry on the same bucket
+    * (register allows aliases whose credentials matched) is re-pointed at
+    * the rotated credentials too — each keeps its own `root`. Without
+    * this, `get` on a sibling alias would keep returning the revoked
+    * keys even though the Hadoop conf (what reads actually use) already
+    * rotated. The whole method holds the register/rotate lock so a
+    * concurrent register with the old credentials can neither interleave
+    * mid-rotation nor win afterward (its putIfAbsent-equality check runs
+    * against the rotated bucketConf entry and is rejected).
     */
-  def rotate(spark: SparkSession, name: String, conn: S3): Unit = {
+  def rotate(spark: SparkSession, name: String, conn: S3): Unit =
+      mutationLock.synchronized {
     // same validity bar as register — a rotation must not be the one
     // path that writes a malformed connection into the conf
     if (conn.endpoint.isEmpty || conn.bucket.isEmpty)
@@ -133,6 +154,16 @@ object Connections {
     hc.set(s"$p.path.style.access", conn.forcePathStyle.toString)
     bucketConf.put(conn.bucket, conn)
     registry.put(key(spark, name), conn)
+    // Re-point sibling aliases on the same bucket (any session — the
+    // Hadoop conf they read through is JVM-global) at the rotated
+    // credentials, preserving each alias's own root prefix.
+    registry.replaceAll { (_, existing) =>
+      existing match {
+        case s3: S3 if s3.bucket == conn.bucket =>
+          conn.copy(root = s3.root)
+        case other => other
+      }
+    }
     // Evict the cached client. FileSystem.get returns the cached
     // instance when one exists; close() removes it from the JVM cache.
     // Only an UNLOADABLE s3a implementation (no hadoop-aws on the
@@ -140,15 +171,21 @@ object Connections {
     // still complete and a client can't have been cached for a scheme
     // that can't load. Any OTHER failure means a pooled client may still
     // hold the old credentials, so it is logged, loudly.
+    // Hadoop wraps the no-impl signal variously (bare, in RuntimeException,
+    // in IOException text) across versions — walk the cause chain.
+    def isNoImpl(t: Throwable): Boolean = t != null && (t match {
+      case _: ClassNotFoundException | _: NoClassDefFoundError |
+           _: java.util.ServiceConfigurationError |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException => true
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains(
+            "No FileSystem for scheme")) => true
+      case _ => isNoImpl(t.getCause)
+    })
     try org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(s"s3a://${conn.bucket}/"), hc).close()
     catch {
-      case _: ClassNotFoundException | _: NoClassDefFoundError |
-           _: java.util.ServiceConfigurationError |
-           _: org.apache.hadoop.fs.UnsupportedFileSystemException => ()
-      case e: java.io.IOException
-          if Option(e.getMessage).exists(_.contains("No FileSystem for " +
-            "scheme")) => () // hadoop-common's no-impl signal
+      case e: Throwable if isNoImpl(e) => ()
       case e: Throwable =>
         System.err.println(s"[connections] rotate '$name': FileSystem " +
           s"cache eviction failed (${e.getClass.getSimpleName}: " +

@@ -38,14 +38,17 @@ import org.apache.spark.sql.functions._
   */
 object RoundTrip {
 
-  /** Deterministic scratch dir per (format, sf-dir, JVM): repeated runs
-    * IN one process overwrite instead of accumulating temp dirs (Bench
-    * reps each query several times); the PID component keeps concurrent
-    * JVMs on the same sf-dir (a Bench and a Verify, two CI shards) from
-    * racing one directory — an overwrite deletes the UUID-named part
-    * files another session's already-planned read has listed. The key is
-    * an 8-byte SHA-256 prefix of the path, not String.hashCode, so two
-    * distinct dirs cannot silently share a scratch location.
+  /** Deterministic scratch dir per (format, sf-dir, JVM, session):
+    * repeated runs IN one session overwrite instead of accumulating temp
+    * dirs (Bench reps each query several times); the PID component keeps
+    * concurrent JVMs on the same sf-dir (a Bench and a Verify, two CI
+    * shards) from racing one directory, and the session-identity
+    * component does the same for two SparkSessions IN one JVM (the
+    * multi-session server deployment Connections anticipates) — without
+    * it, a second session's overwrite deletes part files an earlier
+    * session's already-planned read has listed. The key is an 8-byte
+    * SHA-256 prefix of the path, not String.hashCode, so two distinct
+    * dirs cannot silently share a scratch location.
     *
     * Contract note: construction EXECUTES the write (the sink half of
     * the round trip is part of the query's semantics). Callers follow
@@ -54,12 +57,14 @@ object RoundTrip {
     * across a later one for the same dir would read a replaced
     * directory.
     */
-  private def scratch(fmt: String, dir: String): String = {
+  private def scratch(spark: SparkSession, fmt: String,
+                      dir: String): String = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
     val pid = ProcessHandle.current().pid()
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_${key}_p$pid"
+    val sid = System.identityHashCode(spark) // same identity Connections.key uses
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${fmt}_${key}_p${pid}_s$sid"
   }
 
   /** Accept whatever type inference assigned to a pre-rendered
@@ -75,7 +80,7 @@ object RoundTrip {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-    val path = scratch("csv", dir)
+    val path = scratch(spark, "csv", dir)
     src.write.mode("overwrite").option("header", "true").csv(path)
     Tables.readFiles(spark, s"$path/*.csv")
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
@@ -95,7 +100,7 @@ object RoundTrip {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-    val path = scratch("json", dir)
+    val path = scratch(spark, "json", dir)
     src.write.mode("overwrite").json(path)
     Tables.readFiles(spark, s"$path/*.json")
       .select(col("event_id").cast("long").as("event_id"),
@@ -110,7 +115,7 @@ object RoundTrip {
     */
   def scanOrc(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.table(spark, dir, "part")
-    val path = scratch("orc", dir)
+    val path = scratch(spark, "orc", dir)
     src.write.mode("overwrite").orc(path)
     Tables.readFiles(spark, s"$path/*.orc")
   }

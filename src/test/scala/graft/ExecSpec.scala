@@ -128,6 +128,35 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("connections: rotate re-points sibling aliases on the same bucket, " +
+       "each keeping its own root") {
+    import graft.sources.Connections
+    def s3(ak: String, sk: String, root: String) = Connections.S3(
+      endpoint = "http://minio:9000", accessKeyId = ak,
+      secretAccessKey = sk, bucket = "sibb", root = root,
+      region = "us-east-1", forcePathStyle = true)
+    // two aliases on one bucket (allowed: credentials match), distinct roots
+    Connections.register(spark, "sib_raw", s3("akA", "skA", "lake/raw"))
+    Connections.register(spark, "sib_cur", s3("akA", "skA", "lake/curated"))
+    Connections.rotate(spark, "sib_raw", s3("akB", "skB", "lake/raw"))
+    // the SIBLING alias must now carry the rotated credentials — the
+    // Hadoop conf it reads through already did, so a stale registry entry
+    // would hand back revoked keys — while its own root prefix survives
+    Connections.get(spark, "sib_cur") match {
+      case Some(s: Connections.S3) =>
+        assert(s.accessKeyId === "akB")
+        assert(s.secretAccessKey === "skB")
+        assert(s.root === "lake/curated")
+      case other => fail(s"sib_cur resolved to $other")
+    }
+    assert(Connections.resolve(spark, "sib_cur", "d/*.parquet") ===
+      "s3a://sibb/lake/curated/d/*.parquet")
+    // and a register with the PRE-rotation credentials now conflicts
+    intercept[Connections.InvalidConnection] {
+      Connections.register(spark, "sib_stale", s3("akA", "skA", "x"))
+    }
+  }
+
   test("runScript: a created temp view referencing read_files survives") {
     val dfs = QueryFacade.runScript(spark,
       s"""-- nightly rollup view (comment must not hide the CREATE)
