@@ -35,6 +35,10 @@ object SparkEntry {
     "scan_csv_roundtrip" -> (graft.sources.RoundTrip.scanCsv _),
     "scan_json_roundtrip" -> (graft.sources.RoundTrip.scanJson _),
     "scan_orc_roundtrip" -> (graft.sources.RoundTrip.scanOrc _),
+    // schema drift across file generations (reference DEV_NOTES.md
+    // "Allow for differences in schema"): added column + int→long
+    // widening, normalized into ONE scan via a widen-merged read schema
+    "scan_schema_drift" -> (graft.sources.SchemaDrift.scanSchemaDrift _),
     "filter_where" -> (Relational.filterWhere _),
     "project_expr" -> (Relational.projectExpr _),
     "sort_orderby" -> (Relational.sortOrderBy _),
@@ -2078,6 +2082,11 @@ object SparkEntry {
         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
       FROM events""",
     "scan_orc_roundtrip" -> "SELECT * FROM part",
+    "scan_schema_drift" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        CASE WHEN o_orderkey % 2 = 0 THEN NULL
+             ELSE o_orderpriority END AS o_orderpriority
+      FROM orders""",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",
     "project_expr" -> """

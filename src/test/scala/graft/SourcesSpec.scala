@@ -62,6 +62,50 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("schema drift: widenMerge lattice, one-scan normalized read, " +
+       "null pattern on the added column") {
+    import graft.sources.SchemaDrift
+    import org.apache.spark.sql.types._
+    // widening lattice unit facts
+    assert(SchemaDrift.widenMerge(Seq(
+      StructType(Seq(StructField("k", IntegerType, nullable = false))),
+      StructType(Seq(StructField("k", LongType), StructField("x", StringType)))
+    )) === StructType(Seq(StructField("k", LongType),
+      StructField("x", StringType))))
+    // a string/int conflict is producer breakage, not drift
+    intercept[SchemaDrift.DriftConflict] {
+      SchemaDrift.widenMerge(Seq(
+        StructType(Seq(StructField("k", StringType))),
+        StructType(Seq(StructField("k", IntegerType)))))
+    }
+
+    val df = SparkEntry.queries("scan_schema_drift")(spark, dir)
+    // normalized schema is pinned: widened BIGINT key, added column last
+    assert(df.schema.map(f => (f.name, f.dataType)) === Seq(
+      ("o_orderkey", LongType), ("o_custkey", LongType),
+      ("o_orderstatus", StringType), ("o_totalprice", DoubleType),
+      ("o_orderpriority", StringType)))
+    // ONE FileSourceScan over both generation dirs — the whole point of
+    // reading under a supplied widened schema instead of per-gen unions
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, df.queryExecution.executedPlan.toString.take(800))
+    // value-exactness vs the source table, both directions
+    val exp = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        when(col("o_orderkey") % 2 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    assert(df.count() === exp.count())
+    assert(df.except(exp).count() === 0L && exp.except(df).count() === 0L)
+    // the added column is null exactly on generation-1 (even-key) rows
+    assert(df.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderpriority").isNotNull).count() === 0L)
+    assert(df.filter(col("o_orderkey") % 2 =!= 0 &&
+      col("o_orderpriority").isNull).count() === 0L)
+  }
+
   test("partitioned write prunes partitions on read (PartitionFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     spark.read.parquet(s"$dir/orders.parquet")
