@@ -65,6 +65,11 @@ object SparkEntry {
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
     "events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
     "events_enrich" -> (graft.streaming.EventStreams.eventsEnrich _),
+    // two-source watermarked stream-stream LEFT OUTER join, batch twin
+    // (same definition body runs in both modes — withWatermark is a
+    // batch no-op); streaming path + state-bound proof in StreamingSpec
+    "events_enrich_join" ->
+      (graft.streaming.EventStreams.eventsEnrichJoin _),
     "events_funnel" -> (graft.streaming.EventStreams.eventsFunnel _),
     "events_retention" -> (graft.streaming.EventStreams.eventsRetention _),
     "length_filter" -> (Curation.lengthFilter _),
@@ -2790,6 +2795,21 @@ object SparkEntry {
     "events_enrich" -> """
       SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, e.value
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    "events_enrich_join" -> s"""
+      WITH sgn AS (
+        SELECT user_id AS e_user, ts AS eff_ts, event_id AS signup_id,
+          concat('seg', CAST(user_id % 4 AS VARCHAR)) AS segment
+        FROM events WHERE event_type = 'signup'),
+      fact AS (
+        SELECT event_id, user_id, event_type, value, ts
+        FROM events WHERE event_type IN ('view', 'purchase'))
+      SELECT f.event_id, f.user_id, f.event_type, f.value,
+        s.signup_id, s.segment
+      FROM fact f LEFT JOIN sgn s
+        ON f.user_id = s.e_user AND f.ts >= s.eff_ts
+          AND f.ts <= s.eff_ts +
+            INTERVAL ${graft.streaming.EventStreams.EnrichWindowHours}
+              HOUR""",
     "text_stats" -> """
       WITH t AS (
         SELECT doc_id, n_chars, CAST(length(text) AS INT) AS len_chars,

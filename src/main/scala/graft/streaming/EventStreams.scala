@@ -217,6 +217,89 @@ object EventStreams {
   def eventsEnrich(s: SparkSession, dir: String): DataFrame =
     enrichStream(Tables.events(s, dir), Tables.table(s, dir, "customer"))
 
+  // ------------------------- stream-stream enrichment (two sources)
+
+  /** Enrichment-side watermark delay and the match window: a fact event
+    * is enriched by a signup effective at most [[EnrichWindowHours]]
+    * hours before it. Shared by the streaming join, the batch twin, and
+    * the oracle SQL.
+    */
+  val EnrichWindowHours = 2
+
+  /** The enrichment record stream's schema (a second SOURCE, not a
+    * split of the event stream): per-user effectivity records as a
+    * producer would publish them — user key, effective-from timestamp,
+    * provenance id, segment payload.
+    */
+  val enrichSchema: StructType = StructType(Seq(
+    StructField("e_user", LongType), StructField("eff_ts", TimestampType),
+    StructField("signup_id", LongType), StructField("segment", StringType)))
+
+  /** Derive the deterministic enrichment records from signup events —
+    * the generator BOTH the batch twin and the streaming spec's second
+    * source directory use, so the two-stream join is oracle-checkable:
+    * DuckDB recomputes the same records from the events table.
+    */
+  def enrichmentRecords(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("e_user"), col("ts").as("eff_ts"),
+        col("event_id").as("signup_id"),
+        concat(lit("seg"), (col("user_id") % 4).cast("string"))
+          .as("segment"))
+
+  /** File stream over a directory of enrichment parquet (the
+    * late-arriving second source; explicit schema as streaming requires).
+    */
+  def readEnrichmentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(enrichSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Watermarked TWO-SOURCE stream-stream LEFT OUTER join: view/purchase
+    * facts enriched by the signup record effective within the preceding
+    * [[EnrichWindowHours]] hours; facts with no such record emit with
+    * null enrichment once the watermark proves none can arrive.
+    *
+    * This is the harder stream-stream state machine than the inner
+    * [[viewPurchaseJoin]]: the outer side's null-emission is
+    * WATERMARK-DRIVEN (a fact row leaves the state either matched or,
+    * when the combined watermark passes `ts`, as a null-match — never
+    * both, never dropped). Both sides carry watermarks and the interval
+    * condition bounds `ts` relative to `eff_ts`, so each side's state
+    * evicts once the other's watermark passes the bound — the
+    * run-forever requirement. The enrichment side is watermarked 2x
+    * looser: enrichment producers are the typically-late source, and the
+    * asymmetry documents that the delays are per-source lateness
+    * budgets, not a shared constant.
+    *
+    * `withWatermark` is a no-op on batch frames, so [[eventsEnrichJoin]]
+    * runs this SAME definition in batch for the oracle gate — one body,
+    * both execution modes, the Structured Streaming unification the
+    * north star asks for.
+    */
+  def enrichJoinStream(facts: DataFrame, enrich: DataFrame): DataFrame = {
+    val f = facts.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withWatermark("ts", s"$EnrichWindowHours hours")
+    val e = enrich.withWatermark("eff_ts", s"${2 * EnrichWindowHours} hours")
+    f.join(e, expr(
+      s"""user_id = e_user AND ts >= eff_ts AND
+          ts <= eff_ts + interval $EnrichWindowHours hours"""),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("signup_id"), col("segment"))
+  }
+
+  /** Batch twin of [[enrichJoinStream]] (oracle-checked): the identical
+    * definition over the batch events table, enrichment derived by
+    * [[enrichmentRecords]]. Id-keyed output — no timestamps reach the
+    * comparison.
+    */
+  def eventsEnrichJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    enrichJoinStream(ev, enrichmentRecords(ev))
+  }
+
   /** Batch sessionization — identical semantics to the streaming version,
     * expressed with lag/cumulative-sum windows (oracle-checked). One
     * shuffle on user_id; both windows share the same partitioning+ordering

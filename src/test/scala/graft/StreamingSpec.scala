@@ -135,6 +135,94 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two-source left-outer enrichment join: late enrichment buffers, " +
+       "watermarks flush null-matches and evict state, both state stores " +
+       "agree with the batch twin") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    val maxTsMs = ev.agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0).getTime
+    def sentinelTs(plusDays: Int) =
+      new java.sql.Timestamp(maxTsMs + plusDays * 24L * 3600L * 1000L)
+    // stage a coalesced parquet part file into a stream directory
+    def stage(df: org.apache.spark.sql.DataFrame, streamDir: String,
+              name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(streamDir, name))
+      ()
+    }
+    val expected = EventStreams.eventsEnrichJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+
+    def run(name: String): Set[(Long, Option[Any], Option[Any])] = {
+      val fDir = java.nio.file.Files.createTempDirectory("ssj_facts").toString
+      val eDir = java.nio.file.Files.createTempDirectory("ssj_enrich").toString
+      stage(ev, fDir, "f0.parquet") // facts arrive first
+      val q = EventStreams.enrichJoinStream(
+          EventStreams.readEventStream(spark, fDir),
+          EventStreams.readEnrichmentStream(spark, eDir))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // phase 1 — enrichment source still empty: nothing may emit.
+        // Matches can't exist and the outer null-emission is
+        // watermark-driven; a batch engine would have answered wrongly
+        // here, the stream correctly BUFFERS.
+        q.processAllAvailable()
+        assert(spark.table(name).count() === 0L,
+          s"$name: emitted before the enrichment source produced")
+        // phase 2 — the late enrichment file arrives: matches emit
+        stage(EventStreams.enrichmentRecords(ev), eDir, "e0.parquet")
+        q.processAllAvailable()
+        val matchedOnly = spark.table(name)
+          .filter(col("signup_id").isNotNull).count()
+        assert(matchedOnly > 0L, s"$name: no matches after enrichment")
+        // phase 3 — far-future sentinels push BOTH watermarks past every
+        // real row: pending unmatched facts flush as null-matches and
+        // the join state evicts
+        import spark.implicits._
+        stage(Seq((-1L, sentinelTs(30), -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props"), fDir, "f1.parquet")
+        stage(Seq((-2L, sentinelTs(30), -2L, "segX"))
+          .toDF("e_user", "eff_ts", "signup_id", "segment"),
+          eDir, "e1.parquet")
+        q.processAllAvailable()
+        val progress = q.recentProgress.flatMap(_.stateOperators)
+        assert(progress.nonEmpty, s"$name: no stateful operators")
+        val peak = progress.map(_.numRowsTotal).max
+        val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // eviction proof: the watermark pass must have DROPPED state —
+        // only the two sentinel rows (inside their own horizon) may stay
+        assert(fin < peak, s"$name: state never evicted (peak=$peak fin=$fin)")
+        assert(fin <= 4L, s"$name: state not bounded after flush: $fin")
+        spark.table(name).filter(col("event_id") >= 0L).collect()
+          .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+      } finally q.stop()
+    }
+
+    val confKeys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = confKeys.map(k => k -> spark.conf.getOption(k))
+    val onDefault = run("ssj_default")
+    assert(onDefault === expected)
+    assert(onDefault.exists(_._2.isEmpty), "no null-match rows flushed")
+    try {
+      spark.conf.set(confKeys(0), "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(confKeys(1), "true")
+      assert(run("ssj_rocksdb") === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("streaming materialization serves the rec_N layout via the pager") {
     val root = java.nio.file.Files.createTempDirectory("stream_res").toString
     val q = graft.exec.ResultMaterializer.materializeStream(
