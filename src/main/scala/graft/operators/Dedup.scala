@@ -866,6 +866,34 @@ object Dedup {
   def dedupContainment(s: SparkSession, dir: String,
                        threshold: Double = ContainThreshold,
                        maxDf: Int = MaxContainDf): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val (g, cand) = containmentCandidates(s, dir, threshold, maxDf)
+    val ver = cand
+      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy(col("a"), col("b"), col("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") >=
+        col("na").cast("double") * threshold)
+      .withColumn("cont",
+        col("inter").cast("double") / col("na").cast("double"))
+    val verdict = ver.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("contained_in"),
+        round(max(col("cont")), 4).as("best_cont"))
+    docs.select(col("doc_id")).join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contained_in"), col("best_cont"),
+        col("contained_in").isNull.as("keep"))
+  }
+
+  /** Gram profile + candidate generation for [[dedupContainment]],
+    * exposed for the spec that audits the mini-signature prefilter.
+    * Returns (g, cand): the per-doc sampled gram set and the surviving
+    * candidate pairs that proceed to the exact-intersection verify.
+    */
+  private[graft] def containmentCandidates(
+      s: SparkSession, dir: String,
+      threshold: Double = ContainThreshold, maxDf: Int = MaxContainDf,
+      sigPrefilter: Boolean = true): (DataFrame, DataFrame) = {
     val q = ContainGramLen
     val docs = table(s, dir, "documents")
     // The gram profile feeds FOUR consumers (prefix side, build side,
@@ -905,28 +933,66 @@ object Dedup {
         col("df") <= maxDf)
     val build = gd.filter(col("df") <= maxDf)
       .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"))
-    val cand = pref.select(col("doc_id").as("a"), col("n").as("na"),
+    val cand0 = pref.select(col("doc_id").as("a"), col("n").as("na"),
         col("gram"))
       .join(build, "gram")
       .filter(col("a") =!= col("b") &&
         col("nb").cast("double") >= col("na").cast("double") * threshold)
       .select(col("a"), col("na"), col("b")).distinct()
-    val ver = cand
-      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
-      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
-      .groupBy(col("a"), col("b"), col("na"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast("double") >=
-        col("na").cast("double") * threshold)
-      .withColumn("cont",
-        col("inter").cast("double") / col("na").cast("double"))
-    val verdict = ver.groupBy(col("a").as("doc_id"))
-      .agg(min(col("b")).as("contained_in"),
-        round(max(col("cont")), 4).as("best_cont"))
-    docs.select(col("doc_id")).join(verdict, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("contained_in"), col("best_cont"),
-        col("contained_in").isNull.as("keep"))
+    // Count-signature prefilter between candidate generation and the
+    // exact verify (the dedup_ngram mini-signature idea composed in
+    // front of the expensive stage, ROADMAP item 8) — but, unlike that
+    // probabilistic 8-slot agreement test, LOSSLESS: bucket every doc's
+    // sampled grams into [[ContainSigSlots]] slots by an md5-derived
+    // hash; for any pair, sum_i min(cntA_i, cntB_i) is a true upper
+    // bound on |A∩B| (each shared gram lands in the same slot on both
+    // sides), so a candidate whose bound misses t*na cannot pass the
+    // verify and dies here — against a small int vector instead of two
+    // doc-sized gram joins. Slot count is the power knob: per-slot
+    // UNIQUE-gram counts are ~Poisson(u/S), so the bound's slack is
+    // E[sum_i min(uA_i, uB_i)] ~ u * f(u/S), which collapses as S
+    // grows past u — at S = 128 a same-size pair with containment 0.5
+    // bounds out near 0.75*na < t, while a TRUE pair (inter >= t*na)
+    // passes by construction, always. Output provably unchanged
+    // (PipelineSpec's brute-force theorem test runs the composed
+    // pipeline), so the oracle SQL needs no mirror. The signature join
+    // is doc-keyed (corpus-scaling key, never broadcast); at 100 TB
+    // the csig frame would be semi-joined to cand0's doc ids first.
+    val cand =
+      if (!sigPrefilter) cand0
+      else {
+        // hex chars 2-3 of md5(gram): char 1 is the sampling filter's
+        // (only 4 values survive it) — chars 2-3 are uniform over 256
+        def hexVal(c: Column): Column =
+          ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87))
+        val slot = (hexVal(substring(md5(col("gram")), 2, 1)) * 16 +
+          hexVal(substring(md5(col("gram")), 3, 1))) % ContainSigSlots
+        // typed-Aggregator histogram: O(1) per gram row into a dense
+        // int-array buffer, map-side combinable (see SlotHistogram's
+        // Scaladoc for the measured cost of the pure-SQL alternatives)
+        val csig = g.withColumn("slot", slot)
+          .groupBy(col("doc_id"))
+          .agg(graft.functions.SlotHistogram
+            .slotHistogram(ContainSigSlots)(col("slot")).as("csig"))
+        cand0
+          .join(csig.select(col("doc_id").as("a"), col("csig").as("sig_a")),
+            Seq("a"))
+          .join(csig.select(col("doc_id").as("b"), col("csig").as("sig_b")),
+            Seq("b"))
+          .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => least(x, y)), lit(0), _ + _).cast("double") >=
+            col("na").cast("double") * threshold)
+          .select(col("a"), col("na"), col("b"))
+      }
+    (g, cand)
   }
+
+  /** Slot count of the containment count-signature. Sized so the
+    * bound's slack (the slot-collision term ~ u*f(u/S) above) is small
+    * against the unique-gram counts of typical documents; the vector
+    * is S ints per doc, shuffled once on the doc key.
+    */
+  val ContainSigSlots = 128
 
   // -------------------------------------- cross-corpus segment dedup
 

@@ -398,6 +398,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(flagged === expected)
   }
 
+  test("containment mini-signature prefilter: prunes adversarial " +
+       "sub-threshold candidates before the verify, losslessly") {
+    import org.apache.commons.codec.digest.DigestUtils.md5Hex
+    // Adversarial corpus for the PREFIX filter: a pool of rare-ish
+    // chunks, each doc holding ~half of them, pads sandwiching every
+    // chunk so junction grams are either chunk-owned (df ≈ ndocs/2,
+    // under the stop-gram cap → they BLOCK) or pad-only (df = ndocs,
+    // capped out). Every doc pair then shares blocking grams, so
+    // candidate generation goes quadratic — while pairwise containment
+    // sits near 0.5, far under the 0.8 threshold. Exactly the regime
+    // the count-signature bound exists for. Three planted true
+    // containments (chunk-subset docs) must survive the prefilter.
+    val nDocs = 24
+    val pad = "qqqqqqqqqqqqqqq" // 15 chars: no 16-gram is pad-internal
+    val pool = (0 until 40).map(k => md5Hex(s"chunk:$k"))
+    def chunksOf(i: Int): Seq[String] =
+      pool.zipWithIndex.collect {
+        case (c, k) if md5Hex(s"pick:$i:$k").charAt(0) < '8' => c
+      }
+    def textOf(cs: Seq[String]): String = cs.map(pad + _ + pad).mkString
+    val base = (0 until nDocs).map(i => (i.toLong, textOf(chunksOf(i))))
+    // true containments: docs 100..102 are chunk-subsets of docs 0..2
+    val contained = (0 until 3).map(j =>
+      ((100 + j).toLong, textOf(chunksOf(j).drop(2))))
+    val tmp = java.nio.file.Files.createTempDirectory("contain_adv").toString
+    import spark.implicits._
+    (base ++ contained).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val (_, candWith) = graft.operators.Dedup
+      .containmentCandidates(spark, tmp, sigPrefilter = true)
+    val (_, candWithout) = graft.operators.Dedup
+      .containmentCandidates(spark, tmp, sigPrefilter = false)
+    val nWith = candWith.count()
+    val nWithout = candWithout.count()
+    // the adversarial pairs reached candidacy without the signature...
+    assert(nWithout > nDocs.toLong,
+      s"plant failed: only $nWithout candidates without the prefilter")
+    // ...and the signature killed the bulk of them before the verify
+    assert(nWith * 2 < nWithout,
+      s"prefilter barely pruned: $nWith of $nWithout")
+    // lossless: the composed operator's verdicts equal the unfiltered
+    // formulation's on this corpus, and the planted containments are
+    // flagged with their true container
+    val out = graft.operators.Dedup.dedupContainment(spark, tmp).collect()
+    val flagged = out.filter(!_.getAs[Boolean]("keep"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contained_in"))
+      .toMap
+    (0 until 3).foreach { j =>
+      assert(flagged.get((100 + j).toLong).contains(j.toLong),
+        s"planted containment ${100 + j} in $j not flagged: $flagged")
+    }
+    // every surviving candidate that passes the verify must also have
+    // been reachable without the prefilter (with ⊆ without)
+    val wSet = candWith.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val woSet = candWithout.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wSet.subsetOf(woSet))
+  }
+
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = graft.operators.Dedup.dedupSegments(spark, dir)

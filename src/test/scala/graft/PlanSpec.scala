@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_containment: count-signature prefilter sits between " +
+       "candidate generation and the verify joins") {
+    val p = plan("dedup_containment")
+    // the histogram aggregation (typed Aggregator) builds the per-doc
+    // signature...
+    assert(p.toLowerCase.contains("slothistogram"), p.take(2000))
+    // ...and the slot-wise min-sum bound is evaluated as a filter on the
+    // candidate pairs (zip_with/least fold over the two signature
+    // vectors) — if this pin breaks, candidates are reaching the
+    // doc-sized verify joins unscreened
+    assert(p.contains("zip_with") && p.contains("least"), p.take(2000))
+    assert(p.contains("aggregate(zip_with"), p.take(2000))
+  }
+
   test("dedup_minhash: corpus-sized self-join is SMJ, survivors broadcast") {
     val p = plan("dedup_minhash")
     // band self-join must not broadcast a corpus-derived side
