@@ -162,6 +162,53 @@ class SkewAndExtSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join splits a planted hot partition — the engine-native " +
+       "alternative to the manual salt") {
+    // joinSalted is the EXPLICIT skew treatment; this pins that the
+    // engine's own runtime re-plan handles the same shape when enabled.
+    // Decision rule (COVERAGE.md): salt when the hot key is KNOWN ahead
+    // (skew_diagnose output) and the join must be shaped deterministically
+    // (e.g. to feed a pinned downstream partitioning); prefer AQE skew
+    // splitting otherwise — it needs no key knowledge, adapts per-batch,
+    // and composes with every join in the query without code changes.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // planted skew: 90% of fact rows carry key 0
+      val fact = spark.range(400000L).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(2000L).select(col("id").as("k2"),
+        (col("id") * 2).as("w"))
+      val j = fact.join(dim, col("k") === col("k2"))
+      // hot key 0 matches dim key 0: 360k rows; cold keys are the ids
+      // divisible by 10 under 2000: 200 rows
+      assert(j.count() === 360200L)
+      // drive j's OWN QueryExecution so its adaptive plan finalizes
+      // (count() above planned a separate query)
+      j.queryExecution.toRdd.foreachPartition(_ => ())
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      // the split is visible in the final adaptive plan: the SMJ is
+      // marked as a skew join and the shuffle read carries skewed
+      // partition splits
+      assert(p.contains("skew=true") || p.contains("skewed"), p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("schema drift across files: mergeSchema unions columns (ref TODO)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("drift").toString
