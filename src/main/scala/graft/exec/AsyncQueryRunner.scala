@@ -41,8 +41,20 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     * [[ResultMaterializer.materializeIncremental]], committing rec_N files
     * as partitions finish — [[resultsSoFar]] then serves pages while the
     * query is still Running (the reference's serve-while-materializing).
+    *
+    * `schedulerPool` routes the query's jobs to a named scheduler pool
+    * via the thread-local `spark.scheduler.pool` property — the
+    * multi-tenant fairness surface: with the context running
+    * `spark.scheduler.mode=FAIR`, concurrent queries in different pools
+    * share executor slots by pool weight instead of FIFO-starving each
+    * other (the driver-at-scale posture the reference's compute-claiming
+    * scheduler gestures at, query_handler.rs:381-416). Under the default
+    * FIFO mode the property is accepted and inert. Job group and pool
+    * are both thread-local, so concurrent submits never bleed into each
+    * other; both are cleared before the worker thread is reused.
     */
-  def submit(sql: String, incremental: Boolean = false): String = {
+  def submit(sql: String, incremental: Boolean = false,
+             schedulerPool: Option[String] = None): String = {
     val queryId = UUID.randomUUID().toString
     states.put(queryId, Queued)
     pool.submit(new Runnable {
@@ -56,6 +68,8 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
         try {
           spark.sparkContext.setJobGroup(queryId,
             s"graft query $queryId", interruptOnCancel = true)
+          schedulerPool.foreach(p =>
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
           val df = graft.sql.QueryFacade.run(spark, sql)
           val rs =
             if (incremental) {
@@ -74,7 +88,10 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
           case e: Throwable =>
             states.put(queryId, Error(Option(e.getMessage).getOrElse(
               e.getClass.getSimpleName)))
-        } finally spark.sparkContext.clearJobGroup()
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
       }
     })
     queryId

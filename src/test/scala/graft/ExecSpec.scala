@@ -454,6 +454,65 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("async concurrency audit: pooled submits with a mid-flight cancel, " +
+       "5 rounds — views, result dirs, and states stay isolated") {
+    import graft.exec.AsyncQueryRunner
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    // a per-row sleep makes the cancel victim deterministically slow
+    // enough to be caught mid-flight (tasks interrupt on cancel)
+    spark.udf.register("graft_test_sleep", (ms: Int, x: Long) => {
+      Thread.sleep(ms.toLong); x
+    })
+    val expected = Map("region" -> 5L, "nation" -> 25L, "supplier" -> 10L,
+      "customer" -> 150L, "orders" -> 1500L)
+    // a CREATE VIEW statement legitimately KEEPS its rewritten views
+    // (stored-text re-resolution — the runScript spec makes one), so the
+    // leak check is against a baseline snapshot, not absolute emptiness
+    def readFilesViews(): Set[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_read_files_")).toSet
+    val preExisting = readFilesViews()
+    for (round <- 1 to 5) {
+      // concurrent submits routed across two scheduler pools (inert
+      // under the test context's FIFO mode, but the property must be
+      // thread-local per query and cleared on thread reuse — 5 rounds
+      // over a cached pool exercise exactly that)
+      val ids = expected.keys.toSeq.zipWithIndex.map { case (t, i) =>
+        t -> runner.submit(s"select * from read_files('$dir/$t.parquet')",
+          incremental = i % 2 == 0,
+          schedulerPool = Some(s"pool${i % 2}"))
+      }
+      val victim = runner.submit(
+        s"select graft_test_sleep(40, o_orderkey) as k " +
+          s"from read_files('$dir/orders.parquet')",
+        schedulerPool = Some("pool1"))
+      runner.cancel(victim)
+      // the cancel must land terminal as an error, never Complete
+      val vFin = runner.waitForFinish(victim, maxWaitMs = 120000L)
+      assert(vFin.isInstanceOf[AsyncQueryRunner.Error],
+        s"round $round victim: $vFin")
+      // ...and must not have bled into any concurrent query
+      ids.foreach { case (t, id) =>
+        val fin = runner.waitForFinish(id, maxWaitMs = 120000L)
+        assert(fin.isInstanceOf[AsyncQueryRunner.Complete],
+          s"round $round $t: $fin")
+        assert(runner.results(id).totalRows === expected(t),
+          s"round $round $t")
+        // per-query result dir exists and is its own
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, id)), s"round $round $t dir")
+      }
+      // no rewritten read_files view may leak into the shared session
+      val leaked = readFilesViews() -- preExisting
+      assert(leaked.isEmpty, s"round $round leaked views: $leaked")
+      (ids.map(_._2) :+ victim).foreach(runner.forget(_, deleteFiles = true))
+      ids.foreach { case (_, id) =>
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, id)))
+      }
+    }
+  }
+
   test("incremental materialize: pages are servable after each commit") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
