@@ -37,7 +37,8 @@ import graft.exec.ResultMaterializer.ResultSet
   * ResultMaterializer, so skipping to a cursor is O(1) metadata work and
   * driver memory is bounded by a few row groups regardless of file size.
   */
-final class CursorPager(spark: SparkSession, rs: ResultSet) {
+final class CursorPager(spark: SparkSession, rs: ResultSet,
+                        forceSparkReads: Boolean = false) {
   import CursorPager._
 
   private val fileRows: Vector[Long] = rs.files.map(_.rows)
@@ -54,11 +55,20 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
           e: java.util.Map.Entry[(Int, Int), Array[Row]]): Boolean = size() > 8
     }
 
-  /** One row group's rows, by `_metadata.row_index` range — the verbatim
-    * footer offsets, so the filter selects exactly the group. (On object
-    * storage you'd hand the range to a parquet reader with row-group
-    * selection as the reference does; the metadata layer here is already
-    * group-granular, only the local read path goes through Spark.)
+  // The default read path is the direct footer-driven row-group reader
+  // ([[ParquetRangeReader]]): one open + one row group's column chunks
+  // per read — on object storage that is one ranged GET per chunk, never
+  // a file scan. Schemas outside the reader's type coverage (impossible
+  // for registry results — the PlanSpec output-type invariant — but
+  // arbitrary DataFrames can be materialized too) fall back to the Spark
+  // path, as does `forceSparkReads` (the parity spec's lever).
+  private lazy val useRangedReads: Boolean =
+    !forceSparkReads && ParquetRangeReader.supports(schema)
+
+  /** One row group's rows. Spark-path reads select the group by
+    * `_metadata.row_index` range — the verbatim footer offsets, so the
+    * filter selects exactly the group's rows (but scans the file to find
+    * them; the ranged reader is why that path is no longer the default).
     */
   private def readRowGroup(file: Int, rowGroup: Int): Array[Row] = {
     val key = (file, rowGroup)
@@ -66,10 +76,15 @@ final class CursorPager(spark: SparkSession, rs: ResultSet) {
     if (cached != null) cached
     else {
       val gs = groupStarts(file)
-      val rows = spark.read.parquet(rs.files(file).path)
-        .filter(col("_metadata.row_index") >= gs(rowGroup) &&
-          col("_metadata.row_index") < gs(rowGroup + 1))
-        .collect()
+      val rows =
+        if (useRangedReads)
+          ParquetRangeReader.readRowGroup(
+            spark.sparkContext.hadoopConfiguration, rs.files(file).path,
+            rowGroup, schema)
+        else spark.read.parquet(rs.files(file).path)
+          .filter(col("_metadata.row_index") >= gs(rowGroup) &&
+            col("_metadata.row_index") < gs(rowGroup + 1))
+          .collect()
       cache.put(key, rows)
       rows
     }

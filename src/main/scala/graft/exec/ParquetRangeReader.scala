@@ -1,0 +1,146 @@
+package graft.exec
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Direct row-group reads for the cursor pager (ROADMAP item 4: serving
+  * results over object storage).
+  *
+  * The pager's original read path routes through Spark
+  * (`spark.read.parquet` + a `_metadata.row_index` range filter): correct,
+  * but a whole-file scan per page on a store with no row-index pushdown —
+  * on s3a that is O(file) GET traffic to serve one row group. This reader
+  * is the at-scale path: it opens the file through the Hadoop FileSystem
+  * API (local file, hdfs, s3a — on object stores the SeekableInputStream
+  * maps to ranged GETs), reads the FOOTER metadata, and then fetches
+  * exactly ONE row group's column chunks via
+  * `ParquetFileReader.readRowGroup(i)` — the reference's
+  * `with_row_groups` slicing (query_data_handler.rs:183-246) expressed
+  * against parquet-mr instead of parquet-rs.
+  *
+  * Decoding goes through parquet's example Group materializer and a
+  * type-directed Group→Row conversion covering every type the registry
+  * can materialize (the registry-wide PlanSpec invariant bans
+  * DECIMAL/nested/BINARY outputs, so primitives + string + date +
+  * timestamp are the whole surface). [[supports]] reports whether a
+  * schema is coverable; [[CursorPager]] falls back to the Spark path for
+  * anything else, and an ExecSpec parity property pins both paths
+  * byte-for-byte equal on the same pages.
+  */
+object ParquetRangeReader {
+
+  /** Can every column of `schema` be decoded by [[readRowGroup]]? */
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+
+  /** Read one row group of `path` as Spark [[Row]]s matching `schema`
+    * (the file's own footer supplies the parquet schema; fields are
+    * matched by NAME, so column order differences cannot misbind).
+    */
+  def readRowGroup(conf: Configuration, path: String, rowGroup: Int,
+                   schema: StructType): Array[Row] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val msgType = reader.getFooter.getFileMetaData.getSchema
+      val store = reader.readRowGroup(rowGroup)
+      val io = new ColumnIOFactory().getColumnIO(msgType)
+      val rr = io.getRecordReader(store, new GroupRecordConverter(msgType))
+      val fields = schema.fields.map(f =>
+        (msgType.getFieldIndex(f.name), f.dataType))
+      val n = store.getRowCount.toInt
+      val out = new Array[Row](n)
+      var i = 0
+      while (i < n) {
+        val g = rr.read()
+        out(i) = Row.fromSeq(fields.toIndexedSeq.map { case (idx, dt) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else value(g, idx, dt, msgType)
+        })
+        i += 1
+      }
+      out
+    } finally reader.close()
+  }
+
+  private def value(g: Group, idx: Int, dt: DataType,
+                    msgType: MessageType): Any = dt match {
+    case LongType => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case ShortType => g.getInteger(idx, 0).toShort
+    case ByteType => g.getInteger(idx, 0).toByte
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType => g.getString(idx, 0)
+    case DateType =>
+      java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(g.getInteger(idx, 0).toLong))
+    case TimestampType =>
+      val prim = msgType.getType(idx).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 =>
+          // 12 bytes little-endian: nanos-of-day (8) + julian day (4)
+          val bb = g.getInt96(idx, 0).toByteBuffer
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = bb.getLong
+          val julianDay = bb.getInt
+          val epochDay = julianDay - 2440588L // julian day of 1970-01-01
+          tsFromMicros(epochDay * 86400L * 1000000L + nanosOfDay / 1000L)
+        case PrimitiveTypeName.INT64 =>
+          val micros = prim.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              g.getLong(idx, 0) * 1000L
+            case t: TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+              Math.floorDiv(g.getLong(idx, 0), 1000L)
+            case _ => g.getLong(idx, 0) // MICROS (Spark's int64 default)
+          }
+          tsFromMicros(micros)
+        case other => throw new IllegalStateException(
+          s"timestamp column stored as $other — extend the range reader")
+      }
+    case TimestampNTZType =>
+      // Spark writes NTZ as INT64 (isAdjustedToUTC=false); collect()
+      // surfaces java.time.LocalDateTime
+      val prim = msgType.getType(idx).asPrimitiveType()
+      val micros = prim.getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+          g.getLong(idx, 0) * 1000L
+        case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          Math.floorDiv(g.getLong(idx, 0), 1000L)
+        case _ => g.getLong(idx, 0)
+      }
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case other => throw new IllegalStateException(
+      s"unsupported type $other reached the range reader (supports() " +
+        "should have routed this schema to the Spark path)")
+  }
+
+  private def tsFromMicros(micros: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+}

@@ -513,6 +513,78 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet range reader: page parity with the Spark read path, " +
+       "multi-row-group files, arrow bytes, and the fallback seam") {
+    import graft.exec.ParquetRangeReader
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    // every type the range reader covers, including INT96 timestamps
+    // (Spark's default parquet encoding), dates, and a nullable column
+    val df = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), // TIMESTAMP_NTZ under Spark 4's inference
+        col("o_orderdate").cast("timestamp").as("o_ts"), // INT96 on write
+        to_date(col("o_orderdate")).as("o_date"),
+        when(col("o_orderkey") % 7 === 0, col("o_orderstatus"))
+          .as("maybe_null"),
+        (col("o_orderkey") % 2 === 0).as("flag"),
+        col("o_orderkey").cast("int").as("ik"),
+        col("o_totalprice").cast("float").as("fv"))
+      .orderBy("o_orderkey")
+    val rs = ResultMaterializer.materializeIncremental(df, tmp, "q-parity",
+      rowsPerFile = 400)
+    assert(ParquetRangeReader.supports(df.schema))
+    def walkParity(rset: ResultMaterializer.ResultSet): Unit = {
+      val ranged = new CursorPager(spark, rset)
+      val viaSpark = new CursorPager(spark, rset, forceSparkReads = true)
+      var c: Option[Cursor] = Some(Start)
+      var pages = 0
+      while (c.isDefined) {
+        val a = ranged.page(c.get, 317)
+        val b = viaSpark.page(c.get, 317)
+        assert(a.rows === b.rows, s"page $pages rows")
+        assert(a.offsets === b.offsets, s"page $pages offsets")
+        assert(a.next === b.next, s"page $pages next")
+        // the serving wire format must agree BYTE-FOR-BYTE
+        assert(java.util.Arrays.equals(
+          ranged.pageArrow(c.get, 317).ipc,
+          viaSpark.pageArrow(c.get, 317).ipc), s"page $pages arrow bytes")
+        c = a.next
+        pages += 1
+      }
+      assert(pages > 1)
+      // reverse with overflow exercises the backward group walk
+      val last = ranged.toCursor(ranged.totalRows - 1)
+      val ra = ranged.page(last, 97, forward = false, allowOverflow = true)
+      val rb = viaSpark.page(last, 97, forward = false, allowOverflow = true)
+      assert(ra.rows === rb.rows && ra.next === rb.next)
+    }
+    walkParity(rs)
+
+    // a file with MULTIPLE row groups (tiny writer block size): each
+    // page read must fetch single groups and still agree
+    val mdir = java.nio.file.Files.createTempDirectory("results_mrg")
+    df.coalesce(1).write.option("parquet.block.size", "16384")
+      .option("parquet.page.size", "4096")
+      .mode("overwrite").parquet(s"$mdir/w")
+    val part = new java.io.File(s"$mdir/w").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, mdir.resolve("rec_0.parquet"))
+    val mrs = ResultMaterializer.open(mdir.toString)
+    assert(mrs.files.head.rowGroupRows.length > 1,
+      s"block-size option ignored: ${mrs.files.head.rowGroupRows}")
+    walkParity(mrs)
+
+    // unsupported schema (array column) routes to the Spark path and
+    // still serves
+    val arrDf = spark.range(0, 100).select(col("id"),
+      array(col("id"), col("id") + 1).as("arr"))
+    assert(!ParquetRangeReader.supports(arrDf.schema))
+    val ars = ResultMaterializer.materialize(arrDf, tmp, "q-arr")
+    val apager = new CursorPager(spark, ars)
+    assert(apager.totalRows === 100L)
+    assert(apager.page(Start, 10).rows.length === 10)
+  }
+
   test("incremental materialize: pages are servable after each commit") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
