@@ -39,6 +39,10 @@ object SparkEntry {
     // "Allow for differences in schema"): added column + int→long
     // widening, normalized into ONE scan via a widen-merged read schema
     "scan_schema_drift" -> (graft.sources.SchemaDrift.scanSchemaDrift _),
+    // lake maintenance: small-file compaction (value-exact by oracle)
+    // and contiguous row-id assignment without a one-partition window
+    "compact_files" -> (Maintenance.compactFiles _),
+    "assign_row_ids" -> (Maintenance.assignRowIds _),
     "filter_where" -> (Relational.filterWhere _),
     "project_expr" -> (Relational.projectExpr _),
     "sort_orderby" -> (Relational.sortOrderBy _),
@@ -2092,6 +2096,10 @@ object SparkEntry {
         CASE WHEN o_orderkey % 2 = 0 THEN NULL
              ELSE o_orderpriority END AS o_orderpriority
       FROM orders""",
+    "compact_files" -> "SELECT * FROM part",
+    "assign_row_ids" -> """
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+      FROM documents""",
     "filter_where" ->
       "SELECT * FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10.0",
     "project_expr" -> """

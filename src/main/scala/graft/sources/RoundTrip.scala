@@ -57,8 +57,8 @@ object RoundTrip {
     * across a later one for the same dir would read a replaced
     * directory.
     */
-  private[sources] def scratch(spark: SparkSession, fmt: String,
-                               dir: String): String = {
+  private[graft] def scratch(spark: SparkSession, fmt: String,
+                             dir: String): String = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
