@@ -39,6 +39,10 @@ object SparkEntry {
     // "Allow for differences in schema"): added column + int→long
     // widening, normalized into ONE scan via a widen-merged read schema
     "scan_schema_drift" -> (graft.sources.SchemaDrift.scanSchemaDrift _),
+    // decimal precision/scale drift widened in-scan (still ONE scan) and
+    // partition-layout drift normalized as one scan per layout signature
+    "scan_decimal_drift" -> (graft.sources.SchemaDrift.scanDecimalDrift _),
+    "scan_partition_drift" -> (graft.sources.SchemaDrift.scanPartitionDrift _),
     // lake maintenance: small-file compaction (value-exact by oracle)
     // and contiguous row-id assignment without a one-partition window
     "compact_files" -> (Maintenance.compactFiles _),
@@ -2095,6 +2099,16 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         CASE WHEN o_orderkey % 2 = 0 THEN NULL
              ELSE o_orderpriority END AS o_orderpriority
+      FROM orders""",
+    "scan_decimal_drift" -> """
+      SELECT o_orderkey,
+        CAST(CASE WHEN o_orderkey % 2 = 0
+               THEN CAST(o_totalprice AS DECIMAL(12,2))
+               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS DOUBLE)
+          AS total_price
+      FROM orders""",
+    "scan_partition_drift" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       FROM orders""",
     "compact_files" -> "SELECT * FROM part",
     "assign_row_ids" -> """

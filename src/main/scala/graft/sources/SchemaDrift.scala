@@ -42,29 +42,80 @@ object SchemaDrift {
     * primitive types, or throws [[DriftConflict]] — a string column that
     * becomes an int across generations is producer breakage, not drift,
     * and silently coercing it would corrupt every downstream read.
+    *
+    * The lattice is pinned to EXACTLY the cell conversions Spark 4.1's
+    * vectorized parquet reader can execute when handed a wider read
+    * schema (`ParquetVectorUpdaterFactory`: IntegerToLong,
+    * IntegerToDouble, FloatToDouble, IntegerToDecimal, LongToDecimal,
+    * Binary/FixedLenByteArrayToDecimal for decimal re-scaling, and
+    * DateToTimestampNTZ) — every arm below was probe-verified by a
+    * write-then-read at that type, and each is covered by a
+    * SourcesSpec round-trip test. Arms the reader CANNOT execute are
+    * conflicts even when a "mathematical" join exists:
+    *
+    *  - long + float/double: there is no Long→Double updater, and the
+    *    conversion would be lossy above 2⁵³ anyway;
+    *  - date + timestamp(LTZ): only a DateToTimestampNTZ updater
+    *    exists — an LTZ target would also smuggle a session-timezone
+    *    reinterpretation into a scan;
+    *  - float/double + decimal: no binary-float→decimal updater.
+    *
+    * int/short/byte + float joins to DOUBLE (not float): double holds
+    * every int32 and every float exactly, so the join is lossless, and
+    * Integer→Double / Float→Double are both native updaters.
+    *
+    * Decimals widen by the SQL rule — precision `max(p₁-s₁, p₂-s₂) +
+    * max(s₁, s₂)`, scale `max(s₁, s₂)` — with integral types entering
+    * the lattice as their exact decimal envelopes (byte=dec(3,0),
+    * short=dec(5,0), int=dec(10,0), long=dec(20,0)). Overflow past
+    * precision 38 is a conflict, never a silent truncation.
     */
-  private[sources] def widen(a: DataType, b: DataType): DataType =
+  private val IntegralRank: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+
+  private def decimalEnvelope(t: DataType): Option[DecimalType] = t match {
+    case d: DecimalType => Some(d)
+    case ByteType => Some(DecimalType(3, 0))
+    case ShortType => Some(DecimalType(5, 0))
+    case IntegerType => Some(DecimalType(10, 0))
+    case LongType => Some(DecimalType(20, 0))
+    case _ => None
+  }
+
+  private[sources] def widen(a: DataType, b: DataType): DataType = {
+    def conflict(): Nothing =
+      throw new DriftConflict(
+        s"cannot widen ${a.simpleString} with ${b.simpleString} — " +
+          "not a drift, a producer contract break (or a conversion the " +
+          "vectorized parquet reader cannot execute in-scan)")
     (a, b) match {
       case (x, y) if x == y => x
-      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
-      case (ShortType, IntegerType) | (IntegerType, ShortType) => IntegerType
-      case (ShortType, LongType) | (LongType, ShortType) => LongType
-      case (ByteType, x @ (ShortType | IntegerType | LongType)) => x
-      case (x @ (ShortType | IntegerType | LongType), ByteType) => x
+      // integral ladder: byte < short < int < long (parquet physical
+      // INT32 for the first three, so every upward read is native)
+      case (x, y) if IntegralRank.contains(x) && IntegralRank.contains(y) =>
+        if (IntegralRank(x) >= IntegralRank(y)) x else y
       case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
-      case (IntegerType | ShortType | ByteType, FloatType) => FloatType
-      case (FloatType, IntegerType | ShortType | ByteType) => FloatType
-      case (ByteType | ShortType | IntegerType | LongType, DoubleType) =>
+      // int-family + binary-float joins to double, losslessly; long is
+      // excluded — no Long→Double updater exists (probe-verified)
+      case (ByteType | ShortType | IntegerType, FloatType | DoubleType) =>
         DoubleType
-      case (DoubleType, ByteType | ShortType | IntegerType | LongType) =>
+      case (FloatType | DoubleType, ByteType | ShortType | IntegerType) =>
         DoubleType
-      case (DateType, TimestampType) | (TimestampType, DateType) =>
-        TimestampType
-      case (x, y) =>
-        throw new DriftConflict(
-          s"cannot widen ${x.simpleString} with ${y.simpleString} — " +
-            "not a drift, a producer contract break")
+      // decimal lattice (covers decimal+decimal and integral+decimal)
+      case (x, y) if decimalEnvelope(x).isDefined &&
+          decimalEnvelope(y).isDefined &&
+          (x.isInstanceOf[DecimalType] || y.isInstanceOf[DecimalType]) =>
+        val (dx, dy) = (decimalEnvelope(x).get, decimalEnvelope(y).get)
+        val scale = math.max(dx.scale, dy.scale)
+        val prec =
+          math.max(dx.precision - dx.scale, dy.precision - dy.scale) + scale
+        if (prec > DecimalType.MAX_PRECISION) conflict()
+        DecimalType(prec, scale)
+      case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
+        TimestampNTZType
+      case _ => conflict()
     }
+  }
 
   /** Union-by-name merge of per-generation schemas under [[widen]].
     * Column order is first-seen (oldest generation first, new columns
@@ -92,6 +143,67 @@ object SchemaDrift {
   def normalizedRead(spark: SparkSession, genDirs: Seq[String]): DataFrame = {
     val target = widenMerge(genDirs.map(d => spark.read.parquet(d).schema))
     spark.read.schema(target).parquet(genDirs: _*)
+  }
+
+  /** Hive-partition columns of one generation dir: the columns Spark's
+    * directory discovery adds on top of what the parquet footers carry.
+    * Found by diffing the full table schema against the schema of a
+    * single leaf file — one footer read plus one (early-terminated)
+    * recursive listing per generation, never O(files) footer reads.
+    */
+  private[sources] def partitionColumns(spark: SparkSession,
+                                        dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var leaf: Option[String] = None
+    while (leaf.isEmpty && it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) leaf = Some(f.getPath.toString)
+    }
+    val fileCols = leaf match {
+      case Some(l) => spark.read.parquet(l).schema.fieldNames.toSet
+      case None => Set.empty[String]
+    }
+    spark.read.parquet(dir).schema.fieldNames.filterNot(fileCols).toSeq
+  }
+
+  /** Partition-LAYOUT drift: generations that moved a column between the
+    * directory structure and the file payload (the classic "producer
+    * stopped hive-partitioning" migration). Spark refuses to put mixed
+    * layouts under one scan (`CONFLICTING_DIRECTORY_STRUCTURES`, probe:
+    * its own error text says "load them separately and then union") — and
+    * the naive fix, one scan per GENERATION, is O(gens) scans with no
+    * cross-scan pushdown.
+    *
+    * The scale-correct middle: group generations by their partition
+    * SIGNATURE (the ordered set of directory-derived columns), plan ONE
+    * widened scan per signature group, then union the groups by name
+    * with absent columns as typed nulls. Scans = distinct layouts ever
+    * used (almost always 2 during a migration), not generations; within
+    * a group the single-scan pushdown story of [[normalizedRead]] is
+    * intact, and a formerly-partitioned column keeps partition pruning
+    * inside its own group's scan.
+    */
+  def normalizedReadGrouped(spark: SparkSession,
+                            genDirs: Seq[String]): DataFrame = {
+    val bySig: Seq[(Seq[String], Seq[String])] =
+      genDirs.map(d => (partitionColumns(spark, d), d))
+        .groupBy(_._1).map { case (sig, ds) => (sig, ds.map(_._2)) }
+        .toSeq.sortBy(_._1.mkString(","))
+    val groupSchemas = bySig.map { case (_, ds) =>
+      widenMerge(ds.map(d => spark.read.parquet(d).schema))
+    }
+    val target = widenMerge(groupSchemas)
+    val parts = bySig.zip(groupSchemas).map { case ((_, ds), gs) =>
+      val df = spark.read.schema(gs).parquet(ds: _*)
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (gs.fieldNames.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** Registry query (oracle-checked): build a two-generation drifted
@@ -129,5 +241,62 @@ object SchemaDrift {
     normalizedRead(spark, Seq(g1, g2))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  /** Registry query (oracle-checked): DECIMAL precision/scale drift — the
+    * early producer wrote `o_totalprice` as DECIMAL(12,2), the evolved
+    * one as DECIMAL(18,4). [[widenMerge]] joins them at DECIMAL(18,4)
+    * (`max(p−s) + max(s)` rule) and the whole mixed directory is still
+    * ONE FileSourceScan: the vectorized reader re-scales INT64-backed
+    * decimal cells into the wider type natively (probe-verified;
+    * SourcesSpec pins scan count and the widened schema). The emitted
+    * value is cast to DOUBLE so the DuckDB oracle compares plain
+    * doubles — exact here, since TPC-H prices are 2-decimal values well
+    * inside 2⁵³ — while the in-scan widening is still what produced it.
+    */
+  def scanDecimalDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.table(spark, dir, "orders")
+    val base = RoundTrip.scratch(spark, "decdrift", dir)
+    val g1 = s"$base/gen1"
+    val g2 = s"$base/gen2"
+    src.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"))
+      .write.mode("overwrite").parquet(g1)
+    src.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("o_totalprice"))
+      .write.mode("overwrite").parquet(g2)
+    normalizedRead(spark, Seq(g1, g2))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("total_price"))
+  }
+
+  /** Registry query (oracle-checked): partition-LAYOUT drift — the early
+    * producer hive-partitioned by `o_orderstatus` (the value lives in
+    * directory names, not footers), the evolved one writes it as an
+    * ordinary data column. Normalized by [[normalizedReadGrouped]]: one
+    * scan per layout signature (two here, regardless of how many
+    * generations each side accumulates), unioned by name. The oracle
+    * recomputes the union straight from `orders`, so the hash match
+    * proves a directory-encoded value and a footer-encoded value land
+    * identically.
+    */
+  def scanPartitionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.table(spark, dir, "orders")
+    val base = RoundTrip.scratch(spark, "partdrift", dir)
+    val g1 = s"$base/gen1"
+    val g2 = s"$base/gen2"
+    src.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(g1)
+    src.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(g2)
+    normalizedReadGrouped(spark, Seq(g1, g2))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
   }
 }

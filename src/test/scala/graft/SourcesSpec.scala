@@ -106,6 +106,107 @@ class SourcesSpec extends AnyFunSuite {
       col("o_orderpriority").isNull).count() === 0L)
   }
 
+  test("widen lattice: every non-trivial arm survives a write-then-" +
+       "normalizedRead (the reader must EXECUTE the join type, not just " +
+       "merge it)") {
+    import graft.sources.SchemaDrift
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("lattice").toString
+    // (caseName, writeType gen1, writeType gen2, expected joined type).
+    // Values are 0..4 written through a cast to each side's type; the
+    // read-back sum at the joined type must equal 2 * (0+1+2+3+4) = 20.
+    val arms = Seq(
+      ("int_long", "int", "long", LongType),
+      ("byte_short", "tinyint", "smallint", ShortType),
+      ("short_int", "smallint", "int", IntegerType),
+      ("byte_long", "tinyint", "bigint", LongType),
+      ("int_double", "int", "double", DoubleType),
+      ("int_float", "int", "float", DoubleType), // joins at DOUBLE: no
+      // Integer→Float updater exists, and double is lossless for both
+      ("float_double", "float", "double", DoubleType),
+      ("dec_prec_scale", "decimal(10,2)", "decimal(20,4)",
+        DecimalType(20, 4)), // max(10−2, 20−4) + max(2,4)
+      ("int_decimal", "int", "decimal(12,2)", DecimalType(12, 2)),
+      ("long_decimal", "bigint", "decimal(22,2)", DecimalType(22, 2)))
+    for ((name, ta, tb, expected) <- arms) {
+      val g1 = s"$base/$name/g1"; val g2 = s"$base/$name/g2"
+      spark.range(5).select(col("id").cast(ta).as("v"))
+        .write.mode("overwrite").parquet(g1)
+      spark.range(5).select(col("id").cast(tb).as("v"))
+        .write.mode("overwrite").parquet(g2)
+      val df = SchemaDrift.normalizedRead(spark, Seq(g1, g2))
+      assert(df.schema.head.dataType === expected, name)
+      // the sum forces actual cell decoding through the updater
+      assert(df.agg(sum(col("v").cast("double"))).collect()(0)
+        .getDouble(0) === 20.0, name)
+    }
+    // date + timestamp_ntz joins at NTZ and decodes
+    val dg1 = s"$base/date_ntz/g1"; val dg2 = s"$base/date_ntz/g2"
+    spark.range(3).select(expr(
+      "date_add(date'2020-01-01', cast(id as int))").as("v"))
+      .write.mode("overwrite").parquet(dg1)
+    spark.range(3).select(expr(
+      "timestampadd(DAY, cast(id as int), timestamp_ntz'2021-01-01 06:00:00')")
+      .as("v")).write.mode("overwrite").parquet(dg2)
+    val dts = SchemaDrift.normalizedRead(spark, Seq(dg1, dg2))
+    assert(dts.schema.head.dataType === TimestampNTZType)
+    assert(dts.filter(col("v").isNotNull).count() === 6L)
+    // arms the vectorized reader CANNOT execute are conflicts, not
+    // landmines deferred to scan time (each was probe-verified to throw
+    // SchemaColumnConvertNotSupportedException if allowed through)
+    for ((a, b) <- Seq(
+      (LongType, DoubleType), // no Long→Double updater
+      (LongType, FloatType),
+      (DateType, TimestampType), // only a Date→TimestampNTZ updater
+      (DoubleType, DecimalType(20, 4)), // no binary-float→decimal
+      (StringType, IntegerType),
+      (DecimalType(38, 0), DecimalType(10, 9)))) { // joined prec 47 > 38
+      intercept[SchemaDrift.DriftConflict] {
+        SchemaDrift.widenMerge(Seq(
+          StructType(Seq(StructField("k", a))),
+          StructType(Seq(StructField("k", b)))))
+      }
+    }
+  }
+
+  test("decimal drift query: one scan, widened DECIMAL(18,4) read schema") {
+    import org.apache.spark.sql.types._
+    val df = SparkEntry.queries("scan_decimal_drift")(spark, dir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1)
+    assert(scans.head.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      .contains(("o_totalprice", DecimalType(18, 4))))
+    val exp = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0,
+          col("o_totalprice").cast(DecimalType(12, 2)))
+          .otherwise(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast("double").as("total_price"))
+    assert(df.except(exp).count() === 0L && exp.except(df).count() === 0L)
+  }
+
+  test("partition drift query: one scan PER LAYOUT SIGNATURE (2 total), " +
+       "dir-encoded and footer-encoded values land identically") {
+    val df = SparkEntry.queries("scan_partition_drift")(spark, dir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 2, // not O(generations): one per layout
+      df.queryExecution.executedPlan.toString.take(800))
+    val exp = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    assert(df.count() === exp.count())
+    assert(df.except(exp).count() === 0L && exp.except(df).count() === 0L)
+    // a formerly-partitioned column still prunes inside its own group
+    val pruned = SparkEntry.queries("scan_partition_drift")(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(o_orderstatus"))
+  }
+
   test("partitioned write prunes partitions on read (PartitionFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     spark.read.parquet(s"$dir/orders.parquet")
