@@ -90,6 +90,17 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
     }
   }
 
+  /** Does the cursor address an existing (file, row_group, row) triple?
+    * The wire server's guard for the reference's RecordRowGroupNotFound
+    * response (query.rs:24) — an out-of-range cursor is a protocol-level
+    * miss, not an exception.
+    */
+  def isValid(c: Cursor): Boolean =
+    c.file >= 0 && c.file < fileRows.length && c.rowGroup >= 0 &&
+      c.rowGroup < groupStarts(c.file).length - 1 && c.row >= 0 &&
+      c.row < groupStarts(c.file)(c.rowGroup + 1) -
+        groupStarts(c.file)(c.rowGroup)
+
   /** Global row index addressed by a cursor. */
   def toGlobal(c: Cursor): Long =
     fileStarts(c.file) + groupStarts(c.file)(c.rowGroup) + c.row

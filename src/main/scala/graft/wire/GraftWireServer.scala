@@ -1,0 +1,249 @@
+package graft.wire
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import graft.exec.{AsyncQueryRunner, CursorPager}
+import graft.exec.AsyncQueryRunner._
+import graft.exec.CursorPager.Cursor
+
+/** Loopback TCP server speaking the reference's client wire contract —
+  * the last piece of its application surface: the socket lifecycle the
+  * Rust `AsyncQueryClient` drives (async_query_client.rs:40-202) over
+  * the [[Wire]] envelope (messages/message.rs:95-129).
+  *
+  * Request handling (each reply echoes request_id and routes to the
+  * sender, message_router_handler.rs:287-306):
+  *
+  *  - `Identify::Connection{id}` → reply `Identify::Worker{id}`
+  *    (the handshake every reference client connection opens with).
+  *  - `Ping::Ping` → `Ping::Pong` (common.rs:28-31).
+  *  - `RunQuery{query}` → submit to [[AsyncQueryRunner]], reply
+  *    `RunQueryResp::Created{query_id}` (query.rs:353-397); a rejected
+  *    submission replies `NotCreated`.
+  *  - `GetQueryStatus{query_id}` → `GetQueryStatusResp`: `QueryNotFound`
+  *    or `Status(...)` in the reference's vocabulary
+  *    (query_handler_state.rs:28-60).
+  *  - `GetQueryData{query_id, file_idx, file_row_group_idx, row_idx,
+  *    limit, forward, allow_overflow}` → `GetQueryDataResp`, the one
+  *    message with a custom binary body (query.rs:60-94): `u8` variant
+  *    id, `u64` meta-JSON length, the serde meta JSON, then — for
+  *    `Record` — the page as one self-contained Arrow IPC stream
+  *    (schema + single batch + EOS), produced by
+  *    [[CursorPager.pageArrow]]. `record_offsets`/`first_offset` carry
+  *    the per-row (file, row_group, row) cursors.
+  *  - `OperatorShutdown{query_id}` → cancel. The reference DECLARES this
+  *    message name (message.rs:554,619: id 12) but ships no payload
+  *    struct for it; completed here as `{"query_id":N}` with a
+  *    `CommonGenericResponse::Ok` reply (common.rs:47-50) — the
+  *    client-facing cancel the reference's TUI lacks.
+  *
+  * Scale/serving posture: one daemon thread per connection (the
+  * reference client opens a connection PER REQUEST and closes it, so
+  * connections are short-lived and the thread count tracks in-flight
+  * requests, not clients); all query execution stays on the runner's
+  * pool — the socket thread only pages already-materialized results, so
+  * a slow client cannot hold a Spark job thread hostage.
+  */
+final class GraftWireServer(runner: AsyncQueryRunner,
+                            incremental: Boolean = false) {
+  import Wire.Name
+
+  /** This worker's identity, sent in Identify replies. */
+  val workerId: BigInt = Wire.randomU128()
+
+  @volatile private var server: ServerSocket = _
+  @volatile private var closed = false
+
+  def port: Int = server.getLocalPort
+
+  /** Bind a loopback ephemeral port and start the accept loop. */
+  def start(): GraftWireServer = {
+    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => acceptLoop(), "graft-wire-accept")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def stop(): Unit = {
+    closed = true
+    if (server != null) server.close()
+  }
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      val sock = try server.accept() catch { case _: Throwable => return }
+      val t = new Thread(() => serve(sock), "graft-wire-conn")
+      t.setDaemon(true)
+      t.start()
+    }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    try {
+      var done = false
+      while (!done) Wire.read(in) match {
+        case None => done = true // clean close from the peer
+        case Some(env) => handle(env).foreach(r => Wire.write(out, r))
+      }
+    } catch {
+      case _: java.io.IOException => () // peer reset mid-frame
+    } finally sock.close()
+  }
+
+  private def handle(env: Envelope): Option[Envelope] = env.msgNameId match {
+    case Name.Identify =>
+      val n = Json.parse(env.msgData)
+      val connId = Option(n.get("Connection")).map(c => Json.bigOf(c.get("id")))
+      Some(env.reply(Name.Identify, Json.identify("Worker", workerId))
+        .copy(sentFromWorkerId = Some(workerId),
+          routeToConnectionId = connId))
+
+    case Name.Ping =>
+      Some(env.reply(Name.Ping, Json.bytes(Json.text("Pong")))
+        .copy(sentFromWorkerId = Some(workerId)))
+
+    case Name.RunQuery =>
+      val sql = Json.parse(env.msgData).get("query").asText()
+      val body =
+        try {
+          val qid = runner.submit(sql, incremental = incremental)
+          val inner = Json.obj()
+          inner.set[JsonNode]("query_id", Json.big(Wire.uuidToU128(qid)))
+          val o = Json.obj(); o.set[JsonNode]("Created", inner)
+          Json.bytes(o)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Json.bytes(Json.text("NotCreated"))
+        }
+      Some(env.reply(Name.RunQueryResp, body)
+        .copy(sentFromWorkerId = Some(workerId)))
+
+    case Name.GetQueryStatus =>
+      val qid = queryId(env.msgData)
+      val body = runner.status(qid) match {
+        case QueryNotFound => Json.bytes(Json.text("QueryNotFound"))
+        case s =>
+          val statusNode: JsonNode = s match {
+            case Queued => Json.text("Queued")
+            case Running => Json.text("Running")
+            case SentShutdown =>
+              // serde tuple variant: {"SentShutdown": <timestamp>}
+              val o = Json.obj()
+              o.set[JsonNode]("SentShutdown",
+                Json.text(java.time.Instant.now().toString))
+              o
+            case Complete(_) => Json.text("Complete")
+            case Error(m) =>
+              val o = Json.obj(); o.set[JsonNode]("Error", Json.text(m)); o
+            case QueryNotFound => Json.text("Queued") // unreachable
+          }
+          val o = Json.obj(); o.set[JsonNode]("Status", statusNode)
+          Json.bytes(o)
+      }
+      Some(env.reply(Name.GetQueryStatusResp, body)
+        .copy(sentFromWorkerId = Some(workerId)))
+
+    case Name.OperatorShutdown =>
+      runner.cancel(queryId(env.msgData))
+      Some(env.reply(Name.CommonGenericResponse,
+        Json.bytes(Json.text("Ok")))
+        .copy(sentFromWorkerId = Some(workerId)))
+
+    case Name.GetQueryData =>
+      val n = Json.parse(env.msgData)
+      val qid = Wire.u128ToUuid(Json.bigOf(n.get("query_id")))
+      val cursor = Cursor(n.get("file_idx").asInt(),
+        n.get("file_row_group_idx").asInt(), n.get("row_idx").asLong())
+      val limit = n.get("limit").asInt()
+      val forward = n.get("forward").asBoolean()
+      val allowOverflow = n.get("allow_overflow").asBoolean()
+      val body = runner.status(qid) match {
+        case QueryNotFound => dataResp(0, Json.bytes(Json.text("QueryNotFound")))
+        case Complete(_) | Running | Queued | SentShutdown =>
+          pagerFor(qid) match {
+            case None =>
+              dataResp(3, errMeta(s"query $qid has no pageable results yet"))
+            case Some(pager) =>
+              if (pager.totalRows == 0L)
+                dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+              else if (!pager.isValid(cursor))
+                dataResp(1, Json.bytes(Json.text("RecordRowGroupNotFound")))
+              else {
+                val p = pager.pageArrow(cursor, limit, forward, allowOverflow)
+                if (p.offsets.isEmpty)
+                  dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+                else dataResp(2, recordMeta(p.offsets), p.ipc)
+              }
+          }
+        case Error(m) => dataResp(3, errMeta(m))
+      }
+      Some(env.reply(Name.GetQueryDataResp, body)
+        .copy(sentFromWorkerId = Some(workerId)))
+
+    case other =>
+      Some(env.reply(Name.CommonGenericResponse, {
+        val o = Json.obj()
+        o.set[JsonNode]("Error", Json.text(s"unhandled message id $other"))
+        Json.bytes(o)
+      }).copy(sentFromWorkerId = Some(workerId)))
+  }
+
+  private def queryId(data: Array[Byte]): String =
+    Wire.u128ToUuid(Json.bigOf(Json.parse(data).get("query_id")))
+
+  /** Completed results page through [[AsyncQueryRunner.results]]; a
+    * still-running incremental query pages what it has committed so far.
+    */
+  private def pagerFor(qid: String): Option[CursorPager] =
+    runner.status(qid) match {
+      case Complete(_) => Some(runner.results(qid))
+      case _ => runner.resultsSoFar(qid)
+    }
+
+  /** GetQueryDataResp body (query.rs:61-94): u8 variant, u64 meta len,
+    * meta JSON, then (Record only) the Arrow IPC stream.
+    */
+  private def dataResp(variant: Int, meta: Array[Byte],
+                       arrow: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 + 8 + meta.length + arrow.length)
+    val d = new DataOutputStream(out)
+    d.writeByte(variant)
+    d.writeLong(meta.length.toLong)
+    d.write(meta)
+    d.write(arrow)
+    d.flush()
+    out.toByteArray
+  }
+
+  /** `{"Record":{"record_offsets":[[f,rg,r]...],"first_offset":[f,rg,r]}}`
+    * — serde's JSON for the Record variant with the batch skipped
+    * (query.rs:22-35: `#[serde(skip_serializing)] record`).
+    */
+  private def recordMeta(offsets: Seq[Cursor]): Array[Byte] = {
+    val f = Json.obj()
+    val arr = f.putArray("record_offsets")
+    offsets.foreach { c =>
+      val t = arr.addArray()
+      t.add(c.file.toLong); t.add(c.rowGroup.toLong); t.add(c.row)
+    }
+    val first = f.putArray("first_offset")
+    first.add(offsets.head.file.toLong)
+    first.add(offsets.head.rowGroup.toLong)
+    first.add(offsets.head.row)
+    val o = Json.obj(); o.set[JsonNode]("Record", f)
+    Json.bytes(o)
+  }
+
+  private def errMeta(msg: String): Array[Byte] = {
+    val inner = Json.obj(); inner.set[JsonNode]("err", Json.text(msg))
+    val o = Json.obj(); o.set[JsonNode]("Error", inner)
+    Json.bytes(o)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.AsyncQueryRunner
+import graft.exec.CursorPager.Cursor
+import graft.wire._
+import graft.wire.GraftWireClient._
+
+/** The loopback wire protocol: a REAL socket client (GraftWireClient,
+  * the reference async_query_client.rs contract — fresh connection +
+  * Identify handshake per request, reply matched by request_id) driving
+  * GraftWireServer through submit → poll → page forward/backward →
+  * cancel, with every page decoded from the envelope bytes alone.
+  */
+class WireSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("envelope: byte layout matches message.rs to_bytes/parse") {
+    val body = """{"query":"select 1"}""".getBytes("UTF-8")
+    val connId = BigInt("240282366920938463463374607431768211455") // >2^64
+    val env = Envelope(msgNameId = Wire.Name.RunQuery,
+      msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+      sentFromConnectionId = Some(connId), msgData = body)
+    val out = new ByteArrayOutputStream()
+    Wire.write(new DataOutputStream(out), env)
+    val bytes = out.toByteArray
+    // total frame = 4 + header_len + data_len (message.rs:268)
+    assert(bytes.length === 4 + 158 + body.length)
+    val din = new DataInputStream(new ByteArrayInputStream(bytes))
+    assert(din.readInt() === 158) // header_len (message.rs:294-296)
+    assert(din.readLong() === body.length.toLong) // data_len
+    assert(din.readShort() === 0) // header_version
+    assert(din.readShort() === 2) // RunQuery (message.rs:609)
+    din.skipNBytes(16 + 16) // msg_id, request_id
+    assert((din.readByte() & 0xff) === 8) // sent_from_flags: connection bit
+    din.skipNBytes(16 * 3)
+    // the u128 connection id survives the 16-byte BE round trip
+    val hi = din.readLong(); val lo = din.readLong()
+    val decoded = ((BigInt(hi) & ((BigInt(1) << 64) - 1)) << 64) |
+      (BigInt(lo) & ((BigInt(1) << 64) - 1))
+    assert(decoded === connId)
+    // full round trip through the parser
+    val back = Wire.read(new DataInputStream(
+      new ByteArrayInputStream(bytes))).get
+    assert(back.msgNameId === env.msgNameId)
+    assert(back.requestId === env.requestId)
+    assert(back.sentFromConnectionId === Some(connId))
+    assert(back.routeToWorkerId === None)
+    assert(new String(back.msgData, "UTF-8") === new String(body, "UTF-8"))
+  }
+
+  test("socket lifecycle: submit -> poll -> page forward/backward -> " +
+       "cancel, pages decoded from wire bytes alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("wire").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val server = new GraftWireServer(runner).start()
+    try {
+      val client = new GraftWireClient(server.port)
+
+      // --- submit (RunQuery -> RunQueryResp::Created{query_id}) ---
+      val qid = client.runQuery(
+        s"select o_orderkey, o_totalprice from " +
+          s"read_files('$dir/orders.parquet') order by o_orderkey").get
+
+      // --- poll (GetQueryStatus until terminal) ---
+      assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+
+      // --- page forward through the whole result from the wire ---
+      val got = Vector.newBuilder[Long]
+      var cursor = Cursor(0, 0, 0L)
+      var pages = 0
+      var done = false
+      var lastOffset: Cursor = cursor
+      while (!done) {
+        client.getQueryData(qid, cursor, 137, forward = true,
+          allowOverflow = false) match {
+          case DataRecord(rows, offsets, firstOffset) =>
+            assert(firstOffset === offsets.head)
+            assert(offsets.length === rows.length)
+            rows.foreach(r => got += r.head.asInstanceOf[Long])
+            lastOffset = offsets.last
+            pages += 1
+            // client-side next-cursor derivation, as the reference's
+            // query_data_iterator does from the returned offsets
+            val expectedNext = runner.results(
+              Wire.u128ToUuid(qid)).page(
+              Cursor(cursor.file, cursor.rowGroup, cursor.row), 137).next
+            expectedNext match {
+              case Some(n) => cursor = n
+              case None => done = true
+            }
+          case DataEndOfFiles => done = true
+          case other => fail(s"unexpected page response: $other")
+        }
+      }
+      val direct = spark.read.parquet(s"$dir/orders.parquet")
+        .orderBy("o_orderkey").collect().map(_.getLong(0)).toVector
+      assert(got.result() === direct)
+      assert(pages === (1500 + 136) / 137)
+
+      // --- page backward from the last row (inclusive), wire-decoded ---
+      client.getQueryData(qid, lastOffset, 100, forward = false,
+        allowOverflow = false) match {
+        case DataRecord(rows, _, _) =>
+          assert(rows.map(_.head.asInstanceOf[Long]) === direct.takeRight(100))
+        case other => fail(s"unexpected backward response: $other")
+      }
+      // backward page clamped at row 0 tops up forward with allow_overflow
+      client.getQueryData(qid, Cursor(0, 0, 2L), 50, forward = false,
+        allowOverflow = true) match {
+        case DataRecord(rows, _, _) =>
+          assert(rows.map(_.head.asInstanceOf[Long]) === direct.take(50))
+        case other => fail(s"unexpected overflow response: $other")
+      }
+
+      // --- protocol misses ---
+      client.getQueryData(qid, Cursor(99, 0, 0L), 10, forward = true,
+        allowOverflow = false) match {
+        case DataRowGroupNotFound => ()
+        case other => fail(s"expected RecordRowGroupNotFound, got $other")
+      }
+      val ghost = Wire.randomU128()
+      assert(client.getQueryStatus(ghost) === "QueryNotFound")
+      assert(client.getQueryData(ghost, Cursor(0, 0, 0L), 10,
+        forward = true, allowOverflow = false) === DataQueryNotFound)
+
+      // --- a failing statement reaches Error over the wire ---
+      val bad = client.runQuery(
+        "select * from read_files('/nonexistent-glob')").get
+      assert(client.waitForFinish(bad, maxWaitMs = 120000L)
+        .startsWith("Error"))
+
+      // --- cancel (OperatorShutdown -> CommonGenericResponse::Ok) ---
+      val slow = client.runQuery(
+        s"select count(*) as n from read_files('$dir/lineitem.parquet') a " +
+          s"join read_files('$dir/lineitem.parquet') b " +
+          "on a.l_quantity = b.l_quantity and a.l_tax = b.l_tax")
+        .get
+      assert(client.cancel(slow) === "Ok")
+      val fin = client.waitForFinish(slow, maxWaitMs = 120000L)
+      assert(fin.startsWith("Error"), s"cancelled query ended as $fin")
+    } finally server.stop()
+  }
+}
