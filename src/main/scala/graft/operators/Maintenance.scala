@@ -20,36 +20,113 @@ object Maintenance {
     */
   val TargetFileBytes: Long = 128L << 20
 
-  /** Small-file compaction (oracle-checked): fragment the `part` table
-    * into many tiny files (the state every streaming/incremental ingest
-    * leaves behind), then compact to a SIZE-DERIVED file count and
-    * return the re-read rows. The DuckDB oracle reads the original
-    * table, so the hash match proves compaction is value-exact — the
-    * whole point of a maintenance pass is that queries cannot tell it
-    * ran, except by being faster.
+  /** What one selective compaction pass did. `untouched` are the
+    * right-sized files left byte-identical in place.
+    */
+  final case class CompactionStats(untouched: Int, rewrittenSmall: Int,
+                                   outputsWritten: Int, bytesRewritten: Long)
+
+  /** SELECTIVE bin-packing compaction: rewrite ONLY the files below
+    * `smallThreshold`, packed into ~`target`-byte outputs; right-sized
+    * files are never read, never rewritten, byte-identical afterwards.
+    * That selectivity is what makes the pass affordable at scale — a
+    * 100 TB table with 1 GB of fresh streaming fragments costs a 1 GB
+    * rewrite, not a 100 TB one. Cost tracks the SMALL-file byte volume:
+    * one FS listing (metadata, O(files)), one distributed read of just
+    * the small files, one write of ceil(smallBytes/target) outputs.
     *
-    * Scale shape: the fragment write and the compaction rewrite are
-    * plain distributed `df.write`s; the target count comes from the
-    * fragmented directory's byte size via the Hadoop FS API (holds on
-    * s3a/hdfs URIs — the numBucketsFor device), and the rewrite
-    * round-robin `repartition(n)` spreads rows evenly so output files
-    * land near [[TargetFileBytes]] each. Nothing is collected; at
-    * 100 TB this is the nightly compactor jobgraph verbatim.
+    * Swap protocol: outputs land in a `_compact_tmp` subdir (underscore
+    * prefix = invisible to Spark/Hive readers), are MOVED into the table
+    * dir only after the write commits, and the fragments are deleted
+    * last. A crash before the moves is a clean no-op re-run; the
+    * move→delete window is not atomic — on a live lake that swap is
+    * exactly what a table format's (Delta/Iceberg) commit provides, and
+    * this pass assumes the offline maintenance window a format-less
+    * directory table requires anyway.
+    *
+    * Bin-packing note: smalls are round-robin `repartition`ed into the
+    * size-derived output count, so outputs land near `target` each; if
+    * the total small volume is below `target` the single residual output
+    * is itself "small" — the minimum any packer can leave.
+    */
+  def compactSelective(s: SparkSession, dirPath: String,
+                       smallThreshold: Long,
+                       target: Long = TargetFileBytes): CompactionStats = {
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val (small, big) = files.partition(_.getLen < smallThreshold)
+    if (small.size <= 1)
+      return CompactionStats(files.size, 0, 0, 0L) // nothing worth packing
+    val smallBytes = small.map(_.getLen).sum
+    val n = math.max(1L, (smallBytes + target - 1) / target).toInt
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    s.read.parquet(small.map(_.getPath.toString): _*)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val outs = fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    outs.foreach(o => fs.rename(o.getPath,
+      new org.apache.hadoop.fs.Path(p, o.getPath.getName)))
+    small.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    CompactionStats(big.size, small.size, outs.size, smallBytes)
+  }
+
+  /** Small-file compaction (oracle-checked): build the state every
+    * streaming/incremental ingest leaves behind — a few right-sized
+    * files plus a swarm of fragments IN THE SAME directory — then run
+    * [[compactSelective]] over it and return the re-read rows. The
+    * DuckDB oracle reads the original table, so the hash match proves
+    * the pass is value-exact — the whole point of a maintenance pass is
+    * that queries cannot tell it ran, except by being faster.
+    * MaintenanceSpec additionally pins the selectivity contract: the
+    * planted right-sized files keep their exact length and checksum
+    * while every fragment disappears.
+    *
+    * The demo's threshold is derived from the planted layout by the
+    * largest-gap split of the file-size distribution ([[gapThreshold]]):
+    * the mix is bimodal by construction (2 right-sized files vs 48
+    * fragments), and the gap split finds the modes at every scale
+    * factor — at tiny SFs the per-file parquet overhead compresses
+    * absolute size ratios, so a fixed fraction of the max misfires
+    * where the gap split cannot. A production invocation passes its own
+    * threshold/target knobs.
     */
   def compactFiles(s: SparkSession, dir: String): DataFrame = {
     val src = table(s, dir, "part")
     val base = graft.sources.RoundTrip.scratch(s, "compact", dir)
-    val frag = s"$base/frag"
-    val out = s"$base/compacted"
-    src.repartition(64).write.mode("overwrite").parquet(frag)
-    val fragPath = new org.apache.hadoop.fs.Path(frag)
-    val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(fragPath).getLength
-    val n = math.max(1L,
-      (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-    s.read.parquet(frag).repartition(n)
-      .write.mode("overwrite").parquet(out)
-    graft.sources.Tables.readFiles(s, s"$out/*.parquet")
+    val mixed = s"$base/mixed"
+    // right-sized generation: 3/4 of the table in two files
+    src.filter(col("p_partkey") % 4 =!= 0).repartition(2)
+      .write.mode("overwrite").parquet(mixed)
+    // fragment generation: the remaining 1/4 sprayed across 48 files
+    src.filter(col("p_partkey") % 4 === 0).repartition(48)
+      .write.mode("append").parquet(mixed)
+    val p = new org.apache.hadoop.fs.Path(mixed)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).toSeq
+    compactSelective(s, mixed, smallThreshold = gapThreshold(sizes))
+    graft.sources.Tables.readFiles(s, s"$mixed/*.parquet")
+  }
+
+  /** Midpoint of the largest gap in a size distribution — separates the
+    * two modes of a bimodal layout regardless of absolute sizes.
+    */
+  private[operators] def gapThreshold(sizes: Seq[Long]): Long = {
+    val s = sizes.sorted
+    var bestGap = -1L
+    var t = s.head
+    var i = 0
+    while (i < s.length - 1) {
+      val gap = s(i + 1) - s(i)
+      if (gap > bestGap) { bestGap = gap; t = s(i) + gap / 2 + 1 }
+      i += 1
+    }
+    t
   }
 
   /** Contiguous 0-based row-id assignment in `doc_id` order
@@ -69,14 +146,29 @@ object Maintenance {
     * regardless of where range boundaries land: partitions are ordered
     * by range and rows sorted within, so the global order — and thus
     * every id — is the total `doc_id` order.
+    *
+    * The two passes (count, stamp) read ONE materialization of the
+    * range shuffle: the partitioned frame is `localCheckpoint`ed
+    * (eager), so the sort is computed once and both traversals serve
+    * from the checkpoint blocks instead of re-shuffling — at scale the
+    * sort IS the job's cost, so recomputing it doubled the pass. (A
+    * cluster deployment that must survive executor loss mid-pass would
+    * use a reliable checkpoint dir instead; same shape, durable
+    * blocks.) Per-partition row counters are Long end to end — a 100 TB
+    * table overflows an Int counter at ~2³¹ rows per partition.
     */
   def assignRowIds(s: SparkSession, dir: String): DataFrame = {
     val parted = table(s, dir, "documents").select(col("doc_id"))
       .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
+      .localCheckpoint() // eager: the range shuffle materializes ONCE
     val rdd = parted.rdd
     val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((i, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val stamped = rdd.mapPartitionsWithIndex { (i, it) =>

@@ -11,23 +11,59 @@ class MaintenanceSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val dir = "/root/testdata/sf0.001"
 
-  test("compact_files: many fragments become few size-targeted files " +
-       "with identical content") {
+  test("compact_files: fragments bin-packed away, content identical") {
     val out = graft.operators.Maintenance.compactFiles(spark, dir)
     val src = spark.read.parquet(s"$dir/part.parquet")
     // value-exact both directions (the oracle's local twin)
     assert(out.count() === src.count())
     assert(out.except(src).count() === 0L && src.except(out).count() === 0L)
-    // layout: the 64 fragments compacted down to the derived count —
-    // at this SF the whole table fits one target file
+    // layout: 2 right-sized files + 48 fragments in, far fewer files out
     val base = out.inputFiles
-    assert(base.nonEmpty && base.length < 64,
-      s"expected < 64 compacted files, got ${base.length}")
-    val fragDir = new java.io.File(new java.net.URI(base.head))
-      .getParentFile.getParentFile
-    val fragCount = new java.io.File(fragDir, "frag").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(fragCount === 64, s"fragment stage wrote $fragCount files")
+    assert(base.nonEmpty && base.length < 10,
+      s"expected the 48 fragments packed away, got ${base.length} files")
+  }
+
+  test("compactSelective: right-sized files stay BYTE-IDENTICAL in " +
+       "place; only fragments are rewritten") {
+    import graft.operators.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("selcomp").toString
+    val mixed = s"$base/table"
+    // synthetic rows with a real payload so file sizes are data-driven,
+    // not parquet-overhead-driven, and the small/large split is sharp
+    val src = spark.range(4000).select(col("id"),
+      concat(lit("pay-"), lpad(col("id").cast("string"), 200, "x"))
+        .as("pay"))
+    src.filter(col("id") % 4 =!= 0).repartition(2)
+      .write.mode("overwrite").parquet(mixed)
+    src.filter(col("id") % 4 === 0).repartition(24)
+      .write.mode("append").parquet(mixed)
+    def listing() = new java.io.File(mixed).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length,
+        java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath)))).sortBy(_._1)
+    val before = listing()
+    val threshold = before.map(_._2).max / 2
+    val (bigBefore, smallBefore) = before.partition(_._2 >= threshold)
+    assert(bigBefore.length === 2 && smallBefore.length === 24)
+    val stats = Maintenance.compactSelective(spark, mixed, threshold)
+    assert(stats.untouched === 2)
+    assert(stats.rewrittenSmall === 24)
+    val after = listing()
+    // the planted right-sized files survive with name+length+bytes intact
+    assert(after.filter(f => bigBefore.exists(_._1 == f._1)).toSeq ===
+      bigBefore.toSeq)
+    // every fragment is gone; outputs replaced them
+    assert(after.count(f => smallBefore.exists(_._1 == f._1)) === 0)
+    assert(after.length === 2 + stats.outputsWritten)
+    // and the table's content is untouched
+    val back = spark.read.parquet(mixed)
+    assert(back.except(src).count() === 0L && src.except(back).count() === 0L)
+    // a second pass is a no-op: at most the single residual packed
+    // output is below threshold, and one small file is never repacked
+    val again = Maintenance.compactSelective(spark, mixed, threshold)
+    assert(again.rewrittenSmall === 0)
+    assert(again.bytesRewritten === 0L)
   }
 
   test("assign_row_ids: contiguous 0-based ids in doc_id order, equal " +
