@@ -68,6 +68,7 @@ object SparkEntry {
     "setop_intersect" -> (Relational.setopIntersect _),
     "setop_except" -> (Relational.setopExcept _),
     "cte_query" -> (Relational.cteQuery _),
+    "cte_recursive" -> (Relational.cteRecursive _),
     "case_cast_like" -> (Relational.caseCastLike _),
     "events_window" -> (Relational.eventsWindow _),
     "events_sessionize" -> (graft.streaming.EventStreams.eventsSessionize _),
@@ -2219,6 +2220,14 @@ object SparkEntry {
         SELECT CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_total
         FROM totals)
       SELECT o_custkey, total FROM totals, a WHERE total > avg_total * 2.0""",
+    "cte_recursive" -> """
+      WITH RECURSIVE walk(doc_id, cur, depth) AS (
+        SELECT doc_id, doc_id, 0 FROM documents
+        UNION ALL
+        SELECT doc_id, cur // 2, depth + 1 FROM walk WHERE cur > 0
+      )
+      SELECT doc_id, max(depth) AS depth_to_root
+      FROM walk GROUP BY doc_id""",
     "case_cast_like" -> """
       SELECT p_partkey,
         CASE WHEN p_size < 10 THEN 'small'

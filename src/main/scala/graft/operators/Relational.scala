@@ -279,6 +279,34 @@ object Relational {
       .select(col("o_custkey"), col("total"))
   }
 
+  /** Recursive CTE (oracle-checked) through the SQL facade: Spark 4.1
+    * executes `WITH RECURSIVE` natively (SPARK-24497; probe-verified on
+    * this build), so the hand-unrolled iteration the engine previously
+    * mirrored for DuckDB's recursion (`dedup_clusters`,
+    * `label_propagation`) now has a declarative sibling. The walk is a
+    * halving chain `cur → cur div 2` from each `doc_id` down to 0 —
+    * strictly decreasing, so termination is structural in BOTH engines
+    * (no cycle-breaking semantics to align) and the depth-to-root is
+    * `floor(log2(doc_id)) + 1`, a value the oracle recomputes through
+    * its own recursion rather than a closed form.
+    *
+    * Scale shape: each recursion step is one join-free projection +
+    * filter over the previous step's frame; Spark plans the loop as
+    * iterated UNION ALL steps with the same pushdown/codegen as any
+    * other plan, and depth is logarithmic in the key domain.
+    */
+  def cteRecursive(s: SparkSession, dir: String): DataFrame =
+    graft.sql.QueryFacade.run(s,
+      s"""WITH RECURSIVE walk (doc_id, cur, depth) AS (
+           SELECT doc_id, doc_id AS cur, 0 AS depth
+           FROM read_files('$dir/documents.parquet')
+           UNION ALL
+           SELECT doc_id, cur DIV 2 AS cur, depth + 1 AS depth
+           FROM walk WHERE cur > 0
+         )
+         SELECT doc_id, max(depth) AS depth_to_root
+         FROM walk GROUP BY doc_id""")
+
   /** CASE WHEN / CAST / LIKE / string ops — the expression classes the
     * reference explicitly lacks (README.md:54-56, compute_value.rs:338-343).
     * All stay inside whole-stage codegen.

@@ -84,4 +84,18 @@ class RelationalSpec extends AnyFunSuite {
       .agg(sum("n_events")).collect()(0).getLong(0)
     assert(winSum === 1000L)
   }
+
+  test("cte_recursive: native WITH RECURSIVE walks the halving chain " +
+       "to the closed-form depth") {
+    val rows = Relational.cteRecursive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.size === n.toInt)
+    // depth_to_root(d) = halvings until 0 = floor(log2(d)) + 1; d=0 -> 0
+    rows.foreach { case (d, depth) =>
+      val expected =
+        if (d == 0L) 0 else (63 - java.lang.Long.numberOfLeadingZeros(d)) + 1
+      assert(depth === expected, s"doc $d")
+    }
+  }
 }
