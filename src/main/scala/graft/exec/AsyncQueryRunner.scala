@@ -131,6 +131,45 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     }
   }
 
+  /** Sweep `resultRoot` for ORPHANED result directories — dirs left by a
+    * crashed or abandoned JVM (this runner tracks its own queries in
+    * memory, so a restart forgets every id while the files remain) or by
+    * a client that never called [[forget]]. A dir is swept when its
+    * query id is NOT live in this runner's state map AND its
+    * last-modified time is older than `ttlMs`; live queries — including
+    * Running incrementals actively committing rec_N files — are never
+    * touched, and the TTL keeps a sweep racing a JUST-materialized
+    * result from a concurrent runner sharing the root. `maxDeletes`
+    * bounds one sweep's work so a periodic caller has a predictable
+    * cost; remaining orphans go next round. Returns the removed ids.
+    *
+    * A long-lived server posture calls this on a timer; it is the
+    * result-dir lifecycle policy [[forget]] alone cannot provide (a
+    * crashed query never gets forgotten by anyone).
+    */
+  def sweepOrphans(ttlMs: Long, maxDeletes: Int = 1000): Seq[String] = {
+    val root = java.nio.file.Paths.get(resultRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val removed = Vector.newBuilder[String]
+    var n = 0
+    val stream = java.nio.file.Files.list(root)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext && n < maxDeletes) {
+        val p = it.next()
+        val id = p.getFileName.toString
+        if (java.nio.file.Files.isDirectory(p) && !states.containsKey(id) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          ResultMaterializer.deleteTree(p)
+          removed += id
+          n += 1
+        }
+      }
+    } finally stream.close()
+    removed.result()
+  }
+
   /** Poll until terminal or deadline (wait_for_query_to_finish). Returns
     * the last observed status — non-terminal iff the deadline expired.
     */

@@ -57,7 +57,16 @@ object ParquetRangeReader {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {
-      val msgType = reader.getFooter.getFileMetaData.getSchema
+      val fileMeta = reader.getFooter.getFileMetaData
+      val msgType = fileMeta.getSchema
+      // Spark marks files whose datetime values it wrote REBASED to the
+      // hybrid Julian calendar (spark.sql.parquet.*RebaseModeInWrite =
+      // LEGACY) with footer metadata keys; honoring them keeps this
+      // reader byte-identical to Spark's own for pre-Gregorian
+      // timestamps instead of diverging by the Julian/Gregorian gap
+      val kv = fileMeta.getKeyValueMetaData
+      val legacy = Legacy(kv.containsKey("org.apache.spark.legacyINT96"),
+        kv.containsKey("org.apache.spark.legacyDateTime"))
       val store = reader.readRowGroup(rowGroup)
       val io = new ColumnIOFactory().getColumnIO(msgType)
       val rr = io.getRecordReader(store, new GroupRecordConverter(msgType))
@@ -70,7 +79,7 @@ object ParquetRangeReader {
         val g = rr.read()
         out(i) = Row.fromSeq(fields.toIndexedSeq.map { case (idx, dt) =>
           if (g.getFieldRepetitionCount(idx) == 0) null
-          else value(g, idx, dt, msgType)
+          else value(g, idx, dt, msgType, legacy)
         })
         i += 1
       }
@@ -78,8 +87,11 @@ object ParquetRangeReader {
     } finally reader.close()
   }
 
+  /** Which rebase markers the file footer carries. */
+  private final case class Legacy(int96: Boolean, datetime: Boolean)
+
   private def value(g: Group, idx: Int, dt: DataType,
-                    msgType: MessageType): Any = dt match {
+                    msgType: MessageType, legacy: Legacy): Any = dt match {
     case LongType => g.getLong(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case ShortType => g.getInteger(idx, 0).toShort
@@ -89,9 +101,29 @@ object ParquetRangeReader {
     case BooleanType => g.getBoolean(idx, 0)
     case StringType => g.getString(idx, 0)
     case DateType =>
-      java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(g.getInteger(idx, 0).toLong))
+      // java.sql.Date display fields come from the HYBRID calendar; a
+      // LEGACY-marked file stores hybrid (julian-rebased) days, so its
+      // fields are recovered by the Julian->Gregorian field rebase,
+      // while a modern (proleptic) file's days feed LocalDate directly —
+      // the same per-file switch Spark's own reader applies
+      // (its datetimeRebaseSpec, keyed on org.apache.spark.legacyDateTime)
+      val days0 = g.getInteger(idx, 0)
+      val days = if (legacy.datetime)
+        org.apache.spark.sql.catalyst.util.RebaseDateTime
+          .rebaseJulianToGregorianDays(days0)
+      else days0
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
     case TimestampType =>
+      // java.sql.Timestamp MILLIS live in the hybrid calendar (what
+      // Spark's toJavaTimestamp produces via Gregorian->Julian rebase):
+      // a LEGACY-marked file already stores hybrid micros — pass-through
+      // — while a modern (CORRECTED/proleptic) file's micros must be
+      // rebased Gregorian->Julian for pre-1582 instants, or the ranged
+      // path diverges from Spark's collect() by the calendar gap
+      def toHybrid(raw: Long, isLegacy: Boolean): java.sql.Timestamp =
+        tsFromMicros(if (isLegacy) raw
+        else org.apache.spark.sql.catalyst.util.RebaseDateTime
+          .rebaseGregorianToJulianMicros(raw))
       val prim = msgType.getType(idx).asPrimitiveType()
       prim.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT96 =>
@@ -101,7 +133,8 @@ object ParquetRangeReader {
           val nanosOfDay = bb.getLong
           val julianDay = bb.getInt
           val epochDay = julianDay - 2440588L // julian day of 1970-01-01
-          tsFromMicros(epochDay * 86400L * 1000000L + nanosOfDay / 1000L)
+          val raw = epochDay * 86400L * 1000000L + nanosOfDay / 1000L
+          toHybrid(raw, legacy.int96)
         case PrimitiveTypeName.INT64 =>
           val micros = prim.getLogicalTypeAnnotation match {
             case t: TimestampLogicalTypeAnnotation
@@ -112,7 +145,7 @@ object ParquetRangeReader {
               Math.floorDiv(g.getLong(idx, 0), 1000L)
             case _ => g.getLong(idx, 0) // MICROS (Spark's int64 default)
           }
-          tsFromMicros(micros)
+          toHybrid(micros, legacy.datetime)
         case other => throw new IllegalStateException(
           s"timestamp column stored as $other — extend the range reader")
       }

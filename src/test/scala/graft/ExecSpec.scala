@@ -131,29 +131,44 @@ class ExecSpec extends AnyFunSuite {
   test("connections: rotate re-points sibling aliases on the same bucket, " +
        "each keeping its own root") {
     import graft.sources.Connections
+    // test-unique bucket + full cleanup below: this test mutates
+    // JVM-global state (registry entries and per-bucket fs.s3a.* Hadoop
+    // conf), and leaving it behind would order-couple later tests that
+    // register on the same bucket or enumerate connections
+    val bucket = s"sibb${java.util.UUID.randomUUID().toString.take(8)}"
     def s3(ak: String, sk: String, root: String) = Connections.S3(
       endpoint = "http://minio:9000", accessKeyId = ak,
-      secretAccessKey = sk, bucket = "sibb", root = root,
+      secretAccessKey = sk, bucket = bucket, root = root,
       region = "us-east-1", forcePathStyle = true)
-    // two aliases on one bucket (allowed: credentials match), distinct roots
-    Connections.register(spark, "sib_raw", s3("akA", "skA", "lake/raw"))
-    Connections.register(spark, "sib_cur", s3("akA", "skA", "lake/curated"))
-    Connections.rotate(spark, "sib_raw", s3("akB", "skB", "lake/raw"))
-    // the SIBLING alias must now carry the rotated credentials — the
-    // Hadoop conf it reads through already did, so a stale registry entry
-    // would hand back revoked keys — while its own root prefix survives
-    Connections.get(spark, "sib_cur") match {
-      case Some(s: Connections.S3) =>
-        assert(s.accessKeyId === "akB")
-        assert(s.secretAccessKey === "skB")
-        assert(s.root === "lake/curated")
-      case other => fail(s"sib_cur resolved to $other")
-    }
-    assert(Connections.resolve(spark, "sib_cur", "d/*.parquet") ===
-      "s3a://sibb/lake/curated/d/*.parquet")
-    // and a register with the PRE-rotation credentials now conflicts
-    intercept[Connections.InvalidConnection] {
-      Connections.register(spark, "sib_stale", s3("akA", "skA", "x"))
+    try {
+      // two aliases on one bucket (allowed: credentials match), own roots
+      Connections.register(spark, "sib_raw", s3("akA", "skA", "lake/raw"))
+      Connections.register(spark, "sib_cur", s3("akA", "skA", "lake/curated"))
+      Connections.rotate(spark, "sib_raw", s3("akB", "skB", "lake/raw"))
+      // the SIBLING alias must now carry the rotated credentials — the
+      // Hadoop conf it reads through already did, so a stale registry
+      // entry would hand back revoked keys — while its root survives
+      Connections.get(spark, "sib_cur") match {
+        case Some(s: Connections.S3) =>
+          assert(s.accessKeyId === "akB")
+          assert(s.secretAccessKey === "skB")
+          assert(s.root === "lake/curated")
+        case other => fail(s"sib_cur resolved to $other")
+      }
+      assert(Connections.resolve(spark, "sib_cur", "d/*.parquet") ===
+        s"s3a://$bucket/lake/curated/d/*.parquet")
+      // and a register with the PRE-rotation credentials now conflicts
+      intercept[Connections.InvalidConnection] {
+        Connections.register(spark, "sib_stale", s3("akA", "skA", "x"))
+      }
+    } finally {
+      Seq("sib_raw", "sib_cur", "sib_stale")
+        .foreach(Connections.unregister(spark, _))
+      val hc = spark.sparkContext.hadoopConfiguration
+      import scala.jdk.CollectionConverters._
+      hc.iterator().asScala.map(_.getKey)
+        .filter(_.startsWith(s"fs.s3a.bucket.$bucket.")).toList
+        .foreach(hc.unset)
     }
   }
 
@@ -454,6 +469,57 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("sweepOrphans: a crash-orphaned result dir is TTL-swept; live " +
+       "dirs and fresh orphans survive") {
+    import graft.exec.AsyncQueryRunner
+    val tmp = java.nio.file.Files.createTempDirectory("results").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    // a live completed query — tracked in the state map, never sweepable
+    val live = runner.submit(
+      s"select r_regionkey from read_files('$dir/region.parquet')")
+    assert(runner.waitForFinish(live, maxWaitMs = 120000L)
+      .isInstanceOf[AsyncQueryRunner.Complete])
+    val livePath = java.nio.file.Paths.get(tmp, live)
+    assert(java.nio.file.Files.isDirectory(livePath))
+    // crash simulation: a result dir from a previous JVM — on disk with
+    // files, but unknown to this runner's in-memory state
+    val ghost = java.util.UUID.randomUUID().toString
+    val ghostPath = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(tmp, ghost))
+    java.nio.file.Files.writeString(
+      ghostPath.resolve("rec_0.parquet"), "stale")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    java.nio.file.Files.setLastModifiedTime(ghostPath, old)
+    // a FRESH orphan (another runner may be mid-materialize): inside TTL
+    val fresh = java.util.UUID.randomUUID().toString
+    val freshPath = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(tmp, fresh))
+    // sweep with a 10-minute TTL: only the stale ghost goes
+    val removed = runner.sweepOrphans(ttlMs = 600_000L)
+    assert(removed === Seq(ghost))
+    assert(!java.nio.file.Files.exists(ghostPath))
+    assert(java.nio.file.Files.isDirectory(livePath)) // live untouched
+    assert(java.nio.file.Files.isDirectory(freshPath)) // inside TTL
+    // the live query's results still page after the sweep
+    assert(runner.results(live).totalRows === 5L)
+    // age the fresh orphan past the TTL: next sweep takes it
+    java.nio.file.Files.setLastModifiedTime(freshPath, old)
+    assert(runner.sweepOrphans(ttlMs = 600_000L) === Seq(fresh))
+    // maxDeletes bounds one sweep's work
+    val ghosts = (1 to 3).map { _ =>
+      val g = java.util.UUID.randomUUID().toString
+      val p = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(tmp, g))
+      java.nio.file.Files.setLastModifiedTime(p, old)
+      g
+    }
+    assert(runner.sweepOrphans(ttlMs = 600_000L, maxDeletes = 2).size === 2)
+    assert(runner.sweepOrphans(ttlMs = 600_000L).size === 1)
+    assert(ghosts.forall(g =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, g))))
+  }
+
   test("async concurrency audit: pooled submits with a mid-flight cancel, " +
        "5 rounds — views, result dirs, and states stay isolated") {
     import graft.exec.AsyncQueryRunner
@@ -583,6 +649,83 @@ class ExecSpec extends AnyFunSuite {
     val apager = new CursorPager(spark, ars)
     assert(apager.totalRows === 100L)
     assert(apager.page(Start, 10).rows.length === 10)
+  }
+
+  test("parquet range reader: LEGACY-rebased pre-Gregorian timestamps " +
+       "and dates match Spark's read exactly") {
+    // Spark writes hybrid-Julian-rebased values when the write rebase
+    // mode is LEGACY and marks the footer; the ranged reader must honor
+    // those markers or pre-1582 values diverge by the calendar gap
+    val mdir = java.nio.file.Files.createTempDirectory("results_legacy")
+    val confs = Seq("spark.sql.parquet.int96RebaseModeInWrite",
+      "spark.sql.parquet.datetimeRebaseModeInWrite",
+      "spark.sql.parquet.outputTimestampType")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+      spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val df = spark.sql(
+        """select * from values
+             (1, timestamp'1001-03-05 12:34:56', date'1001-03-05'),
+             (2, timestamp'1500-12-31 23:59:59', date'1500-12-31'),
+             (3, timestamp'1582-10-04 00:00:00', date'1582-10-04'),
+             (4, timestamp'2020-06-15 06:30:00', date'2020-06-15')
+           as t(id, ts, d)""")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$mdir/w96")
+      val part = new java.io.File(s"$mdir/w96").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, mdir.resolve("rec_0.parquet"))
+      val rs = ResultMaterializer.open(mdir.toString)
+      val ranged = new CursorPager(spark, rs)
+      val viaSpark = new CursorPager(spark, rs, forceSparkReads = true)
+      val a = ranged.page(Start, 10)
+      val b = viaSpark.page(Start, 10)
+      assert(a.rows === b.rows)
+      // and both agree with the ORIGINAL in-memory values
+      assert(a.rows.map(_.getTimestamp(1).toString).toSet ===
+        df.collect().map(_.getTimestamp(1).toString).toSet)
+      assert(java.util.Arrays.equals(ranged.pageArrow(Start, 10).ipc,
+        viaSpark.pageArrow(Start, 10).ipc))
+
+      // same property for INT64-micros timestamps under datetime LEGACY
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      val m2 = java.nio.file.Files.createTempDirectory("results_legacy64")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$m2/w64")
+      val p2 = new java.io.File(s"$m2/w64").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(p2.toPath, m2.resolve("rec_0.parquet"))
+      val rs2 = ResultMaterializer.open(m2.toString)
+      val a2 = new CursorPager(spark, rs2).page(Start, 10)
+      val b2 = new CursorPager(spark, rs2, forceSparkReads = true)
+        .page(Start, 10)
+      assert(a2.rows === b2.rows)
+
+      // CORRECTED (proleptic) files exercise the opposite branch: the
+      // ranged reader must Gregorian->Julian rebase pre-1582 micros to
+      // match the hybrid-calendar java.sql.Timestamp Spark collects
+      spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite",
+        "CORRECTED")
+      spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite",
+        "CORRECTED")
+      for (ttype <- Seq("INT96", "TIMESTAMP_MICROS")) {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", ttype)
+        val m3 = java.nio.file.Files.createTempDirectory(s"results_c$ttype")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$m3/w")
+        val p3 = new java.io.File(s"$m3/w").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(p3.toPath, m3.resolve("rec_0.parquet"))
+        val rs3 = ResultMaterializer.open(m3.toString)
+        val a3 = new CursorPager(spark, rs3).page(Start, 10)
+        val b3 = new CursorPager(spark, rs3, forceSparkReads = true)
+          .page(Start, 10)
+        assert(a3.rows === b3.rows, s"CORRECTED $ttype")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("incremental materialize: pages are servable after each commit") {
