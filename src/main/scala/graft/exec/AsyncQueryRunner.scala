@@ -54,7 +54,8 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     * other; both are cleared before the worker thread is reused.
     */
   def submit(sql: String, incremental: Boolean = false,
-             schedulerPool: Option[String] = None): String = {
+             schedulerPool: Option[String] = None,
+             rowsPerFile: Int = 65536): String = {
     val queryId = UUID.randomUUID().toString
     states.put(queryId, Queued)
     pool.submit(new Runnable {
@@ -75,7 +76,7 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
             if (incremental) {
               partials.put(queryId, Vector.empty)
               ResultMaterializer.materializeIncremental(df, resultRoot,
-                queryId, onFile = rf =>
+                queryId, rowsPerFile = rowsPerFile, onFile = rf =>
                   partials.compute(queryId, (_, v) =>
                     (if (v == null) Vector.empty else v) :+ rf))
             } else ResultMaterializer.materialize(df, resultRoot, queryId)

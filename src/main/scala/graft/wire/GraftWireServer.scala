@@ -48,7 +48,8 @@ import graft.exec.CursorPager.Cursor
   * a slow client cannot hold a Spark job thread hostage.
   */
 final class GraftWireServer(runner: AsyncQueryRunner,
-                            incremental: Boolean = false) {
+                            incremental: Boolean = false,
+                            incrementalRowsPerFile: Int = 65536) {
   import Wire.Name
 
   /** This worker's identity, sent in Identify replies. */
@@ -113,7 +114,8 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       val sql = Json.parse(env.msgData).get("query").asText()
       val body =
         try {
-          val qid = runner.submit(sql, incremental = incremental)
+          val qid = runner.submit(sql, incremental = incremental,
+            rowsPerFile = incrementalRowsPerFile)
           val inner = Json.obj()
           inner.set[JsonNode]("query_id", Json.big(Wire.uuidToU128(qid)))
           val o = Json.obj(); o.set[JsonNode]("Created", inner)

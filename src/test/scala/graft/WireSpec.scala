@@ -145,4 +145,58 @@ class WireSpec extends AnyFunSuite {
       assert(fin.startsWith("Error"), s"cancelled query ended as $fin")
     } finally server.stop()
   }
+
+  test("serve-while-materializing over the wire: an INCREMENTAL query's " +
+       "committed pages are fetchable while its status is still Running") {
+    val tmp = java.nio.file.Files.createTempDirectory("wireinc").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    // small commit unit so rec_N files appear long before the slow query
+    // finishes — the reference's serve-while-materializing posture
+    val server = new GraftWireServer(runner, incremental = true,
+      incrementalRowsPerFile = 100).start()
+    try {
+      val client = new GraftWireClient(server.port)
+      spark.udf.register("graft_test_sleep", (ms: Int, x: Long) => {
+        Thread.sleep(ms.toLong); x
+      })
+      val qid = client.runQuery(
+        s"select graft_test_sleep(10, o_orderkey) as k " +
+          s"from read_files('$dir/orders.parquet')").get
+      // poll over the wire until a page arrives while still Running
+      var sawRunningPage = false
+      var rounds = 0
+      while (!sawRunningPage && rounds < 600) {
+        val status = client.getQueryStatus(qid)
+        if (status == "Running") {
+          client.getQueryData(qid, Cursor(0, 0, 0L), 50, forward = true,
+            allowOverflow = false) match {
+            case DataRecord(rows, _, _) if rows.nonEmpty =>
+              sawRunningPage = true
+            case _ => Thread.sleep(25)
+          }
+        } else if (status == "Complete") rounds = 600 // too late — fail below
+        else Thread.sleep(10)
+        rounds += 1
+      }
+      assert(sawRunningPage,
+        "no page was served while the query was still Running")
+      // after completion the full result pages normally
+      assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+      var cursor = Cursor(0, 0, 0L)
+      var total = 0
+      var done = false
+      while (!done) client.getQueryData(qid, cursor, 400, forward = true,
+        allowOverflow = false) match {
+        case DataRecord(rows, offsets, _) =>
+          total += rows.length
+          runner.results(Wire.u128ToUuid(qid)).page(cursor, 400).next match {
+            case Some(n) => cursor = n
+            case None => done = true
+          }
+        case DataEndOfFiles => done = true
+        case other => fail(s"unexpected: $other")
+      }
+      assert(total === 1500)
+    } finally server.stop()
+  }
 }
