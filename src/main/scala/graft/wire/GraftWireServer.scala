@@ -91,7 +91,23 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       var done = false
       while (!done) Wire.read(in) match {
         case None => done = true // clean close from the peer
-        case Some(env) => handle(env).foreach(r => Wire.write(out, r))
+        case Some(env) =>
+          // a malformed body or a handler fault must answer THIS request
+          // (the client blocks on its request_id), not kill the
+          // connection silently
+          val resp =
+            try handle(env)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                Some(env.reply(Name.CommonGenericResponse, {
+                  val o = Json.obj()
+                  o.set[com.fasterxml.jackson.databind.JsonNode]("Error",
+                    Json.text(Option(e.getMessage)
+                      .getOrElse(e.getClass.getSimpleName)))
+                  Json.bytes(o)
+                }).copy(sentFromWorkerId = Some(workerId)))
+            }
+          resp.foreach(r => Wire.write(out, r))
       }
     } catch {
       case _: java.io.IOException => () // peer reset mid-frame

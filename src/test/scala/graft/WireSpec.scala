@@ -146,6 +146,66 @@ class WireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("concurrent wire clients: parallel submits against one server " +
+       "stay isolated; a malformed request gets an Error reply, not a " +
+       "dead connection") {
+    val tmp = java.nio.file.Files.createTempDirectory("wirecc").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val server = new GraftWireServer(runner).start()
+    try {
+      // 4 clients, each its own table with a distinct row count — each
+      // connection is served by its own thread; results must not bleed
+      val expected = Map("region" -> 5, "nation" -> 25,
+        "supplier" -> 10, "customer" -> 150)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      val threads = expected.keys.map { t =>
+        val th = new Thread(() => {
+          val c = new GraftWireClient(server.port)
+          val qid = c.runQuery(
+            s"select * from read_files('$dir/$t.parquet')").get
+          assert(c.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+          var cur = Cursor(0, 0, 0L)
+          var n = 0
+          var done = false
+          while (!done) c.getQueryData(qid, cur, 64, forward = true,
+            allowOverflow = false) match {
+            case DataRecord(rows, _, _) =>
+              n += rows.length
+              runner.results(Wire.u128ToUuid(qid)).page(cur, 64).next match {
+                case Some(nx) => cur = nx
+                case None => done = true
+              }
+            case DataEndOfFiles => done = true
+            case other => fail(s"$t: $other")
+          }
+          results.put(t, n)
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(180000))
+      expected.foreach { case (t, n) =>
+        assert(results.get(t) === n, s"table $t")
+      }
+
+      // malformed body: the server answers THIS request with an Error
+      // envelope instead of silently dropping the connection
+      val sock = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, server.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val env = Envelope(msgNameId = Wire.Name.RunQuery,
+          msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+          msgData = "this is not json".getBytes("UTF-8"))
+        Wire.write(out, env)
+        val resp = Wire.read(in).get
+        assert(resp.requestId === env.requestId)
+        assert(resp.msgNameId === Wire.Name.CommonGenericResponse)
+        assert(Json.parse(resp.msgData).has("Error"))
+      } finally sock.close()
+    } finally server.stop()
+  }
+
   test("serve-while-materializing over the wire: an INCREMENTAL query's " +
        "committed pages are fetchable while its status is still Running") {
     val tmp = java.nio.file.Files.createTempDirectory("wireinc").toString
