@@ -417,6 +417,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(nprobe"), p.take(2000))
   }
 
+  test("cte_recursive plans a native UnionLoop with map-side partial max") {
+    val p = plan("cte_recursive")
+    // the recursion is Spark's own loop operator — anchor + a filtered
+    // step over UnionLoopRef — not a hand-unrolled union chain
+    assert(p.contains("UnionLoop"), p.take(800))
+    assert(p.contains("UnionLoopRef"), p.take(800))
+    // the depth aggregation combines before its one shuffle
+    assert(p.contains("partial_max"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(800))
+  }
+
   test("registry invariant: every query's output columns are " +
        "harness-atomic types (no decimal, nested, or binary)") {
     // The driver's oracle harness reads the compare's two sides through
