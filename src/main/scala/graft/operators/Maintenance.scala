@@ -54,24 +54,46 @@ object Maintenance {
                        target: Long = TargetFileBytes): CompactionStats = {
     val p = new org.apache.hadoop.fs.Path(dirPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).toSeq
+    val entries = fs.listStatus(p).toSeq
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val (small, big) = files.partition(_.getLen < smallThreshold)
-    if (small.size <= 1)
-      return CompactionStats(files.size, 0, 0, 0L) // nothing worth packing
-    val smallBytes = small.map(_.getLen).sum
-    val n = math.max(1L, (smallBytes + target - 1) / target).toInt
-    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
-    s.read.parquet(small.map(_.getPath.toString): _*)
-      .repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val outs = fs.listStatus(tmp).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    outs.foreach(o => fs.rename(o.getPath,
-      new org.apache.hadoop.fs.Path(p, o.getPath.getName)))
-    small.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(tmp, true)
-    CompactionStats(big.size, small.size, outs.size, smallBytes)
+    val here =
+      if (small.size <= 1) // nothing worth packing at this level
+        CompactionStats(files.size, 0, 0, 0L)
+      else {
+        val smallBytes = small.map(_.getLen).sum
+        val n = math.max(1L, (smallBytes + target - 1) / target).toInt
+        val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+        s.read.parquet(small.map(_.getPath.toString): _*)
+          .repartition(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val outs = fs.listStatus(tmp).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        outs.foreach(o => fs.rename(o.getPath,
+          new org.apache.hadoop.fs.Path(p, o.getPath.getName)))
+        small.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+        CompactionStats(big.size, small.size, outs.size, smallBytes)
+      }
+    // Hive-partitioned tables nest files under key=value dirs: compact
+    // each partition leaf INDEPENDENTLY (a file only ever packs with
+    // files of its own partition — partition values live in dir names,
+    // so cross-partition packing would corrupt them). Underscore- and
+    // dot-prefixed dirs (_SUCCESS markers, checkpoints) are skipped,
+    // matching Spark's own listing rules.
+    val subdirStats = entries
+      .filter(d => d.isDirectory &&
+        !d.getPath.getName.startsWith("_") &&
+        !d.getPath.getName.startsWith("."))
+      .map(d => compactSelective(s, d.getPath.toString, smallThreshold,
+        target))
+    subdirStats.foldLeft(here) { (a, b) =>
+      CompactionStats(a.untouched + b.untouched,
+        a.rewrittenSmall + b.rewrittenSmall,
+        a.outputsWritten + b.outputsWritten,
+        a.bytesRewritten + b.bytesRewritten)
+    }
   }
 
   /** Small-file compaction (oracle-checked): build the state every

@@ -66,6 +66,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(again.bytesRewritten === 0L)
   }
 
+  test("compactSelective recurses into hive partitions: fragments pack " +
+       "WITHIN their partition; partition values survive") {
+    import graft.operators.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("partcomp").toString
+    val mixed = s"$base/table"
+    val src = spark.range(3000).select(col("id"),
+      (col("id") % 3).cast("int").as("y"),
+      concat(lit("pay-"), lpad(col("id").cast("string"), 200, "x"))
+        .as("pay"))
+    // each of the 3 partitions gets 16 fragments
+    src.repartition(16).write.partitionBy("y")
+      .mode("overwrite").parquet(mixed)
+    def leafFiles(y: Int) = new java.io.File(s"$mixed/y=$y").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert((0 to 2).forall(y => leafFiles(y).length == 16))
+    val stats = Maintenance.compactSelective(spark, mixed,
+      smallThreshold = 10L << 20) // everything is small at this scale
+    assert(stats.rewrittenSmall === 48)
+    // packed per partition: one output per leaf, never cross-partition
+    (0 to 2).foreach(y => assert(leafFiles(y).length === 1, s"y=$y"))
+    // values (including the dir-encoded partition column) intact —
+    // select in source order: the read appends the partition col last
+    val back = spark.read.parquet(mixed).select("id", "y", "pay")
+    assert(back.count() === 3000L)
+    assert(back.except(src).count() === 0L && src.except(back).count() === 0L)
+  }
+
   test("assign_row_ids: contiguous 0-based ids in doc_id order, equal " +
        "to the window formulation") {
     val out = graft.operators.Maintenance.assignRowIds(spark, dir)
