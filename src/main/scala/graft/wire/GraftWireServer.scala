@@ -183,7 +183,9 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       val forward = n.get("forward").asBoolean()
       val allowOverflow = n.get("allow_overflow").asBoolean()
       val body = runner.status(qid) match {
-        case QueryNotFound => dataResp(0, Json.bytes(Json.text("QueryNotFound")))
+        case QueryNotFound =>
+          pagers.remove(qid) // forgotten/swept: drop its cached pager too
+          dataResp(0, Json.bytes(Json.text("QueryNotFound")))
         case Complete(_) | Running | Queued | SentShutdown =>
           pagerFor(qid) match {
             case None =>
@@ -216,13 +218,29 @@ final class GraftWireServer(runner: AsyncQueryRunner,
   private def queryId(data: Array[Byte]): String =
     Wire.u128ToUuid(Json.bigOf(Json.parse(data).get("query_id")))
 
-  /** Completed results page through [[AsyncQueryRunner.results]]; a
-    * still-running incremental query pages what it has committed so far.
+  // One pager per COMPLETED query, reused across page requests: the
+  // pager compiles its Arrow encoder and reads the result schema once,
+  // so rebuilding it per GetQueryData would pay encoder codegen on
+  // every page — the cost the pager's own design hoists out. Bounded:
+  // entries die with the server; a long-lived deployment pairs this
+  // with runner.forget/sweepOrphans, which remove the query id the
+  // cache key points at (a stale pager over deleted files errors
+  // loudly on next use and is evicted below).
+  private val pagers =
+    new java.util.concurrent.ConcurrentHashMap[String, CursorPager]()
+
+  /** Completed results page through [[AsyncQueryRunner.results]] (cached
+    * per query); a still-running incremental query pages what it has
+    * committed so far — re-snapshotted per request, since its file set
+    * grows with every commit.
     */
   private def pagerFor(qid: String): Option[CursorPager] =
     runner.status(qid) match {
-      case Complete(_) => Some(runner.results(qid))
-      case _ => runner.resultsSoFar(qid)
+      case Complete(_) =>
+        Some(pagers.computeIfAbsent(qid, id => runner.results(id)))
+      case _ =>
+        pagers.remove(qid) // id reuse after forget: never serve stale
+        runner.resultsSoFar(qid)
     }
 
   /** GetQueryDataResp body (query.rs:61-94): u8 variant, u64 meta len,
