@@ -205,6 +205,17 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("o_orderstatus") === "F")
     assert(pruned.queryExecution.executedPlan.toString
       .contains("PartitionFilters: [isnotnull(o_orderstatus"))
+    // a data-column predicate pushes into BOTH signature-group scans —
+    // the union must not become a pushdown barrier
+    val filtered = SparkEntry.queries("scan_partition_drift")(spark, dir)
+      .filter(col("o_orderkey") > 1000L)
+    val fscans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fscans.size === 2)
+    fscans.foreach(sc => assert(
+      sc.metadata.get("PushedFilters").exists(_.contains(
+        "GreaterThan(o_orderkey,1000)")), sc.metadata.toString))
   }
 
   test("partitioned write prunes partitions on read (PartitionFilters)") {
