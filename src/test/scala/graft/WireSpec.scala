@@ -53,6 +53,51 @@ class WireSpec extends AnyFunSuite {
     assert(new String(back.msgData, "UTF-8") === new String(body, "UTF-8"))
   }
 
+  test("envelope: seeded property — write∘read is identity over random " +
+       "ids, flag combinations, and payloads") {
+    import org.scalacheck.{Gen, rng}
+    val genId = Gen.chooseNum(0L, Long.MaxValue).flatMap(hi =>
+      Gen.chooseNum(0L, Long.MaxValue).map(lo =>
+        (BigInt(hi) << 64) | BigInt(lo)))
+    val genOpt = Gen.option(genId)
+    val genEnv = for {
+      name <- Gen.oneOf(0, 1, 2, 3, 9, 12, 13, 14, 15, 16)
+      msgId <- genId; reqId <- genId
+      sfw <- genOpt; sfq <- genOpt; sfo <- genOpt; sfc <- genOpt
+      rtw <- genOpt; rto <- genOpt; rtc <- genOpt
+      n <- Gen.chooseNum(0, 4096)
+      payload <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127)
+        .map(_.toByte))
+    } yield Envelope(name, msgId, reqId, sfw, sfq, sfo, sfc, rtw, rto, rtc,
+      payload)
+    for (i <- 0 until 80) {
+      genEnv(Gen.Parameters.default, rng.Seed(i.toLong)).foreach { e =>
+        val out = new ByteArrayOutputStream()
+        Wire.write(new DataOutputStream(out), e)
+        val bytes = out.toByteArray
+        assert(bytes.length === 4 + 158 + e.msgData.length, s"seed $i")
+        val b = Wire.read(new DataInputStream(
+          new ByteArrayInputStream(bytes))).get
+        assert(b.msgNameId === e.msgNameId, s"seed $i")
+        assert(b.msgId === e.msgId && b.requestId === e.requestId, s"seed $i")
+        assert(b.sentFromWorkerId === e.sentFromWorkerId &&
+          b.sentFromQueryId === e.sentFromQueryId &&
+          b.sentFromOperationId === e.sentFromOperationId &&
+          b.sentFromConnectionId === e.sentFromConnectionId, s"seed $i")
+        assert(b.routeToWorkerId === e.routeToWorkerId &&
+          b.routeToOperationId === e.routeToOperationId &&
+          b.routeToConnectionId === e.routeToConnectionId, s"seed $i")
+        assert(java.util.Arrays.equals(b.msgData, e.msgData), s"seed $i")
+        // two frames back-to-back parse independently (stream framing)
+        val two = new DataInputStream(new ByteArrayInputStream(
+          bytes ++ bytes))
+        assert(Wire.read(two).get.msgId === e.msgId)
+        assert(Wire.read(two).get.msgId === e.msgId)
+        assert(Wire.read(two) === None) // clean EOF at the boundary
+      }
+    }
+  }
+
   test("socket lifecycle: submit -> poll -> page forward/backward -> " +
        "cancel, pages decoded from wire bytes alone") {
     val tmp = java.nio.file.Files.createTempDirectory("wire").toString
