@@ -101,6 +101,43 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
       c.row < groupStarts(c.file)(c.rowGroup + 1) -
         groupStarts(c.file)(c.rowGroup)
 
+  /** Resolve a CLIENT cursor per the reference iterator's arithmetic
+    * (query_data_iterator.rs:117-141) — the wire server's entry point:
+    *
+    *  - a FORWARD cursor may be "one past" its row group: the client's
+    *    next-page derivation is `last_offset.row + 1` with no knowledge
+    *    of group sizes, so the overflow ROLLS into the following group /
+    *    file; one past the global end resolves to [[CursorMiss.PastEnd]]
+    *    (→ ReachedEndOfFiles, the iterator's clean termination);
+    *  - a BACKWARD cursor may carry u64::MAX sentinels meaning "last
+    *    row group of this file" / "last row of this group" (the
+    *    iterator's decrement across boundaries) — out-of-range group and
+    *    row indexes CLAMP to the last valid position;
+    *  - coordinates that fit neither protocol shape (negative, file
+    *    beyond the set going backward, forward group beyond the file)
+    *    are [[CursorMiss.NotFound]] (→ RecordRowGroupNotFound).
+    */
+  def resolveClientCursor(file: Long, rowGroup: Long, row: Long,
+                          forward: Boolean): Either[CursorMiss, Cursor] = {
+    if (totalRows == 0) return Left(CursorMiss.PastEnd)
+    if (file < 0 || rowGroup < 0 || row < 0) return Left(CursorMiss.NotFound)
+    if (file >= fileRows.length)
+      return Left(if (forward) CursorMiss.PastEnd else CursorMiss.NotFound)
+    val f = file.toInt
+    val nGroups = groupStarts(f).length - 1
+    if (forward) {
+      if (rowGroup >= nGroups) return Left(CursorMiss.NotFound)
+      val g = rowGroup.toInt
+      val global = fileStarts(f) + groupStarts(f)(g) + row
+      if (global >= totalRows) Left(CursorMiss.PastEnd)
+      else Right(toCursor(global)) // identity when row is in range
+    } else {
+      val g = math.min(rowGroup, (nGroups - 1).toLong).toInt
+      val rowsInGroup = groupStarts(f)(g + 1) - groupStarts(f)(g)
+      Right(Cursor(f, g, math.min(row, rowsInGroup - 1)))
+    }
+  }
+
   /** Global row index addressed by a cursor. */
   def toGlobal(c: Cursor): Long =
     fileStarts(c.file) + groupStarts(c.file)(c.rowGroup) + c.row
@@ -200,6 +237,21 @@ object CursorPager {
     * (query_data_iterator.rs:22-32).
     */
   final case class Cursor(file: Int, rowGroup: Int, row: Long)
+
+  /** Why a client cursor failed to resolve (see
+    * [[CursorPager.resolveClientCursor]]).
+    */
+  sealed trait CursorMiss
+  object CursorMiss {
+    /** Forward iteration walked past the last row — the protocol's clean
+      * end (GetQueryDataResp::ReachedEndOfFiles).
+      */
+    case object PastEnd extends CursorMiss
+    /** Structurally impossible coordinates
+      * (GetQueryDataResp::RecordRowGroupNotFound).
+      */
+    case object NotFound extends CursorMiss
+  }
 
   final case class PageResult(rows: Seq[Row], offsets: Seq[Cursor],
                               next: Option[Cursor])

@@ -70,8 +70,15 @@ object Maintenance {
           .write.mode("overwrite").parquet(tmp.toString)
         val outs = fs.listStatus(tmp).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        outs.foreach(o => fs.rename(o.getPath,
-          new org.apache.hadoop.fs.Path(p, o.getPath.getName)))
+        // every packed output must be IN PLACE before any source file is
+        // deleted: Hadoop rename signals failure by returning false, and
+        // ignoring it here would delete the only copy of the packed rows
+        outs.foreach { o =>
+          val dest = new org.apache.hadoop.fs.Path(p, o.getPath.getName)
+          require(fs.rename(o.getPath, dest),
+            s"compaction aborted: rename ${o.getPath} -> $dest failed; " +
+              "sources left untouched")
+        }
         small.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)
         CompactionStats(big.size, small.size, outs.size, smallBytes)

@@ -145,14 +145,23 @@ object SchemaDrift {
     spark.read.schema(target).parquet(genDirs: _*)
   }
 
-  /** Hive-partition columns of one generation dir: the columns Spark's
-    * directory discovery adds on top of what the parquet footers carry.
-    * Found by diffing the full table schema against the schema of a
-    * single leaf file — one footer read plus one (early-terminated)
-    * recursive listing per generation, never O(files) footer reads.
+  /** One generation dir's discovery product: its full table schema
+    * (footer columns + directory-derived partition columns) and which of
+    * those columns ARE partition columns.
     */
-  private[sources] def partitionColumns(spark: SparkSession,
-                                        dir: String): Seq[String] = {
+  private[sources] final case class GenLayout(schema: StructType,
+                                              partitionCols: Seq[String])
+
+  /** Discover one generation ONCE: a single `spark.read.parquet(dir)`
+    * supplies the full schema (one footer read + one listing, the same
+    * work planning the scan needs anyway); the partition columns are the
+    * full schema's diff against one leaf file's footer columns (found by
+    * an early-terminated recursive listing). Nothing here is O(files)
+    * footer reads, and [[normalizedReadGrouped]] reuses this product
+    * instead of re-listing per phase.
+    */
+  private[sources] def discoverGen(spark: SparkSession,
+                                   dir: String): GenLayout = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -165,8 +174,13 @@ object SchemaDrift {
       case Some(l) => spark.read.parquet(l).schema.fieldNames.toSet
       case None => Set.empty[String]
     }
-    spark.read.parquet(dir).schema.fieldNames.filterNot(fileCols).toSeq
+    val full = spark.read.parquet(dir).schema
+    GenLayout(full, full.fieldNames.filterNot(fileCols).toSeq)
   }
+
+  private[sources] def partitionColumns(spark: SparkSession,
+                                        dir: String): Seq[String] =
+    discoverGen(spark, dir).partitionCols
 
   /** Partition-LAYOUT drift: generations that moved a column between the
     * directory structure and the file payload (the classic "producer
@@ -187,15 +201,18 @@ object SchemaDrift {
     */
   def normalizedReadGrouped(spark: SparkSession,
                             genDirs: Seq[String]): DataFrame = {
-    val bySig: Seq[(Seq[String], Seq[String])] =
-      genDirs.map(d => (partitionColumns(spark, d), d))
-        .groupBy(_._1).map { case (sig, ds) => (sig, ds.map(_._2)) }
-        .toSeq.sortBy(_._1.mkString(","))
+    // ONE discovery per generation (schema + partition signature from
+    // the same listing), reused by both the grouping and the widen-merge
+    val discovered = genDirs.map(d => d -> discoverGen(spark, d))
+    val bySig: Seq[(Seq[String], Seq[(String, GenLayout)])] =
+      discovered.groupBy(_._2.partitionCols).toSeq
+        .sortBy(_._1.mkString(","))
     val groupSchemas = bySig.map { case (_, ds) =>
-      widenMerge(ds.map(d => spark.read.parquet(d).schema))
+      widenMerge(ds.map(_._2.schema))
     }
     val target = widenMerge(groupSchemas)
-    val parts = bySig.zip(groupSchemas).map { case ((_, ds), gs) =>
+    val parts = bySig.zip(groupSchemas).map { case ((_, dls), gs) =>
+      val ds = dls.map(_._1)
       val df = spark.read.schema(gs).parquet(ds: _*)
       df.select(target.fields.toIndexedSeq.map { f =>
         if (gs.fieldNames.contains(f.name))

@@ -198,4 +198,32 @@ object GraftWireClient {
     */
   final case class DataRecord(rows: Seq[Seq[Any]], offsets: Seq[Cursor],
                               firstOffset: Cursor) extends DataResp
+
+  /** The reference iterator's next-cursor derivation
+    * (query_data_iterator.rs:117-141) — all a client has is the returned
+    * offsets; it cannot know row-group sizes:
+    *
+    *  - forward: last offset's row + 1 (the server rolls the overflow
+    *    into the next group/file, and answers ReachedEndOfFiles one past
+    *    the global end);
+    *  - backward: decrement the FIRST offset, using max-value sentinels
+    *    for "last group of the previous file" / "last row of the
+    *    previous group" exactly like the Rust client's u64::MAX (our
+    *    Cursor's rowGroup is an Int, so Int.MaxValue rides the wire —
+    *    the server clamps anything out of range to the last valid
+    *    position, which is the sentinel's meaning). (0,0,0) is the
+    *    natural start: no previous page.
+    */
+  def nextForward(offsets: Seq[Cursor]): Option[Cursor] =
+    offsets.lastOption.map(l => Cursor(l.file, l.rowGroup, l.row + 1))
+
+  def nextBackward(offsets: Seq[Cursor]): Option[Cursor] =
+    offsets.headOption.flatMap { f =>
+      if (f.file == 0 && f.rowGroup == 0 && f.row == 0L) None
+      else if (f.rowGroup == 0 && f.row == 0L)
+        Some(Cursor(f.file - 1, Int.MaxValue, Long.MaxValue))
+      else if (f.row == 0L)
+        Some(Cursor(f.file, f.rowGroup - 1, Long.MaxValue))
+      else Some(Cursor(f.file, f.rowGroup, f.row - 1))
+    }
 }

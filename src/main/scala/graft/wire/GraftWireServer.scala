@@ -76,10 +76,18 @@ final class GraftWireServer(runner: AsyncQueryRunner,
 
   private def acceptLoop(): Unit =
     while (!closed) {
-      val sock = try server.accept() catch { case _: Throwable => return }
-      val t = new Thread(() => serve(sock), "graft-wire-conn")
-      t.setDaemon(true)
-      t.start()
+      // a transient accept failure (fd exhaustion under connection churn)
+      // must not kill the accept loop while the socket is still bound —
+      // only stop() ends it
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "graft-wire-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable if closed => return
+        case scala.util.control.NonFatal(_) => Thread.sleep(10)
+      }
     }
 
   private def serve(sock: Socket): Unit = {
@@ -105,12 +113,18 @@ final class GraftWireServer(runner: AsyncQueryRunner,
                     Json.text(Option(e.getMessage)
                       .getOrElse(e.getClass.getSimpleName)))
                   Json.bytes(o)
-                }).copy(sentFromWorkerId = Some(workerId)))
+                }))
             }
-          resp.foreach(r => Wire.write(out, r))
+          // every reply carries this worker's identity — stamped HERE so
+          // no handler branch can forget it
+          resp.foreach(r =>
+            Wire.write(out, r.copy(sentFromWorkerId = Some(workerId))))
       }
     } catch {
       case _: java.io.IOException => () // peer reset mid-frame
+      case scala.util.control.NonFatal(_) => () // unparseable frame: the
+      // next frame boundary is unknowable, so the connection is dropped
+      // (the reference client treats a closed socket as the error signal)
     } finally sock.close()
   }
 
@@ -119,12 +133,10 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       val n = Json.parse(env.msgData)
       val connId = Option(n.get("Connection")).map(c => Json.bigOf(c.get("id")))
       Some(env.reply(Name.Identify, Json.identify("Worker", workerId))
-        .copy(sentFromWorkerId = Some(workerId),
-          routeToConnectionId = connId))
+        .copy(routeToConnectionId = connId))
 
     case Name.Ping =>
-      Some(env.reply(Name.Ping, Json.bytes(Json.text("Pong")))
-        .copy(sentFromWorkerId = Some(workerId)))
+      Some(env.reply(Name.Ping, Json.bytes(Json.text("Pong"))))
 
     case Name.RunQuery =>
       val sql = Json.parse(env.msgData).get("query").asText()
@@ -140,8 +152,7 @@ final class GraftWireServer(runner: AsyncQueryRunner,
           case scala.util.control.NonFatal(_) =>
             Json.bytes(Json.text("NotCreated"))
         }
-      Some(env.reply(Name.RunQueryResp, body)
-        .copy(sentFromWorkerId = Some(workerId)))
+      Some(env.reply(Name.RunQueryResp, body))
 
     case Name.GetQueryStatus =>
       val qid = queryId(env.msgData)
@@ -165,54 +176,64 @@ final class GraftWireServer(runner: AsyncQueryRunner,
           val o = Json.obj(); o.set[JsonNode]("Status", statusNode)
           Json.bytes(o)
       }
-      Some(env.reply(Name.GetQueryStatusResp, body)
-        .copy(sentFromWorkerId = Some(workerId)))
+      Some(env.reply(Name.GetQueryStatusResp, body))
 
     case Name.OperatorShutdown =>
       runner.cancel(queryId(env.msgData))
       Some(env.reply(Name.CommonGenericResponse,
-        Json.bytes(Json.text("Ok")))
-        .copy(sentFromWorkerId = Some(workerId)))
+        Json.bytes(Json.text("Ok"))))
 
     case Name.GetQueryData =>
       val n = Json.parse(env.msgData)
       val qid = Wire.u128ToUuid(Json.bigOf(n.get("query_id")))
-      val cursor = Cursor(n.get("file_idx").asInt(),
-        n.get("file_row_group_idx").asInt(), n.get("row_idx").asLong())
+      // cursor fields parse through BigInt and clamp at Long: the
+      // reference iterator sends u64::MAX sentinels on backward pages
+      // ("last group of the file" / "last row of the group",
+      // query_data_iterator.rs:129-140) which must survive the decode
+      def asClampedLong(field: String): Long = {
+        val v = Json.bigOf(n.get(field))
+        if (v > Long.MaxValue) Long.MaxValue else v.toLong
+      }
+      val file = asClampedLong("file_idx")
+      val rowGroup = asClampedLong("file_row_group_idx")
+      val row = asClampedLong("row_idx")
       val limit = n.get("limit").asInt()
       val forward = n.get("forward").asBoolean()
       val allowOverflow = n.get("allow_overflow").asBoolean()
       val body = runner.status(qid) match {
         case QueryNotFound =>
-          pagers.remove(qid) // forgotten/swept: drop its cached pager too
+          pagers.synchronized(pagers.remove(qid)) // forgotten: drop pager
           dataResp(0, Json.bytes(Json.text("QueryNotFound")))
         case Complete(_) | Running | Queued | SentShutdown =>
           pagerFor(qid) match {
             case None =>
               dataResp(3, errMeta(s"query $qid has no pageable results yet"))
             case Some(pager) =>
-              if (pager.totalRows == 0L)
-                dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
-              else if (!pager.isValid(cursor))
-                dataResp(1, Json.bytes(Json.text("RecordRowGroupNotFound")))
-              else {
-                val p = pager.pageArrow(cursor, limit, forward, allowOverflow)
-                if (p.offsets.isEmpty)
+              pager.resolveClientCursor(file, rowGroup, row, forward) match {
+                case Left(CursorPager.CursorMiss.PastEnd) =>
+                  // the iterator protocol's clean termination: the
+                  // client walked one past the last row
                   dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
-                else dataResp(2, recordMeta(p.offsets), p.ipc)
+                case Left(CursorPager.CursorMiss.NotFound) =>
+                  dataResp(1, Json.bytes(Json.text("RecordRowGroupNotFound")))
+                case Right(cursor) =>
+                  val p = pager.pageArrow(cursor, limit, forward,
+                    allowOverflow)
+                  if (p.offsets.isEmpty)
+                    dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+                  else dataResp(2, recordMeta(p.offsets), p.ipc)
               }
           }
         case Error(m) => dataResp(3, errMeta(m))
       }
-      Some(env.reply(Name.GetQueryDataResp, body)
-        .copy(sentFromWorkerId = Some(workerId)))
+      Some(env.reply(Name.GetQueryDataResp, body))
 
     case other =>
       Some(env.reply(Name.CommonGenericResponse, {
         val o = Json.obj()
         o.set[JsonNode]("Error", Json.text(s"unhandled message id $other"))
         Json.bytes(o)
-      }).copy(sentFromWorkerId = Some(workerId)))
+      }))
   }
 
   private def queryId(data: Array[Byte]): String =
@@ -221,13 +242,19 @@ final class GraftWireServer(runner: AsyncQueryRunner,
   // One pager per COMPLETED query, reused across page requests: the
   // pager compiles its Arrow encoder and reads the result schema once,
   // so rebuilding it per GetQueryData would pay encoder codegen on
-  // every page — the cost the pager's own design hoists out. Bounded:
-  // entries die with the server; a long-lived deployment pairs this
-  // with runner.forget/sweepOrphans, which remove the query id the
-  // cache key points at (a stale pager over deleted files errors
-  // loudly on next use and is evicted below).
+  // every page — the cost the pager's own design hoists out. The map is
+  // a size-bounded LRU (each pager holds up to 8 row groups of
+  // materialized Rows — a long-lived server with thousands of forgotten
+  // queries would otherwise accumulate them, since nothing external can
+  // reach this cache to evict); a re-requested evicted query just
+  // rebuilds its pager.
+  private val MaxCachedPagers = 64
   private val pagers =
-    new java.util.concurrent.ConcurrentHashMap[String, CursorPager]()
+    new java.util.LinkedHashMap[String, CursorPager](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CursorPager]): Boolean =
+        size() > MaxCachedPagers
+    }
 
   /** Completed results page through [[AsyncQueryRunner.results]] (cached
     * per query); a still-running incremental query pages what it has
@@ -236,10 +263,17 @@ final class GraftWireServer(runner: AsyncQueryRunner,
     */
   private def pagerFor(qid: String): Option[CursorPager] =
     runner.status(qid) match {
-      case Complete(_) =>
-        Some(pagers.computeIfAbsent(qid, id => runner.results(id)))
+      case Complete(_) => pagers.synchronized {
+        val cached = pagers.get(qid)
+        if (cached != null) Some(cached)
+        else {
+          val p = runner.results(qid)
+          pagers.put(qid, p)
+          Some(p)
+        }
+      }
       case _ =>
-        pagers.remove(qid) // id reuse after forget: never serve stale
+        pagers.synchronized(pagers.remove(qid)) // never serve stale
         runner.resultsSoFar(qid)
     }
 

@@ -141,8 +141,13 @@ object Wire {
     }
     val headerLen = first
     val dataLen = in.readLong()
-    require(dataLen <= (1L << 30),
-      s"frame data_len $dataLen exceeds the 1 GiB client bound")
+    // corrupt or hostile frames must fail LOUDLY here, not as a
+    // NegativeArraySizeException past the catch-net or a silent stream
+    // desync: negative lengths and short headers are protocol errors
+    require(headerLen >= HeaderLen,
+      s"frame header_len $headerLen below the v$HeaderVersion layout size")
+    require(dataLen >= 0 && dataLen <= (1L << 30),
+      s"frame data_len $dataLen outside [0, 1 GiB]")
     val version = in.readShort()
     require(version == HeaderVersion, s"unknown header version $version")
     val nameId = in.readShort() & 0xffff

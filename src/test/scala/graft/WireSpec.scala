@@ -114,7 +114,10 @@ class WireSpec extends AnyFunSuite {
       // --- poll (GetQueryStatus until terminal) ---
       assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
 
-      // --- page forward through the whole result from the wire ---
+      // --- page forward through the whole result, WIRE-ONLY: the next
+      // cursor comes from the reference iterator's offset arithmetic
+      // (last offset + 1 row), never from server-internal state, and the
+      // walk terminates on the protocol's ReachedEndOfFiles ---
       val got = Vector.newBuilder[Long]
       var cursor = Cursor(0, 0, 0L)
       var pages = 0
@@ -129,16 +132,8 @@ class WireSpec extends AnyFunSuite {
             rows.foreach(r => got += r.head.asInstanceOf[Long])
             lastOffset = offsets.last
             pages += 1
-            // client-side next-cursor derivation, as the reference's
-            // query_data_iterator does from the returned offsets
-            val expectedNext = runner.results(
-              Wire.u128ToUuid(qid)).page(
-              Cursor(cursor.file, cursor.rowGroup, cursor.row), 137).next
-            expectedNext match {
-              case Some(n) => cursor = n
-              case None => done = true
-            }
-          case DataEndOfFiles => done = true
+            cursor = GraftWireClient.nextForward(offsets).get
+          case DataEndOfFiles => done = true // one past the last row
           case other => fail(s"unexpected page response: $other")
         }
       }
@@ -154,6 +149,25 @@ class WireSpec extends AnyFunSuite {
           assert(rows.map(_.head.asInstanceOf[Long]) === direct.takeRight(100))
         case other => fail(s"unexpected backward response: $other")
       }
+      // --- full backward walk via the iterator's sentinel decrements:
+      // group/row max-values must clamp server-side to "last of" ---
+      val gotBack = Vector.newBuilder[Long]
+      var bcur: Option[Cursor] = Some(lastOffset)
+      var bpages = 0
+      while (bcur.isDefined) {
+        client.getQueryData(qid, bcur.get, 137, forward = false,
+          allowOverflow = false) match {
+          case DataRecord(rows, offsets, _) =>
+            // backward pages arrive in forward order; append each page
+            // reversed and un-reverse the whole walk at the end
+            rows.reverse.foreach(r => gotBack += r.head.asInstanceOf[Long])
+            bpages += 1
+            bcur = GraftWireClient.nextBackward(offsets)
+          case other => fail(s"unexpected backward-walk response: $other")
+        }
+      }
+      assert(gotBack.result().reverse === direct)
+      assert(bpages === (1500 + 136) / 137)
       // backward page clamped at row 0 tops up forward with allow_overflow
       client.getQueryData(qid, Cursor(0, 0, 2L), 50, forward = false,
         allowOverflow = true) match {
@@ -163,7 +177,16 @@ class WireSpec extends AnyFunSuite {
       }
 
       // --- protocol misses ---
+      // forward past the file set is the iterator's clean end, not an
+      // error (walking off the last file = ReachedEndOfFiles)
       client.getQueryData(qid, Cursor(99, 0, 0L), 10, forward = true,
+        allowOverflow = false) match {
+        case DataEndOfFiles => ()
+        case other => fail(s"expected ReachedEndOfFiles, got $other")
+      }
+      // a structurally impossible coordinate (row group beyond the file)
+      // IS the error variant
+      client.getQueryData(qid, Cursor(0, 99, 0L), 10, forward = true,
         allowOverflow = false) match {
         case DataRowGroupNotFound => ()
         case other => fail(s"expected RecordRowGroupNotFound, got $other")
@@ -214,12 +237,9 @@ class WireSpec extends AnyFunSuite {
           var done = false
           while (!done) c.getQueryData(qid, cur, 64, forward = true,
             allowOverflow = false) match {
-            case DataRecord(rows, _, _) =>
+            case DataRecord(rows, offsets, _) =>
               n += rows.length
-              runner.results(Wire.u128ToUuid(qid)).page(cur, 64).next match {
-                case Some(nx) => cur = nx
-                case None => done = true
-              }
+              cur = GraftWireClient.nextForward(offsets).get
             case DataEndOfFiles => done = true
             case other => fail(s"$t: $other")
           }
@@ -294,10 +314,7 @@ class WireSpec extends AnyFunSuite {
         allowOverflow = false) match {
         case DataRecord(rows, offsets, _) =>
           total += rows.length
-          runner.results(Wire.u128ToUuid(qid)).page(cursor, 400).next match {
-            case Some(n) => cursor = n
-            case None => done = true
-          }
+          cursor = GraftWireClient.nextForward(offsets).get
         case DataEndOfFiles => done = true
         case other => fail(s"unexpected: $other")
       }
