@@ -72,7 +72,13 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
     */
   private def readRowGroup(file: Int, rowGroup: Int): Array[Row] = {
     val key = (file, rowGroup)
-    val cached = cache.get(key)
+    // cache ops are locked: the wire server shares ONE pager per
+    // completed query across connection threads, and an access-ordered
+    // LinkedHashMap mutates its links on every get — unsynchronized
+    // concurrent access can cycle the list or lose entries. The lock
+    // covers only map ops; two threads may still read the same group
+    // concurrently (duplicated work, last write wins — harmless).
+    val cached = cache.synchronized(cache.get(key))
     if (cached != null) cached
     else {
       val gs = groupStarts(file)
@@ -85,21 +91,10 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
           .filter(col("_metadata.row_index") >= gs(rowGroup) &&
             col("_metadata.row_index") < gs(rowGroup + 1))
           .collect()
-      cache.put(key, rows)
+      cache.synchronized(cache.put(key, rows))
       rows
     }
   }
-
-  /** Does the cursor address an existing (file, row_group, row) triple?
-    * The wire server's guard for the reference's RecordRowGroupNotFound
-    * response (query.rs:24) — an out-of-range cursor is a protocol-level
-    * miss, not an exception.
-    */
-  def isValid(c: Cursor): Boolean =
-    c.file >= 0 && c.file < fileRows.length && c.rowGroup >= 0 &&
-      c.rowGroup < groupStarts(c.file).length - 1 && c.row >= 0 &&
-      c.row < groupStarts(c.file)(c.rowGroup + 1) -
-        groupStarts(c.file)(c.rowGroup)
 
   /** Resolve a CLIENT cursor per the reference iterator's arithmetic
     * (query_data_iterator.rs:117-141) — the wire server's entry point:
@@ -127,6 +122,10 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
     val nGroups = groupStarts(f).length - 1
     if (forward) {
       if (rowGroup >= nGroups) return Left(CursorMiss.NotFound)
+      // any row index >= totalRows is beyond the end no matter the base
+      // — and guarding here keeps the sum below from overflowing Long
+      // when a (buggy or fuzzing) client sends a u64 sentinel FORWARD
+      if (row >= totalRows) return Left(CursorMiss.PastEnd)
       val g = rowGroup.toInt
       val global = fileStarts(f) + groupStarts(f)(g) + row
       if (global >= totalRows) Left(CursorMiss.PastEnd)
@@ -228,7 +227,11 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
   def pageArrow(cursor: Cursor, limit: Int, forward: Boolean = true,
                 allowOverflow: Boolean = false): ArrowPageResult = {
     val p = page(cursor, limit, forward, allowOverflow)
-    ArrowPageResult(arrowEncoder.encode(p.rows), p.offsets, p.next)
+    // the encoder's Row→InternalRow serializer holds mutable projection
+    // state, so concurrent encodes on a server-shared pager serialize
+    // here — page assembly above still runs in parallel
+    val ipc = arrowEncoder.synchronized(arrowEncoder.encode(p.rows))
+    ArrowPageResult(ipc, p.offsets, p.next)
   }
 }
 

@@ -72,12 +72,23 @@ object Maintenance {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         // every packed output must be IN PLACE before any source file is
         // deleted: Hadoop rename signals failure by returning false, and
-        // ignoring it here would delete the only copy of the packed rows
+        // ignoring it here would delete the only copy of the packed rows.
+        // On a mid-loop failure the already-moved outputs are ROLLED BACK
+        // (they duplicate rows of the still-present sources — leaving
+        // them would double-count on every read), restoring the table to
+        // its pre-pass state before aborting.
+        val moved = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.Path]
         outs.foreach { o =>
           val dest = new org.apache.hadoop.fs.Path(p, o.getPath.getName)
-          require(fs.rename(o.getPath, dest),
-            s"compaction aborted: rename ${o.getPath} -> $dest failed; " +
-              "sources left untouched")
+          if (!fs.rename(o.getPath, dest)) {
+            moved.foreach(fs.delete(_, false))
+            fs.delete(tmp, true)
+            throw new IllegalStateException(
+              s"compaction aborted: rename ${o.getPath} -> $dest failed; " +
+                "moved outputs rolled back, sources left untouched")
+          }
+          moved += dest
         }
         small.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)

@@ -178,10 +178,6 @@ object SchemaDrift {
     GenLayout(full, full.fieldNames.filterNot(fileCols).toSeq)
   }
 
-  private[sources] def partitionColumns(spark: SparkSession,
-                                        dir: String): Seq[String] =
-    discoverGen(spark, dir).partitionCols
-
   /** Partition-LAYOUT drift: generations that moved a column between the
     * directory structure and the file payload (the classic "producer
     * stopped hive-partitioning" migration). Spark refuses to put mixed

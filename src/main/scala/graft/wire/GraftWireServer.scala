@@ -204,23 +204,30 @@ final class GraftWireServer(runner: AsyncQueryRunner,
         case QueryNotFound =>
           pagers.synchronized(pagers.remove(qid)) // forgotten: drop pager
           dataResp(0, Json.bytes(Json.text("QueryNotFound")))
-        case Complete(_) | Running | Queued | SentShutdown =>
+        case st @ (Complete(_) | Running | Queued | SentShutdown) =>
+          // ReachedEndOfFiles is the iterator's TERMINAL signal — only a
+          // COMPLETE query may send it. A cursor one past the committed
+          // end of a still-running incremental query is a retryable
+          // RecordRowGroupNotFound (the row isn't there YET): answering
+          // end-of-files would make a live-paging client stop for good
+          // and silently truncate the result.
+          val endVariant =
+            if (st.isInstanceOf[Complete])
+              dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+            else
+              dataResp(1, Json.bytes(Json.text("RecordRowGroupNotFound")))
           pagerFor(qid) match {
             case None =>
               dataResp(3, errMeta(s"query $qid has no pageable results yet"))
             case Some(pager) =>
               pager.resolveClientCursor(file, rowGroup, row, forward) match {
-                case Left(CursorPager.CursorMiss.PastEnd) =>
-                  // the iterator protocol's clean termination: the
-                  // client walked one past the last row
-                  dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+                case Left(CursorPager.CursorMiss.PastEnd) => endVariant
                 case Left(CursorPager.CursorMiss.NotFound) =>
                   dataResp(1, Json.bytes(Json.text("RecordRowGroupNotFound")))
                 case Right(cursor) =>
                   val p = pager.pageArrow(cursor, limit, forward,
                     allowOverflow)
-                  if (p.offsets.isEmpty)
-                    dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))
+                  if (p.offsets.isEmpty) endVariant
                   else dataResp(2, recordMeta(p.offsets), p.ipc)
               }
           }

@@ -56,9 +56,12 @@ class WireSpec extends AnyFunSuite {
   test("envelope: seeded property — write∘read is identity over random " +
        "ids, flag combinations, and payloads") {
     import org.scalacheck.{Gen, rng}
-    val genId = Gen.chooseNum(0L, Long.MaxValue).flatMap(hi =>
-      Gen.chooseNum(0L, Long.MaxValue).map(lo =>
-        (BigInt(hi) << 64) | BigInt(lo)))
+    // full-range halves INCLUDING negative longs (top bit set): ids in
+    // [2^63, 2^64) per half are exactly where the U64Mask sign handling
+    // in writeU128/readU128 matters
+    val genHalf = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(v => BigInt(v) & ((BigInt(1) << 64) - 1))
+    val genId = genHalf.flatMap(hi => genHalf.map(lo => (hi << 64) | lo))
     val genOpt = Gen.option(genId)
     val genEnv = for {
       name <- Gen.oneOf(0, 1, 2, 3, 9, 12, 13, 14, 15, 16)
@@ -297,6 +300,17 @@ class WireSpec extends AnyFunSuite {
             allowOverflow = false) match {
             case DataRecord(rows, _, _) if rows.nonEmpty =>
               sawRunningPage = true
+              // past the COMMITTED end of a still-running query must be
+              // the retryable miss, never the terminal ReachedEndOfFiles
+              // — a live-paging client would otherwise stop for good
+              // and silently truncate the result
+              val pastEnd = client.getQueryData(qid, Cursor(9999, 0, 0L),
+                50, forward = true, allowOverflow = false)
+              // only a definitive race-free observation may fail: if the
+              // query completed between the two calls, EndOfFiles is fine
+              if (pastEnd == DataEndOfFiles &&
+                  client.getQueryStatus(qid) == "Running")
+                fail("terminal EndOfFiles sent while still Running")
             case _ => Thread.sleep(25)
           }
         } else if (status == "Complete") rounds = 600 // too late — fail below
