@@ -225,6 +225,10 @@ object SparkEntry {
     // containment-tier decontamination
     "window_ntile" -> (RelationalExt.windowNtile _),
     "profile_table" -> (Profile.profileTable _),
+    // data-quality gates: declarative constraint validation (one scan,
+    // rules as conditional aggregates) and PSI distribution drift
+    "validate_constraints" -> (Validate.validateConstraints _),
+    "drift_psi" -> (Validate.driftPsi _),
     "decontaminate_fuzzy" -> (Curation.decontaminateFuzzy _),
     "events_heavy_users" ->
       (graft.streaming.EventStreams.eventsHeavyUsers _),
@@ -2664,6 +2668,9 @@ object SparkEntry {
     // profile_table: generated per-column UNION ALL (exact stats; money
     // min/max through the DECIMAL(18,2) rendering device)
     "profile_table" -> graft.operators.Profile.profileTableOracleSql,
+    "validate_constraints" ->
+      graft.operators.Validate.validateConstraintsOracleSql,
+    "drift_psi" -> graft.operators.Validate.driftPsiOracleSql,
     // histogram_equidepth: static ntile mirror over the unique
     // (price, orderkey, linenumber) ordering — no fit state, no
     // floating-point boundary, identical bucket rule in both engines
