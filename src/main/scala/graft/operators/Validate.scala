@@ -13,56 +13,84 @@ import graft.sources.Tables.table
   */
 object Validate {
 
-  /** Declarative constraint validation in ONE scan (oracle-checked):
-    * six rules over `lineitem` — not-null, three range/domain checks,
-    * non-negativity, and key uniqueness — all evaluated as conditional
-    * aggregates of a single pass, then unpivoted to one row per rule
-    * with its violation count and verdict.
-    *
-    * Scale shape: the row-level rules ride one map-side-combined
-    * aggregation (zero extra scans per rule — adding a rule adds a
-    * column, not a pass); the uniqueness rule is `n - countDistinct(key)`
-    * in the SAME aggregate (Spark plans the distinct as its standard
-    * two-phase expand — the one shuffle this query has). Nothing is
-    * collected; 100 TB costs one scan + one distinct-agg shuffle.
-    *
-    * Two rules FAIL by design on this data — `(l_orderkey,l_linenumber)`
-    * is genuinely non-unique in the synthetic corpus and `l_tax` exceeds
-    * the planted 0.05 cap — so the query proves violations are DETECTED,
-    * not just that green data passes.
+  /** A declarative constraint. Each rule contributes ONE aggregate
+    * column to a shared single-scan aggregation — a rule set of any
+    * size costs one pass, never a pass per rule.
     */
-  def validateConstraints(s: SparkSession, dir: String): DataFrame = {
-    val src = table(s, dir, "lineitem")
-    val one = src.agg(
-      count(lit(1)).as("_n"),
-      count(col("l_shipdate")).as("_ship_cnt"),
-      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
-        .otherwise(0L)).as("_qty_bad"),
-      sum(when(col("l_tax") < 0.0 || col("l_tax") > 0.05, 1L)
-        .otherwise(0L)).as("_tax_bad"),
-      sum(when(col("l_extendedprice") < 0.0, 1L).otherwise(0L))
-        .as("_price_bad"),
-      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-        .as("_rf_bad"),
-      countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))
-        .as("_key_ndv"))
-    one.select(col("_n").as("checked"), expr(
-        """stack(6,
-           'not_null(l_shipdate)', _n - _ship_cnt,
-           'range(l_quantity,1,50)', _qty_bad,
-           'range(l_tax,0,0.05)', _tax_bad,
-           'non_negative(l_extendedprice)', _price_bad,
-           'domain(l_returnflag,A|N|R)', _rf_bad,
-           'unique(l_orderkey,l_linenumber)', _n - _key_ndv)""")
-        .as(Seq("rule", "violations")))
-      .select(col("rule"), col("checked"), col("violations"),
-        (col("violations") === 0L).as("pass"))
+  sealed trait Rule {
+    def name: String
+    /** Aggregate expression counting this rule's violating rows. */
+    def violations: org.apache.spark.sql.Column
   }
+  final case class NotNull(c: String) extends Rule {
+    def name = s"not_null($c)"
+    def violations = sum(when(col(c).isNull, 1L).otherwise(0L))
+  }
+  final case class InRange(c: String, lo: Double, hi: Double) extends Rule {
+    def name = s"range($c,$lo,$hi)"
+    def violations = sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+  }
+  final case class NonNegative(c: String) extends Rule {
+    def name = s"non_negative($c)"
+    def violations = sum(when(col(c) < 0, 1L).otherwise(0L))
+  }
+  final case class InDomain(c: String, allowed: Seq[String]) extends Rule {
+    def name = s"domain($c,${allowed.mkString("|")})"
+    def violations =
+      sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L))
+  }
+  final case class UniqueKey(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+    // duplicates = rows minus distinct keys, both inside the one agg
+    // (Spark plans the distinct as its standard two-phase expand — the
+    // single shuffle a rule set containing uniqueness pays)
+    def violations =
+      count(lit(1)) - countDistinct(struct(cols.map(col): _*))
+  }
+
+  /** Evaluate a rule set against a frame in ONE scan: every rule is a
+    * conditional aggregate of the same pass, unpivoted to a row per
+    * rule with its violation count and verdict. Nothing is collected;
+    * at 100 TB the cost is one scan (plus one distinct-agg shuffle iff
+    * a [[UniqueKey]] rule is present).
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "empty rule set")
+    require(rules.forall(!_.name.contains("'")),
+      "rule names must not contain single quotes (stack literal)")
+    val aggCols = count(lit(1)).as("_checked") +:
+      rules.zipWithIndex.map { case (r, i) => r.violations.as(s"_v$i") }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', _v$i" }.mkString(", ")
+    one.select(col("_checked"),
+        expr(s"stack(${rules.length}, $stackArgs)")
+          .as(Seq("rule", "violations")))
+      .select(col("rule"), col("_checked").as("checked"),
+        col("violations"), (col("violations") === 0L).as("pass"))
+  }
+
+  /** Registry query (oracle-checked): [[check]] with six rules over
+    * `lineitem`. Two FAIL by design on this data —
+    * `(l_orderkey,l_linenumber)` is genuinely non-unique in the
+    * synthetic corpus and `l_tax` exceeds the planted 0.05 cap — so the
+    * query proves violations are DETECTED, not just that green data
+    * passes.
+    */
+  def validateConstraints(s: SparkSession, dir: String): DataFrame =
+    check(table(s, dir, "lineitem"), Seq(
+      NotNull("l_shipdate"),
+      InRange("l_quantity", 1, 50),
+      InRange("l_tax", 0, 0.05),
+      NonNegative("l_extendedprice"),
+      InDomain("l_returnflag", Seq("A", "N", "R")),
+      UniqueKey(Seq("l_orderkey", "l_linenumber"))))
 
   def validateConstraintsOracleSql: String = """
     WITH a AS (
       SELECT count(*) AS n,
-        count(l_shipdate) AS ship_cnt,
+        CAST(sum(CASE WHEN l_shipdate IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ship_null,
         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
                  THEN 1 ELSE 0 END) AS BIGINT) AS qty_bad,
         CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.05
@@ -71,14 +99,14 @@ object Validate {
                  THEN 1 ELSE 0 END) AS BIGINT) AS price_bad,
         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
                  THEN 1 ELSE 0 END) AS BIGINT) AS rf_bad,
-        count(DISTINCT l_orderkey * 10 + l_linenumber) AS key_ndv
+        count(DISTINCT (l_orderkey, l_linenumber)) AS key_ndv
       FROM lineitem)
     SELECT r.rule, a.n AS checked, r.violations,
       r.violations = 0 AS pass
     FROM a, LATERAL (
-      SELECT 'not_null(l_shipdate)' AS rule, a.n - a.ship_cnt AS violations
-      UNION ALL SELECT 'range(l_quantity,1,50)', a.qty_bad
-      UNION ALL SELECT 'range(l_tax,0,0.05)', a.tax_bad
+      SELECT 'not_null(l_shipdate)' AS rule, a.ship_null AS violations
+      UNION ALL SELECT 'range(l_quantity,1.0,50.0)', a.qty_bad
+      UNION ALL SELECT 'range(l_tax,0.0,0.05)', a.tax_bad
       UNION ALL SELECT 'non_negative(l_extendedprice)', a.price_bad
       UNION ALL SELECT 'domain(l_returnflag,A|N|R)', a.rf_bad
       UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', a.n - a.key_ndv

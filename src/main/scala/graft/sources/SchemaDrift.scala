@@ -113,6 +113,13 @@ object SchemaDrift {
         DecimalType(prec, scale)
       case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
         TimestampNTZType
+      // NESTED drift recurses (probe-verified: the reader fills an added
+      // struct field with null and widens element/field types in place):
+      // a struct gaining a field across generations is the same drift as
+      // a top-level added column, one level down
+      case (a: StructType, b: StructType) => widenMerge(Seq(a, b))
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(widen(ae, be), an || bn)
       case _ => conflict()
     }
   }

@@ -140,6 +140,31 @@ class SourcesSpec extends AnyFunSuite {
       assert(df.agg(sum(col("v").cast("double"))).collect()(0)
         .getDouble(0) === 20.0, name)
     }
+    // NESTED drift: struct gains a field; struct field widens; array
+    // element widens — each must survive the one-scan read
+    val sg1 = s"$base/nested/g1"; val sg2 = s"$base/nested/g2"
+    spark.range(5).select(col("id"),
+      struct(col("id").cast("int").as("a")).as("s"),
+      array(col("id").cast("int")).as("arr"))
+      .write.mode("overwrite").parquet(sg1)
+    spark.range(5, 10).select(col("id"),
+      struct(col("id").cast("long").as("a"), (col("id") * 2).as("b"))
+        .as("s"),
+      array(col("id").cast("long")).as("arr"))
+      .write.mode("overwrite").parquet(sg2)
+    val nested = SchemaDrift.normalizedRead(spark, Seq(sg1, sg2))
+    assert(nested.schema("s").dataType === StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+    assert(nested.schema("arr").dataType === ArrayType(LongType))
+    val agg = nested.select(
+      sum(col("s.a")).as("sa"), sum(col("s.b")).as("sb"),
+      count(when(col("s.b").isNull, 1)).as("nb"),
+      sum(element_at(col("arr"), 1)).as("ea")).collect()(0)
+    assert(agg.getLong(0) === 45L) // widened struct field decodes
+    assert(agg.getLong(1) === 70L) // added field from gen2 only
+    assert(agg.getLong(2) === 5L)  // null exactly on gen1 rows
+    assert(agg.getLong(3) === 45L) // widened array elements decode
+
     // date + timestamp_ntz joins at NTZ and decodes
     val dg1 = s"$base/date_ntz/g1"; val dg2 = s"$base/date_ntz/g2"
     spark.range(3).select(expr(

@@ -21,15 +21,15 @@ class ValidateSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
     assert(rows.values.forall(_._1 == n)) // every rule checked all rows
     // clean rules pass with zero violations
-    for (r <- Seq("not_null(l_shipdate)", "range(l_quantity,1,50)",
+    for (r <- Seq("not_null(l_shipdate)", "range(l_quantity,1.0,50.0)",
       "non_negative(l_extendedprice)", "domain(l_returnflag,A|N|R)")) {
       assert(rows(r)._2 === 0L, r)
       assert(rows(r)._3, r)
     }
     // the two planted violations are DETECTED: l_tax exceeds the 0.05
     // cap on real rows, and the line key is genuinely non-unique here
-    assert(rows("range(l_tax,0,0.05)")._2 > 0L)
-    assert(!rows("range(l_tax,0,0.05)")._3)
+    assert(rows("range(l_tax,0.0,0.05)")._2 > 0L)
+    assert(!rows("range(l_tax,0.0,0.05)")._3)
     assert(rows("unique(l_orderkey,l_linenumber)")._2 > 0L)
     assert(!rows("unique(l_orderkey,l_linenumber)")._3)
     // all row-level rules ride ONE scan of the table (the distinct agg
