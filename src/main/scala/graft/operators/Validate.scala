@@ -127,22 +127,38 @@ object Validate {
     * hash-checked; the contribution is rounded to 6 dp so cross-engine
     * `ln` ULP noise cannot flip the hash.
     */
-  def driftPsi(s: SparkSession, dir: String): DataFrame = {
-    val src = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val bounds = src.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
-    val counts = src.crossJoin(broadcast(bounds))
-      .withColumn("bin", least(lit(9L),
-        expr("((n_chars - mn) * 10) DIV (mx - mn + 1)")).cast("int"))
+  /** PSI between two arbitrary populations of one integral column: both
+    * frames binned by the UNION's global min/max (equal-width, integer
+    * arithmetic — bit-identical cross-engine), per-bin proportions
+    * compared as `(p−q)·ln(p/q)` with `eps` floor smoothing. The
+    * populations are tagged and unioned so the whole score is one
+    * binned groupBy over one pass of each side; bounds are 2 broadcast
+    * scalars.
+    */
+  def psi(baseline: DataFrame, current: DataFrame, c: String,
+          bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val tagged = baseline.select(col(c), lit(1).as("_side"))
+      .unionByName(current.select(col(c), lit(0).as("_side")))
+    val bounds = tagged.agg(min(c).as("mn"), max(c).as("mx"))
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit((bins - 1).toLong),
+        expr(s"(($c - mn) * $bins) DIV (mx - mn + 1)")).cast("int"))
       .groupBy(col("bin"))
-      .agg(
-        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("base_n"),
-        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cur_n"))
+      .agg(sum(when(col("_side") === 1, 1L).otherwise(0L)).as("base_n"),
+        sum(when(col("_side") === 0, 1L).otherwise(0L)).as("cur_n"))
     val tot = counts.agg(sum("base_n").as("bt"), sum("cur_n").as("ct"))
-    val p = greatest(col("base_n") / col("bt"), lit(1e-6))
-    val q = greatest(col("cur_n") / col("ct"), lit(1e-6))
+    val p = greatest(col("base_n") / col("bt"), lit(eps))
+    val q = greatest(col("cur_n") / col("ct"), lit(eps))
     counts.crossJoin(broadcast(tot))
       .select(col("bin"), col("base_n"), col("cur_n"),
         round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
+
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    psi(src.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+      src.filter(col("doc_id") % 2 =!= 0).select(col("n_chars")),
+      "n_chars")
   }
 
   def driftPsiOracleSql: String = """
