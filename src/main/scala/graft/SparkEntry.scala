@@ -43,6 +43,9 @@ object SparkEntry {
     // partition-layout drift normalized as one scan per layout signature
     "scan_decimal_drift" -> (graft.sources.SchemaDrift.scanDecimalDrift _),
     "scan_partition_drift" -> (graft.sources.SchemaDrift.scanPartitionDrift _),
+    // per-column drift classification (metadata-only; static oracle —
+    // the planted generations make the expected report exact)
+    "drift_report" -> (graft.sources.SchemaDrift.driftReportQuery _),
     // lake maintenance: small-file compaction (value-exact by oracle)
     // and contiguous row-id assignment without a one-partition window
     "compact_files" -> (Maintenance.compactFiles _),
@@ -2115,6 +2118,14 @@ object SparkEntry {
     "scan_partition_drift" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       FROM orders""",
+    "drift_report" -> """
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'widened', 'int', 'bigint'),
+        ('o_custkey', 'stable', 'bigint', 'bigint'),
+        ('o_orderstatus', 'stable', 'string', 'string'),
+        ('o_totalprice', 'stable', 'double', 'double'),
+        ('o_orderpriority', 'added', CAST(NULL AS VARCHAR), 'string'))
+        AS t(col_name, status, from_type, to_type)""",
     "compact_files" -> "SELECT * FROM part",
     "assign_row_ids" -> """
       SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx

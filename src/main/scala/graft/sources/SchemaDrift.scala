@@ -263,6 +263,53 @@ object SchemaDrift {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** Per-column drift classification across generations — the
+    * observability face of the normalizer: what a lake operator reads
+    * BEFORE running a migration. For every column of the widen-merged
+    * target: `stable` (same type everywhere it appears), `widened`
+    * (narrow→wide under the lattice, with from/to types), `added`
+    * (absent from the first generation), or `conflict` (no lattice arm —
+    * the normalizer would refuse). Pure schema metadata: O(gens) footer
+    * reads, nothing distributed.
+    */
+  def driftReport(spark: SparkSession, genDirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val schemas = genDirs.map(d => spark.read.parquet(d).schema)
+    val first = schemas.head.fields.map(f => f.name -> f.dataType).toMap
+    val order = scala.collection.mutable.LinkedHashMap[String, Seq[DataType]]()
+    for (s <- schemas; f <- s.fields)
+      order(f.name) = order.getOrElse(f.name, Seq.empty) :+ f.dataType
+    val rows = order.iterator.map { case (name, types) =>
+      val fromT = first.get(name)
+      val target =
+        try Right(types.reduce(widen))
+        catch { case c: DriftConflict => Left(c.getMessage) }
+      (name, fromT, target) match {
+        case (n, None, Right(t)) =>
+          (n, "added", null: String, t.simpleString)
+        case (n, Some(f0), Right(t)) if f0 == t =>
+          (n, "stable", f0.simpleString, t.simpleString)
+        case (n, Some(f0), Right(t)) =>
+          (n, "widened", f0.simpleString, t.simpleString)
+        case (n, f0, Left(_)) =>
+          (n, "conflict", f0.map(_.simpleString).orNull, null: String)
+      }
+    }.toSeq
+    rows.toDF("col_name", "status", "from_type", "to_type")
+  }
+
+  /** Registry query (static oracle): [[driftReport]] over the same
+    * two-generation layout `scan_schema_drift` builds — the planted
+    * drift makes the expected classification EXACT, so the oracle is a
+    * literal VALUES table: the key widened int→bigint, three columns
+    * stable, the priority column added by generation 2.
+    */
+  def driftReportQuery(spark: SparkSession, dir: String): DataFrame = {
+    val _ = scanSchemaDrift(spark, dir) // construction writes the gen dirs
+    val base = RoundTrip.scratch(spark, "drift", dir)
+    driftReport(spark, Seq(s"$base/gen1", s"$base/gen2"))
+  }
+
   /** Registry query (oracle-checked): DECIMAL precision/scale drift — the
     * early producer wrote `o_totalprice` as DECIMAL(12,2), the evolved
     * one as DECIMAL(18,4). [[widenMerge]] joins them at DECIMAL(18,4)

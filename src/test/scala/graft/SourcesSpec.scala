@@ -194,6 +194,30 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("drift_report classifies stable/widened/added/conflict per column") {
+    import graft.sources.SchemaDrift
+    val base = java.nio.file.Files.createTempDirectory("driftrep").toString
+    spark.range(5).select(col("id").cast("int").as("k"),
+      col("id").cast("string").as("mixed"), lit(1.0).as("keep"))
+      .write.mode("overwrite").parquet(s"$base/g1")
+    spark.range(5).select(col("id").as("k"), // int -> bigint: widened
+      col("id").as("mixed"), // string vs bigint: conflict
+      lit(2.0).as("keep"), // stable
+      lit("x").as("extra")) // added
+      .write.mode("overwrite").parquet(s"$base/g2")
+    val rep = SchemaDrift.driftReport(spark, Seq(s"$base/g1", s"$base/g2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(rep("k") === (("widened", "int", "bigint")))
+    assert(rep("mixed")._1 === "conflict")
+    assert(rep("keep") === (("stable", "double", "double")))
+    assert(rep("extra") === (("added", null, "string")))
+    // the normalizer itself refuses what the report calls a conflict
+    intercept[SchemaDrift.DriftConflict] {
+      SchemaDrift.normalizedRead(spark, Seq(s"$base/g1", s"$base/g2"))
+    }
+  }
+
   test("decimal drift query: one scan, widened DECIMAL(18,4) read schema") {
     import org.apache.spark.sql.types._
     val df = SparkEntry.queries("scan_decimal_drift")(spark, dir)
