@@ -101,6 +101,52 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("cursor protocol property: for random page limits, the iterator's " +
+       "offset arithmetic walks a multi-file result exactly once in both " +
+       "directions") {
+    import graft.exec.{CursorPager, ResultMaterializer}
+    import org.scalacheck.{Gen, rng}
+    val tmp = java.nio.file.Files.createTempDirectory("curprop").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy("o_orderkey").select("o_orderkey")
+    // multi-file, multi-group layout: the walk must cross both kinds of
+    // boundary through the server-side roll/clamp, not toCursor
+    val rs = ResultMaterializer.materializeIncremental(df, tmp, "q-prop",
+      rowsPerFile = 230)
+    val pager = new CursorPager(spark, rs)
+    val direct = df.collect().map(_.getLong(0)).toVector
+    val genLimit = Gen.chooseNum(1, 400)
+    for (i <- 0 until 25) {
+      val limit = genLimit(Gen.Parameters.default, rng.Seed(i.toLong)).get
+      // forward: (0,0,0) then last_offset+1 until PastEnd
+      var fcur: Either[CursorPager.CursorMiss, CursorPager.Cursor] =
+        pager.resolveClientCursor(0, 0, 0, forward = true)
+      val fwd = Vector.newBuilder[Long]
+      while (fcur.isRight) {
+        val p = pager.page(fcur.toOption.get, limit)
+        fwd ++= p.rows.map(_.getLong(0))
+        val n = GraftWireClient.nextForward(p.offsets).get
+        fcur = pager.resolveClientCursor(n.file.toLong, n.rowGroup.toLong,
+          n.row, forward = true)
+      }
+      assert(fcur === Left(CursorPager.CursorMiss.PastEnd), s"limit $limit")
+      assert(fwd.result() === direct, s"forward limit $limit")
+      // backward: from the last row via sentinel decrements to (0,0,0)
+      val last = pager.toCursor(pager.totalRows - 1)
+      var bcur: Option[CursorPager.Cursor] = Some(last)
+      val bwd = Vector.newBuilder[Long]
+      while (bcur.isDefined) {
+        val c = bcur.get
+        val resolved = pager.resolveClientCursor(c.file.toLong,
+          c.rowGroup.toLong, c.row, forward = false)
+        val p = pager.page(resolved.toOption.get, limit, forward = false)
+        bwd ++= p.rows.reverse.map(_.getLong(0))
+        bcur = GraftWireClient.nextBackward(p.offsets)
+      }
+      assert(bwd.result().reverse === direct, s"backward limit $limit")
+    }
+  }
+
   test("socket lifecycle: submit -> poll -> page forward/backward -> " +
        "cancel, pages decoded from wire bytes alone") {
     val tmp = java.nio.file.Files.createTempDirectory("wire").toString
