@@ -16,6 +16,12 @@ object Validate {
   /** A declarative constraint. Each rule contributes ONE aggregate
     * column to a shared single-scan aggregation — a rule set of any
     * size costs one pass, never a pass per rule.
+    *
+    * NULL semantics: value rules (range/domain/non-negative) follow SQL
+    * three-valued logic — a NULL cell is NOT a violation of a value
+    * predicate, so a fully-nulled column passes them. Completeness is
+    * its own dimension: pair every value rule with a [[NotNull]] on the
+    * same column when absence itself is a defect.
     */
   sealed trait Rule {
     def name: String
@@ -56,8 +62,11 @@ object Validate {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "empty rule set")
-    require(rules.forall(!_.name.contains("'")),
-      "rule names must not contain single quotes (stack literal)")
+    require(rules.forall(r =>
+        !r.name.contains("'") && !r.name.contains("\\")),
+      "rule names must not contain quotes or backslashes — they are " +
+        "embedded as stack() string literals, where both would be " +
+        "parsed as escapes and silently rename the rule")
     val aggCols = count(lit(1)).as("_checked") +:
       rules.zipWithIndex.map { case (r, i) => r.violations.as(s"_v$i") }
     val one = df.agg(aggCols.head, aggCols.tail: _*)
@@ -137,12 +146,15 @@ object Validate {
     */
   def psi(baseline: DataFrame, current: DataFrame, c: String,
           bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(!c.contains("`"), "column name must not contain backticks")
     val tagged = baseline.select(col(c), lit(1).as("_side"))
       .unionByName(current.select(col(c), lit(0).as("_side")))
     val bounds = tagged.agg(min(c).as("mn"), max(c).as("mx"))
     val counts = tagged.crossJoin(broadcast(bounds))
       .withColumn("bin", least(lit((bins - 1).toLong),
-        expr(s"(($c - mn) * $bins) DIV (mx - mn + 1)")).cast("int"))
+        // backticked so any legal column name survives the SQL fragment
+        // (DIV has no Column-API form)
+        expr(s"((`$c` - mn) * $bins) DIV (mx - mn + 1)")).cast("int"))
       .groupBy(col("bin"))
       .agg(sum(when(col("_side") === 1, 1L).otherwise(0L)).as("base_n"),
         sum(when(col("_side") === 0, 1L).otherwise(0L)).as("cur_n"))

@@ -287,7 +287,14 @@ object SchemaDrift {
       (name, fromT, target) match {
         case (n, None, Right(t)) =>
           (n, "added", null: String, t.simpleString)
-        case (n, Some(f0), Right(t)) if f0 == t =>
+        // nullability-normalized compare: a nested type differing only
+        // in field nullability/containsNull did NOT widen — without the
+        // normalization it would report "widened struct<a:int> ->
+        // struct<a:int>" (simpleString drops nullability)
+        // simpleString is the nullability-insensitive normal form
+        // (Spark's sameType is private[spark])
+        case (n, Some(f0), Right(t))
+            if f0.simpleString == t.simpleString =>
           (n, "stable", f0.simpleString, t.simpleString)
         case (n, Some(f0), Right(t)) =>
           (n, "widened", f0.simpleString, t.simpleString)
@@ -305,9 +312,23 @@ object SchemaDrift {
     * stable, the priority column added by generation 2.
     */
   def driftReportQuery(spark: SparkSession, dir: String): DataFrame = {
-    val _ = scanSchemaDrift(spark, dir) // construction writes the gen dirs
-    val base = RoundTrip.scratch(spark, "drift", dir)
-    driftReport(spark, Seq(s"$base/gen1", s"$base/gen2"))
+    // OWN scratch location (not scan_schema_drift's): registry queries
+    // must be construct-then-consume independent — sharing a dir would
+    // let one query's construction replace files under the other's
+    // already-constructed DataFrame
+    val src = Tables.table(spark, dir, "orders")
+    val base = RoundTrip.scratch(spark, "driftrep", dir)
+    val g1 = s"$base/gen1"
+    val g2 = s"$base/gen2"
+    src.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(g1)
+    src.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(g2)
+    driftReport(spark, Seq(g1, g2))
   }
 
   /** Registry query (oracle-checked): DECIMAL precision/scale drift — the

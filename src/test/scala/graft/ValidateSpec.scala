@@ -50,12 +50,14 @@ class ValidateSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).sorted.toSeq === (0 until 10))
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n)
-    // parity is independent of document length, so PSI sits under the
-    // conventional 0.1 alarm threshold — not at exactly 0, because 500
-    // docs over 10 bins carries ±20% small-sample jitter per cell
-    // (measured 0.096 at this SF; the jitter shrinks as 1/n at scale)
+    // parity is independent of document length, so PSI reads as
+    // small-sample noise — measured 0.096 at this SF (500 docs over 10
+    // bins is ±20% jitter per cell, shrinking as 1/n at scale). The
+    // bound is deliberately loose (2x the measured value) so a corpus
+    // regeneration can't trip it; the DETECTION claim below is relative,
+    // not absolute, for the same reason.
     val psi = rows.map(_.getDouble(3)).sum
-    assert(math.abs(psi) < 0.1, s"psi=$psi")
+    assert(math.abs(psi) < 0.2, s"psi=$psi")
     // and the score DETECTS a planted shift: biasing the current side
     // toward long documents through the same formula scores > 0.1
     import org.apache.spark.sql.Row
@@ -72,6 +74,10 @@ class ValidateSpec extends AnyFunSuite {
     shifted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val shiftedPsi = graft.operators.Validate.driftPsi(spark, tmp)
       .collect().map(_.getDouble(3)).sum
-    assert(shiftedPsi > 0.1, s"planted shift scored $shiftedPsi")
+    assert(shiftedPsi > 0.3, s"planted shift scored $shiftedPsi")
+    // the separation is what makes the score usable: a hard length
+    // shift must dominate the no-drift noise floor by a wide margin
+    assert(shiftedPsi > 3 * math.max(math.abs(psi), 0.01),
+      s"shift $shiftedPsi vs noise $psi")
   }
 }
