@@ -728,6 +728,31 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("query metrics: scan/shuffle totals read exactly from the " +
+       "executed plan, through AQE stages") {
+    import graft.exec.QueryMetrics
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    // a grouped query: one full scan + a shuffle whose record count is
+    // the map-side-combined group count, all knowable in advance
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"))
+    val m = QueryMetrics.profile(df)
+    assert(m.scanRows === n, s"scanRows ${m.scanRows} != $n")
+    assert(m.filesRead >= 1)
+    // partial aggregation means far fewer shuffle records than rows,
+    // but at least one per (group, input partition)
+    assert(m.shuffleRecordsWritten >= 4 && m.shuffleRecordsWritten < n,
+      s"shuffleRecords ${m.shuffleRecordsWritten}")
+    assert(m.shuffleBytesWritten > 0L)
+    assert(m.durationMs >= 0L)
+    // a scan-only query shuffles nothing
+    val m2 = QueryMetrics.profile(
+      spark.read.parquet(s"$dir/region.parquet"))
+    assert(m2.scanRows === 5L)
+    assert(m2.shuffleRecordsWritten === 0L)
+  }
+
   test("incremental materialize: pages are servable after each commit") {
     val tmp = java.nio.file.Files.createTempDirectory("results").toString
     val df = spark.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey")
