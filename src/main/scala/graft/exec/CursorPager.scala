@@ -131,6 +131,10 @@ final class CursorPager(spark: SparkSession, rs: ResultSet,
       if (global >= totalRows) Left(CursorMiss.PastEnd)
       else Right(toCursor(global)) // identity when row is in range
     } else {
+      // a zero-row rec file (an empty batch-materialized member) has no
+      // group to clamp INTO — without this guard g becomes -1 and the
+      // group-size lookup throws instead of answering NotFound
+      if (nGroups == 0 || fileRows(f) == 0L) return Left(CursorMiss.NotFound)
       val g = math.min(rowGroup, (nGroups - 1).toLong).toInt
       val rowsInGroup = groupStarts(f)(g + 1) - groupStarts(f)(g)
       Right(Cursor(f, g, math.min(row, rowsInGroup - 1)))

@@ -90,7 +90,32 @@ object Maintenance {
           }
           moved += dest
         }
-        small.foreach(f => fs.delete(f.getPath, false))
+        // fs.delete also signals failure by returning false: a fragment
+        // that survives next to its packed copy double-counts its rows on
+        // every read. If NO fragment was deleted yet, the moved outputs
+        // roll back (clean pre-pass state, like the rename path); once
+        // ANY fragment is gone the packed outputs are the only complete
+        // copy of its rows, so they must stay — the pass throws naming
+        // the surviving fragments so the duplicated-rows state is
+        // surfaced, never reported as success.
+        val undeleted = small.filterNot(f => fs.delete(f.getPath, false))
+        if (undeleted.nonEmpty) {
+          if (undeleted.size == small.size) { // nothing deleted: safe undo
+            moved.foreach(fs.delete(_, false))
+            fs.delete(tmp, true)
+            throw new IllegalStateException(
+              "compaction aborted: no source fragment could be deleted; " +
+                "packed outputs rolled back, table restored to its " +
+                "pre-pass state")
+          }
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"compaction INCOMPLETE: ${undeleted.size} source fragment(s) " +
+              s"survive next to their packed copy (first: " +
+              s"${undeleted.head.getPath}) and double-count on reads; " +
+              "delete them (their rows are fully contained in the packed " +
+              "outputs) to finish the pass")
+        }
         fs.delete(tmp, true)
         CompactionStats(big.size, small.size, outs.size, smallBytes)
       }

@@ -73,10 +73,21 @@ final class GraftWireClient(port: Int) {
     withConn { (in, out) =>
       val b = Json.obj()
       import com.fasterxml.jackson.databind.JsonNode
+      // Backward sentinels must ride the wire as EXACTLY u64::MAX — the
+      // reference server compares == std::u64::MAX
+      // (query_data_handler.rs:216,305-308), so emitting our in-memory
+      // Int.MaxValue/Long.MaxValue maxes would make a real reference
+      // server look up literal row group 2147483647 and miss at every
+      // boundary. The JSON body carries BigInt, so the full u64 fits.
+      val rgWire: BigInt =
+        if (cursor.rowGroup == Int.MaxValue) U64Max
+        else BigInt(cursor.rowGroup)
+      val rowWire: BigInt =
+        if (cursor.row == Long.MaxValue) U64Max else BigInt(cursor.row)
       b.set[JsonNode]("query_id", Json.big(queryId))
       b.set[JsonNode]("file_idx", Json.long(cursor.file.toLong))
-      b.set[JsonNode]("file_row_group_idx", Json.long(cursor.rowGroup.toLong))
-      b.set[JsonNode]("row_idx", Json.long(cursor.row))
+      b.set[JsonNode]("file_row_group_idx", Json.big(rgWire))
+      b.set[JsonNode]("row_idx", Json.big(rowWire))
       b.set[JsonNode]("limit", Json.long(limit.toLong))
       b.set[JsonNode]("forward", Json.bool(forward))
       b.set[JsonNode]("allow_overflow", Json.bool(allowOverflow))
@@ -208,12 +219,15 @@ object GraftWireClient {
     *    the global end);
     *  - backward: decrement the FIRST offset, using max-value sentinels
     *    for "last group of the previous file" / "last row of the
-    *    previous group" exactly like the Rust client's u64::MAX (our
-    *    Cursor's rowGroup is an Int, so Int.MaxValue rides the wire —
-    *    the server clamps anything out of range to the last valid
-    *    position, which is the sentinel's meaning). (0,0,0) is the
-    *    natural start: no previous page.
+    *    previous group" exactly like the Rust client's u64::MAX. The
+    *    in-memory Cursor carries Int.MaxValue/Long.MaxValue as the
+    *    sentinel values; [[GraftWireClient.getQueryData]] re-encodes
+    *    them as the literal 2^64-1 on the wire, so a strict reference
+    *    server's `== u64::MAX` checks match. (0,0,0) is the natural
+    *    start: no previous page.
     */
+  val U64Max: BigInt = (BigInt(1) << 64) - 1
+
   def nextForward(offsets: Seq[Cursor]): Option[Cursor] =
     offsets.lastOption.map(l => Cursor(l.file, l.rowGroup, l.row + 1))
 

@@ -74,21 +74,31 @@ final class GraftWireServer(runner: AsyncQueryRunner,
     if (server != null) server.close()
   }
 
-  private def acceptLoop(): Unit =
+  private def acceptLoop(): Unit = {
+    // a transient accept failure (fd exhaustion under connection churn)
+    // must not kill the accept loop while the socket is still bound —
+    // but a PERSISTENT fault must not spin it at 100 Hz forever either:
+    // consecutive failures back off exponentially (10 ms → ~5 s cap) and
+    // a run of 100 with no successful accept in between poisons the
+    // server (the fault clearly isn't clearing; better to stop serving
+    // than to burn a core). A successful accept resets both.
+    var consecutiveFailures = 0
     while (!closed) {
-      // a transient accept failure (fd exhaustion under connection churn)
-      // must not kill the accept loop while the socket is still bound —
-      // only stop() ends it
       try {
         val sock = server.accept()
+        consecutiveFailures = 0
         val t = new Thread(() => serve(sock), "graft-wire-conn")
         t.setDaemon(true)
         t.start()
       } catch {
         case _: Throwable if closed => return
-        case scala.util.control.NonFatal(_) => Thread.sleep(10)
+        case scala.util.control.NonFatal(_) =>
+          consecutiveFailures += 1
+          if (consecutiveFailures >= 100) { stop(); return }
+          Thread.sleep(math.min(10L << math.min(consecutiveFailures, 9), 5000L))
       }
     }
+  }
 
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(
@@ -106,14 +116,7 @@ final class GraftWireServer(runner: AsyncQueryRunner,
           val resp =
             try handle(env)
             catch {
-              case scala.util.control.NonFatal(e) =>
-                Some(env.reply(Name.CommonGenericResponse, {
-                  val o = Json.obj()
-                  o.set[com.fasterxml.jackson.databind.JsonNode]("Error",
-                    Json.text(Option(e.getMessage)
-                      .getOrElse(e.getClass.getSimpleName)))
-                  Json.bytes(o)
-                }))
+              case scala.util.control.NonFatal(e) => Some(faultReply(env, e))
             }
           // every reply carries this worker's identity — stamped HERE so
           // no handler branch can forget it
@@ -197,9 +200,21 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       val file = asClampedLong("file_idx")
       val rowGroup = asClampedLong("file_row_group_idx")
       val row = asClampedLong("row_idx")
-      val limit = n.get("limit").asInt()
+      // limit is u64 on the wire too: asInt() would wrap a value above
+      // Int.MaxValue to zero/negative and silently serve an empty page —
+      // clamp like the cursor fields instead
+      val limit = {
+        val v = Json.bigOf(n.get("limit"))
+        if (v > Int.MaxValue) Int.MaxValue else v.toInt
+      }
       val forward = n.get("forward").asBoolean()
       val allowOverflow = n.get("allow_overflow").asBoolean()
+      // limit <= 0 is a protocol misuse, not an empty result: answering
+      // with the zero-row page would surface as a spurious
+      // ReachedEndOfFiles and stop a live client for good
+      if (limit <= 0)
+        return Some(env.reply(Name.GetQueryDataResp,
+          dataResp(3, errMeta(s"limit must be positive, got $limit"))))
       val body = runner.status(qid) match {
         case QueryNotFound =>
           pagers.synchronized(pagers.remove(qid)) // forgotten: drop pager
@@ -241,6 +256,32 @@ final class GraftWireServer(runner: AsyncQueryRunner,
         o.set[JsonNode]("Error", Json.text(s"unhandled message id $other"))
         Json.bytes(o)
       }))
+  }
+
+  /** A handler fault (malformed body, runner error) must answer in the
+    * REQUEST'S OWN response vocabulary: a reference client blocked in
+    * `expect_msg::<GetQueryDataResp>` fails the message cast on a
+    * CommonGenericResponse instead of seeing the protocol's typed Error
+    * variant. Messages without a typed error fall back to the generic
+    * response.
+    */
+  private def faultReply(env: Envelope, e: Throwable): Envelope = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    env.msgNameId match {
+      case Name.GetQueryData =>
+        env.reply(Name.GetQueryDataResp, dataResp(3, errMeta(msg)))
+      case Name.GetQueryStatus =>
+        // GetQueryStatusResp::Status(Error(msg)) — the typed error shape
+        val err = Json.obj(); err.set[JsonNode]("Error", Json.text(msg))
+        val o = Json.obj(); o.set[JsonNode]("Status", err)
+        env.reply(Name.GetQueryStatusResp, Json.bytes(o))
+      case Name.RunQuery =>
+        env.reply(Name.RunQueryResp, Json.bytes(Json.text("NotCreated")))
+      case _ =>
+        val o = Json.obj()
+        o.set[JsonNode]("Error", Json.text(msg))
+        env.reply(Name.CommonGenericResponse, Json.bytes(o))
+    }
   }
 
   private def queryId(data: Array[Byte]): String =

@@ -314,10 +314,143 @@ class WireSpec extends AnyFunSuite {
         Wire.write(out, env)
         val resp = Wire.read(in).get
         assert(resp.requestId === env.requestId)
-        assert(resp.msgNameId === Wire.Name.CommonGenericResponse)
-        assert(Json.parse(resp.msgData).has("Error"))
+        // a fault on RunQuery answers in the request's OWN response
+        // vocabulary (RunQueryResp::NotCreated), so a reference client
+        // blocked in expect_msg::<RunQueryResp> succeeds the cast
+        assert(resp.msgNameId === Wire.Name.RunQueryResp)
+        assert(Json.parse(resp.msgData).asText() === "NotCreated")
       } finally sock.close()
     } finally server.stop()
+  }
+
+  test("protocol hardening: u64::MAX sentinels on the wire, u64 limit " +
+       "clamp, limit<=0 as typed Error, typed fault replies, zero-row " +
+       "rec-file cursor guard") {
+    // --- 1. backward sentinels must serialize as the LITERAL 2^64-1:
+    // a strict reference server compares == std::u64::MAX
+    // (query_data_handler.rs:216,305-308), so this acceptor plays that
+    // strict server and fails the test if the client sends anything else
+    val u64max = (BigInt(1) << 64) - 1
+    def dataBody(variant: Int, meta: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeByte(variant); d.writeLong(meta.length.toLong); d.write(meta)
+      d.flush(); bos.toByteArray
+    }
+    val strict = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    @volatile var sentinelSeen: Option[(BigInt, BigInt)] = None
+    val acceptor = new Thread(() => {
+      val s = strict.accept()
+      try {
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        val ident = Wire.read(in).get
+        Wire.write(out, ident.reply(Wire.Name.Identify,
+          Json.identify("Worker", Wire.randomU128())))
+        val req = Wire.read(in).get
+        val n = Json.parse(req.msgData)
+        sentinelSeen = Some((Json.bigOf(n.get("file_row_group_idx")),
+          Json.bigOf(n.get("row_idx"))))
+        Wire.write(out, req.reply(Wire.Name.GetQueryDataResp,
+          dataBody(4, Json.bytes(Json.text("ReachedEndOfFiles")))))
+      } finally s.close()
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val strictClient = new GraftWireClient(strict.getLocalPort)
+    // the in-memory sentinel cursor — nextBackward's "last group of the
+    // previous file / last row of the group" shape
+    val resp = strictClient.getQueryData(BigInt(1),
+      Cursor(0, Int.MaxValue, Long.MaxValue), 10, forward = false,
+      allowOverflow = false)
+    acceptor.join(10000)
+    strict.close()
+    assert(resp === DataEndOfFiles)
+    assert(sentinelSeen === Some((u64max, u64max)),
+      "backward sentinels must ride the wire as exactly 2^64-1")
+
+    // --- the rest drives the real server over raw envelopes
+    val tmp = java.nio.file.Files.createTempDirectory("wirehard").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val server = new GraftWireServer(runner).start()
+    try {
+      val client = new GraftWireClient(server.port)
+      val qid = client.runQuery(
+        s"select r_regionkey from read_files('$dir/region.parquet') " +
+          "order by r_regionkey").get
+      assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+
+      def rawRequest(nameId: Int, body: Array[Byte]): Envelope = {
+        val sock = new java.net.Socket(
+          java.net.InetAddress.getLoopbackAddress, server.port)
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          val in = new DataInputStream(sock.getInputStream)
+          val connId = Wire.randomU128()
+          val ident = Envelope(msgNameId = Wire.Name.Identify,
+            msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+            sentFromConnectionId = Some(connId),
+            msgData = Json.identify("Connection", connId))
+          Wire.write(out, ident)
+          Wire.read(in) // Worker reply
+          val env = Envelope(msgNameId = nameId, msgId = Wire.randomU128(),
+            requestId = Wire.randomU128(), msgData = body)
+          Wire.write(out, env)
+          val r = Wire.read(in).get
+          assert(r.requestId === env.requestId)
+          r
+        } finally sock.close()
+      }
+      def pageBody(limit: BigInt): Array[Byte] = {
+        import com.fasterxml.jackson.databind.JsonNode
+        val b = Json.obj()
+        b.set[JsonNode]("query_id", Json.big(qid))
+        b.set[JsonNode]("file_idx", Json.long(0L))
+        b.set[JsonNode]("file_row_group_idx", Json.long(0L))
+        b.set[JsonNode]("row_idx", Json.long(0L))
+        b.set[JsonNode]("limit", Json.big(limit))
+        b.set[JsonNode]("forward", Json.bool(true))
+        b.set[JsonNode]("allow_overflow", Json.bool(false))
+        Json.bytes(b)
+      }
+      def variantOf(data: Array[Byte]): Int = data(0) & 0xff
+
+      // --- 2. a u64 limit above Int.MaxValue clamps (asInt would wrap it
+      // to zero/negative and serve a spurious end-of-files)
+      val huge = rawRequest(Wire.Name.GetQueryData, pageBody(BigInt(2).pow(63)))
+      assert(huge.msgNameId === Wire.Name.GetQueryDataResp)
+      assert(variantOf(huge.msgData) === 2,
+        "u64 limit must clamp and serve the Record page")
+
+      // --- 3. limit == 0 is a typed protocol Error, never end-of-files
+      val zero = rawRequest(Wire.Name.GetQueryData, pageBody(BigInt(0)))
+      assert(zero.msgNameId === Wire.Name.GetQueryDataResp)
+      assert(variantOf(zero.msgData) === 3,
+        "limit<=0 must answer the Error variant")
+
+      // --- 4. a malformed body on a typed request answers in that
+      // request's own response vocabulary, not CommonGenericResponse
+      val badData = rawRequest(Wire.Name.GetQueryData,
+        "not json".getBytes("UTF-8"))
+      assert(badData.msgNameId === Wire.Name.GetQueryDataResp)
+      assert(variantOf(badData.msgData) === 3)
+      val badStatus = rawRequest(Wire.Name.GetQueryStatus,
+        "not json".getBytes("UTF-8"))
+      assert(badStatus.msgNameId === Wire.Name.GetQueryStatusResp)
+      assert(Json.parse(badStatus.msgData).get("Status").has("Error"))
+    } finally server.stop()
+
+    // --- 5. a zero-row rec file (empty batch-materialized member) must
+    // resolve backward cursors to NotFound, not throw out-of-bounds
+    import graft.exec.{CursorPager, ResultMaterializer}
+    val rs = ResultMaterializer.ResultSet("/tmp/none", Vector(
+      ResultMaterializer.ResultFile("/tmp/none/rec_0.parquet", Vector(10L)),
+      ResultMaterializer.ResultFile("/tmp/none/rec_1.parquet", Vector.empty)))
+    val pager = new CursorPager(spark, rs)
+    assert(pager.resolveClientCursor(1, Long.MaxValue, Long.MaxValue,
+      forward = false) === Left(CursorPager.CursorMiss.NotFound))
+    assert(pager.resolveClientCursor(0, Long.MaxValue, Long.MaxValue,
+      forward = false) === Right(Cursor(0, 0, 9L)))
   }
 
   test("serve-while-materializing over the wire: an INCREMENTAL query's " +
