@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 /** Diagnostic main: recall@K of the ANN paths vs the exact baseline
   * across parameter settings — the measurement behind the thresholds in
   * graft.operators.Ann (LshRecallMin / IvfRecallMin) and the PipelineSpec
-  * bounds. Usage: runMain graft.RecallProbe [sfDir]
+  * bounds. Usage: runMain graft.RecallProbe [sfDir] [sections]
+  * where sections is a comma list of lsh,ivf,pq,knn (default: lsh,ivf).
+  * The pq/knn sections quantify the corpus-growth recall knobs
+  * (SCALING.md): PQ shortlist depth, and the bucketed graph's nTables
+  * under the size-adaptive code width.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sections = args.lift(1).getOrElse("lsh,ivf").split(",").toSet
     val spark = graft.engine.GraftSession.getOrCreate("graft-recall-probe")
-    val bf = graft.operators.Ann.annBruteforce(spark, sfDir)
+    import graft.operators.Ann
+    val bf = Ann.annBruteforce(spark, sfDir)
       .select(col("q_id"), col("cand_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
@@ -19,12 +25,35 @@ object RecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (bf & got).size.toDouble / bf.size
     }
-    for (tables <- Seq(1, 2, 3, 4); pb <- Seq(1, 2))
-      println(f"lsh nBits=6 nTables=$tables probeBits=$pb recall=${
-        recallOf(graft.operators.Ann.annLsh(spark, sfDir, 6, tables, pb))}%.3f")
-    for (nc <- Seq(16, 32); probe <- Seq(2, 4, 6, 8))
-      println(f"ivf nCentroids=$nc nProbe=$probe recall=${
-        recallOf(graft.operators.Ann.annIvf(spark, sfDir, nc, probe))}%.3f")
+    if (sections("lsh"))
+      for (tables <- Seq(1, 2, 3, 4); pb <- Seq(1, 2))
+        println(f"lsh nBits=6 nTables=$tables probeBits=$pb recall=${
+          recallOf(Ann.annLsh(spark, sfDir, 6, tables, pb))}%.3f")
+    if (sections("ivf"))
+      for (nc <- Seq(16, 32); probe <- Seq(2, 4, 6, 8))
+        println(f"ivf nCentroids=$nc nProbe=$probe recall=${
+          recallOf(Ann.annIvf(spark, sfDir, nc, probe))}%.3f")
+    if (sections("pq"))
+      for (sl <- Seq(100, 200, 400, 800))
+        println(f"pq shortlist=$sl recall=${
+          recallOf(Ann.annPq(spark, sfDir, sl))}%.3f")
+    if (sections("knn")) {
+      // bucketed-graph recall vs the exact stride-subset graph, under
+      // the size-adaptive code width, sweeping the buy-back knob
+      val stride = Ann.strideFor(Ann.corpusCount(spark, sfDir))
+      val exact = Ann.knnGraph(spark, sfDir)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (tables <- Seq(3, 6, 9)) {
+        val got = Ann.knnGraphBucketed(spark, sfDir, nTables = tables)
+          .filter(col("src") % stride === 0)
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"knn bits=${Ann.bitsFor(Ann.corpusCount(spark, sfDir))} " +
+          f"nTables=$tables recall=${
+            (exact & got).size.toDouble / exact.size}%.3f")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve measurement harness (SCALING.md): times the most
+  * expensive operator families at two corpus scales — the driver's sf0.1
+  * and the ×10 corpus [[ScaleCorpus]] builds — and records wall-time
+  * ratios, converting the "would survive 100 TB" argument from plan-shape
+  * reasoning into measured growth curves.
+  *
+  * Method mirrors Bench: every query forced through the `noop` sink (full
+  * row evaluation, no column-pruning shortcut), best-of-REPS with reps
+  * interleaved across full passes so a machine-contention burst cannot
+  * poison both reps of one family. Small-scale passes run first, so JIT /
+  * shuffle-service warmup is charged to the SMALL side — the measured
+  * ratios are, if anything, upper bounds on true data-scaling.
+  *
+  * Output: one JSON line `{"families":{name:{"small":s,"big":s,
+  * "ratio":r}},"scale":N}` plus target/scaling.json with full precision.
+  */
+object ScaleBench {
+
+  /** The r12 verdict's top-10 most expensive families — the operators
+    * whose growth curve decides whether the engine survives 100×.
+    */
+  val Families: Seq[String] = Seq(
+    "sort_orderby", "join_salted", "profile_table", "tfidf_topterms",
+    "fivegram_ll", "dedup_minhash", "dedup_containment", "curate_pipeline",
+    "ann_recall", "knn_graph_bucketed")
+
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val scale = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val fams = Families.filter(f => only.forall(_.contains(f)))
+
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors(s"$name@$dir") = Option(e.getMessage).getOrElse(e.toString)
+          .linesIterator.take(3).mkString(" | ")
+        System.err.println(s"[scale] $name@$dir FAILED: ${errors(s"$name@$dir")}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      dt
+    }
+    // warmup (charged to nobody)
+    try run("sort_orderby", small) catch { case _: Throwable => }
+
+    def bestOf(dir: String): Map[String, Double] = {
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      for (_ <- 0 until reps; f <- fams) {
+        val dt = run(f, dir)
+        best(f) = math.min(best.getOrElse(f, Double.MaxValue), dt)
+      }
+      best.toMap
+    }
+    // fit caches (ANN coarse quantizers etc.) are dir-keyed and fill on
+    // the first rep; best-of-reps therefore measures the steady serving
+    // path at BOTH scales symmetrically, while the ×N fit cost itself is
+    // visible in the first-rep numbers recorded in the detail file.
+    val firstRep = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    for (f <- fams) {
+      val s0 = run(f, small); val b0 = run(f, big)
+      firstRep(f) = (s0, b0)
+    }
+    val smallBest0 = bestOf(small)
+    val bigBest0 = bestOf(big)
+    val smallBest = smallBest0.map { case (k, v) =>
+      k -> math.min(v, firstRep(k)._1) }
+    val bigBest = bigBest0.map { case (k, v) =>
+      k -> math.min(v, firstRep(k)._2) }
+
+    def j(m: Map[String, Double], f: String): String = Bench.fmt(m(f))
+    val fj = fams.map { f =>
+      val r = bigBest(f) / smallBest(f)
+      s""""$f":{"small":${j(smallBest, f)},"big":${j(bigBest, f)},"ratio":${Bench.fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val detail = fams.map { f =>
+      s""""$f":{"small":${smallBest(f)},"big":${bigBest(f)},"first_small":${firstRep(f)._1},"first_big":${firstRep(f)._2}}"""
+    }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target/scaling.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        s"""{"families":$detail,"scale":$scale,"small":"$small","big":"$big"}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    if (errors.nonEmpty)
+      System.err.println(s"[scale] errors: ${errors.mkString("; ")}")
+    println(s"""{"families":$fj,"scale":$scale}""")
+    spark.stop()
+  }
+}

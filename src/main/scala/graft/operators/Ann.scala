@@ -264,7 +264,8 @@ object Ann {
     * hits survive it. The fit is bounded-sample. Composes with
     * [[annIvf]]: probe cells first, ADC-scan codes within them.
     */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String,
+            shortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cbs = fitPqCodebooks(s, dir)
     val codeCols = (0 until PqSub).map { m =>
@@ -287,7 +288,7 @@ object Ann {
       .join(broadcast(q), col("q_id") =!= col("cand_id"))
       .withColumn("adc_r", round(V.l2sq(col("qe"), col("rec")), 6))
       .withColumn("rank_adc", row_number().over(wAdc))
-      .filter(col("rank_adc") <= PqShortlist)
+      .filter(col("rank_adc") <= shortlist)
       .select(col("q_id"), col("qe"), col("cand_id"), col("adc_r"))
     // exact refine: gather shortlist vectors in one corpus scan (the
     // tiny shortlist broadcasts; only its hits survive the scan)
@@ -330,7 +331,8 @@ object Ann {
     * served to the composed DuckDB mirror via [[cachedCentroids]] /
     * [[cachedPqCodebooks]].
     */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String,
+               shortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = fitCentroids(s, dir, IvfCentroids)
     val cbs = fitPqCodebooks(s, dir)
@@ -372,7 +374,7 @@ object Ann {
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("adc_r", round(V.l2sq(col("qe"), col("rec")), 6))
       .withColumn("rank_adc", row_number().over(wAdc))
-      .filter(col("rank_adc") <= PqShortlist)
+      .filter(col("rank_adc") <= shortlist)
       .select(col("q_id"), col("qe"), col("cand_id"), col("adc_r"))
     // exact refine: one corpus scan, shortlist broadcast
     val wCos = Window.partitionBy(col("q_id"))
@@ -397,6 +399,36 @@ object Ann {
     (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeBits)
       .map(_.toLong)
 
+  /** Probe-mask budget for the SIZE-ADAPTIVE code path
+    * ([[knnGraphBucketed]]): at the historical 6-bit code the full
+    * 2-bit probe set is exactly 1 + 6 + C(6,2) = 22 masks, so the cap
+    * is inert at every calibrated operating point. At wider codes the
+    * combinatorial mask count (1 + b + C(b,2)) would re-introduce a
+    * log²n factor into the join — capping holds probes-per-query, and
+    * with [[TargetCellRows]]-wide cells the whole candidate volume,
+    * CONSTANT per vector: the bucketed join stays linear in the
+    * corpus. The price is scanned fraction (recall on weakly-clustered
+    * data shrinks with it); nTables is the explicit buy-it-back knob.
+    */
+  val ProbeBudget = 22
+
+  /** [[probeMasks]] ordered by Hamming weight (identity, 1-bit flips,
+    * then 2-bit flips), truncated at [[ProbeBudget]] — generated
+    * directly, never by enumerating 2^nBits (a 100 TB corpus implies
+    * ~30-bit codes).
+    */
+  def budgetedProbeMasks(nBits: Int, probeBits: Int): Seq[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer(0L)
+    if (probeBits >= 1)
+      for (i <- 0 until nBits if buf.size < ProbeBudget)
+        buf += (1L << i)
+    if (probeBits >= 2)
+      for (i <- 0 until nBits; j <- (i + 1) until nBits
+           if buf.size < ProbeBudget)
+        buf += (1L << i) | (1L << j)
+    buf.toSeq
+  }
+
   /** The calibrated LSH operating point shared by [[annLsh]] and
     * [[knnGraphBucketed]] AND their generated DuckDB mirrors — single
     * source of truth, so retuning a knob cannot desync plan from
@@ -405,6 +437,29 @@ object Ann {
   val LshBits = 6
   val LshTables = 3
   val LshProbeBits = 2
+
+  /** Target LSH cell width for the size-adaptive code
+    * ([[bitsFor]]) — 2000/2^6 ≈ 31 rows, the sf0.1 operating point the
+    * recall floors were calibrated at.
+    */
+  val TargetCellRows = 32L
+
+  /** Size-adaptive LSH code width: the smallest nBits keeping the
+    * expected cell at ≤ [[TargetCellRows]] rows, floored at the
+    * historical [[LshBits]] (identical at every test SF, so all
+    * calibrated oracles are unaffected). This is the knob that keeps
+    * the bucketed self-join LINEAR: Σ bucket² per table =
+    * n²/2^nBits, so a FIXED width grows quadratically with the corpus
+    * — the ×10 scale run measured 45× before this fix, ~linear after.
+    * The recall-vs-cost tradeoff moves to nTables/probeBits (more
+    * tables or deeper probes buy back the recall a narrower cell
+    * forgoes), which stay explicit parameters.
+    */
+  def bitsFor(n: Long): Int = {
+    val cells = math.max(1L, (n + TargetCellRows - 1) / TargetCellRows)
+    math.max(LshBits, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, cells - 1)))
+  }
 
   /** Degenerate-cell cap for [[knnGraphBucketed]]'s corpus side: a
     * (table, bucket) cell is dropped when it exceeds
@@ -537,7 +592,7 @@ object Ann {
             .otherwise(PqRecallMin)).as("recall_ok"))
     val gExact = knnGraph(s, dir).select(col("src"), col("dst"))
     val gApprox = knnGraphBucketed(s, dir)
-      .filter(col("src") % KnnStride === 0)
+      .filter(col("src") % strideFor(corpusCount(s, dir)) === 0)
       .select(col("src"), col("dst"))
     val gN = gExact.agg(count(lit(1)).as("n_exact"))
     val graphRow = gApprox
@@ -762,6 +817,39 @@ object Ann {
   val KnnK = 5
   val KnnStride = 20
 
+  /** Fixed size of the exact-graph recall audit: [[strideFor]] widens
+    * the stride as the corpus grows so the audited query count stays
+    * ~this (the dedup_recall fixed-slice device). The exact baseline
+    * then costs queries × corpus = O(n) — without this, a constant
+    * stride makes the audit (n/stride) × n = quadratic, which the ×10
+    * scale run measured as a 30× wall-time blowup before the fix.
+    */
+  val KnnAuditQueries = 100L
+
+  /** Audit stride for a corpus of n vectors: the historical constant up
+    * to n = [[KnnStride]]·[[KnnAuditQueries]] (so every test SF — and
+    * every existing oracle — is bit-identical), then grows with n to
+    * cap the audit at ~[[KnnAuditQueries]] queries.
+    */
+  def strideFor(n: Long): Long =
+    math.max(KnnStride.toLong, (n + KnnAuditQueries - 1) / KnnAuditQueries)
+
+  /** Cached corpus row count per table dir — one column-pruned parquet
+    * count (near metadata speed), memoized like the centroid fits, so
+    * the size-adaptive knobs ([[strideFor]], [[bitsFor]]) are a
+    * lookup, not a job, after first use. Oracle generators read
+    * [[cachedCorpusCount]] (keyed by the dump dir, fail-closed to the
+    * historical constants when absent — which are exact at every SF
+    * the gate runs).
+    */
+  def corpusCount(s: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent(dir, _ =>
+      java.lang.Long.valueOf(table(s, dir, "embeddings").count()))
+  def cachedCorpusCount(dir: String): Option[Long] =
+    Option(countCache.get(dir)).map(_.longValue())
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** k-nearest-neighbor graph over the embedding corpus
     * (oracle-checked): exact cosine top-[[KnnK]] per query node — the
     * adjacency every graph-based semantic method consumes (kNN-LM
@@ -788,7 +876,10 @@ object Ann {
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") % KnnStride === 0)
+    // size-adaptive stride: ~KnnAuditQueries query nodes at any corpus
+    // size, so the exact pass stays O(n) (see strideFor)
+    val stride = strideFor(corpusCount(s, dir))
+    val q = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("src"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
     val pairs = c.join(broadcast(q), col("src") =!= col("dst"))
@@ -831,10 +922,15 @@ object Ann {
     * corpus². Recall vs the exact graph is gated in PipelineSpec on the
     * stride subset ([[KnnGraphRecallMin]]).
     */
-  def knnGraphBucketed(s: SparkSession, dir: String, nBits: Int = LshBits,
+  def knnGraphBucketed(s: SparkSession, dir: String, nBitsOpt: Int = 0,
                        nTables: Int = LshTables,
                        probeBits: Int = LshProbeBits): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // 0 = size-adaptive (the default): [[bitsFor]] keeps the expected
+    // cell at TargetCellRows so the bucket self-join scales linearly;
+    // an explicit positive width pins the historical behavior
+    val nBits = if (nBitsOpt > 0) nBitsOpt
+      else bitsFor(corpusCount(s, dir))
     val sigs = (0 until nTables).map(t =>
       V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
         .as(s"b$t"))
@@ -846,7 +942,7 @@ object Ann {
         explode(cTabs).as("tb"))
       .select(col("dst"), col("ce"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
-    val masks = probeMasks(nBits, probeBits)
+    val masks = budgetedProbeMasks(nBits, probeBits)
     val qProbes = array((for { t <- 0 until nTables; m <- masks } yield
       struct(lit(t).as("tbl"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
@@ -897,11 +993,23 @@ object Ann {
       .select(col("src"), col("rank"), col("dst"), col("cos_r"))
   }
 
-  def knnGraphOracleSql: String =
+  /** The size-adaptive knobs, as the ORACLE generators must mirror
+    * them: the cached corpus count when the query ran in this JVM
+    * (Verify runs queries before dumping oracles, so the cache is
+    * warm), else the historical constants — which are exactly what the
+    * adaptive functions return at every SF the correctness gate runs.
+    */
+  def oracleStride(dirOpt: Option[String]): Long =
+    dirOpt.flatMap(cachedCorpusCount).map(strideFor)
+      .getOrElse(KnnStride.toLong)
+  def oracleBits(dirOpt: Option[String]): Int =
+    dirOpt.flatMap(cachedCorpusCount).map(bitsFor).getOrElse(LshBits)
+
+  def knnGraphOracleSql(stride: Long): String =
     s"""
       WITH q AS (
         SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS qe
-        FROM embeddings WHERE vec_id % $KnnStride = 0),
+        FROM embeddings WHERE vec_id % $stride = 0),
       c AS (
         SELECT vec_id AS dst, CAST(embedding AS DOUBLE[]) AS ce
         FROM embeddings),
