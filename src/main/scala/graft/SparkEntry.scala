@@ -123,6 +123,9 @@ object SparkEntry {
     "grouping_sets" -> (RelationalExt.groupingSets _),
     "sort_nulls_first" -> (RelationalExt.sortNullsFirst _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
+    "q9_profit" -> (RelationalExt.q9Profit _),
+    "q18_large_orders" -> (RelationalExt.q18LargeOrders _),
+    "q21_suppliers_waiting" -> (RelationalExt.q21SuppliersWaiting _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
@@ -164,7 +167,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
-    "ann_pq" -> (Ann.annPq _),
+    "ann_pq" -> ((s, d) => Ann.annPq(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "multimodal_features_checked" ->
@@ -206,6 +209,11 @@ object SparkEntry {
     "sketch_merge" -> (RelationalExt.sketchMerge _),
     "pagerank_links" -> (Graph.pagerankLinks _),
     "curate_pipeline" -> (Curation.curatePipeline _),
+    // the same pipeline behind the fail-fast quality gate: on an
+    // admitted (clean) delivery the gate is transparent, so the oracle
+    // is curate_pipeline's; a rejected delivery throws GateViolation
+    // naming the rules (ValidateSpec proves the abort path)
+    "curate_gated" -> ((s, d) => Curation.curatePipelineGated(s, d)),
     "curriculum_bins" -> (Curation.curriculumBins _),
     // round-6 wave 3: graph structure, collocations, LM smoothing,
     // time series, model fitting, kNN graph
@@ -216,7 +224,7 @@ object SparkEntry {
     "quality_regression" -> (Curation.qualityRegression _),
     "knn_graph" -> (Ann.knnGraph _),
     "knn_graph_bucketed" -> ((s, d) => Ann.knnGraphBucketed(s, d)),
-    "ann_ivfpq" -> (Ann.annIvfPq _),
+    "ann_ivfpq" -> ((s, d) => Ann.annIvfPq(s, d)),
     // round-6 wave 4: per-domain caps, weighted sampling, robust scaling,
     // content-defined chunking, frequency sketch
     "domain_cap" -> (Curation.domainCap _),
@@ -302,8 +310,12 @@ object SparkEntry {
     * itself uses — retuning either cannot desync plan from oracle.
     */
   private def knnGraphBucketedOracleSql: String = {
-    import graft.operators.Ann.{LshBits => nBits, LshTables => nTables,
+    import graft.operators.Ann.{LshTables => nTables,
       LshProbeBits => probeBits}
+    // size-adaptive code width — mirrored from the same cached corpus
+    // count the operator derived it from (fail-closed to LshBits, the
+    // exact value at every gate SF)
+    val nBits = graft.operators.Ann.oracleBits(dumpDirOpt)
     val sigExprs = (0 until nTables).map { t =>
       val planes = graft.operators.Ann.planes(nBits, 64,
         graft.operators.Ann.lshSeed(t))
@@ -314,7 +326,7 @@ object SparkEntry {
       }.mkString("\n          + ")
       s"CAST($b AS BIGINT) AS b$t"
     }
-    val masks = graft.operators.Ann.probeMasks(nBits, probeBits)
+    val masks = graft.operators.Ann.budgetedProbeMasks(nBits, probeBits)
       .mkString("[", ", ", "]")
     val tbls = (0 until nTables).mkString("[", ", ", "]")
     val caseB = "CASE t.tbl " +
@@ -1696,6 +1708,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "curriculum_bins" -> curriculumBinsOracleSql,
     "curate_pipeline" -> curatePipelineOracleSql,
+    "curate_gated" -> curatePipelineOracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "hybrid_rank_fusion" -> hybridRankFusionOracleSql,
     "dsir_weights" -> dsirWeightsOracleSql,
@@ -1710,7 +1723,8 @@ object SparkEntry {
     "timeseries_fill" -> graft.operators.TimeSeries.timeseriesFillOracleSql,
     "quality_regression" ->
       graft.operators.Curation.qualityRegressionOracleSql,
-    "knn_graph" -> graft.operators.Ann.knnGraphOracleSql,
+    "knn_graph" -> graft.operators.Ann.knnGraphOracleSql(
+      graft.operators.Ann.oracleStride(dumpDirOpt)),
     // knn_graph_bucketed: the annLsh mirror at full-corpus coverage
     "knn_graph_bucketed" -> knnGraphBucketedOracleSql,
     "project_embeddings" -> graft.operators.Ann.projectEmbeddingsOracleSql,
@@ -2395,6 +2409,46 @@ object SparkEntry {
         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         AND r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC""",
+    "q9_profit" -> """
+      SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(1.0 - l_discount AS DECIMAL(18,2))
+          - CAST(p_retailprice AS DECIMAL(18,2)) *
+            CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      FROM lineitem, part, supplier, nation
+      WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+      GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
+      ORDER BY nation, o_year DESC""",
+    "q18_large_orders" -> """
+      SELECT c_name, c_custkey, o_orderkey,
+        CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+        sum(l_quantity) AS sum_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+        o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q21_suppliers_waiting" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND CAST(l1.l_shipdate AS DATE) >
+            CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS DATE) >
+                CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_12'
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",

@@ -542,6 +542,49 @@ object Curation {
         col("uniq_ok"), col("clean_ok"), col("keep"), col("verdict"))
   }
 
+  /** Admission contract for a `documents` delivery — the rule set the
+    * quality gate evaluates BEFORE the pipeline's expensive stages run.
+    * One single-scan aggregate plus the UniqueKey distinct shuffle
+    * (Validate.check's cost contract): at 100 TB the gate costs one
+    * pass where the pipeline behind it costs many.
+    */
+  val DocRules: Seq[Validate.Rule] = Seq(
+    Validate.NotNull("doc_id"),
+    Validate.NotNull("text"),
+    Validate.NonNegative("n_chars"),
+    Validate.InDomain("lang", Seq("en", "de", "fr", "es", "zh")),
+    Validate.UniqueKey(Seq("doc_id")))
+
+  /** A delivery rejected by the admission gate — names every violated
+    * rule and its count, so the operator knows WHAT failed without
+    * re-running anything.
+    */
+  final class GateViolation(val failed: Seq[(String, Long, Long)])
+    extends IllegalStateException(
+      "curation gate REJECTED the delivery: " + failed.map {
+        case (rule, v, n) => s"$rule ($v of $n rows)"
+      }.mkString("; "))
+
+  /** [[curatePipeline]] behind a fail-fast quality circuit breaker:
+    * [[DocRules]] are evaluated first (one scan), and any rule whose
+    * violation fraction exceeds `maxViolationFraction` ABORTS the
+    * pipeline with [[GateViolation]] naming the rule — the expensive
+    * dedup/decontamination stages never start on a malformed delivery.
+    * The gate report is |rules| rows (bounded driver data, never the
+    * corpus). With a clean delivery the result is exactly
+    * [[curatePipeline]]'s.
+    */
+  def curatePipelineGated(s: SparkSession, dir: String,
+                          maxViolationFraction: Double = 0.0): DataFrame = {
+    val report = Validate.check(table(s, dir, "documents"), DocRules)
+      .collect() // one row per rule — bounded by the rule-set size
+    val failed = report.toSeq.map { r =>
+      (r.getString(0), r.getLong(2), r.getLong(1))
+    }.filter { case (_, v, n) => v.toDouble > maxViolationFraction * n }
+    if (failed.nonEmpty) throw new GateViolation(failed)
+    curatePipeline(s, dir)
+  }
+
   /** DSIR hashed-feature space size and selection threshold. 4096 buckets
     * is far above this corpus's vocabulary; the paper's 10k serves web
     * scale. Threshold 0: keep docs whose token distribution is closer to

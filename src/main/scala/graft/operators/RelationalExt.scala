@@ -630,4 +630,107 @@ object RelationalExt {
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cdist"))
   }
+
+  // ------------------------------------------- TPC-H stress-shape queries
+  // The canonical join-order / broadcast-choice / semi-join-dedup shapes a
+  // planner must get right at 100×, beyond q1/q3/q5. Adapted to the
+  // synthetic star where it lacks TPC-H columns (no partsupp table, no
+  // l_receiptdate/l_commitdate); the plan SHAPES are the point.
+
+  /** TPC-H Q9-shaped product-line profit: a selective dimension predicate
+    * (p_name LIKE — ~1/8 of parts) driving a fact multi-join, grouped by
+    * nation × year. Supply cost is proxied by p_retailprice × l_quantity
+    * (the synthetic star has no partsupp). Scale shape: the part filter
+    * prunes BEFORE the join (pushed to the part scan), part/supplier
+    * join via shuffle hash on the fact's natural keys, nation broadcast;
+    * profit in exact decimal arithmetic so the result is
+    * accumulation-order-independent at any parallelism.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(Relational.dmul(col("l_extendedprice"),
+          lit(1.0) - col("l_discount"))
+        - Relational.dmul(col("p_retailprice"), col("l_quantity")))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q18-shaped large-order report: the top-k over a grouped
+    * semi-join. The "large order" set comes from one full-fact
+    * aggregation (map-side partial, so the shuffle carries per-order
+    * partials, not rows); orders then SEMI-join that set (dedup by
+    * construction, only the key column flows), customer joins after the
+    * reduction, and the fact re-joins only for the surviving orders.
+    * Deterministic top-k: o_orderkey breaks o_totalprice ties.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") > 300.0)
+      .select(col("l_orderkey").as("big_okey"))
+    table(s, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q21-shaped "suppliers who kept orders waiting": the classic
+    * double EXISTS / NOT-EXISTS correlation. Lateness is adapted to the
+    * synthetic schema (no receipt/commit dates): a lineitem is late when
+    * it ships >60 days after its order date.
+    *
+    * The correlated pair is DECORRELATED into one per-order aggregation —
+    * `n_supp` (distinct suppliers) and `n_late_supp` (distinct late
+    * suppliers) — and the waiting condition becomes `n_supp > 1 AND
+    * n_late_supp = 1` on late rows: "some other supplier exists, and no
+    * OTHER supplier was late" (the late set is exactly this row's
+    * supplier). One extra shuffle on l_orderkey replaces two correlated
+    * subquery scans; the oracle runs the LITERAL EXISTS/NOT-EXISTS form,
+    * so the hash match proves the rewrite. Order keys never collide
+    * across generations, so the per-order aggregate's key count scales
+    * with the corpus — no skew pocket.
+    */
+  def q21SuppliersWaiting(s: SparkSession, dir: String): DataFrame = {
+    val flagged = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(table(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 60))
+    val perOrder = flagged.groupBy(col("l_orderkey").as("okey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    flagged.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("okey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(table(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_12")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
 }

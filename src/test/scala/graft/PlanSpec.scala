@@ -126,6 +126,38 @@ class PlanSpec extends AnyFunSuite {
       "EqualTo(r_name,ASIA)"), p.take(2000))
   }
 
+  test("q9: part LIKE filter pushed to the scan, nation broadcast, " +
+       "no cartesian product") {
+    val p = plan("q9_profit")
+    // the selective dimension predicate prunes at the part READER —
+    // StringContains pushes into the parquet scan
+    assert(p.contains("StringContains(p_name,red)"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q18: large-order set applies as a SEMI join (dedup by " +
+       "construction), top-k via TakeOrderedAndProject") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q21: EXISTS pair decorrelated — one per-order aggregate, nation " +
+       "broadcast, no correlated re-scans") {
+    val p = plan("q21_suppliers_waiting")
+    // the decorrelated formulation shows as ONE distinct-aggregate over
+    // (orderkey) joined back — not nested-loop correlated subqueries
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // supplier-side nation filter reaches the supplier/nation scans:
+    // n_name pushes into the nation reader
+    assert(p.contains("EqualTo(n_name,NATION_12)"), p.take(2400))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))

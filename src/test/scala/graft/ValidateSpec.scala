@@ -80,4 +80,34 @@ class ValidateSpec extends AnyFunSuite {
     assert(shiftedPsi > 3 * math.max(math.abs(psi), 0.01),
       s"shift $shiftedPsi vs noise $psi")
   }
+
+  test("curation circuit breaker: an injected bad generation aborts " +
+       "BEFORE the pipeline runs, naming every violated rule; a clean " +
+       "delivery passes through unchanged") {
+    import graft.operators.Curation
+    // clean delivery: the gate is transparent — gated == ungated
+    val gated = Curation.curatePipelineGated(spark, dir).collect().toSet
+    val plain = Curation.curatePipeline(spark, dir).collect().toSet
+    assert(gated === plain)
+
+    // bad generation: append rows with NULL text and an out-of-domain
+    // lang — the classes of damage a malformed crawl delivery shows
+    val tmp = java.nio.file.Files.createTempDirectory("gate").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bad = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("lang", lit("xx"))
+    docs.unionByName(bad).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val e = intercept[Curation.GateViolation] {
+      Curation.curatePipelineGated(spark, tmp)
+    }
+    // the abort names the violated rules with their counts
+    assert(e.getMessage.contains("not_null(text)"), e.getMessage)
+    assert(e.getMessage.contains("domain(lang"), e.getMessage)
+    assert(e.failed.map(_._1).toSet ===
+      Set("not_null(text)", "domain(lang,en|de|fr|es|zh)"), e.failed)
+    assert(e.failed.forall(_._2 === 5L), e.failed)
+  }
 }
