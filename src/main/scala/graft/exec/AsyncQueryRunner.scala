@@ -36,6 +36,57 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
   private val partials =
     new ConcurrentHashMap[String, Vector[ResultMaterializer.ResultFile]]()
 
+  private val metricsMap =
+    new ConcurrentHashMap[String, QueryMetrics.Summary]()
+
+  /** Execution-cost summary of a COMPLETED query (scan rows, files
+    * read, shuffle volume, duration) — the operational introspection
+    * the reference's status vocabulary lacks; served over the wire in
+    * GetQueryStatusResp's Complete body.
+    */
+  def metrics(queryId: String): Option[QueryMetrics.Summary] =
+    Option(metricsMap.get(queryId))
+
+  /** Materialize + capture the write's cost. The v1 parquet write plans
+    * its OWN QueryExecution (the submitted frame's metrics stay empty),
+    * so the only exact source is the QueryExecutionListener callback —
+    * attributed to THIS query by the unique query id embedded in the
+    * insert command's output path, so concurrent queries can never
+    * cross-capture. The listener bus is async: the await gives the
+    * event a bounded window to land after the write returns (ms in
+    * practice); on timeout the query completes without metrics rather
+    * than blocking the serving path.
+    */
+  private def materializeAndProfile(df: org.apache.spark.sql.DataFrame,
+      queryId: String): ResultMaterializer.ResultSet = {
+    val captured = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.execution.QueryExecution, Long)]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = qe.analyzed match {
+        case c: org.apache.spark.sql.execution.datasources
+            .InsertIntoHadoopFsRelationCommand
+            if c.outputPath.toString.contains(queryId) =>
+          captured.set((qe, durationNs)); latch.countDown()
+        case _ => ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rs = ResultMaterializer.materialize(df, resultRoot, queryId)
+      if (latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+        Option(captured.get()).foreach { case (qe, d) =>
+          metricsMap.put(queryId, QueryMetrics.summarize(qe, d))
+        }
+      rs
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   /** Accept a query, return its id immediately (the RunQuery path).
     * `incremental=true` materializes through
     * [[ResultMaterializer.materializeIncremental]], committing rec_N files
@@ -72,14 +123,20 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
           schedulerPool.foreach(p =>
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
           val df = graft.sql.QueryFacade.run(spark, sql)
+          val t0 = System.nanoTime()
           val rs =
             if (incremental) {
               partials.put(queryId, Vector.empty)
-              ResultMaterializer.materializeIncremental(df, resultRoot,
-                queryId, rowsPerFile = rowsPerFile, onFile = rf =>
-                  partials.compute(queryId, (_, v) =>
+              val r = ResultMaterializer.materializeIncremental(df,
+                resultRoot, queryId, rowsPerFile = rowsPerFile, onFile =
+                  rf => partials.compute(queryId, (_, v) =>
                     (if (v == null) Vector.empty else v) :+ rf))
-            } else ResultMaterializer.materialize(df, resultRoot, queryId)
+              // the incremental path drives df's OWN plan
+              // (toLocalIterator), so its executed metrics are exact
+              metricsMap.put(queryId, QueryMetrics.summarize(
+                df.queryExecution, System.nanoTime() - t0))
+              r
+            } else materializeAndProfile(df, queryId)
           // a cancel that landed mid-flight must not be overwritten back
           // to Complete; resolve it to the terminal Error state instead
           if (!states.replace(queryId, Running, Complete(rs)))
@@ -123,6 +180,7 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
     if (prev != null && prev.terminal) {
       states.remove(queryId)
       partials.remove(queryId)
+      metricsMap.remove(queryId)
       // the result dir is resultRoot/<id> for EVERY query — cancelled and
       // errored ones may have partial materialization on disk too, and
       // temp subdirs require a recursive delete

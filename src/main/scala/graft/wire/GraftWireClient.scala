@@ -68,6 +68,30 @@ final class GraftWireClient(port: Int) {
     Json.parse(resp.msgData).asText()
   }
 
+  /** Execution-cost summary of a Complete query, decoded from the
+    * GetQueryStatusResp wire bytes alone (the `metrics` sibling the
+    * server attaches next to `Status`); None while not complete, when
+    * the server has no metrics for the id, or against a plain
+    * reference server (which never sends the field).
+    */
+  def getQueryMetrics(queryId: BigInt)
+      : Option[graft.exec.QueryMetrics.Summary] = withConn { (in, out) =>
+    val resp = request(in, out, Name.GetQueryStatus, queryIdBody(queryId))
+    require(resp.msgNameId == Name.GetQueryStatusResp,
+      s"expected GetQueryStatusResp, got ${resp.msgNameId}")
+    val n = Json.parse(resp.msgData)
+    if (n.isTextual || !n.has("metrics")) None
+    else {
+      val m = n.get("metrics")
+      Some(graft.exec.QueryMetrics.Summary(
+        durationMs = m.get("duration_ms").asLong(),
+        scanRows = m.get("scan_rows").asLong(),
+        filesRead = m.get("files_read").asLong(),
+        shuffleRecordsWritten = m.get("shuffle_records").asLong(),
+        shuffleBytesWritten = m.get("shuffle_bytes").asLong()))
+    }
+  }
+
   def getQueryData(queryId: BigInt, cursor: Cursor, limit: Int,
                    forward: Boolean, allowOverflow: Boolean): DataResp =
     withConn { (in, out) =>

@@ -177,6 +177,22 @@ final class GraftWireServer(runner: AsyncQueryRunner,
             case QueryNotFound => Json.text("Queued") // unreachable
           }
           val o = Json.obj(); o.set[JsonNode]("Status", statusNode)
+          // Complete carries the query's execution-cost summary as a
+          // SIBLING field — serde ignores unknown fields by default, so
+          // a reference client's Status decode is unaffected, while a
+          // metrics-aware client reads what the query cost (the
+          // introspection the reference's status vocabulary lacks)
+          if (s.isInstanceOf[Complete]) runner.metrics(qid).foreach { m =>
+            val mo = Json.obj()
+            mo.set[JsonNode]("duration_ms", Json.long(m.durationMs))
+            mo.set[JsonNode]("scan_rows", Json.long(m.scanRows))
+            mo.set[JsonNode]("files_read", Json.long(m.filesRead))
+            mo.set[JsonNode]("shuffle_records",
+              Json.long(m.shuffleRecordsWritten))
+            mo.set[JsonNode]("shuffle_bytes",
+              Json.long(m.shuffleBytesWritten))
+            o.set[JsonNode]("metrics", mo)
+          }
           Json.bytes(o)
       }
       Some(env.reply(Name.GetQueryStatusResp, body))

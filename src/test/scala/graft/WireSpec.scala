@@ -453,6 +453,88 @@ class WireSpec extends AnyFunSuite {
       forward = false) === Right(Cursor(0, 0, 9L)))
   }
 
+  test("mid-frame client disconnect: a client that dies while a large " +
+       "Arrow page is being written leaves the server fully serving " +
+       "other connections") {
+    val tmp = java.nio.file.Files.createTempDirectory("wiredrop").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val server = new GraftWireServer(runner).start()
+    try {
+      val client = new GraftWireClient(server.port)
+      val qid = client.runQuery(
+        s"select o_orderkey, o_totalprice, o_orderpriority from " +
+          s"read_files('$dir/orders.parquet') order by o_orderkey").get
+      assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+      // rude client: request a large page, read 8 bytes of the reply,
+      // vanish — the server's in-flight frame write hits the reset
+      for (_ <- 0 until 5) {
+        val sock = new java.net.Socket(
+          java.net.InetAddress.getLoopbackAddress, server.port)
+        sock.setSoLinger(true, 0) // RST on close, the rudest teardown
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        val connId = Wire.randomU128()
+        Wire.write(out, Envelope(msgNameId = Wire.Name.Identify,
+          msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+          sentFromConnectionId = Some(connId),
+          msgData = Json.identify("Connection", connId)))
+        Wire.read(in)
+        val b = Json.obj()
+        import com.fasterxml.jackson.databind.JsonNode
+        b.set[JsonNode]("query_id", Json.big(qid))
+        b.set[JsonNode]("file_idx", Json.long(0L))
+        b.set[JsonNode]("file_row_group_idx", Json.long(0L))
+        b.set[JsonNode]("row_idx", Json.long(0L))
+        b.set[JsonNode]("limit", Json.long(1500L))
+        b.set[JsonNode]("forward", Json.bool(true))
+        b.set[JsonNode]("allow_overflow", Json.bool(false))
+        Wire.write(out, Envelope(msgNameId = Wire.Name.GetQueryData,
+          msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+          msgData = Json.bytes(b)))
+        in.readLong() // first 8 bytes of the reply frame...
+        sock.close()  // ...and gone, mid-frame
+      }
+      // the server must still serve a fresh, polite client in full
+      val after = client.getQueryData(qid, Cursor(0, 0, 0L), 1500,
+        forward = true, allowOverflow = false)
+      after match {
+        case DataRecord(rows, _, _) => assert(rows.length === 1500)
+        case other => fail(s"server degraded after disconnects: $other")
+      }
+      assert(client.getQueryStatus(qid) === "Complete")
+    } finally server.stop()
+  }
+
+  test("query metrics over the wire: a Complete status carries the " +
+       "exact execution-cost summary, decoded from wire bytes alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("wiremet").toString
+    val runner = new AsyncQueryRunner(spark, tmp)
+    val server = new GraftWireServer(runner).start()
+    try {
+      val client = new GraftWireClient(server.port)
+      val qid = client.runQuery(
+        s"select r_regionkey, r_name from read_files('$dir/region.parquet')").get
+      assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+      // metrics land asynchronously (listener bus) — bounded poll
+      var m = client.getQueryMetrics(qid)
+      var rounds = 0
+      while (m.isEmpty && rounds < 200) { Thread.sleep(25); m = m.orElse(
+        client.getQueryMetrics(qid)); rounds += 1 }
+      assert(m.nonEmpty, "no metrics served for a Complete query")
+      // exact values: region.parquet is ONE file of exactly 5 rows, and
+      // a projection scan shuffles nothing
+      assert(m.get.scanRows === 5L, m.get.toString)
+      assert(m.get.filesRead === 1L, m.get.toString)
+      assert(m.get.shuffleRecordsWritten === 0L, m.get.toString)
+      assert(m.get.durationMs >= 0L)
+      // the wire bytes carry EXACTLY the runner's summary — field by field
+      val uuid = Wire.u128ToUuid(qid)
+      assert(runner.metrics(uuid) === m, "wire decode != runner summary")
+      // a non-complete / unknown id serves no metrics
+      assert(client.getQueryMetrics(qid + 1) === None)
+    } finally server.stop()
+  }
+
   test("serve-while-materializing over the wire: an INCREMENTAL query's " +
        "committed pages are fetchable while its status is still Running") {
     val tmp = java.nio.file.Files.createTempDirectory("wireinc").toString
