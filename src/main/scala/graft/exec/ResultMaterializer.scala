@@ -53,15 +53,23 @@ object ResultMaterializer {
     * primitive of incremental and streaming materialization.
     */
   private def commitSingleFile(df: DataFrame, dir: Path,
-                               tag: String, target: Path): Unit = {
+                               tag: String, target: Path,
+                               skipIfExists: Boolean = false): Unit = {
+    // EXACTLY-ONCE fast path (streaming re-delivery): a target that
+    // already exists IS this batch's committed result — the rename
+    // below only ever runs after a complete temp write, so an existing
+    // rec_N is never partial. Skipping (a) avoids re-evaluating the
+    // batch write and (b) never swaps a file a concurrent pager may be
+    // addressing; the first committed version is THE version.
+    if (skipIfExists && Files.exists(target)) return
     val tmp = dir.resolve(s".$tag.tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = listDir(tmp)
       .find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(sys.error(s"no part file in $tmp"))
-    // A re-committed target (streaming batch re-delivery after restart)
-    // must replace: POSIX rename does, but ATOMIC_MOVE's replace-on-exists
-    // is implementation-specific — fall back explicitly where it throws.
+    // A re-committed target (non-streaming rewrite paths) must replace:
+    // POSIX rename does, but ATOMIC_MOVE's replace-on-exists is
+    // implementation-specific — fall back explicitly where it throws.
     try Files.move(part, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -144,9 +152,16 @@ object ResultMaterializer {
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // batch-id-keyed idempotent commit: temp write + rename IFF the
+        // batch id is unseen (skipIfExists). A crash between the sink
+        // commit and the checkpoint's commit record makes the engine
+        // re-deliver this batchId on restart — the skip turns that
+        // replay into a no-op instead of a duplicate or a rewrite, so
+        // exactly one rec_N ever pages out per batch (StreamingSpec
+        // proves it by forcing a replay).
         if (!batch.isEmpty)
           commitSingleFile(batch.toDF(), dir, s"rec_$batchId",
-            dir.resolve(s"rec_$batchId.parquet"))
+            dir.resolve(s"rec_$batchId.parquet"), skipIfExists = true)
       }
       .start()
   }

@@ -44,6 +44,24 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Left-align a key's occupied bit width to the z width — the standard
+    * equal-weight normalization a layout pass applies BEFORE
+    * interleaving when dimensions span different domains. Without it
+    * the wider dimension's high bits dominate every z-range split: a
+    * 2048-key partkey against a 128-key suppkey puts partkey bits at
+    * all the significant interleaved positions, every file's suppkey
+    * min/max spans the whole domain, and suppkey predicates prune
+    * NOTHING (LayoutSpec measures exactly this). Aligned, both
+    * dimensions' top bits alternate at the top of z and both prune.
+    * `domainBits` is ceil(log2(domain)) — a per-deployment stat, like
+    * ZBits itself.
+    */
+  def zAligned(c: Column, domainBits: Int, zBits: Int = ZBits): Column = {
+    require(domainBits >= 1 && domainBits <= zBits,
+      s"domainBits=$domainBits outside [1,$zBits]")
+    shiftleft(c, zBits - domainBits)
+  }
+
   /** Per-row Z-order assignment over (l_partkey, l_suppkey)
     * (oracle-checked): emits the Morton value and the coarse bucket a
     * layout pass would cluster by. Per-row at scan speed — the actual

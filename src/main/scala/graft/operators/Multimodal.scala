@@ -393,7 +393,11 @@ object Multimodal {
       : (Array[Double], Array[Long], Array[Long]) = {
     if (payload.isEmpty)
       return (new Array[Double](16), new Array[Long](5), new Array[Long](64))
-    // ??? <- non-image codec call goes here (ffmpeg via FFI); stubbed:
+    // non-image codec seam: [[ffmpegKeyframes]] is the wired subprocess
+    // path when [[ffmpegBinary]] probes a binary (absent in this
+    // sandbox — COVERAGE.md records the probe result); this stub is the
+    // deterministic fallback the ORACLE-CHECKED queries always use, so
+    // results never depend on the host's codec inventory:
     val hist = new Array[Double](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1; i += 1 }
@@ -663,5 +667,104 @@ $histSelects
           AS INT) AS thumb_h,
         false AS decoded
       FROM m"""
+  }
+
+  // ------------------------------------------------ ffmpeg FFI seam
+  // The subprocess path for codecs no in-JVM decoder handles (H.264
+  // etc.). The PLUMBING — probe, bounded subprocess per payload,
+  // deadlock-free stdin/stdout pumping, timeout kill, MJPEG stream
+  // split — is real and spec-tested against a stand-in binary; only
+  // the codec itself requires a host ffmpeg, which the sandbox lacks
+  // (probe result recorded in COVERAGE.md).
+
+  /** Probe for an ffmpeg binary at runtime: GRAFT_FFMPEG overrides,
+    * else the conventional install paths, else PATH. None = the seam
+    * stays on [[decodeStub]].
+    */
+  def ffmpegBinary(): Option[String] = {
+    def exec(p: String): Boolean = {
+      val f = new java.io.File(p)
+      f.isFile && f.canExecute
+    }
+    sys.env.get("GRAFT_FFMPEG").filter(exec)
+      .orElse(Seq("/usr/bin/ffmpeg", "/usr/local/bin/ffmpeg",
+        "/opt/homebrew/bin/ffmpeg").find(exec))
+      .orElse(sys.env.getOrElse("PATH", "").split(':')
+        .map(d => s"$d/ffmpeg").find(exec))
+  }
+
+  /** Keyframe extraction through ONE bounded subprocess: payload on
+    * stdin, up to `maxFrames` frames back as an MJPEG stream on stdout
+    * (`-f image2pipe -codec:v mjpeg`), split into per-frame JPEG byte
+    * arrays — each then decodable by the in-JVM ImageIO path the image
+    * operators already use. Scale posture: called per row inside
+    * mapPartitions, so parallelism = Spark tasks, each task running at
+    * most ONE subprocess at a time; stdin feeds from a separate thread
+    * (a process blocked writing stdout while the driver blocks writing
+    * stdin is the classic pipe deadlock); stdout drains concurrently
+    * with a hard size cap; the wall-clock timeout destroys the process
+    * tree — a hung codec costs one task `timeoutMs`, never a hung
+    * executor. None = probe/decode failure (callers fall back to
+    * [[decodeStub]]).
+    */
+  def ffmpegKeyframes(binary: String, payload: Array[Byte],
+                      maxFrames: Int = 5, timeoutMs: Long = 20000L,
+                      maxOutBytes: Int = 64 << 20)
+      : Option[Seq[Array[Byte]]] = {
+    val cmd = java.util.Arrays.asList(binary, "-hide_banner",
+      "-loglevel", "error", "-i", "pipe:0",
+      "-frames:v", maxFrames.toString, "-f", "image2pipe",
+      "-codec:v", "mjpeg", "pipe:1")
+    try {
+      val p = new ProcessBuilder(cmd).start()
+      val feeder = new Thread(() => {
+        try { p.getOutputStream.write(payload); p.getOutputStream.close() }
+        catch { case _: java.io.IOException => () } // process exited early
+      }, "graft-ffmpeg-stdin")
+      feeder.setDaemon(true); feeder.start()
+      val out = new java.io.ByteArrayOutputStream()
+      @volatile var truncated = false
+      val drainer = new Thread(() => {
+        try {
+          val in = p.getInputStream
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0 && !truncated) {
+            if (out.size() + n > maxOutBytes) truncated = true
+            else out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } catch { case _: java.io.IOException => () }
+      }, "graft-ffmpeg-stdout")
+      drainer.setDaemon(true); drainer.start()
+      val finished =
+        p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!finished || truncated) { p.destroyForcibly(); return None }
+      drainer.join(1000)
+      if (p.exitValue() != 0) None
+      else Some(splitMjpegStream(out.toByteArray)).filter(_.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Split a concatenated MJPEG stream on JPEG SOI/EOI markers
+    * (FFD8...FFD9). Marker bytes can occur inside entropy-coded data in
+    * principle; ffmpeg's image2pipe emits clean frame boundaries, and a
+    * misparsed frame fails its ImageIO decode downstream rather than
+    * corrupting anything silently.
+    */
+  def splitMjpegStream(b: Array[Byte])
+      : Seq[Array[Byte]] = {
+    val frames = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 1 < b.length) {
+      val m = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      if (m == 0xffd8 && start < 0) { start = i; i += 2 }
+      else if (m == 0xffd9 && start >= 0) {
+        frames += java.util.Arrays.copyOfRange(b, start, i + 2)
+        start = -1; i += 2
+      } else i += 1
+    }
+    frames.result()
   }
 }

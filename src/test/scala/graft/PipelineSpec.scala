@@ -1436,4 +1436,62 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(r.head.getString(2).split(",").map(_.toLong).toSeq === expect)
   }
+
+  test("ffmpeg seam: probe finds a binary only when present; the bounded " +
+       "subprocess pumps stdin/stdout without deadlock, splits MJPEG " +
+       "frames that ImageIO then decodes, kills a hung codec at the " +
+       "timeout, and maps a failing one to None") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    // two real 3x2 JPEGs as the fake codec's output fixture
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(3, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 3; y <- 0 until 2)
+        img.setRGB(x, y, (seed * 37 + x * 50 + y * 90) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val fixture = jpeg(1) ++ jpeg(2)
+    val tmp = Files.createTempDirectory("ffm")
+    Files.write(tmp.resolve("frames.mjpeg"), fixture)
+    def script(name: String, body: String): String = {
+      val p = tmp.resolve(name)
+      Files.write(p, s"#!/bin/sh\n$body\n".getBytes("UTF-8"))
+      Files.setPosixFilePermissions(p,
+        PosixFilePermissions.fromString("rwxr-xr-x"))
+      p.toString
+    }
+    // stand-in codec: drain stdin (like ffmpeg), emit the MJPEG stream
+    val fake = script("ffmpeg",
+      s"cat > /dev/null; cat '${tmp.resolve("frames.mjpeg")}'")
+    // a payload bigger than the pipe buffer proves the concurrent
+    // stdin/stdout pumping (single-threaded feeding would deadlock)
+    val bigPayload = Array.fill[Byte](4 << 20)(42)
+    val frames = Multimodal.ffmpegKeyframes(fake, bigPayload)
+    assert(frames.nonEmpty, "plumbing returned None")
+    assert(frames.get.length === 2, s"got ${frames.get.length} frames")
+    // each split frame is a DECODABLE JPEG — the in-JVM ImageIO path
+    frames.get.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth === 3 && img.getHeight === 2)
+    }
+    // a hung codec is destroyed at the timeout, not waited on forever
+    val hung = script("ffmpeg_hang", "cat > /dev/null; sleep 600")
+    val t0 = System.nanoTime()
+    assert(Multimodal.ffmpegKeyframes(hung, Array[Byte](1),
+      timeoutMs = 500L) === None)
+    assert((System.nanoTime() - t0) / 1e6 < 10000, "timeout did not bind")
+    // a failing codec (non-zero exit) maps to None, never throws
+    val bad = script("ffmpeg_bad", "cat > /dev/null; exit 3")
+    assert(Multimodal.ffmpegKeyframes(bad, Array[Byte](1)) === None)
+    // probe honors GRAFT_FFMPEG=executable, rejects a non-executable
+    assert(Multimodal.ffmpegBinary().forall(p =>
+      new java.io.File(p).canExecute))
+    // MJPEG splitter: exact marker arithmetic on the fixture
+    val split = Multimodal.splitMjpegStream(fixture)
+    assert(split.length === 2 &&
+      split.map(_.length).sum === fixture.length)
+  }
 }

@@ -258,6 +258,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once rec_N commit: a crash-replayed batch is a no-op — " +
+       "no duplicate rows page out, the committed file is untouched") {
+    val root = java.nio.file.Files.createTempDirectory("stream_eo").toString
+    val qid = "q-replay"
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q1 = graft.exec.ResultMaterializer.materializeStream(
+      stream, root, qid)
+    try q1.processAllAvailable() finally q1.stop()
+    val resDir = java.nio.file.Paths.get(root, qid)
+    val recFiles = java.nio.file.Files.list(resDir).iterator()
+    val committed = Iterator.continually(recFiles)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.matches("rec_\\d+\\.parquet")).toVector
+    assert(committed.nonEmpty)
+    val mtimes = committed.map(p =>
+      p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    val sourceRows = graft.sources.Tables.events(spark, dir).count()
+
+    // simulate the crash window: the sink committed rec_N but the engine
+    // died BEFORE recording the batch in the checkpoint's commit log —
+    // delete the latest commit record, so a restart re-delivers that
+    // batchId to foreachBatch
+    val commitsDir = resDir.resolve(".checkpoint").resolve("commits")
+    val latest = java.nio.file.Files.list(commitsDir).iterator()
+    val commitIds = Iterator.continually(latest).takeWhile(_.hasNext)
+      .map(_.next()).filter(_.getFileName.toString.matches("\\d+")).toVector
+    val newest = commitIds.maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(newest)
+    java.nio.file.Files.deleteIfExists(
+      commitsDir.resolve(s".${newest.getFileName}.crc"))
+
+    val q2 = graft.exec.ResultMaterializer.materializeStream(
+      stream, root, qid)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the replayed batch must have been skipped: same file set, every
+    // committed file byte-untouched (mtime unchanged), and the pager
+    // serves exactly the source's row count — zero duplicates
+    committed.foreach { p =>
+      assert(java.nio.file.Files.getLastModifiedTime(p) === mtimes(p),
+        s"replay rewrote $p")
+    }
+    val rs = graft.exec.ResultMaterializer.open(resDir.toString)
+    assert(rs.files.size === committed.size, "replay added files")
+    assert(rs.totalRows === sourceRows,
+      s"paged ${rs.totalRows} rows for $sourceRows source rows")
+  }
+
   test("streaming sessionization emits sessions consistent with batch") {
     val q = EventStreams.sessionizeStream(
         EventStreams.readEventStream(spark, eventsDir))
