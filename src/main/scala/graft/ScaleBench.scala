@@ -26,7 +26,12 @@ object ScaleBench {
   val Families: Seq[String] = Seq(
     "sort_orderby", "join_salted", "profile_table", "tfidf_topterms",
     "fivegram_ll", "dedup_minhash", "dedup_containment", "curate_pipeline",
-    "ann_recall", "knn_graph_bucketed")
+    "ann_recall", "knn_graph_bucketed",
+    // the two operators whose FIXED bucket geometry (16 k-means cells /
+    // 64 LSH cells) would have mass-dropped every cell against
+    // MaxBucket at x10 — size-adaptive since the same round, measured
+    // here to keep them honest
+    "dedup_semantic", "dedup_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -107,12 +107,20 @@ object ScaleCorpus {
 
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = 64
+    // rotation index wraps at the dimension; generations past dim-1
+    // additionally negate a g-dependent prefix (norm- and
+    // intra-generation-distance-preserving, like the rotation) so no
+    // generation ever replicates another's vectors exactly
     write(gened(embeddings)
       .withColumn("vec_id", col("vec_id") + col("g") * DocKeyStride)
+      .withColumn("_r", (col("g") % dim).cast("int"))
+      .withColumn("_neg", (col("g") / dim).cast("int") % (dim + 1))
       .withColumn("embedding", expr(
         s"""IF(g = 0, embedding,
-           |   concat(slice(embedding, cast(g AS INT) + 1, $dim - cast(g AS INT)),
-           |          slice(embedding, 1, cast(g AS INT))))""".stripMargin))
-      .drop("g"), "embeddings", math.max(2, gens / 2))
+           |   transform(
+           |     concat(slice(embedding, _r + 1, $dim - _r),
+           |            slice(embedding, 1, _r)),
+           |     (x, i) -> IF(i < _neg, -x, x)))""".stripMargin))
+      .drop("g", "_r", "_neg"), "embeddings", math.max(2, gens / 2))
   }
 }

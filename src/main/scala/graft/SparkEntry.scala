@@ -457,8 +457,14 @@ object SparkEntry {
     * fallback) only if no query fitted this dir's quantizer in this JVM.
     */
   private def dedupSemanticOracleSqlOpt: Option[(String, String)] =
-    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(
-      d, graft.operators.Dedup.SemClusters)).map { cents =>
+    dumpDirOpt.flatMap { d =>
+      // mirror the size-adaptive cluster count from the same cached
+      // corpus count the operator derived it from
+      val k = graft.operators.Ann.cachedCorpusCount(d)
+        .map(graft.operators.Dedup.semClustersFor)
+        .getOrElse(graft.operators.Dedup.SemClusters)
+      graft.operators.Ann.cachedCentroids(d, k)
+    }.map { cents =>
         val threshold = graft.operators.Dedup.SemDedupCos
         val dim = cents.head.length
         val vals = cents.zipWithIndex.map { case (c, ci) =>
@@ -634,7 +640,9 @@ object SparkEntry {
     val sem = for {
       d <- dumpDirOpt
       cents <- graft.operators.Ann.cachedCentroids(
-        d, graft.operators.Dedup.SemClusters)
+        d, graft.operators.Ann.cachedCorpusCount(d)
+          .map(graft.operators.Dedup.semClustersFor)
+          .getOrElse(graft.operators.Dedup.SemClusters))
     } yield (d, s"threshold=${graft.operators.Dedup.SemDedupCos}\n" +
       centsLines(cents))
     "# FIT PROVENANCE\n\nRegenerated by `graft.Verify` each full run: " +
@@ -905,7 +913,8 @@ object SparkEntry {
     * literals.
     */
   private def dedupEmbeddingLshOracleSql: String = {
-    val nBits = 6
+    // size-adaptive code width, mirrored like knnGraphBucketed's
+    val nBits = graft.operators.Ann.oracleBits(dumpDirOpt)
     val planes = graft.operators.Ann.planes(nBits, 64)
     val bucket = planes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ", ", "]")

@@ -728,8 +728,15 @@ object Dedup {
     * (nothing corpus-sized broadcasts).
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String,
-                        threshold: Double = 0.4, nBits: Int = 6): DataFrame = {
+                        threshold: Double = 0.4,
+                        nBitsOpt: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // 0 = size-adaptive code width (Ann.bitsFor): cells track
+    // Ann.TargetCellRows instead of n/64, so the cap never mass-drops
+    // and the bucket join stays linear — nBits "~ log2(corpus /
+    // target_bucket)" per this operator's own doc, now executable
+    val nBits = if (nBitsOpt > 0) nBitsOpt
+      else Ann.bitsFor(Ann.corpusCount(s, dir))
     val pl = Ann.planes(nBits, 64)
     val e = capBuckets(
       table(s, dir, "embeddings")
@@ -773,6 +780,20 @@ object Dedup {
     */
   val SemClusters = 16
 
+  /** Target within-cluster cell size for the SIZE-ADAPTIVE cluster
+    * count: 2000/16 = 125 rows at the sf0.1 calibration point, so
+    * [[semClustersFor]] equals the historical [[SemClusters]] at every
+    * test SF and grows k ∝ n beyond — the "k ~ sqrt(N)+" contract the
+    * fitCentroids doc states, made executable. Without it a FIXED k
+    * has two failure modes as the corpus grows: cells above
+    * [[MaxBucket]] all get capped away (silent recall collapse — at
+    * ×10 every cell is ~1250 rows vs the 200 cap) or, uncapped, the
+    * within-cell pair join goes quadratic.
+    */
+  val SemTargetCell = 128L
+  def semClustersFor(n: Long): Int =
+    math.max(SemClusters, ((n + SemTargetCell - 1) / SemTargetCell).toInt)
+
   /** SemDeDup (Abbas et al. 2023, oracle-checked): the semantic tier
     * between exact/near-dup text matching and nothing — embeddings are
     * coarse-clustered by a KMeans quantizer, and ONLY within-cluster
@@ -792,10 +813,14 @@ object Dedup {
     * (Ann.cachedCentroids — no mutable last-fit state).
     */
   def dedupSemantic(s: SparkSession, dir: String,
-                    nClusters: Int = SemClusters,
+                    nClusters: Int = 0,
                     threshold: Double = SemDedupCos): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val centroids = Ann.fitCentroids(s, dir, nClusters)
+    // 0 = size-adaptive (the default): k tracks the corpus so cells
+    // stay near SemTargetCell; an explicit k pins behavior
+    val k = if (nClusters > 0) nClusters
+      else semClustersFor(Ann.corpusCount(s, dir))
+    val centroids = Ann.fitCentroids(s, dir, k)
     val assigned = table(s, dir, "embeddings")
       .withColumn("dists", Ann.centroidDists(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"),
