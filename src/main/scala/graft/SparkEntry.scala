@@ -123,6 +123,7 @@ object SparkEntry {
     "grouping_sets" -> (RelationalExt.groupingSets _),
     "sort_nulls_first" -> (RelationalExt.sortNullsFirst _),
     "q5_local_supplier" -> (RelationalExt.q5LocalSupplier _),
+    "q7_volume_shipping" -> (RelationalExt.q7VolumeShipping _),
     "q9_profit" -> (RelationalExt.q9Profit _),
     "q18_large_orders" -> (RelationalExt.q18LargeOrders _),
     "q21_suppliers_waiting" -> (RelationalExt.q21SuppliersWaiting _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_simhash_scaled" -> ((s, d) => Dedup.dedupSimhashScaled(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_winnow" -> ((s, d) => Dedup.dedupWinnow(s, d)),
@@ -1170,6 +1172,72 @@ object SparkEntry {
       FROM sig s LEFT JOIN dup d USING (doc_id)"""
   }
 
+  /** dedup_simhash_scaled oracle — the dedupSimhashOracleSql pipeline
+    * with the Manku multi-table key stage: the C(6,3) combo keys are
+    * re-derived here from the same shared geometry constants
+    * (Dedup.simhashBlockCombos), interpolated as one CASE over the
+    * table index, so DuckDB independently recomputes blocks, combo
+    * keys, caps, candidates and Hamming verdicts.
+    */
+  private def dedupSimhashScaledOracleSql: String = {
+    import graft.operators.Dedup.{SimhashBits, SimhashScaledBlockBits,
+      MaxBucket}
+    val votes = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val packed = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n          + ")
+    val bmask = (1L << SimhashScaledBlockBits) - 1L
+    def blockSql(c: Int) =
+      s"((simhash >> ${c * SimhashScaledBlockBits}) & $bmask)"
+    val combos = graft.operators.Dedup.simhashBlockCombos
+    val kvCase = "CASE t.ti " + combos.zipWithIndex.map { case (combo, t) =>
+      val expr = combo.zipWithIndex.map { case (c, pos) =>
+        s"(${blockSql(c)} << ${pos * SimhashScaledBlockBits})"
+      }.mkString(" + ")
+      s"WHEN $t THEN $expr "
+    }.mkString + "END"
+    val tis = combos.indices.mkString("[", ", ", "]")
+    s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      h AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok),
+      v AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+        FROM v),
+      ch AS (
+        SELECT doc_id, simhash, t.ti, $kvCase AS kv
+        FROM sig, unnest($tis) AS t(ti)
+        QUALIFY count(*) OVER (PARTITION BY t.ti, $kvCase)
+          <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a, a.simhash AS ha,
+          b.doc_id AS b, b.simhash AS hb
+        FROM ch a JOIN ch b
+          ON a.ti = b.ti AND a.kv = b.kv AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      dup AS (
+        SELECT b AS doc_id, min(a) AS dup_of, min(hamming) AS best_hamming
+        FROM ver GROUP BY b)
+      SELECT s.doc_id, s.simhash, d.dup_of, d.best_hamming,
+        d.dup_of IS NULL AS keep
+      FROM sig s LEFT JOIN dup d USING (doc_id)"""
+  }
+
   /** dedup_minhash oracle, generated: the 64 per-member min aggregates
     * and the 8 band hashes are mechanical, emitted from the same loop
     * bounds the Spark query uses. Signatures are md5-derived
@@ -1807,6 +1875,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> dedupEmbeddingLshOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
+    "dedup_simhash_scaled" -> dedupSimhashScaledOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
     "chunk_documents" -> chunkDocumentsOracleSql,
@@ -2418,6 +2487,20 @@ object SparkEntry {
         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         AND r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC""",
+    "q7_volume_shipping" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem, supplier, orders, customer,
+        nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+      ORDER BY supp_nation, cust_nation, l_year""",
     "q9_profit" -> """
       SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

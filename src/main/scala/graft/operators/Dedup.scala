@@ -286,6 +286,79 @@ object Dedup {
         col("best_hamming"), col("dup_of").isNull.as("keep"))
   }
 
+  // ----------------------------------- SimHash at corpus scale (Manku)
+
+  /** [[dedupSimhashScaled]] block geometry: 6 blocks × 10 bits. The
+    * plain 4-chunk pigeonhole ([[dedupSimhash]]) has a HARD key-space
+    * ceiling — 2^15 values per chunk position, so cells grow ∝
+    * n/65,536 and the [[MaxBucket]] cap starts mass-dropping around
+    * n ≈ 13M docs (silent recall loss). The Manku et al. (2007)
+    * parameterization fixes the ceiling structurally: split the
+    * signature into MORE blocks than the Hamming budget can damage and
+    * key on COMBINATIONS — ≤3 flipped bits damage ≤3 of 6 blocks, so
+    * every qualifying pair agrees exactly on some 3-block combo, and
+    * the C(6,3) = 20 tables of 30-bit keys give a 2^30 key space per
+    * table: cells ∝ n/2^30 stay sub-[[MaxBucket]] to ~10¹¹ docs. The
+    * price is 20 exploded rows/doc instead of 4 — the documented
+    * candidate-machinery constant a corpus that large pays.
+    */
+  val SimhashScaledBlocks = 6
+  val SimhashScaledBlockBits: Int = SimhashBits / SimhashScaledBlocks
+  val SimhashScaledKeep = 3
+
+  /** The C(blocks, keep) block triples, in deterministic lexicographic
+    * order — shared by the plan and the oracle generator.
+    */
+  def simhashBlockCombos: Seq[Seq[Int]] =
+    (0 until SimhashScaledBlocks).combinations(SimhashScaledKeep)
+      .map(_.toSeq).toSeq
+
+  /** SimHash near-dup with Manku multi-table blocking (oracle-checked;
+    * see [[SimhashScaledBlocks]]). Same signatures, same Hamming ≤
+    * `maxHamming` verify, same output schema as [[dedupSimhash]] — the
+    * ONLY change is the candidate key structure, so at any SF where
+    * neither variant's cap binds, the two results are identical row for
+    * row (PipelineSpec pins that equivalence; the oracle re-derives
+    * this variant's combos independently).
+    */
+  def dedupSimhashScaled(s: SparkSession, dir: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= SimhashScaledBlocks - SimhashScaledKeep,
+      s"maxHamming=$maxHamming can damage more than " +
+        s"${SimhashScaledBlocks - SimhashScaledKeep} blocks — the " +
+        "pigeonhole guarantee needs keep <= blocks - maxHamming")
+    val sigs = simhashSignatures(s, dir)
+    val bmask = (1L << SimhashScaledBlockBits) - 1L
+    def block(c: Int) =
+      shiftright(col("simhash"), c * SimhashScaledBlockBits)
+        .bitwiseAND(lit(bmask))
+    val keys = simhashBlockCombos.zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("ti"),
+        combo.zipWithIndex.map { case (c, pos) =>
+          shiftleft(block(c), pos * SimhashScaledBlockBits)
+        }.reduce(_ + _).as("kv"))
+    }
+    val keyed = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
+        explode(array(keys: _*)).as("k"))
+        .select(col("doc_id"), col("simhash"),
+          col("k.ti").as("ti"), col("k.kv").as("kv")),
+      Seq("ti", "kv"))
+    val cands = keyed.as("x").hint("merge").join(keyed.as("y"),
+        col("x.ti") === col("y.ti") && col("x.kv") === col("y.kv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("b"), col("y.simhash").as("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+    val dupOf = cands.groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"),
+        min(col("hamming")).as("best_hamming"))
+    sigs.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("dup_of"),
+        col("best_hamming"), col("dup_of").isNull.as("keep"))
+  }
+
   /** Hex-md5 coin prefix selecting the "new batch" for
     * [[dedupIncremental]] — '10000000' of 'ffffffff' ≈ 6.25% of docs
     * (deterministic, the split_assign device).

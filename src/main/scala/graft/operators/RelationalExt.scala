@@ -664,6 +664,43 @@ object RelationalExt {
         .cast("double").as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
 
+  /** TPC-H Q7-shaped volume shipping between two nations: the same
+    * dimension table (nation) joined TWICE under different roles
+    * (supplier's vs customer's nation) with a symmetric pair predicate —
+    * the alias-resolution + double-broadcast shape. Both nation sides
+    * broadcast (tiny at any fact scale); the pair filter applies after
+    * the two key joins, so the fact table shuffles only on its natural
+    * join keys. Exact decimal volume; (supp_nation, cust_nation,
+    * l_year) is a unique grouping so the ordering is total.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(table(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(table(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(Relational.dmul(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** TPC-H Q18-shaped large-order report: the top-k over a grouped
     * semi-join. The "large order" set comes from one full-fact
     * aggregation (map-side partial, so the shuffle carries per-order

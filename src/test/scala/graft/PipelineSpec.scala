@@ -1437,6 +1437,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.head.getString(2).split(",").map(_.toLong).toSeq === expect)
   }
 
+  test("scaled (Manku multi-table) simhash: identical verdicts to the " +
+       "4-chunk pigeonhole wherever neither cap binds, with a key space " +
+       "that has no corpus ceiling") {
+    // the pigeonhole guarantee is the same (Hamming<=3 damages <=3 of 6
+    // blocks), so with caps not binding the two variants must agree row
+    // for row — a full cross-validation of the combo-key construction
+    val base = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getBoolean(4))).toSet
+    val scaled = Dedup.dedupSimhashScaled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getBoolean(4))).toSet
+    assert(scaled === base)
+    // geometry: 20 tables of 30-bit keys — cells ~ n/2^30 per table vs
+    // the 4-chunk variant's n/2^15 ceiling
+    val combos = Dedup.simhashBlockCombos
+    assert(combos.length === 20)
+    assert(combos.distinct.length === 20)
+    assert(combos.forall(_.length === Dedup.SimhashScaledKeep))
+    // every <=3-block damage pattern leaves at least one combo intact
+    for (damaged <- (0 until 6).combinations(3))
+      assert(combos.exists(c => c.forall(b => !damaged.contains(b))),
+        s"no intact combo for damage $damaged")
+  }
+
   test("ffmpeg seam: probe finds a binary only when present; the bounded " +
        "subprocess pumps stdin/stdout without deadlock, splits MJPEG " +
        "frames that ImageIO then decodes, kills a hung codec at the " +

@@ -126,6 +126,15 @@ class PlanSpec extends AnyFunSuite {
       "EqualTo(r_name,ASIA)"), p.take(2000))
   }
 
+  test("q7: the twice-joined nation dim broadcasts BOTH times under " +
+       "different roles; no cartesian from the symmetric pair filter") {
+    val p = plan("q7_volume_shipping")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, p.take(1600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
   test("q9: part LIKE filter pushed to the scan, nation broadcast, " +
        "no cartesian product") {
     val p = plan("q9_profit")
