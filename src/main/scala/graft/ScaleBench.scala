@@ -31,7 +31,11 @@ object ScaleBench {
     // 64 LSH cells) would have mass-dropped every cell against
     // MaxBucket at x10 — size-adaptive since the same round, measured
     // here to keep them honest
-    "dedup_semantic", "dedup_embedding_lsh")
+    "dedup_semantic", "dedup_embedding_lsh",
+    // the Manku multi-table simhash — built BECAUSE of the 4-chunk
+    // variant's key-space ceiling; measured to keep its 20-table
+    // constant honest
+    "dedup_simhash_scaled")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
