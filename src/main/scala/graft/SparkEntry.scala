@@ -1048,6 +1048,13 @@ object SparkEntry {
   private def dedupContainmentOracleSql: String = {
     import graft.operators.Dedup.{ContainThreshold, ContainPrefixFrac,
       ContainGramLen, MaxContainDf}
+    // corpus-scaled df cut, mirrored from the same cached count the
+    // operator resolved it from (fail-closed to the calibration
+    // constant — exact at every gate SF)
+    val containCut = dumpDirOpt
+      .flatMap(graft.operators.Dedup.cachedDocCount)
+      .map(graft.operators.Dedup.containMaxDfFor)
+      .getOrElse(MaxContainDf)
     val q = ContainGramLen
     s"""
       WITH t AS (
@@ -1069,11 +1076,11 @@ object SparkEntry {
       pref AS (
         SELECT * FROM gd
         WHERE rn <= floor(n * $ContainPrefixFrac) + 1
-          AND df <= $MaxContainDf),
+          AND df <= $containCut),
       cand AS (
         SELECT DISTINCT a.doc_id AS a, a.n AS na, b.doc_id AS b
         FROM pref a JOIN (SELECT doc_id, gram, n FROM gd
-          WHERE df <= $MaxContainDf) b USING (gram)
+          WHERE df <= $containCut) b USING (gram)
         WHERE a.doc_id <> b.doc_id
           AND CAST(b.n AS DOUBLE) >= CAST(a.n AS DOUBLE)
             * $ContainThreshold),

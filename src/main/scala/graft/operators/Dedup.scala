@@ -944,6 +944,30 @@ object Dedup {
     */
   val MaxContainDf = 20
 
+  /** Corpus size the [[MaxContainDf]] cut was calibrated at (sf0.1's
+    * 5000 documents). A gram's document frequency grows ∝ corpus size,
+    * so a FIXED df cut silently excludes ever more grams from candidate
+    * generation as the corpus grows (recall loss that looks like
+    * success) — [[containMaxDfFor]] scales the cut with the corpus,
+    * equal to the historical constant at every test SF.
+    */
+  val ContainDfCalibDocs = 5000L
+  def containMaxDfFor(nDocs: Long): Int =
+    math.max(MaxContainDf,
+      (nDocs * MaxContainDf / ContainDfCalibDocs).toInt)
+
+  /** Cached documents row count per dir — the [[containMaxDfFor]]
+    * input; the oracle generator reads [[cachedDocCount]] (fail-closed
+    * to the calibration constant, exact at every gate SF).
+    */
+  def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(dir, _ =>
+      java.lang.Long.valueOf(table(s, dir, "documents").count()))
+  def cachedDocCount(dir: String): Option[Long] =
+    Option(docCountCache.get(dir)).map(_.longValue())
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Asymmetric containment dedup (AllPairs/PPJoin-family prefix
     * filtering, oracle-checked): flags documents whose gram set is
     * >= [[ContainThreshold]] contained in another document's — the
@@ -963,9 +987,11 @@ object Dedup {
     */
   def dedupContainment(s: SparkSession, dir: String,
                        threshold: Double = ContainThreshold,
-                       maxDf: Int = MaxContainDf): DataFrame = {
+                       maxDf: Int = 0): DataFrame = {
     val docs = table(s, dir, "documents")
-    val (g, cand) = containmentCandidates(s, dir, threshold, maxDf)
+    // 0 = corpus-scaled df cut (see containMaxDfFor); explicit pins
+    val (g, cand) = containmentCandidates(s, dir, threshold,
+      if (maxDf > 0) maxDf else containMaxDfFor(docCount(s, dir)))
     val ver = cand
       .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
       .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
@@ -991,6 +1017,8 @@ object Dedup {
   private[graft] def containmentCandidates(
       s: SparkSession, dir: String,
       threshold: Double = ContainThreshold, maxDf: Int = MaxContainDf,
+      // (explicit default here: every caller of this internal surface
+      // passes the resolved cut or wants the calibration constant)
       sigPrefilter: Boolean = true): (DataFrame, DataFrame) = {
     val q = ContainGramLen
     val docs = table(s, dir, "documents")
