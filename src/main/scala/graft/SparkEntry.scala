@@ -472,10 +472,15 @@ object SparkEntry {
         val vals = cents.zipWithIndex.map { case (c, ci) =>
           s"($ci, ${c.mkString("[", ", ", "]")})"
         }.mkString(",\n          ")
-        "dedup_semantic" -> s"""
-      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-            FROM embeddings),
+        // assignment mirror follows the operator's strategy switch:
+        // flat exact argmin up to Ann.TwoLevelAssignThreshold cells
+        // (every gate SF), the two-level coarse-then-fine above it —
+        // supers and branch membership recomputed from the SAME cached
+        // centroids via the SAME pure miniKmeans, so both engines
+        // assign through identical structures
+        val assignSql =
+          if (cents.length <= graft.operators.Ann.TwoLevelAssignThreshold)
+            s"""
       d AS (SELECT e.vec_id, e.emb, c.cell,
               list_sum(list_transform(range(1, ${dim + 1}),
                 i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
@@ -485,7 +490,43 @@ object SparkEntry {
           SELECT vec_id, emb, cell, row_number() OVER (
             PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
           FROM d)
+        WHERE rn = 1),"""
+          else {
+            val branches = graft.operators.Ann.twoLevelStructure(cents)
+            val superVals = branches.zipWithIndex.map { case ((sc, _), bi) =>
+              s"($bi, ${sc.mkString("[", ", ", "]")})"
+            }.mkString(",\n          ")
+            val memberVals = branches.zipWithIndex.flatMap {
+              case ((_, ids), bi) => ids.map(c => s"($bi, $c)")
+            }.mkString(",\n          ")
+            s"""
+      supers AS (SELECT * FROM (VALUES $superVals) AS t(si, sv)),
+      smap AS (SELECT * FROM (VALUES $memberVals) AS t(si, cell)),
+      sd AS (SELECT e.vec_id, e.emb, s.si,
+               list_sum(list_transform(range(1, ${dim + 1}),
+                 i -> (emb[i] - sv[i]) * (emb[i] - sv[i]))) AS dist
+             FROM e CROSS JOIN supers s),
+      sa AS (
+        SELECT vec_id, emb, si FROM (
+          SELECT vec_id, emb, si, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, si ASC) AS rn
+          FROM sd)
         WHERE rn = 1),
+      cd AS (SELECT sa.vec_id, sa.emb, m.cell,
+               list_sum(list_transform(range(1, ${dim + 1}),
+                 i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+             FROM sa JOIN smap m USING (si) JOIN cents USING (cell)),
+      assign AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM cd)
+        WHERE rn = 1),"""
+          }
+        "dedup_semantic" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),$assignSql
       capped AS (
         SELECT vec_id, emb, cell FROM assign
         QUALIFY count(*) OVER (PARTITION BY cell)

@@ -132,6 +132,116 @@ object Ann {
   def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map(c => V.l2sq(v, array(c.map(lit): _*))): _*)
 
+  /** Above this many cells, flat argmin assignment (n·k distance
+    * evaluations) switches to [[twoLevelCell]] (n·~2√k) — the SemDeDup
+    * "assignment strategy switch" SCALING.md documents, as code. 64 is
+    * far above every test-SF cluster count (16), so the exact flat path
+    * — and every oracle — is untouched where the gate runs.
+    */
+  val TwoLevelAssignThreshold = 64
+
+  /** Deterministic driver-side Lloyd's k-means over a SMALL point set —
+    * the super-quantizer fit for two-level assignment (points = the k
+    * fitted centroids, so k ≤ a few thousand; this never sees corpus
+    * data). Evenly-strided init, squared-L2, lowest-index tie-break,
+    * empty clusters keep their previous center; pure function of its
+    * inputs, so the oracle generator recomputes the identical structure
+    * from the cached centroid literals.
+    */
+  def miniKmeans(points: Array[Array[Double]], k: Int, iters: Int = 10)
+      : (Array[Array[Double]], Array[Int]) = {
+    val n = points.length
+    require(k >= 1 && k <= n, s"k=$k outside [1,$n]")
+    val dim = points(0).length
+    var centers =
+      Array.tabulate(k)(i => points((i.toLong * n / k).toInt).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      var changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val t = points(i)(j) - centers(c)(j); d += t * t; j += 1
+          }
+          if (d < bd) { bd = d; best = c } // strict <: lowest index wins
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Int](k)
+      var i2 = 0
+      while (i2 < n) {
+        val a = assign(i2)
+        cnt(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(i2)(j); j += 1 }
+        i2 += 1
+      }
+      centers = Array.tabulate(k)(c =>
+        if (cnt(c) == 0) centers(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / cnt(c)))
+      converged = !changed
+      it += 1
+    }
+    (centers, assign)
+  }
+
+  /** Two-level cell assignment: argmin over ~√k super-centroids picks a
+    * branch, and ONLY that branch's children get exact distances — a
+    * chained CASE whose codegen evaluates the single matched branch per
+    * row, so runtime is n·(√k + k/√k) while the flat path is n·k. The
+    * assigned cell is the exact argmin WITHIN the chosen super (a
+    * standard coarse-quantization approximation — production SemDeDup
+    * assignment is approximate for the same reason); ties resolve to
+    * the lowest cell id at both levels. Empty supers are dropped, so
+    * every reachable branch has children. Returns the GLOBAL cell id.
+    */
+  /** The super-quantizer structure [[twoLevelCell]] assigns through —
+    * exposed so the oracle generator mirrors the IDENTICAL branches:
+    * (super-centroid vector, its member cell ids) per non-empty branch,
+    * in branch order. Pure function of the centroid matrix.
+    */
+  def twoLevelStructure(centroids: Array[Array[Double]])
+      : Seq[(Array[Double], Seq[Int])] = {
+    val k = centroids.length
+    val sCount = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val (supers, membership) = miniKmeans(centroids, sCount)
+    (0 until sCount)
+      .map(si => supers(si) ->
+        membership.indices.filter(membership(_) == si).toSeq)
+      .filter(_._2.nonEmpty)
+  }
+
+  def twoLevelCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val branches = twoLevelStructure(centroids)
+    val superDists = array(branches.map { case (sc, _) =>
+      V.l2sq(v, array(sc.map(lit): _*))
+    }: _*)
+    val superIdx =
+      (array_position(superDists, array_min(superDists)) - 1).cast("int")
+    def argminCellOver(ids: Seq[Int]): Column = {
+      val dists = array(ids.map(ci =>
+        V.l2sq(v, array(centroids(ci).map(lit): _*))): _*)
+      val localIdx = array_position(dists, array_min(dists)).cast("int")
+      element_at(array(ids.map(i => lit(i)): _*), localIdx)
+    }
+    branches.zipWithIndex.tail.foldLeft(
+      argminCellOver(branches.head._2): Column) {
+      case (elseE, ((_, ids), bi)) =>
+        when(superIdx === bi, argminCellOver(ids)).otherwise(elseE)
+    }
+  }
+
   def annIvf(s: SparkSession, dir: String, nCentroids: Int = IvfCentroids,
              nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(s)

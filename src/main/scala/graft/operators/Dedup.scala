@@ -894,11 +894,17 @@ object Dedup {
     val k = if (nClusters > 0) nClusters
       else semClustersFor(Ann.corpusCount(s, dir))
     val centroids = Ann.fitCentroids(s, dir, k)
+    // assignment strategy switches at Ann.TwoLevelAssignThreshold:
+    // flat exact argmin (n·k) below it — every test SF, so oracles are
+    // untouched — and two-level coarse-then-fine (n·~2√k) above, the
+    // n·k term SCALING.md measured at x100 removed in code
+    val cellExpr =
+      if (k <= Ann.TwoLevelAssignThreshold) {
+        val dists = Ann.centroidDists(col("embedding"), centroids)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      } else Ann.twoLevelCell(col("embedding"), centroids).cast("int")
     val assigned = table(s, dir, "embeddings")
-      .withColumn("dists", Ann.centroidDists(col("embedding"), centroids))
-      .select(col("vec_id"), col("embedding"),
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int").as("cell"))
+      .select(col("vec_id"), col("embedding"), cellExpr.as("cell"))
     val capped = capBuckets(assigned, Seq("cell"))
     val pairs = capped.as("x").hint("merge").join(capped.as("y"),
         col("x.cell") === col("y.cell") &&

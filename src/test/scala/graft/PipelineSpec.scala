@@ -1437,6 +1437,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.head.getString(2).split(",").map(_.toLong).toSeq === expect)
   }
 
+  test("two-level centroid assignment: the CASE expression assigns " +
+       "exactly what the driver-side reference computes, the structure " +
+       "partitions all cells, and miniKmeans is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val dir001 = "/root/testdata/sf0.001"
+    // k above the strategy threshold so the two-level path is the one
+    // under test (the registry hits it only at corpus scale)
+    val k = 100
+    val cents = Ann.fitCentroids(spark, dir001, k)
+    val branches = Ann.twoLevelStructure(cents)
+    // structure: every cell in exactly one non-empty branch
+    val all = branches.flatMap(_._2)
+    assert(all.sorted === (0 until k))
+    assert(branches.forall(_._2.nonEmpty))
+    // determinism: same inputs, same structure
+    assert(Ann.twoLevelStructure(cents).map(_._2) === branches.map(_._2))
+
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val rows = spark.read.parquet(s"$dir001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val assigned = spark.read.parquet(s"$dir001/embeddings.parquet")
+      .select(col("vec_id"),
+        Ann.twoLevelCell(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    var agree = 0
+    rows.foreach { case (id, v) =>
+      // reference: lowest-index argmin branch, then lowest-id argmin cell
+      val bi = branches.indices.minBy(i => (l2(v, branches(i)._1), i))
+      val cell = branches(bi)._2.minBy(c => (l2(v, cents(c)), c))
+      assert(assigned(id) === cell, s"vec $id")
+      val exact = cents.indices.minBy(c => (l2(v, cents(c)), c))
+      if (exact == cell) agree += 1
+    }
+    // approximation honesty: two-level is exact WITHIN the chosen
+    // branch; report-and-floor its global agreement (weakly clustered
+    // synthetic vectors are the worst case)
+    assert(agree.toDouble / rows.size >= 0.5,
+      s"two-level/exact agreement ${agree.toDouble / rows.size}")
+  }
+
   test("scaled (Manku multi-table) simhash: identical verdicts to the " +
        "4-chunk pigeonhole wherever neither cap binds, with a key space " +
        "that has no corpus ceiling") {
