@@ -42,12 +42,19 @@ object ScaleBench {
     val big = args.lift(1).getOrElse("/tmp/graft_scale10")
     val scale = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions are THE partition-fits-in-memory lever: the
+    // sf0.1 default (= cores) under-partitions a ×100 corpus on a
+    // fixed-heap single JVM, which is a harness artifact, not an
+    // operator property — a cluster sizes partitions to the data
+    // (SPARK_GRAFT_SHUFFLE overrides here the way spark.sql.shuffle.
+    // partitions would be sized there)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -951,16 +951,19 @@ object Dedup {
   val MaxContainDf = 20
 
   /** Corpus size the [[MaxContainDf]] cut was calibrated at (sf0.1's
-    * 5000 documents). A gram's document frequency grows ∝ corpus size,
-    * so a FIXED df cut silently excludes ever more grams from candidate
-    * generation as the corpus grows (recall loss that looks like
-    * success) — [[containMaxDfFor]] scales the cut with the corpus,
-    * equal to the historical constant at every test SF.
+    * 5000 documents). The cut grows with the SQUARE ROOT of the corpus:
+    * a fixed cut slowly excludes grams whose df drifts up as a real
+    * corpus grows (recall erosion), while a cut ∝ N is catastrophic on
+    * repeat-heavy corpora where EVERY gram's df scales with N — the ×100
+    * measurement of the linear rule re-admitted near-quadratic candidate
+    * volume (Σ df² over surviving grams) and killed the driver. √N keeps
+    * candidate volume per gram bounded by the cut while still tracking
+    * df drift; equal to the historical constant at every test SF.
     */
   val ContainDfCalibDocs = 5000L
   def containMaxDfFor(nDocs: Long): Int =
-    math.max(MaxContainDf,
-      (nDocs * MaxContainDf / ContainDfCalibDocs).toInt)
+    math.max(MaxContainDf, math.round(MaxContainDf *
+      math.sqrt(nDocs.toDouble / ContainDfCalibDocs)).toInt)
 
   /** Cached documents row count per dir — the [[containMaxDfFor]]
     * input; the oracle generator reads [[cachedDocCount]] (fail-closed
@@ -998,8 +1001,13 @@ object Dedup {
     // 0 = corpus-scaled df cut (see containMaxDfFor); explicit pins
     val (g, cand) = containmentCandidates(s, dir, threshold,
       if (maxDf > 0) maxDf else containMaxDfFor(docCount(s, dir)))
+    // both verify legs join corpus-scaled gram lists: pinned SMJ — the
+    // broadcast AQE picks at toy scale is exactly what OOMs the driver
+    // at x100 (measured: "Not enough memory to build and broadcast")
     val ver = cand
+      .hint("merge")
       .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .hint("merge")
       .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
       .groupBy(col("a"), col("b"), col("na"))
       .agg(count(lit(1)).as("inter"))
@@ -1065,8 +1073,11 @@ object Dedup {
         col("df") <= maxDf)
     val build = gd.filter(col("df") <= maxDf)
       .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"))
+    // prefix x build is a gram-keyed join of two corpus-scaled lists:
+    // pinned SMJ for the same reason as the verify legs
     val cand0 = pref.select(col("doc_id").as("a"), col("n").as("na"),
         col("gram"))
+      .hint("merge")
       .join(build, "gram")
       .filter(col("a") =!= col("b") &&
         col("nb").cast("double") >= col("na").cast("double") * threshold)
