@@ -64,7 +64,14 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val fams = Families.filter(f => only.forall(_.contains(f)))
+    // SPARK_GRAFT_ONLY may name ANY registry query, not just the
+    // default family list — the broad-sweep mode that hunts for scale
+    // defects outside the known-expensive set
+    val fams = only match {
+      case Some(names) =>
+        names.toSeq.sorted.filter(SparkEntry.queries.contains)
+      case None => Families
+    }
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def run(name: String, dir: String): Double = {
