@@ -68,8 +68,7 @@ object ScaleCorpus {
     val fs = dstPath.getFileSystem(conf)
     fs.mkdirs(dstPath)
     // fixed-size tables: verbatim copies
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val from = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
       val to = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
       if (fs.exists(to)) fs.delete(to, true)
@@ -82,6 +81,19 @@ object ScaleCorpus {
     def write(df: DataFrame, name: String, files: Int): Unit =
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
+
+    // events scale by USER generations: ids shift per generation, so
+    // each generation carries the base population's exact per-user
+    // session/funnel structure at the same timestamps — N× users, not
+    // N×-longer histories (which would change windowing semantics).
+    // Read through Tables.events so the TIMESTAMP(NANOS) physical type
+    // normalizes; the written copy is MICROS, a generation drift every
+    // events consumer already handles.
+    val events = graft.sources.Tables.events(spark, src)
+    write(gened(events)
+      .withColumn("event_id", col("event_id") + col("g") * 1000000L)
+      .withColumn("user_id", col("user_id") + col("g") * 100000L)
+      .drop("g"), "events", math.max(2, gens / 2))
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
     write(gened(orders)
