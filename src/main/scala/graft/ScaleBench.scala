@@ -74,65 +74,89 @@ object ScaleBench {
     }
 
     val errors = scala.collection.mutable.Map.empty[String, String]
-    def run(name: String, dir: String): Double = {
+    // None = the run FAILED: a family that fails fast must never record
+    // its time-to-failure as a "best" and fake a clean sub-linear curve
+    // in the artifact — failures are carried into the JSON output and
+    // excluded from ratio computation, not just printed to stderr.
+    def run(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors(s"$name@$dir") = Option(e.getMessage).getOrElse(e.toString)
-          .linesIterator.take(3).mkString(" | ")
-        System.err.println(s"[scale] $name@$dir FAILED: ${errors(s"$name@$dir")}")
-      }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          errors(s"$name@$dir") = Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.take(3).mkString(" | ")
+          System.err.println(
+            s"[scale] $name@$dir FAILED: ${errors(s"$name@$dir")}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      dt
+      if (ok) Some(dt) else None
     }
     // warmup (charged to nobody)
     try run("sort_orderby", small) catch { case _: Throwable => }
 
     def bestOf(dir: String): Map[String, Double] = {
       val best = scala.collection.mutable.Map.empty[String, Double]
-      for (_ <- 0 until reps; f <- fams) {
-        val dt = run(f, dir)
-        best(f) = math.min(best.getOrElse(f, Double.MaxValue), dt)
-      }
+      for (_ <- 0 until reps; f <- fams)
+        run(f, dir).foreach(dt =>
+          best(f) = math.min(best.getOrElse(f, Double.MaxValue), dt))
       best.toMap
     }
     // fit caches (ANN coarse quantizers etc.) are dir-keyed and fill on
     // the first rep; best-of-reps therefore measures the steady serving
     // path at BOTH scales symmetrically, while the ×N fit cost itself is
     // visible in the first-rep numbers recorded in the detail file.
-    val firstRep = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val firstRep =
+      scala.collection.mutable.Map.empty[String, (Option[Double], Option[Double])]
     for (f <- fams) {
       val s0 = run(f, small); val b0 = run(f, big)
       firstRep(f) = (s0, b0)
     }
     val smallBest0 = bestOf(small)
     val bigBest0 = bestOf(big)
-    val smallBest = smallBest0.map { case (k, v) =>
-      k -> math.min(v, firstRep(k)._1) }
-    val bigBest = bigBest0.map { case (k, v) =>
-      k -> math.min(v, firstRep(k)._2) }
+    def merged(best: Map[String, Double], first: String => Option[Double])
+        : Map[String, Double] =
+      fams.flatMap { f =>
+        val cands = best.get(f).toSeq ++ first(f).toSeq
+        if (cands.isEmpty) None else Some(f -> cands.min)
+      }.toMap
+    val smallBest = merged(smallBest0, f => firstRep(f)._1)
+    val bigBest = merged(bigBest0, f => firstRep(f)._2)
 
-    def j(m: Map[String, Double], f: String): String = Bench.fmt(m(f))
+    def numOr(m: Map[String, Double], f: String,
+              fmt: Double => String): String =
+      m.get(f).map(fmt).getOrElse("null")
     val fj = fams.map { f =>
-      val r = bigBest(f) / smallBest(f)
-      s""""$f":{"small":${j(smallBest, f)},"big":${j(bigBest, f)},"ratio":${Bench.fmt(r)}}"""
+      val ratio = for (s <- smallBest.get(f); b <- bigBest.get(f))
+        yield b / s
+      s""""$f":{"small":${numOr(smallBest, f, Bench.fmt)},"big":${
+        numOr(bigBest, f, Bench.fmt)},"ratio":${
+        ratio.map(Bench.fmt).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    def errJson: String = errors.toSeq.sorted.map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
     }.mkString("{", ",", "}")
     val detail = fams.map { f =>
-      s""""$f":{"small":${smallBest(f)},"big":${bigBest(f)},"first_small":${firstRep(f)._1},"first_big":${firstRep(f)._2}}"""
+      s""""$f":{"small":${numOr(smallBest, f, _.toString)},"big":${
+        numOr(bigBest, f, _.toString)},"first_small":${
+        firstRep(f)._1.map(_.toString).getOrElse("null")},"first_big":${
+        firstRep(f)._2.map(_.toString).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("target/scaling.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"families":$detail,"scale":$scale,"small":"$small","big":"$big"}"""
+        s"""{"families":$detail,"scale":$scale,"small":"$small","big":"$big","errors":$errJson}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     if (errors.nonEmpty)
       System.err.println(s"[scale] errors: ${errors.mkString("; ")}")
-    println(s"""{"families":$fj,"scale":$scale}""")
+    println(s"""{"families":$fj,"scale":$scale,"errors":$errJson}""")
     spark.stop()
   }
 }

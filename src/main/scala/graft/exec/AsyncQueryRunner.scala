@@ -47,6 +47,16 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
   def metrics(queryId: String): Option[QueryMetrics.Summary] =
     Option(metricsMap.get(queryId))
 
+  /** Commit progress of a RUNNING incremental query — files and rows
+    * committed so far, monotonically growing (the partials vector is
+    * append-only). The mid-flight introspection served over the wire by
+    * GetQueryMetrics while terminal metrics don't exist yet; None for
+    * non-incremental queries (nothing is committed before Complete).
+    */
+  def progress(queryId: String): Option[Progress] =
+    Option(partials.get(queryId)).map(fs =>
+      Progress(fs.size.toLong, fs.iterator.map(_.rowGroupRows.sum).sum))
+
   /** Materialize + capture the write's cost. The v1 parquet write plans
     * its OWN QueryExecution (the submitted frame's metrics stay empty),
     * so the only exact source is the QueryExecutionListener callback —
@@ -76,15 +86,35 @@ final class AsyncQueryRunner(spark: SparkSession, resultRoot: String) {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    def attach(): Unit =
+      Option(captured.get()).foreach { case (qe, d) =>
+        metricsMap.put(queryId, QueryMetrics.summarize(qe, d))
+      }
     spark.listenerManager.register(listener)
+    var detached = false
     try {
       val rs = ResultMaterializer.materialize(df, resultRoot, queryId)
-      if (latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
-        Option(captured.get()).foreach { case (qe, d) =>
-          metricsMap.put(queryId, QueryMetrics.summarize(qe, d))
-        }
+      // The event lands in milliseconds when it lands at all — but if
+      // the listener match never fires (a Spark upgrade routing the
+      // write through another command class), the Complete transition
+      // must not stall behind a long await: wait briefly on the serving
+      // path, then hand the remaining window to a detached daemon that
+      // attaches metrics late (metrics are advisory; status is not).
+      if (latch.await(250, java.util.concurrent.TimeUnit.MILLISECONDS))
+        attach()
+      else {
+        detached = true
+        val t = new Thread(() => {
+          try {
+            if (latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+              attach()
+          } finally spark.listenerManager.unregister(listener)
+        }, s"graft-metrics-late-$queryId")
+        t.setDaemon(true)
+        t.start()
+      }
       rs
-    } finally spark.listenerManager.unregister(listener)
+    } finally if (!detached) spark.listenerManager.unregister(listener)
   }
 
   /** Accept a query, return its id immediately (the RunQuery path).
@@ -282,4 +312,7 @@ object AsyncQueryRunner {
     extends QueryStatus
   final case class Error(message: String) extends QueryStatus
   case object QueryNotFound extends QueryStatus
+
+  /** Mid-flight commit progress of an incremental query (monotone). */
+  final case class Progress(filesCommitted: Long, rowsCommitted: Long)
 }

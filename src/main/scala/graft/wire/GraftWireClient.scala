@@ -68,29 +68,51 @@ final class GraftWireClient(port: Int) {
     Json.parse(resp.msgData).asText()
   }
 
-  /** Execution-cost summary of a Complete query, decoded from the
-    * GetQueryStatusResp wire bytes alone (the `metrics` sibling the
-    * server attaches next to `Status`); None while not complete, when
-    * the server has no metrics for the id, or against a plain
-    * reference server (which never sends the field).
+  /** Execution-cost summary of a finished query, decoded from the
+    * graft-only GetQueryMetricsResp wire bytes alone (the status body
+    * itself is an externally-tagged serde enum and cannot carry sibling
+    * fields, so metrics ride their own message); None while metrics
+    * don't exist yet, for unknown ids, or against a plain reference
+    * server (which answers the unknown message id generically).
     */
   def getQueryMetrics(queryId: BigInt)
       : Option[graft.exec.QueryMetrics.Summary] = withConn { (in, out) =>
-    val resp = request(in, out, Name.GetQueryStatus, queryIdBody(queryId))
-    require(resp.msgNameId == Name.GetQueryStatusResp,
-      s"expected GetQueryStatusResp, got ${resp.msgNameId}")
-    val n = Json.parse(resp.msgData)
-    if (n.isTextual || !n.has("metrics")) None
+    val resp = request(in, out, Name.GetQueryMetrics, queryIdBody(queryId))
+    if (resp.msgNameId != Name.GetQueryMetricsResp) None // reference server
     else {
-      val m = n.get("metrics")
-      Some(graft.exec.QueryMetrics.Summary(
-        durationMs = m.get("duration_ms").asLong(),
-        scanRows = m.get("scan_rows").asLong(),
-        filesRead = m.get("files_read").asLong(),
-        shuffleRecordsWritten = m.get("shuffle_records").asLong(),
-        shuffleBytesWritten = m.get("shuffle_bytes").asLong()))
+      val n = Json.parse(resp.msgData)
+      if (n.isTextual || !n.has("Metrics")) None
+      else {
+        val m = n.get("Metrics")
+        Some(graft.exec.QueryMetrics.Summary(
+          durationMs = m.get("duration_ms").asLong(),
+          scanRows = m.get("scan_rows").asLong(),
+          filesRead = m.get("files_read").asLong(),
+          shuffleRecordsWritten = m.get("shuffle_records").asLong(),
+          shuffleBytesWritten = m.get("shuffle_bytes").asLong()))
+      }
     }
   }
+
+  /** Commit progress of a RUNNING incremental query — (files committed,
+    * rows committed), monotonically growing across polls; None once the
+    * terminal summary replaces it, for non-incremental queries, or for
+    * unknown ids.
+    */
+  def getQueryProgress(queryId: BigInt): Option[(Long, Long)] =
+    withConn { (in, out) =>
+      val resp = request(in, out, Name.GetQueryMetrics, queryIdBody(queryId))
+      if (resp.msgNameId != Name.GetQueryMetricsResp) None
+      else {
+        val n = Json.parse(resp.msgData)
+        if (n.isTextual || !n.has("Progress")) None
+        else {
+          val p = n.get("Progress")
+          Some((p.get("files_committed").asLong(),
+            p.get("rows_committed").asLong()))
+        }
+      }
+    }
 
   def getQueryData(queryId: BigInt, cursor: Cursor, limit: Int,
                    forward: Boolean, allowOverflow: Boolean): DataResp =

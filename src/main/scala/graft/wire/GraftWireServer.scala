@@ -176,26 +176,54 @@ final class GraftWireServer(runner: AsyncQueryRunner,
               val o = Json.obj(); o.set[JsonNode]("Error", Json.text(m)); o
             case QueryNotFound => Json.text("Queued") // unreachable
           }
+          // The body is EXACTLY the reference's externally-tagged enum —
+          // one key, nothing else: serde_json's deserialize_enum for
+          // GetQueryStatusResp (query.rs:308) requires a single-key map,
+          // so a sibling field would fail every reference client's
+          // Complete decode. Metrics travel on the graft-only
+          // GetQueryMetrics message instead.
           val o = Json.obj(); o.set[JsonNode]("Status", statusNode)
-          // Complete carries the query's execution-cost summary as a
-          // SIBLING field — serde ignores unknown fields by default, so
-          // a reference client's Status decode is unaffected, while a
-          // metrics-aware client reads what the query cost (the
-          // introspection the reference's status vocabulary lacks)
-          if (s.isInstanceOf[Complete]) runner.metrics(qid).foreach { m =>
-            val mo = Json.obj()
-            mo.set[JsonNode]("duration_ms", Json.long(m.durationMs))
-            mo.set[JsonNode]("scan_rows", Json.long(m.scanRows))
-            mo.set[JsonNode]("files_read", Json.long(m.filesRead))
-            mo.set[JsonNode]("shuffle_records",
-              Json.long(m.shuffleRecordsWritten))
-            mo.set[JsonNode]("shuffle_bytes",
-              Json.long(m.shuffleBytesWritten))
-            o.set[JsonNode]("metrics", mo)
-          }
           Json.bytes(o)
       }
       Some(env.reply(Name.GetQueryStatusResp, body))
+
+    case Name.GetQueryMetrics =>
+      // Graft-only introspection (id outside the reference space, so
+      // GetQueryStatusResp stays byte-compatible): the query's
+      // execution-cost summary once terminal metrics exist, else —
+      // for a Running incremental query — its commit progress so far
+      // (files + rows committed, monotonically growing), so a client
+      // paging a minutes-long incremental query is never flying blind.
+      val qid = queryId(env.msgData)
+      val body = runner.status(qid) match {
+        case QueryNotFound => Json.bytes(Json.text("QueryNotFound"))
+        case _ =>
+          runner.metrics(qid) match {
+            case Some(m) =>
+              val mo = Json.obj()
+              mo.set[JsonNode]("duration_ms", Json.long(m.durationMs))
+              mo.set[JsonNode]("scan_rows", Json.long(m.scanRows))
+              mo.set[JsonNode]("files_read", Json.long(m.filesRead))
+              mo.set[JsonNode]("shuffle_records",
+                Json.long(m.shuffleRecordsWritten))
+              mo.set[JsonNode]("shuffle_bytes",
+                Json.long(m.shuffleBytesWritten))
+              val o = Json.obj(); o.set[JsonNode]("Metrics", mo)
+              Json.bytes(o)
+            case None => runner.progress(qid) match {
+              case Some(p) =>
+                val po = Json.obj()
+                po.set[JsonNode]("files_committed",
+                  Json.long(p.filesCommitted))
+                po.set[JsonNode]("rows_committed",
+                  Json.long(p.rowsCommitted))
+                val o = Json.obj(); o.set[JsonNode]("Progress", po)
+                Json.bytes(o)
+              case None => Json.bytes(Json.text("NoMetrics"))
+            }
+          }
+      }
+      Some(env.reply(Name.GetQueryMetricsResp, body))
 
     case Name.OperatorShutdown =>
       runner.cancel(queryId(env.msgData))
@@ -225,12 +253,19 @@ final class GraftWireServer(runner: AsyncQueryRunner,
       }
       val forward = n.get("forward").asBoolean()
       val allowOverflow = n.get("allow_overflow").asBoolean()
-      // limit <= 0 is a protocol misuse, not an empty result: answering
-      // with the zero-row page would surface as a spurious
-      // ReachedEndOfFiles and stop a live client for good
-      if (limit <= 0)
+      // limit == 0 ends the page walk gracefully, matching the reference
+      // exactly: its handler returns Ok(None) for a zero remaining limit
+      // (query_data_handler.rs:255) which the client surfaces as
+      // ReachedEndOfFiles — a pagination loop that legitimately computes
+      // zero remaining rows must terminate, not error. A NEGATIVE value
+      // cannot arise from a u64 wire field, so it is garbage input and
+      // stays the typed Error.
+      if (limit == 0)
         return Some(env.reply(Name.GetQueryDataResp,
-          dataResp(3, errMeta(s"limit must be positive, got $limit"))))
+          dataResp(4, Json.bytes(Json.text("ReachedEndOfFiles")))))
+      if (limit < 0)
+        return Some(env.reply(Name.GetQueryDataResp,
+          dataResp(3, errMeta(s"limit must be non-negative, got $limit"))))
       val body = runner.status(qid) match {
         case QueryNotFound =>
           pagers.synchronized(pagers.remove(qid)) // forgotten: drop pager

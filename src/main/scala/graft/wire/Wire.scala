@@ -76,6 +76,16 @@ object Wire {
     val GetQueryStatusResp = 14
     val GetQueryData = 15
     val GetQueryDataResp = 16
+    /** Graft extension pair, OUTSIDE the reference's id space
+      * (message.rs:605-635 stops at 16): execution-cost introspection
+      * the reference vocabulary lacks. A reference client never sends
+      * these; a reference server answers them with its unknown-message
+      * path — GetQueryStatusResp itself stays byte-compatible (it is an
+      * externally-tagged serde enum, so it cannot carry sibling fields:
+      * serde_json's deserialize_enum requires exactly one key).
+      */
+    val GetQueryMetrics = 100
+    val GetQueryMetricsResp = 101
   }
 
   private val rng = new java.security.SecureRandom()

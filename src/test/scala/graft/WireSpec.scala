@@ -324,8 +324,8 @@ class WireSpec extends AnyFunSuite {
   }
 
   test("protocol hardening: u64::MAX sentinels on the wire, u64 limit " +
-       "clamp, limit<=0 as typed Error, typed fault replies, zero-row " +
-       "rec-file cursor guard") {
+       "clamp, limit==0 as graceful end-of-files, negative limit as " +
+       "typed Error, typed fault replies, zero-row rec-file cursor guard") {
     // --- 1. backward sentinels must serialize as the LITERAL 2^64-1:
     // a strict reference server compares == std::u64::MAX
     // (query_data_handler.rs:216,305-308), so this acceptor plays that
@@ -422,11 +422,19 @@ class WireSpec extends AnyFunSuite {
       assert(variantOf(huge.msgData) === 2,
         "u64 limit must clamp and serve the Record page")
 
-      // --- 3. limit == 0 is a typed protocol Error, never end-of-files
+      // --- 3. limit == 0 ends the walk gracefully, matching the
+      // reference (query_data_handler.rs:255 returns Ok(None) →
+      // ReachedEndOfFiles): a pagination loop that computes a zero
+      // remaining limit terminates instead of erroring. A negative
+      // limit can't arise from a u64 field — garbage stays typed Error.
       val zero = rawRequest(Wire.Name.GetQueryData, pageBody(BigInt(0)))
       assert(zero.msgNameId === Wire.Name.GetQueryDataResp)
-      assert(variantOf(zero.msgData) === 3,
-        "limit<=0 must answer the Error variant")
+      assert(variantOf(zero.msgData) === 4,
+        "limit==0 must answer ReachedEndOfFiles like the reference")
+      val neg = rawRequest(Wire.Name.GetQueryData, pageBody(BigInt(-1)))
+      assert(neg.msgNameId === Wire.Name.GetQueryDataResp)
+      assert(variantOf(neg.msgData) === 3,
+        "negative (garbage) limit must answer the typed Error variant")
 
       // --- 4. a malformed body on a typed request answers in that
       // request's own response vocabulary, not CommonGenericResponse
@@ -505,8 +513,10 @@ class WireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
-  test("query metrics over the wire: a Complete status carries the " +
-       "exact execution-cost summary, decoded from wire bytes alone") {
+  test("query metrics over the wire: the graft-only GetQueryMetrics " +
+       "message carries the exact execution-cost summary, decoded from " +
+       "wire bytes alone — and GetQueryStatusResp stays a pure " +
+       "single-key serde enum") {
     val tmp = java.nio.file.Files.createTempDirectory("wiremet").toString
     val runner = new AsyncQueryRunner(spark, tmp)
     val server = new GraftWireServer(runner).start()
@@ -515,6 +525,36 @@ class WireSpec extends AnyFunSuite {
       val qid = client.runQuery(
         s"select r_regionkey, r_name from read_files('$dir/region.parquet')").get
       assert(client.waitForFinish(qid, maxWaitMs = 120000L) === "Complete")
+      // GetQueryStatusResp is an externally-tagged serde enum on the
+      // reference side (query.rs:308): serde_json's deserialize_enum
+      // requires the body to be a map with EXACTLY one key, so the
+      // Complete body must never carry sibling fields (metrics ride
+      // their own message) — this is the byte-compat regression guard
+      locally {
+        val sock = new java.net.Socket(
+          java.net.InetAddress.getLoopbackAddress, server.port)
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          val in = new DataInputStream(sock.getInputStream)
+          val connId = Wire.randomU128()
+          Wire.write(out, Envelope(msgNameId = Wire.Name.Identify,
+            msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+            sentFromConnectionId = Some(connId),
+            msgData = Json.identify("Connection", connId)))
+          Wire.read(in)
+          import com.fasterxml.jackson.databind.JsonNode
+          val b = Json.obj(); b.set[JsonNode]("query_id", Json.big(qid))
+          val env = Envelope(msgNameId = Wire.Name.GetQueryStatus,
+            msgId = Wire.randomU128(), requestId = Wire.randomU128(),
+            msgData = Json.bytes(b))
+          Wire.write(out, env)
+          val r = Wire.read(in).get
+          val body = Json.parse(r.msgData)
+          assert(body.isObject && body.size() === 1 &&
+            body.has("Status") && body.get("Status").asText() === "Complete",
+            s"Complete status body must be the single-key enum map, got $body")
+        } finally sock.close()
+      }
       // metrics land asynchronously (listener bus) — bounded poll
       var m = client.getQueryMetrics(qid)
       var rounds = 0
@@ -561,6 +601,38 @@ class WireSpec extends AnyFunSuite {
             allowOverflow = false) match {
             case DataRecord(rows, _, _) if rows.nonEmpty =>
               sawRunningPage = true
+              // mid-stream introspection: a client paging a live
+              // incremental query sees monotonically growing commit
+              // progress over the graft-only GetQueryMetrics message
+              client.getQueryProgress(qid) match {
+                case Some((files1, rows1)) =>
+                  assert(files1 >= 1L && rows1 >= 100L,
+                    s"served a page but progress says ($files1, $rows1)")
+                  var grew = false
+                  var tries = 0
+                  while (!grew && tries < 400 &&
+                      client.getQueryStatus(qid) == "Running") {
+                    client.getQueryProgress(qid) match {
+                      case Some((f2, r2)) =>
+                        assert(f2 >= files1 && r2 >= rows1,
+                          "commit progress must be monotone")
+                        grew = f2 > files1 || r2 > rows1
+                      case None => () // completed between polls
+                    }
+                    if (!grew) Thread.sleep(10)
+                    tries += 1
+                  }
+                  // the query sleeps 10ms/row with 100-row commits, so
+                  // unless it completed between polls, growth must show
+                  if (!grew)
+                    assert(client.getQueryStatus(qid) != "Running",
+                      "no progress growth observed on a live query")
+                case None =>
+                  // legal only if the query finished between the page
+                  // and the progress poll
+                  assert(client.getQueryStatus(qid) != "Running",
+                    "running incremental query served no progress")
+              }
               // past the COMMITTED end of a still-running query must be
               // the retryable miss, never the terminal ReachedEndOfFiles
               // — a live-paging client would otherwise stop for good
