@@ -127,6 +127,9 @@ object SparkEntry {
     "q9_profit" -> (RelationalExt.q9Profit _),
     "q18_large_orders" -> (RelationalExt.q18LargeOrders _),
     "q21_suppliers_waiting" -> (RelationalExt.q21SuppliersWaiting _),
+    "q13_custdist" -> (RelationalExt.q13CustDist _),
+    "q17_small_qty_revenue" -> (RelationalExt.q17SmallQtyRevenue _),
+    "q20_concentrated_suppliers" -> (RelationalExt.q20ConcentratedSuppliers _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
@@ -2589,6 +2592,38 @@ object SparkEntry {
                 CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
         AND s_nationkey = n_nationkey AND n_name = 'NATION_12'
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q13_custdist" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q17_small_qty_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#4' AND p_size <= 10
+        AND l_quantity < 0.2 * (
+          SELECT avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)""",
+    "q20_concentrated_suppliers" -> """
+      SELECT s_name, s_acctbal
+      FROM supplier, nation
+      WHERE s_suppkey IN (
+          SELECT l1.l_suppkey FROM lineitem l1
+          WHERE l1.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND year(l1.l_shipdate) = 1995
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING sum(l1.l_quantity) > 0.5 * (
+            SELECT sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_suppkey = l1.l_suppkey))
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+      ORDER BY s_name""",
     "join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",

@@ -770,4 +770,112 @@ object RelationalExt {
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(100)
   }
+
+  /** TPC-H Q13-shaped customer order-count distribution: the
+    * grouped-on-aggregate shape — a LEFT OUTER join that must PRESERVE
+    * customers with zero (qualifying) orders, a per-customer count, then
+    * a distribution over the counts. The order-side predicate (priority,
+    * standing in for Q13's comment NOT LIKE) lives in the JOIN
+    * condition, not a WHERE — filtering after the outer join would
+    * silently turn it inner and drop the zero bucket.
+    *
+    * Scale shape: one shuffle on the customer key for the outer join +
+    * first aggregate (both partial-agg'd map-side); the second aggregate
+    * groups on c_count whose cardinality is the max order count per
+    * customer — dozens at any corpus size, so the distribution agg is
+    * effectively free and the ORDER BY sorts a tiny frame.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    table(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: the correlated-AVG
+    * subquery against the fact table — "lineitems of qualifying parts
+    * whose quantity is below 20% of that part's average quantity". The
+    * oracle runs the LITERAL correlated form (`l_quantity < 0.2 *
+    * (SELECT avg(..) WHERE l2.l_partkey = p_partkey)`); the plan
+    * decorrelates it into ONE per-part aggregate joined back, so the
+    * hash match proves the rewrite. Quantities are integral doubles, so
+    * the per-part sum is exact in ANY accumulation order and avg is
+    * bit-identical cross-engine; revenue goes through the dsum decimal
+    * device.
+    *
+    * Scale shape: the part predicate prunes at the part scan and the
+    * tiny qualifying-part set broadcasts, so the fact streams once; the
+    * per-part aggregate shuffles only the pruned fact slice on
+    * p_partkey, and the avg join-back is a second pass over the same
+    * slice. Nothing rescans the full fact per part — the correlated
+    * form's O(parts × fact) cost collapses to two passes over the
+    * filtered rows.
+    */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = table(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val qualified = table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgPerPart = qualified.groupBy(col("p_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    qualified.join(avgPerPart, col("p_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Relational.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q20-shaped "suppliers with concentrated recent shipments":
+    * the nested semi-join chain — supplier IN (pairs over lineitem
+    * HAVING a correlated scalar aggregate) with the part set itself an
+    * IN subquery. Adapted to the synthetic star (no partsupp): the
+    * supplies relation is the (l_suppkey, l_partkey) pair set from the
+    * fact, and Q20's "availqty > half of the year's shipments" becomes
+    * "the pair's 1995 shipments exceed half its all-time shipments" —
+    * still a per-pair correlated aggregate over the same fact table.
+    *
+    * The oracle runs the LITERAL nested form (IN → GROUP BY → HAVING
+    * with a correlated scalar subquery re-scanning lineitem per pair);
+    * the plan decorrelates it into ONE conditional aggregation per pair
+    * — `q95` (1995 quantity) and `qall` (all-time) from the same scan —
+    * so the hash match proves the rewrite. Quantities are integral
+    * doubles (exact sums, any order) and 0.5 is a power of two, so the
+    * share comparison is bit-identical cross-engine.
+    *
+    * Scale shape: the part LIKE prunes at the part scan and semi-joins
+    * the fact (only pair keys flow); the pair aggregate is one shuffle
+    * with map-side partials; the surviving supplier keys are a bounded
+    * distinct that SEMI-joins the supplier dim; nation broadcasts.
+    */
+  def q20ConcentratedSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = table(s, dir, "part")
+      .filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val pairs = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+        year(col("l_shipdate")).as("ship_year"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(col("ship_year") === 1995, col("l_quantity"))
+          .otherwise(lit(0.0))).as("q95"),
+        sum(col("l_quantity")).as("qall"))
+      // q95 > 0 mirrors the oracle's inner scan seeing ONLY 1995 rows:
+      // a pair with no 1995 shipment never reaches its HAVING
+      .filter(col("q95") > lit(0.0) &&
+        col("q95") > lit(0.5) * col("qall"))
+      .select(col("l_suppkey")).distinct()
+    table(s, dir, "supplier")
+      .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_9")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
 }

@@ -167,6 +167,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(n_name,NATION_12)"), p.take(2400))
   }
 
+  test("q13: the priority predicate stays IN the outer-join condition " +
+       "(zero-order customers survive), distribution agg after") {
+    val p = plan("q13_custdist")
+    // outer join preserved — a WHERE would have turned it inner
+    assert(p.contains("LeftOuter"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q17: correlated AVG decorrelated into one per-part aggregate; " +
+       "part predicate pushed to the part scan; qualifying parts " +
+       "broadcast") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), p.take(2400))
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    // no correlated re-scan: the plan has no nested-loop join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q20: nested semi-join chain — part LIKE pushed to the scan, " +
+       "fact semi-joined, supplier semi-joined, nation broadcast") {
+    val p = plan("q20_concentrated_suppliers")
+    assert(p.contains("StringStartsWith(p_name,red)"), p.take(2400))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))
