@@ -45,7 +45,7 @@ object RecallProbe {
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       for (tables <- Seq(3, 6, 9)) {
-        val got = Ann.knnGraphBucketed(spark, sfDir, nTables = tables)
+        val got = Ann.knnGraphBucketed(spark, sfDir, nTablesOpt = tables)
           .filter(col("src") % stride === 0)
           .select(col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -53,6 +53,31 @@ object RecallProbe {
           f"nTables=$tables recall=${
             (exact & got).size.toDouble / exact.size}%.3f")
       }
+    }
+    if (sections("default")) {
+      // the floors-under-DEFAULT-invocation audit: every approximate
+      // path exactly as the registry runs it, judged against its
+      // calibrated floor — the size-adaptive recall knobs
+      // (Ann.shortlistFor, Ann.tablesFor) must hold these at ANY corpus
+      val n = Ann.corpusCount(spark, sfDir)
+      def verdict(name: String, r: Double, floor: Double): Unit =
+        println(f"default $name recall=$r%.3f floor=$floor ok=${r >= floor}")
+      verdict("lsh", recallOf(Ann.annLsh(spark, sfDir)), Ann.LshRecallMin)
+      verdict("ivf", recallOf(Ann.annIvf(spark, sfDir)), Ann.IvfRecallMin)
+      verdict("pq", recallOf(Ann.annPq(spark, sfDir)), Ann.PqRecallMin)
+      println(s"  (pq shortlist=${Ann.shortlistFor(n)})")
+      val stride = Ann.strideFor(n)
+      val exact = Ann.knnGraph(spark, sfDir)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Ann.knnGraphBucketed(spark, sfDir)
+        .filter(col("src") % stride === 0)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      verdict("knn", (exact & got).size.toDouble / exact.size,
+        Ann.KnnGraphRecallMin)
+      println(s"  (knn bits=${Ann.bitsFor(n)} " +
+        s"tables=${Ann.cachedTables(sfDir).getOrElse(Ann.LshTables)})")
     }
     spark.stop()
   }

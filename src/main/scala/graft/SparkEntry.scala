@@ -315,12 +315,13 @@ object SparkEntry {
     * itself uses — retuning either cannot desync plan from oracle.
     */
   private def knnGraphBucketedOracleSql: String = {
-    import graft.operators.Ann.{LshTables => nTables,
-      LshProbeBits => probeBits}
-    // size-adaptive code width — mirrored from the same cached corpus
-    // count the operator derived it from (fail-closed to LshBits, the
-    // exact value at every gate SF)
+    import graft.operators.Ann.{LshProbeBits => probeBits}
+    // size-adaptive code width AND table count — mirrored from the same
+    // cached corpus count / tuned-tables cache the operator derived them
+    // from (fail-closed to LshBits / LshTables, the exact values at
+    // every gate SF)
     val nBits = graft.operators.Ann.oracleBits(dumpDirOpt)
+    val nTables = graft.operators.Ann.oracleTables(dumpDirOpt)
     val sigExprs = (0 until nTables).map { t =>
       val planes = graft.operators.Ann.planes(nBits, 64,
         graft.operators.Ann.lshSeed(t))
@@ -743,7 +744,7 @@ object SparkEntry {
           SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY adc_r ASC, cand_id ASC) AS rank_adc
           FROM s)
-        WHERE rank_adc <= ${graft.operators.Ann.PqShortlist}),
+        WHERE rank_adc <= ${graft.operators.Ann.oracleShortlist(dumpDirOpt)}),
       ref AS (
         SELECT sh.q_id, sh.cand_id, sh.adc_r,
           round(list_cosine_similarity(sh.qe, e2.emb), 6) AS cos_r
@@ -941,7 +942,7 @@ object SparkEntry {
           SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY adc_r ASC, cand_id ASC) AS rank_adc
           FROM s)
-        WHERE rank_adc <= ${graft.operators.Ann.PqShortlist}),
+        WHERE rank_adc <= ${graft.operators.Ann.oracleShortlist(dumpDirOpt)}),
       ref AS (
         SELECT sh.q_id, sh.cand_id, sh.adc_r,
           round(list_cosine_similarity(sh.qe, e2.emb), 6) AS cos_r

@@ -348,6 +348,38 @@ object Ann {
     */
   val PqShortlist = 100
 
+  /** Corpus size the [[PqShortlist]] = 100 floor was calibrated at (the
+    * sf0.1 embeddings corpus): shortlist/corpus = 5% scanned fraction.
+    */
+  val PqCalibN = 2000L
+
+  /** Size-adaptive ADC shortlist: holds the SCANNED FRACTION
+    * (shortlist/corpus) at the calibrated 5% as the corpus grows,
+    * floored at the historical [[PqShortlist]] — identical at every
+    * test SF (n <= [[PqCalibN]]), so all calibrated oracles are
+    * unaffected. This is the recall analog of [[bitsFor]]: on
+    * weakly-clustered embeddings recall tracks scanned fraction, so a
+    * FIXED shortlist decays as the corpus grows (measured 0.70 at sf0.1
+    * -> 0.31 at x10 under shortlist=100; 0.68 at shortlist=800 — the
+    * SCALING.md recall ledger), while a fixed fraction holds the floor.
+    * The cost is linear and explicit: the ADC rank pass already scores
+    * every candidate, and the refine join gathers
+    * shortlist x |queries| rows — growing the shortlist ∝ n keeps that
+    * gather a vanishing slice of one corpus scan.
+    */
+  def shortlistFor(n: Long): Int =
+    math.max(PqShortlist.toLong,
+      (n * PqShortlist + PqCalibN - 1) / PqCalibN).toInt
+
+  /** The shortlist the ORACLE generator must mirror: derived from the
+    * cached corpus count when the query ran in this JVM, else the
+    * historical constant — exact at every SF the gate runs (the
+    * [[oracleStride]] discipline).
+    */
+  def oracleShortlist(dirOpt: Option[String]): Int =
+    dirOpt.flatMap(cachedCorpusCount).map(shortlistFor)
+      .getOrElse(PqShortlist)
+
   /** PQ ANN, shortlist + exact refine (oracle-checked via the
     * fitted-codebook-literal device): every vector is encoded to its
     * per-subspace argmin code IN THE PLAN (codegen'd squared-L2 against
@@ -375,8 +407,13 @@ object Ann {
     * [[annIvf]]: probe cells first, ADC-scan codes within them.
     */
   def annPq(s: SparkSession, dir: String,
-            shortlist: Int = PqShortlist): DataFrame = {
+            shortlistOpt: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // 0 = size-adaptive (the default): [[shortlistFor]] holds the
+    // scanned fraction, so the recall floor survives corpus growth; an
+    // explicit positive value pins the historical behavior
+    val shortlist = if (shortlistOpt > 0) shortlistOpt
+      else shortlistFor(corpusCount(s, dir))
     val cbs = fitPqCodebooks(s, dir)
     val codeCols = (0 until PqSub).map { m =>
       val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
@@ -442,8 +479,11 @@ object Ann {
     * [[cachedPqCodebooks]].
     */
   def annIvfPq(s: SparkSession, dir: String,
-               shortlist: Int = PqShortlist): DataFrame = {
+               shortlistOpt: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // size-adaptive shortlist, as in [[annPq]]
+    val shortlist = if (shortlistOpt > 0) shortlistOpt
+      else shortlistFor(corpusCount(s, dir))
     val centroids = fitCentroids(s, dir, IvfCentroids)
     val cbs = fitPqCodebooks(s, dir)
     // one scan: coarse cell + 8 PQ codes, all literal arithmetic
@@ -1013,6 +1053,118 @@ object Ann {
     */
   val KnnGraphRecallMin = 0.85
 
+  /** nTables candidates the autotuner sweeps, smallest-first. The cap
+    * (24) bounds the index-size multiplier the tuner may ever choose;
+    * if even the cap misses the floor, the tuner returns the cap and
+    * the recall audit ([[annRecall]]'s knn_lsh verdict) reports the
+    * shortfall honestly rather than silently scanning more.
+    */
+  val AutoTablesLadder = Seq(3, 6, 9, 12, 15, 18, 24)
+
+  /** Size-adaptive nTables for [[knnGraphBucketed]] — the recall analog
+    * of [[bitsFor]], chosen by MEASUREMENT, not formula: above the
+    * calibrated regime (where [[bitsFor]] starts widening the code and
+    * per-table scanned fraction shrinks), recall under a fixed table
+    * count decays with the corpus (measured 0.94 at sf0.1 -> 0.36 at
+    * x10 with 3 tables — the SCALING.md recall ledger). How many tables
+    * buy it back depends on how CLUSTERED the data is, which no formula
+    * knows — so the tuner measures recall@[[KnnK]] per ladder rung
+    * against the exact stride-audit graph ([[knnGraph]], ~
+    * [[KnnAuditQueries]] queries — O(n)) and picks the SMALLEST rung
+    * meeting [[KnnGraphRecallMin]], the annAutoProbe discipline.
+    *
+    * Cost shape: ONE candidate join at the ladder's maximum — a pair
+    * found first by table t belongs to every rung nt > t, so per-rung
+    * top-K lists are re-ranks of one joined frame keyed by min(tbl),
+    * never repeated joins. The query side is the bounded stride audit
+    * (broadcast); the corpus side explodes ladder-max rows per vector
+    * once, during tuning only. The result is memoized per dir (the
+    * fitCentroids discipline), so the graph build itself pays the
+    * tuning pass once per corpus.
+    *
+    * At every gate SF the adaptive code width is inactive
+    * ([[bitsFor]] == [[LshBits]] — the calibrated operating point whose
+    * floors are measured to hold), so this returns [[LshTables]]
+    * without running a job and every existing oracle is bit-identical.
+    */
+  def tablesFor(s: SparkSession, dir: String): Int =
+    tablesCache.computeIfAbsent(dir, { _ =>
+      val n = corpusCount(s, dir)
+      if (bitsFor(n) == LshBits) Integer.valueOf(LshTables)
+      else Integer.valueOf(autotuneTables(s, dir, n))
+    }).intValue()
+
+  /** The tuned table count for dir, if [[tablesFor]] ran in this JVM —
+    * the oracle generators' lookup ([[cachedCentroids]] discipline).
+    */
+  def cachedTables(dir: String): Option[Int] =
+    Option(tablesCache.get(dir)).map(_.intValue())
+  private val tablesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def oracleTables(dirOpt: Option[String]): Int =
+    dirOpt.flatMap(cachedTables).getOrElse(LshTables)
+
+  private def autotuneTables(s: SparkSession, dir: String, n: Long): Int = {
+    graft.functions.GraftFunctions.register(s)
+    val nBits = bitsFor(n)
+    val tMax = AutoTablesLadder.max
+    val stride = strideFor(n)
+    val exact = knnGraph(s, dir).select(col("src"), col("dst"))
+    val sigs = (0 until tMax).map(t =>
+      V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
+        .as(s"b$t"))
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id") +: col("embedding") +: sigs: _*)
+    val cTabs = array((0 until tMax).map(t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)
+    // the degenerate-cell cap the real operator applies — measured
+    // recall must be the recall of the ACTUAL serving shape (n is a
+    // driver value here, so the threshold is a literal)
+    val cellW = Window.partitionBy(col("tbl"), col("bucket"))
+    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"),
+        explode(cTabs).as("tb"))
+      .select(col("dst"), col("ce"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+      .withColumn("_bsz", count(lit(1)).over(cellW))
+      .filter(col("_bsz") <= lit(math.max(CellCapFloor,
+        n * CellCapFactor / (1L << nBits))))
+      .drop("_bsz")
+    val masks = budgetedProbeMasks(nBits, LshProbeBits)
+    val qProbes = array((for { t <- 0 until tMax; m <- masks } yield
+      struct(lit(t).as("tbl"),
+        col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
+    val q = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("qe"),
+        explode(qProbes).as("tb"))
+      .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    // one bucket join at ladder max; min(tbl) per pair encodes EVERY
+    // rung's candidate set (rung nt holds pairs with first_tbl < nt)
+    val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("tbl")).as("first_tbl"), max(col("cos")).as("cos_r"))
+    val wr = Window.partitionBy(col("nt"), col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    val perRung = pairs
+      .withColumn("nt", explode(array(AutoTablesLadder.map(lit): _*)))
+      .filter(col("first_tbl") < col("nt"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= KnnK)
+      .select(col("nt"), col("src"), col("dst"))
+    val nExact = exact.count().toDouble
+    val recalls = perRung
+      .join(exact.withColumn("hit", lit(1)), Seq("src", "dst"), "left")
+      .groupBy(col("nt"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1).toDouble / nExact)).toMap
+    AutoTablesLadder.find(t => recalls.getOrElse(t, 0.0) >= KnnGraphRecallMin)
+      .getOrElse(AutoTablesLadder.max)
+  }
+
   /** Full-corpus kNN graph on the LSH bucket join (oracle-checked) —
     * the scale path [[knnGraph]]'s doc promises, demonstrated: EVERY
     * node is a query (no stride, no broadcast of a query subset), and
@@ -1033,7 +1185,7 @@ object Ann {
     * stride subset ([[KnnGraphRecallMin]]).
     */
   def knnGraphBucketed(s: SparkSession, dir: String, nBitsOpt: Int = 0,
-                       nTables: Int = LshTables,
+                       nTablesOpt: Int = 0,
                        probeBits: Int = LshProbeBits): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // 0 = size-adaptive (the default): [[bitsFor]] keeps the expected
@@ -1041,6 +1193,9 @@ object Ann {
     // an explicit positive width pins the historical behavior
     val nBits = if (nBitsOpt > 0) nBitsOpt
       else bitsFor(corpusCount(s, dir))
+    // 0 = size-adaptive: [[tablesFor]] holds the recall floor by
+    // measured autotune — [[LshTables]] at every gate SF, no job run
+    val nTables = if (nTablesOpt > 0) nTablesOpt else tablesFor(s, dir)
     val sigs = (0 until nTables).map(t =>
       V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
         .as(s"b$t"))
