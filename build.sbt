@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: the single JVM is driver AND all 32
+  // executor threads, so the heap must hold 32 concurrent task
+  // partitions — 8g silently under-sized the "cluster" by 16x relative
+  // to the documented environment and made x100 harness runs OOM on
+  // partition-cache inflation unless SPARK_DRIVER_MEM was hand-set
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -25,6 +25,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // size the shuffle width to the corpus (inert at the test SFs, where
+    // the derived width equals the core-count default; the lever a x100
+    // corpus needs without an operator knowing to set it)
+    graft.engine.Partitioning.autoTune(spark, sfDir)
     // JIT + shuffle-machinery warmup so per-query numbers measure the
     // queries, not first-use costs. Function registration is hoisted out
     // of the first dedup_* rep for the same reason.

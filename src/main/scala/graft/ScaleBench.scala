@@ -44,11 +44,12 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions are THE partition-fits-in-memory lever: the
     // sf0.1 default (= cores) under-partitions a ×100 corpus on a
-    // fixed-heap single JVM, which is a harness artifact, not an
-    // operator property — a cluster sizes partitions to the data
-    // (SPARK_GRAFT_SHUFFLE overrides here the way spark.sql.shuffle.
-    // partitions would be sized there)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // fixed-heap single JVM. Since r14 the ENGINE derives the width
+    // from input bytes (graft.engine.Partitioning.autoTune, applied per
+    // dir before each run below) — SPARK_GRAFT_SHUFFLE remains as an
+    // explicit operator override that disables the auto-derivation.
+    val shuffleOverride = sys.env.get("SPARK_GRAFT_SHUFFLE")
+    val shuffle = shuffleOverride.getOrElse(cpus)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -79,6 +80,11 @@ object ScaleBench {
     // in the artifact — failures are carried into the JSON output and
     // excluded from ratio computation, not just printed to stderr.
     def run(name: String, dir: String): Option[Double] = {
+      // size the shuffle width to THIS corpus (memoized lookup + two
+      // conf sets — negligible against any timed query); an explicit
+      // SPARK_GRAFT_SHUFFLE pins the width instead
+      if (shuffleOverride.isEmpty)
+        graft.engine.Partitioning.autoTune(spark, dir)
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -49,6 +49,14 @@ object ScaleCorpus {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_scale10")
     val gens = args.lift(2).map(_.toInt).getOrElse(10)
+    // 4th arg "zipf" or "zipf<s>" (e.g. zipf1.1) builds the SKEWED
+    // variant: fact-side foreign keys redistributed zipfian (see
+    // [[zipfRemap]]) so the join/agg/window families can be measured
+    // under a genuinely hot key instead of the base's benign uniform
+    val zipfS = args.lift(3).collect {
+      case a if a.startsWith("zipf") =>
+        if (a == "zipf") 1.1 else a.stripPrefix("zipf").toDouble
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,12 +65,45 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, src, dst, gens)
+    build(spark, src, dst, gens, zipfS)
     spark.stop()
   }
 
+  /** Zipf LUT resolution: the hot head resolves exactly (rank 1 at
+    * s=1.1 owns ~9% of the slots); tail ranks past the resolution are
+    * simply never drawn, which only UNDER-populates the cold tail — the
+    * hot-key stress the skew corpus exists for lives entirely in the
+    * head.
+    */
+  val ZipfLutSlots = 8192
+
+  /** Deterministic zipfian redistribution of a fact-side foreign key:
+    * the ORIGINAL key (roughly uniform over 0..k-1) hashes to a LUT
+    * slot, and the LUT is the inverse CDF of P(rank r) ∝ (r+1)^-s over
+    * the SAME key domain — so every original key maps wholly to one new
+    * key (per-key row grouping intact, dimension fan-out still 1:1
+    * against a unique dim), while the new key's mass follows the zipf
+    * law: at s=1.1 the hottest key draws ~9-10% of ALL fact rows. The
+    * dim side is untouched, so referential integrity holds and join
+    * OUTPUT size is unchanged — only its distribution across keys.
+    */
+  def zipfRemap(key: org.apache.spark.sql.Column, k: Int, s: Double,
+                salt: Long): org.apache.spark.sql.Column = {
+    val weights = Array.tabulate(math.min(k, ZipfLutSlots))(r =>
+      math.pow(r + 1.0, -s))
+    val total = weights.sum
+    val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val lut: Seq[Long] = (0 until ZipfLutSlots).map { i =>
+      val q = (i + 0.5) / ZipfLutSlots
+      val r = java.util.Arrays.binarySearch(cdf, q)
+      (if (r >= 0) r else -r - 1).toLong
+    }
+    element_at(typedLit(lut),
+      (pmod(xxhash64(key, lit(salt)), lit(ZipfLutSlots)) + 1).cast("int"))
+  }
+
   def build(spark: SparkSession, src: String, dst: String,
-            gens: Int): Unit = {
+            gens: Int, zipfS: Option[Double] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(conf)
@@ -89,21 +130,42 @@ object ScaleCorpus {
     // Read through Tables.events so the TIMESTAMP(NANOS) physical type
     // normalizes; the written copy is MICROS, a generation drift every
     // events consumer already handles.
+    // zipf mode: redistribute the fact-side FOREIGN keys (l_suppkey,
+    // o_custkey, user_id) zipfian AFTER the generation transforms. Dims
+    // stay untouched (unique keys), so joins keep 1:1 dim fan-out and
+    // unchanged output SIZE — but the hottest supplier/customer/user
+    // now owns ~10% of all fact rows: the hot-partition stress for
+    // salted joins, AQE skew-split, grouped aggregation, and window
+    // sorts that the shape-preserving corpus can never produce.
+    def maybeZipf(df: DataFrame, keyCol: String, k: Int,
+                  salt: Long): DataFrame = zipfS match {
+      case Some(s) => df.withColumn(keyCol,
+        zipfRemap(col(keyCol), k, s, salt).cast(
+          df.schema(keyCol).dataType))
+      case None => df
+    }
+    val nSupp = spark.read.parquet(s"$src/supplier.parquet").count().toInt
+    val nCust = spark.read.parquet(s"$src/customer.parquet").count().toInt
+
     val events = graft.sources.Tables.events(spark, src)
-    write(gened(events)
+    val nUsers = events.agg(max(col("user_id"))).head.getLong(0).toInt + 1
+    write(maybeZipf(gened(events)
       .withColumn("event_id", col("event_id") + col("g") * 1000000L)
       .withColumn("user_id", col("user_id") + col("g") * 100000L)
-      .drop("g"), "events", math.max(2, gens / 2))
+      .drop("g"), "user_id", nUsers * gens, 101L),
+      "events", math.max(2, gens / 2))
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
-    write(gened(orders)
+    write(maybeZipf(gened(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("g") * OrderKeyStride)
-      .drop("g"), "orders", math.max(2, gens))
+      .drop("g"), "o_custkey", nCust, 102L),
+      "orders", math.max(2, gens))
 
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    write(gened(lineitem)
+    write(maybeZipf(gened(lineitem)
       .withColumn("l_orderkey", col("l_orderkey") + col("g") * OrderKeyStride)
-      .drop("g"), "lineitem", math.max(4, 2 * gens))
+      .drop("g"), "l_suppkey", nSupp, 103L),
+      "lineitem", math.max(4, 2 * gens))
 
     val documents = spark.read.parquet(s"$src/documents.parquet")
     write(gened(documents)

@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Input-size-derived shuffle parallelism — the lever a cluster operator
+  * sets by hand (`spark.sql.shuffle.partitions` sized to the data),
+  * derived by the engine instead.
+  *
+  * Why it exists: the session default (= local core count) is right for
+  * the test SFs but under-partitions a ×100 corpus on a fixed-heap
+  * JVM — the r13 scale sweep needed a manual `SPARK_GRAFT_SHUFFLE=256`
+  * override to keep the containment join's partitions inside executor
+  * memory. The operator should not have to know that number: total
+  * input bytes are one Hadoop FS call away (the Bucketing.bucketCountFor
+  * device), and the right width follows from them.
+  *
+  * The derivation targets [[TargetBytesPerPartition]] of INPUT per
+  * shuffle partition — deliberately small (4 MiB) because the heavy
+  * operators amplify input (gram/shingle explodes, multi-table LSH), so
+  * a partition's in-flight footprint is a multiple of its input slice.
+  * Over-partitioning is cheap under AQE (coalescing merges small
+  * partitions at runtime — this sets `initialPartitionNum`, the
+  * PRE-coalesce width); under-partitioning is the OOM. The floor is the
+  * session's current width (never tune DOWN below the configured core
+  * count), the cap [[MaxPartitions]] bounds scheduler overhead.
+  *
+  * At every test SF the derived width equals the core-count default, so
+  * this is inert where the correctness gate runs — the same fixed-point
+  * discipline as the size-adaptive ANN/dedup geometry.
+  */
+object Partitioning {
+
+  /** Input bytes one shuffle partition should own, pre-amplification. */
+  val TargetBytesPerPartition: Long = 4L << 20
+
+  /** Upper bound on the derived width — past this, per-partition
+    * scheduling overhead dominates on any realistic executor count.
+    */
+  val MaxPartitions = 4096
+
+  /** Total on-disk bytes under a corpus dir, via the Hadoop FS of the
+    * session (so s3a:// and file:// resolve alike). Memoized per path —
+    * corpus dirs are immutable here (the fitCentroids operating
+    * assumption); a missing dir counts zero (the caller's floor wins).
+    */
+  def inputBytes(spark: SparkSession, dir: String): Long =
+    cache.computeIfAbsent(dir, { _ =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.lang.Long.valueOf(0L)
+      }
+    }).longValue()
+
+  /** The shuffle width the corpus warrants on this session: input bytes
+    * over [[TargetBytesPerPartition]], floored at the session's BASE
+    * configured width (the value before any [[autoTune]] touched it —
+    * otherwise a big-corpus tune would ratchet the floor up and a later
+    * small-corpus call could never tune back down), capped at
+    * [[MaxPartitions]].
+    */
+  def partitionsFor(spark: SparkSession, dir: String): Int = {
+    val base = baseWidth.computeIfAbsent(spark, s =>
+      java.lang.Integer.valueOf(
+        s.conf.get("spark.sql.shuffle.partitions", "200").toInt)).intValue()
+    val fromBytes =
+      (inputBytes(spark, dir) + TargetBytesPerPartition - 1) /
+        TargetBytesPerPartition
+    math.min(MaxPartitions.toLong,
+      math.max(base.toLong, fromBytes)).toInt
+  }
+
+  private val baseWidth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Integer]()
+
+  /** Set the session's shuffle parallelism from the corpus size: the
+    * AQE pre-coalesce width (`initialPartitionNum` — AQE then merges
+    * small partitions back at runtime, so over-width costs little) and
+    * the non-AQE floor (`spark.sql.shuffle.partitions`). Both are
+    * runtime SQL confs — safe to set between queries, no session
+    * rebuild. Returns the width chosen. Call once per corpus before
+    * running queries against it; repeated calls are cheap (the size
+    * lookup is memoized).
+    */
+  def autoTune(spark: SparkSession, dir: String): Int = {
+    val n = partitionsFor(spark, dir)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      n.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+}

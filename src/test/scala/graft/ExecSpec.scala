@@ -927,4 +927,42 @@ class ExecSpec extends AnyFunSuite {
       assert(revSeen.result().reverse === (0L until n))
     }
   }
+
+  test("Partitioning: shuffle width derives from input bytes — inert at " +
+       "test-SF sizes, scales for a big corpus, never ratchets") {
+    import graft.engine.Partitioning
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a test-SF-sized dir derives the base width — the inert fixed point
+    assert(Partitioning.partitionsFor(spark, dir) === base)
+    // a "big" corpus faked with a sparse file: getContentSummary counts
+    // logical length, so a 2 GiB set costs no disk
+    val tmp = java.nio.file.Files.createTempDirectory("ptune")
+    val f = new java.io.RandomAccessFile(
+      tmp.resolve("big.parquet").toFile, "rw")
+    try f.setLength(2L << 30) finally f.close()
+    val big = tmp.toString
+    assert(Partitioning.inputBytes(spark, big) === (2L << 30))
+    val expect = math.min(Partitioning.MaxPartitions.toLong, math.max(
+      base.toLong, (2L << 30) / Partitioning.TargetBytesPerPartition)).toInt
+    assert(Partitioning.partitionsFor(spark, big) === expect)
+    assert(expect > base, "the faked corpus must exceed the base width")
+    try {
+      val n = Partitioning.autoTune(spark, big)
+      assert(n === expect)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt === n)
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .toInt === n)
+      // no ratchet: tuning back for the small corpus returns to the
+      // session's BASE width, not the inflated one
+      assert(Partitioning.autoTune(spark, dir) === base)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt === base)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", base.toString)
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      java.nio.file.Files.deleteIfExists(tmp.resolve("big.parquet"))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
 }
