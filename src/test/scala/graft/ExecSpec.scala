@@ -172,6 +172,76 @@ class ExecSpec extends AnyFunSuite {
     }
   }
 
+  test("object-store e2e (seam probe): against a configured S3-compatible " +
+       "endpoint the Connections registry round-trips write + read + " +
+       "rotate on a REAL bucket; without one, the capability note") {
+    import graft.sources.Connections
+    // The ffmpeg-seam device applied to object storage: probe the TWO
+    // things the e2e needs — an s3a FileSystem implementation on the
+    // classpath (hadoop-aws; absent in this container) and an endpoint
+    // to talk to (env-configured) — and run the full round trip when
+    // both are present. When either is missing the test CANCELS with
+    // the capability note (assume), not a fake green: the conf-level
+    // register/resolve/rotate behavior is covered unconditionally by
+    // the tests above; this closes the last conf-level-only surface
+    // wherever a MinIO/S3 endpoint exists.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val s3aLoadable =
+      try {
+        org.apache.hadoop.fs.FileSystem.getFileSystemClass("s3a", hc)
+        true
+      } catch { case _: Throwable => false }
+    val endpoint = sys.env.get("GRAFT_S3_TEST_ENDPOINT")
+    assume(s3aLoadable && endpoint.nonEmpty,
+      (if (!s3aLoadable)
+        "no s3a FileSystem implementation on the classpath " +
+          "(hadoop-aws is not in /opt/spark/jars in this container); "
+      else "") +
+        (if (endpoint.isEmpty)
+          "no S3-compatible endpoint configured (set " +
+            "GRAFT_S3_TEST_ENDPOINT / _ACCESS_KEY / _SECRET_KEY / " +
+            "_BUCKET to run, e.g. against MinIO); "
+        else "") +
+        "conf-level connection behavior is covered by the tests above — " +
+        "this e2e runs wherever the seam is present")
+    val bucket = sys.env.getOrElse("GRAFT_S3_TEST_BUCKET", "graft-test")
+    val conn = Connections.S3(
+      endpoint = endpoint.get,
+      accessKeyId = sys.env.getOrElse("GRAFT_S3_TEST_ACCESS_KEY", ""),
+      secretAccessKey = sys.env.getOrElse("GRAFT_S3_TEST_SECRET_KEY", ""),
+      bucket = bucket,
+      root = s"e2e-${java.util.UUID.randomUUID().toString.take(8)}",
+      region = sys.env.getOrElse("GRAFT_S3_TEST_REGION", ""),
+      forcePathStyle = true)
+    try {
+      Connections.register(spark, "e2e_store", conn)
+      // write THROUGH the resolved URI, read back through read_files
+      val uri = Connections.resolve(spark, "e2e_store", "roundtrip.parquet")
+      val src = spark.read.parquet(s"$dir/region.parquet")
+      src.write.mode("overwrite").parquet(uri)
+      val back = QueryFacade.run(spark,
+        "select r_regionkey, r_name from " +
+          "read_files('roundtrip.parquet', connection=>'e2e_store') " +
+          "order by r_regionkey")
+      assert(back.collect().map(_.getLong(0)).toSeq ===
+        src.orderBy("r_regionkey").collect().map(_.getLong(0)).toSeq)
+      // rotation against the live endpoint: same credentials re-applied
+      // (a no-op rotation) must evict the cached client and keep reads
+      // working — the cache-eviction path exercised for real
+      Connections.rotate(spark, "e2e_store", conn)
+      assert(QueryFacade.run(spark,
+        "select count(*) as n from " +
+          "read_files('roundtrip.parquet', connection=>'e2e_store')")
+        .head.getLong(0) === src.count())
+    } finally {
+      Connections.unregister(spark, "e2e_store")
+      import scala.jdk.CollectionConverters._
+      hc.iterator().asScala.map(_.getKey)
+        .filter(_.startsWith(s"fs.s3a.bucket.$bucket.")).toList
+        .foreach(hc.unset)
+    }
+  }
+
   test("runScript: a created temp view referencing read_files survives") {
     val dfs = QueryFacade.runScript(spark,
       s"""-- nightly rollup view (comment must not hide the CREATE)
