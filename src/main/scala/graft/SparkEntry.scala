@@ -130,6 +130,15 @@ object SparkEntry {
     "q13_custdist" -> (RelationalExt.q13CustDist _),
     "q17_small_qty_revenue" -> (RelationalExt.q17SmallQtyRevenue _),
     "q20_concentrated_suppliers" -> (RelationalExt.q20ConcentratedSuppliers _),
+    "q4_priority_check" -> (RelationalExt.q4PriorityCheck _),
+    "q6_forecast_revenue" -> (RelationalExt.q6ForecastRevenue _),
+    "q8_market_share" -> (RelationalExt.q8MarketShare _),
+    "q10_returned_items" -> (RelationalExt.q10ReturnedItems _),
+    "q12_late_by_flag" -> (RelationalExt.q12LateByFlag _),
+    "q14_promo_revenue" -> (RelationalExt.q14PromoRevenue _),
+    "q15_top_supplier" -> (RelationalExt.q15TopSupplier _),
+    "q19_disjunct_revenue" -> (RelationalExt.q19DiscountedRevenue _),
+    "q22_sales_opportunity" -> (RelationalExt.q22SalesOpportunity _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
@@ -2625,6 +2634,115 @@ object SparkEntry {
               AND l2.l_suppkey = l1.l_suppkey))
         AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
       ORDER BY s_name""",
+    "q4_priority_check" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE) >
+                CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q6_forecast_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q8_market_share" -> """
+      SELECT o_year,
+        CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+          AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(1.0 - l_discount AS DECIMAL(18,2)) AS volume,
+          n1.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+          nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          AND s_nationkey = n1.n_nationkey
+          AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+          AND p_type = 'PROMO') all_nations
+      GROUP BY o_year ORDER BY o_year""",
+    "q10_returned_items" -> """
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q12_late_by_flag" -> """
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND CAST(l_shipdate AS DATE) >
+            CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q14_promo_revenue" -> """
+      SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(1.0 - l_discount AS DECIMAL(18,2)) ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""",
+    "q15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(1.0 - l_discount AS DECIMAL(18,2))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+        CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+    "q19_disjunct_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem, part
+      WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+          AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+          AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_partkey = l_partkey AND p_brand = 'Brand#24'
+          AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "q22_sales_opportunity" -> """
+      SELECT cntrycode, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS totacctbal
+      FROM (
+        SELECT c_nationkey AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+            SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+              AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= '1999-01-01')) custsale
+      GROUP BY cntrycode ORDER BY cntrycode""",
     "join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",

@@ -197,6 +197,93 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
   }
 
+  test("q4: EXISTS decorrelated to a LeftSemi join carrying the " +
+       "cross-side lateness condition; order-window filter at the scan") {
+    val p = plan("q4_priority_check")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // the correlated predicate (l_shipdate vs o_orderdate+60) rides ON
+    // the semi join — no correlated re-scan, no nested loop
+    assert(p.contains("date_add"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q6: pure scan-filter-agg — every predicate pushed, no join, " +
+       "single scan") {
+    val p = plan("q6_forecast_revenue")
+    // metadata strings truncate at 100 chars, so pin the (full) Filter
+    // operator line instead of PushedFilters
+    assert("l_shipdate#\\d+ >= 1996-01-01".r.findFirstIn(p).isDefined,
+      p.take(1600))
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined, p.take(1600))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p.take(1600))
+    assert(!p.contains("Join"), p.take(1200))
+    assert("FileScan".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
+  test("q8: the deepest join tree — all seven joins broadcast (dims " +
+       "and filtered fact feeders), no cartesian") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p.take(2400))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q10: returnflag pushed to the fact scan, top-20 via " +
+       "TakeOrderedAndProject") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(2400))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q12: lateness rides the join condition; shipdate window pushed " +
+       "to the fact scan") {
+    val p = plan("q12_late_by_flag")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2400))
+    assert(p.contains("date_add"), p.take(2400))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q15: scalar MAX joins back as an equality hash join (ties " +
+       "survive, no re-aggregation of the view on the probe side)") {
+    val p = plan("q15_top_supplier")
+    // Catalyst turns crossJoin(broadcast(max)) + equality filter into a
+    // hash join keyed ON the equality — the one-row side broadcast
+    assert(p.contains("max_revenue"), p.take(2400))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q19: the disjunctive predicate factors onto BOTH scans — " +
+       "quantity bands to lineitem, brand/size to part — with the full " +
+       "OR at the join") {
+    val p = plan("q19_disjunct_revenue")
+    // lineitem scan receives the quantity-band disjunction (the scan's
+    // PushedFilters truncates; its Filter line carries the full form)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      p.take(3000))
+    assert(("\\(l_quantity#\\d+ >= 1\\.0\\) AND " +
+      "\\(l_quantity#\\d+ <= 11\\.0\\)").r.findFirstIn(p).isDefined,
+      p.take(3000))
+    // part scan receives the brand/size disjunction (plus the common
+    // p_size >= 1 factor)
+    assert("\\(p_size#\\d+ >= 1\\)".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(("\\(p_brand#\\d+ = Brand#12\\) AND " +
+      "\\(p_size#\\d+ <= 5\\)").r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q22: NOT EXISTS as a LeftAnti probe with the lapse window " +
+       "pushed; the scalar average is the broadcast one-row frame") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), p.take(2400))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1999-01-01"), p.take(2400))
+    // the only nested-loop is the broadcast SCALAR frame (one row)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))
