@@ -159,6 +159,9 @@ object SparkEntry {
     "shuffle_shards" -> (Curation.shuffleShards _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_incremental_minhash" ->
+      ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_scaled" -> ((s, d) => Dedup.dedupSimhashScaled(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -166,7 +169,6 @@ object SparkEntry {
     "dedup_winnow" -> ((s, d) => Dedup.dedupWinnow(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
-    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_segments" -> (Dedup.dedupSegments _),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d)),
@@ -1306,11 +1308,14 @@ object SparkEntry {
     * md5's two halves — Dedup.SigMask), so DuckDB computes bit-identical
     * signatures, bands, estimate prefilters and exact Jaccard verdicts.
     */
-  private def dedupMinhashOracleSql: String = {
-    import graft.operators.Dedup.{NumHashes, Bands, RowsPerBand, MaxBucket,
-      SigMask, EstEpsilon}
-    val thr = 0.8
-    val minNeeded = (NumHashes * (thr - EstEpsilon)).ceil.toInt
+  /** The shared MinHash CTE prefix (tokens → shingles → 30-bit hash
+    * family → 64-component signatures → per-band hashes, WITHOUT the
+    * bucket cap, which differs between the batch and incremental
+    * variants): single-sourced so both oracles compute identical
+    * signatures from the same constants.
+    */
+  private def minhashCoreCtes: String = {
+    import graft.operators.Dedup.{NumHashes, Bands, RowsPerBand, SigMask}
     val mins = (0 until NumHashes).map(i =>
       s"min((h1 + $i * h2) & $SigMask) AS m$i").mkString(",\n          ")
     val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
@@ -1343,10 +1348,19 @@ object SparkEntry {
           $mins
         FROM hx GROUP BY doc_id),
       sg AS (SELECT doc_id, $sigList AS sig FROM v),
-      bands AS (
+      bands_all AS (
         SELECT doc_id, sig, band,
           substr(md5(concat_ws(',', $bandConcat)), 1, 16) AS bh
-        FROM sg, unnest(range(0, $Bands)) AS u(band)
+        FROM sg, unnest(range(0, $Bands)) AS u(band))"""
+  }
+
+  private def dedupMinhashOracleSql: String = {
+    import graft.operators.Dedup.{NumHashes, MaxBucket, EstEpsilon}
+    val thr = 0.8
+    val minNeeded = (NumHashes * (thr - EstEpsilon)).ceil.toInt
+    s"""$minhashCoreCtes,
+      bands AS (
+        SELECT * FROM bands_all
         QUALIFY count(*) OVER (PARTITION BY band, bh) <= $MaxBucket),
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -1370,6 +1384,59 @@ object SparkEntry {
           AS best_jaccard,
         dup.dup_of IS NULL AS keep
       FROM documents d LEFT JOIN dup USING (doc_id)"""
+  }
+
+  /** dedup_incremental_minhash oracle: identical signature/band arithmetic via
+    * [[minhashCoreCtes]]; the split, per-side bucket caps, the
+    * unordered delta-vs-index candidate join and the ordered
+    * delta-vs-delta self-join, the estimate gate, exact verify and
+    * delta-only verdicts all mirror Dedup.dedupIncrementalMinhash
+    * exactly.
+    */
+  private def dedupIncrementalMinhashOracleSql: String = {
+    import graft.operators.Dedup.{NumHashes, MaxBucket, EstEpsilon,
+      IndexDeltaMod, IndexDeltaRem}
+    val thr = 0.8
+    val minNeeded = (NumHashes * (thr - EstEpsilon)).ceil.toInt
+    s"""$minhashCoreCtes,
+      bands_c AS (
+        SELECT * FROM bands_all
+        WHERE doc_id % $IndexDeltaMod <> $IndexDeltaRem
+        QUALIFY count(*) OVER (PARTITION BY band, bh) <= $MaxBucket),
+      bands_d AS (
+        SELECT * FROM bands_all
+        WHERE doc_id % $IndexDeltaMod = $IndexDeltaRem
+        QUALIFY count(*) OVER (PARTITION BY band, bh) <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT c.doc_id AS a, d.doc_id AS b
+        FROM bands_d d JOIN bands_c c
+          ON d.band = c.band AND d.bh = c.bh
+        WHERE len(list_filter(range(0, $NumHashes),
+          i -> d.sig[i+1] = c.sig[i+1])) >= $minNeeded
+        UNION
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands_d x JOIN bands_d y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        WHERE len(list_filter(range(0, $NumHashes),
+          i -> x.sig[i+1] = y.sig[i+1])) >= $minNeeded),
+      ver AS (
+        SELECT c.a, c.b,
+          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+            CAST(len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b),
+      dup AS (
+        SELECT b AS doc_id, min(a) AS dup_of, max(jaccard) AS best_jaccard
+        FROM ver WHERE jaccard >= $thr GROUP BY b)
+      SELECT d.doc_id, dup.dup_of, round(dup.best_jaccard, 4)
+          AS best_jaccard,
+        dup.dup_of IS NULL AS keep
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id % $IndexDeltaMod = $IndexDeltaRem) d
+      LEFT JOIN dup USING (doc_id)"""
   }
 
   /** bm25_search oracle, generated so the query-term list and constants
@@ -1938,6 +2005,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash_scaled" -> dedupSimhashScaledOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
+    "dedup_incremental_minhash" -> dedupIncrementalMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
     "chunk_documents" -> chunkDocumentsOracleSql,
     "split_assign" -> """

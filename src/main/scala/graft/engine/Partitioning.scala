@@ -95,4 +95,45 @@ object Partitioning {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** In-flight bytes one shuffle partition should own for an
+    * EXPLODE-amplified plan. Larger than [[TargetBytesPerPartition]]
+    * because the caller passes post-amplification bytes, not input
+    * bytes — 64 MiB of materialized shuffle rows per partition is the
+    * classic cluster operating point.
+    */
+  val TargetInFlightBytesPerPartition: Long = 64L << 20
+
+  /** Operator-declared shuffle width: for plans whose dominant shuffle
+    * carries an explode-amplified frame (multi-table multi-probe LSH:
+    * corpus × tables × probe-masks rows, each with the embedding),
+    * [[autoTune]]'s input-byte derivation under-weights by the
+    * amplification factor — the ×100 knn join ground one fixed-width
+    * partial aggregate per task through multi-GiB spills. The operator
+    * KNOWS its amplification, so it declares rows × bytes-per-row here;
+    * the width is in-flight bytes over
+    * [[TargetInFlightBytesPerPartition]], floored at the session's
+    * CURRENT width (never tunes down — [[autoTune]]'s corpus-level
+    * choice stays the floor), capped at [[MaxPartitions]]. Sets the
+    * same two runtime confs as [[autoTune]]; on a cluster this is the
+    * per-query `spark.sql.shuffle.partitions` a job submitter sets for
+    * a known-heavy stage. Inert at every gate/bench SF (the derived
+    * width stays below the session width there — same fixed-point
+    * discipline as the adaptive ANN/dedup geometry).
+    */
+  def ensureWidthFor(spark: SparkSession, rows: Long, rowBytes: Long): Int = {
+    val current = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val fromBytes =
+      (rows * rowBytes + TargetInFlightBytesPerPartition - 1) /
+        TargetInFlightBytesPerPartition
+    val w = math.min(MaxPartitions.toLong,
+      math.max(current.toLong, fromBytes)).toInt
+    if (w > current) {
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        w.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    }
+    w
+  }
 }

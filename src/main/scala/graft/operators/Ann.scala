@@ -242,6 +242,32 @@ object Ann {
     }
   }
 
+  /** Cell assignment as the native [[graft.functions.VecCellAssign]]
+    * expression: flat strict-< argmin at/below
+    * [[TwoLevelAssignThreshold]] cells, the [[twoLevelStructure]]
+    * coarse-then-fine walk above it — bit-identical to the Column
+    * formulations ([[centroidDists]]+argmin / [[twoLevelCell]]) in both
+    * modes (PipelineSpec pins the parity on real corpus data), but with
+    * the centroid matrix as ONE reference object instead of k×dim
+    * Literal nodes, so per-row cost is a primitive loop rather than
+    * per-centroid boxed array materialization.
+    */
+  def cellAssign(v: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val childE = GraftSqlBridge.expression(v)
+    val e =
+      if (centroids.length <= TwoLevelAssignThreshold)
+        graft.functions.VecCellAssign(childE,
+          centroids.map(_.toSeq).toSeq, Nil, Nil)
+      else {
+        val bs = twoLevelStructure(centroids)
+        graft.functions.VecCellAssign(childE,
+          centroids.map(_.toSeq).toSeq,
+          bs.map(_._1.toSeq), bs.map(_._2))
+      }
+    GraftSqlBridge.column(e)
+  }
+
   def annIvf(s: SparkSession, dir: String, nCentroids: Int = IvfCentroids,
              nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1208,6 +1234,16 @@ object Ann {
       .select(col("dst"), col("ce"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
     val masks = budgetedProbeMasks(nBits, probeBits)
+    // the bucket join's shuffles carry the EXPLODED frames — corpus ×
+    // tables on one side, corpus × tables × |masks| on the other, every
+    // row with its 64-dim embedding — so the right shuffle width follows
+    // from those in-flight bytes, not the corpus's input bytes
+    // (Partitioning.autoTune's input-byte target under-weights this
+    // operator's ~300× amplification: the ×100 run ground multi-GiB
+    // partial-aggregate spills per task before this). Inert at every
+    // gate/bench SF — the derived width stays below the session width.
+    graft.engine.Partitioning.ensureWidthFor(s,
+      corpusCount(s, dir) * nTables * (masks.length + 1L), 64L * 4 + 48)
     val qProbes = array((for { t <- 0 until nTables; m <- masks } yield
       struct(lit(t).as("tbl"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
@@ -1239,11 +1275,16 @@ object Ann {
       .filter(col("_bsz") <= greatest(lit(CellCapFloor),
         expr(s"_n * $CellCapFactor DIV ${1 << nBits}")))
       .drop("_bsz", "_n")
-    // bucket-keyed shuffle join, merge-hinted (the Dedup.scala minhash
-    // device): both sides are corpus-sized, and the broadcast AQE would
-    // pick at toy scale is exactly what dies at 100 TB — the pinned SMJ
-    // IS the production shape
-    val pairs = cCapped.hint("merge").join(q, Seq("tbl", "bucket"))
+    // bucket-keyed shuffle join, pinned SHUFFLE-HASH with the corpus
+    // side as build: both sides are corpus-sized, so the broadcast AQE
+    // would pick at toy scale is exactly what dies at 100 TB — but
+    // unlike the previous merge pin, SHJ never SORTS the probe side —
+    // the |masks|-amplified (22×) explode carrying the query embedding,
+    // whose sort was the join's dominant cost at ×100; the build side
+    // hashes corpus×tables/width rows per partition, bounded by the
+    // byte-derived shuffle width (engine.Partitioning). Measured at
+    // ×100 in SCALING.md r14.
+    val pairs = cCapped.hint("shuffle_hash").join(q, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
       .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
       // same pair from several tables/probes carries the same cosine:

@@ -113,13 +113,20 @@ object Dedup {
     */
   val SigMask: Long = (1L << 30) - 1L
 
-  def dedupMinhash(s: SparkSession, dir: String,
-                   threshold: Double = 0.8): DataFrame = {
+  /** Signature + banding + bucket-cap pipeline over an arbitrary
+    * document set — the shared front half of [[dedupMinhash]] and the
+    * per-batch pieces of [[dedupIncrementalMinhash]]. Returns capped rows of
+    * (doc_id, sig ARRAY<64 x LONG>, band, bh); the cap applies WITHIN
+    * the given set (for the full-corpus batch operator that is the
+    * historical behavior unchanged; the incremental variant caps index
+    * and delta sides separately, documented there).
+    */
+  private[graft] def minhashBands(s: SparkSession,
+                                      docs: DataFrame): DataFrame = {
     // word_shingles is a registry function (codegen'd Catalyst expression);
     // register defensively — the caller's session may not carry
     // GraftExtensions (same pattern as TextOps.docFingerprint).
     graft.functions.GraftFunctions.register(s)
-    val docsRaw = table(s, dir, "documents")
     // Signature in the vectorized shape: explode shingles, md5 each
     // shingle ONCE, then derive the 64 family members arithmetically
     // (see SigMask above). min() aggregates give map-side partial combine
@@ -131,7 +138,7 @@ object Dedup {
     // single task; on a real cluster the input is already multi-split and
     // this is a near-no-op relative to the corpus scan itself.
     val par = s.sparkContext.defaultParallelism
-    val shingled = docsRaw.repartition(par)
+    val shingled = docs.repartition(par)
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
       // md5_prefix60 = conv(substring(md5(sh),1,15),16,10) computed from
       // the digest bytes (no hex-string round trip); h1/h2 are disjoint-
@@ -161,12 +168,30 @@ object Dedup {
           element_at(col("sig"), j * RowsPerBand + r + 1).cast("string")): _*)),
           1, 16).as("bh"))
     }
-    val bands = capBuckets(
+    capBuckets(
       sigs.select(col("doc_id"), col("sig"),
         explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("sig"),
           col("b.band").as("band"), col("b.bh").as("bh")),
       Seq("band", "bh"))
+  }
+
+  /** Tier-1 signature-estimate gate: the (cheap, codegen-adjacent)
+    * count of matching MinHash components must clear
+    * `NumHashes x (threshold − EstEpsilon)` before a candidate pair
+    * earns its exact verify — single-sourced so the batch and
+    * incremental candidate joins apply the IDENTICAL filter.
+    */
+  private def sigEstimateOk(xSig: Column, ySig: Column,
+                            threshold: Double): Column =
+    aggregate(zip_with(xSig, ySig,
+      (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >=
+      lit((NumHashes * (threshold - EstEpsilon)).ceil.toInt)
+
+  def dedupMinhash(s: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val docsRaw = table(s, dir, "documents")
+    val bands = minhashBands(s, docsRaw)
     // Tier 1 fused into candidate generation: the signature-estimate filter
     // (cheap, codegen-adjacent array comparison, no set ops) runs on each
     // band collision before pairs are deduplicated.
@@ -179,9 +204,7 @@ object Dedup {
     val survivors = bands.as("x").hint("merge").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id") &&
-          aggregate(zip_with(col("x.sig"), col("y.sig"),
-            (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >=
-            lit((NumHashes * (threshold - EstEpsilon)).ceil.toInt))
+          sigEstimateOk(col("x.sig"), col("y.sig"), threshold))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     // NO distinct() here: a pair colliding in several bands appears a few
     // times, but the dupOf min/max aggregate below collapses duplicates
@@ -204,6 +227,110 @@ object Dedup {
     val dupOf = verified.groupBy(col("b").as("doc_id"))
       .agg(min(col("a")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
     docsRaw.select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        round(col("best_jaccard"), 4).as("best_jaccard"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  // ------------------------------------- incremental (index-vs-delta)
+
+  /** The delta split for [[dedupIncrementalMinhash]]: documents with
+    * `doc_id % IndexDeltaMod == IndexDeltaRem` play the "newly ingested
+    * batch" (~10% of the corpus at every SF); the rest are the
+    * already-indexed corpus. A modulus, not a threshold, so the split
+    * is stable under the generation-stacked scale corpora.
+    */
+  val IndexDeltaMod = 10L
+  val IndexDeltaRem = 7L
+
+  /** Build-or-load the PERSISTED MinHash band index for dir's corpus
+    * documents: (doc_id, sig, band, bh) parquet, written once per
+    * corpus and read back by every delta run — the artifact that makes
+    * incremental dedup incremental. At 100 TB this is the lake table a
+    * daily-ingest pipeline maintains (append new docs' bands after each
+    * accepted batch; bucket it by (band, bh) so delta probes co-locate
+    * without a shuffle); here it is a tmp-dir parquet keyed by corpus
+    * path, memoized per JVM, overwrite-on-build (crash-safe: a torn
+    * write is rewritten whole on the next call).
+    */
+  def minhashIndexPath(s: SparkSession, dir: String): String =
+    indexPathCache.computeIfAbsent(dir, { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-minhash-index-${md.take(12)}").getAbsolutePath
+      val corpus = table(s, dir, "documents")
+        .filter(col("doc_id") % IndexDeltaMod =!= IndexDeltaRem)
+      minhashBands(s, corpus)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  private val indexPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental MinHash dedup (oracle-checked): dedup a newly-ingested
+    * DELTA batch against an already-indexed corpus WITHOUT rescanning
+    * the corpus — the daily-ingest shape at 100 TB, where re-running
+    * [[dedupMinhash]] over corpus+delta would re-shingle and re-hash
+    * the full archive for every batch. The corpus's band index is a
+    * persisted parquet artifact ([[minhashIndexPath]] — built once,
+    * read back here); per batch the engine computes signatures/bands
+    * for the DELTA ONLY (~10% of the corpus work), then finds
+    * candidates two ways: delta-vs-index (a (band, bh)-keyed
+    * shuffle-hash join with the small delta side as build — no
+    * ordering constraint, any indexed doc is a valid dup target) and
+    * delta-vs-delta (the batch self-join device, lower id wins). Both
+    * candidate streams pass the SAME tier-1 signature-estimate gate
+    * and tier-2 exact-Jaccard verify as the batch operator; verdicts
+    * cover ONLY delta docs (the corpus is already deduped —
+    * incremental semantics), with dup_of = the lowest-id verified
+    * partner (indexed or delta).
+    *
+    * Bucket caps apply per side (index capped at build, delta capped
+    * per batch) — the combined-view cap of the batch operator would
+    * need cross-batch bucket counts, i.e. an index update per probe;
+    * the per-side cap is the standard incremental trade and the oracle
+    * mirrors it exactly.
+    */
+  def dedupIncrementalMinhash(s: SparkSession, dir: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val docsRaw = table(s, dir, "documents")
+    val delta = docsRaw.filter(
+      col("doc_id") % IndexDeltaMod === IndexDeltaRem)
+    val index = s.read.parquet(minhashIndexPath(s, dir))
+    val bandsD = minhashBands(s, delta)
+    // delta probes the index: delta is the (hinted) hash-join build
+    // side — it is the small side by construction, and the index
+    // streams; broadcast would ship the delta to every executor too,
+    // but the pinned SHJ also holds when a batch is occasionally large
+    val candCross = bandsD.as("d").hint("shuffle_hash").join(
+        index.as("c"),
+        col("d.band") === col("c.band") && col("d.bh") === col("c.bh") &&
+          sigEstimateOk(col("d.sig"), col("c.sig"), threshold))
+      .select(col("c.doc_id").as("a"), col("d.doc_id").as("b"))
+    val candIntra = bandsD.as("x").hint("merge").join(bandsD.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          sigEstimateOk(col("x.sig"), col("y.sig"), threshold))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val survivors = candCross.union(candIntra)
+    // tier-2 exact verify, identical to the batch operator: survivors
+    // broadcast, texts stream, shingles recomputed on survivor rows only
+    val withA = broadcast(survivors)
+      .join(docsRaw.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+    val verified = broadcast(withA)
+      .join(docsRaw.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .withColumn("sa", T.wordShingles(col("ta"), 3))
+      .withColumn("sb", T.wordShingles(col("tb"), 3))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val dupOf = verified.groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
+    delta.select(col("doc_id"))
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         round(col("best_jaccard"), 4).as("best_jaccard"),
@@ -897,12 +1024,12 @@ object Dedup {
     // assignment strategy switches at Ann.TwoLevelAssignThreshold:
     // flat exact argmin (n·k) below it — every test SF, so oracles are
     // untouched — and two-level coarse-then-fine (n·~2√k) above, the
-    // n·k term SCALING.md measured at x100 removed in code
-    val cellExpr =
-      if (k <= Ann.TwoLevelAssignThreshold) {
-        val dists = Ann.centroidDists(col("embedding"), centroids)
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      } else Ann.twoLevelCell(col("embedding"), centroids).cast("int")
+    // n·k term SCALING.md measured at x100 removed in code. Both modes
+    // run through the native VecCellAssign expression (matrix as a
+    // reference object, tight primitive loop) — bit-identical to the
+    // literal-array Column formulation it replaced, whose k×dim Literal
+    // tree was the ×100 corpus's dominant cost (SCALING.md r14)
+    val cellExpr = Ann.cellAssign(col("embedding"), centroids)
     val assigned = table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), cellExpr.as("cell"))
     val capped = capBuckets(assigned, Seq("cell"))

@@ -23,6 +23,14 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Catalyst Expression -> Column (the inverse of [[expression]]):
+    * wraps a hand-built expression — e.g. one carrying a non-literal
+    * payload like a centroid matrix — as a public Column; private[sql]
+    * in `classic.ExpressionUtils`, hence bridged.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Float normalization for grouping/partitioning keys (NaN bit
     * patterns, nested -0.0) — the same rule the optimizer applies to
     * Window partition specs; private[sql], hence bridged.

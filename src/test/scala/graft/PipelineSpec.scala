@@ -48,6 +48,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(col("keep") && col("doc_id") < 10000).count() >= 450L)
   }
 
+  test("dedup_incremental_minhash: the delta batch dedups against the PERSISTED " +
+       "corpus index (cross pairs through the parquet round trip, intra " +
+       "pairs through the self-join); verdicts cover delta docs only") {
+    val tmp = java.nio.file.Files.createTempDirectory("dupinc").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // +10001 keeps planted pairs CROSS-side: a mutated copy lands in the
+    // delta (id % 10 == 7) exactly when its original (id % 10 == 6) is
+    // in the corpus index — the index path, not the intra self-join
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 10001)
+      .withColumn("text", concat(col("text"), lit(" trailing mutation")))
+    docs.union(mutated).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = Dedup.dedupIncrementalMinhash(spark, tmp, threshold = 0.7).collect()
+    // incremental semantics: verdicts for the delta ONLY
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getLong(0) % Dedup.IndexDeltaMod ==
+      Dedup.IndexDeltaRem))
+    val dupOf = r.filter(!_.getBoolean(3))
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // every planted delta copy is FLAGGED, with dup_of <= its corpus
+    // original: the original is always a verified partner (the planted
+    // near-identical pair), and dup_of = min over partners — which may
+    // be LOWER than the original when the corpus holds its own
+    // near-dups of it (the real testdata does)
+    val planted = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(id => (id + 10001) % Dedup.IndexDeltaMod == Dedup.IndexDeltaRem)
+    assert(planted.nonEmpty)
+    planted.foreach { orig =>
+      assert(dupOf.get(orig + 10001).exists(_ <= orig),
+        s"delta copy of corpus doc $orig not flagged against the index")
+    }
+    // the index really is the parquet artifact: read-back equals the
+    // directly computed corpus bands, row for row
+    val idx = spark.read.parquet(Dedup.minhashIndexPath(spark, tmp))
+    val direct = Dedup.minhashBands(spark,
+      spark.read.parquet(s"$tmp/documents.parquet")
+        .filter(col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem))
+    assert(idx.count() === direct.count())
+    assert(idx.exceptAll(direct).isEmpty && direct.exceptAll(idx).isEmpty)
+  }
+
   test("dedup_simhash flags near-identical docs") {
     val tmp = java.nio.file.Files.createTempDirectory("dup").toString
     withSynthDups(tmp)
@@ -1481,6 +1523,44 @@ class PipelineSpec extends AnyFunSuite {
     // synthetic vectors are the worst case)
     assert(agree.toDouble / rows.size >= 0.5,
       s"two-level/exact agreement ${agree.toDouble / rows.size}")
+  }
+
+  test("native cell assignment (VecCellAssign): bit-identical to both " +
+       "Column formulations on real data, null semantics preserved") {
+    import org.apache.spark.sql.functions.{array_min, array_position, col, lit}
+    val dir001 = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir001/embeddings.parquet")
+    // flat mode (k <= threshold): must equal the literal-array argmin
+    val kF = 16
+    val cF = Ann.fitCentroids(spark, dir001, kF)
+    val dists = Ann.centroidDists(col("embedding"), cF)
+    val flat = e.select(col("vec_id"),
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("a"),
+        Ann.cellAssign(col("embedding"), cF).as("b"))
+      .collect()
+    assert(flat.nonEmpty)
+    flat.foreach(r => assert(r.getInt(1) === r.getInt(2), s"vec ${r.get(0)}"))
+    // two-level mode (k above threshold): must equal the chained CASE
+    val kT = 100
+    val cT = Ann.fitCentroids(spark, dir001, kT)
+    val two = e.select(col("vec_id"),
+        Ann.twoLevelCell(col("embedding"), cT).cast("int").as("a"),
+        Ann.cellAssign(col("embedding"), cT).as("b"))
+      .collect()
+    two.foreach(r => assert(r.getInt(1) === r.getInt(2), s"vec ${r.get(0)}"))
+    // null array and wrong-length array → null, like the formulation it
+    // replaced (every per-centroid l2sq null → null argmin position)
+    import spark.implicits._
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Ann.cellAssign(col("embedding"), cF).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(edge(1L) && edge(2L))
+    // interpreted (non-codegen) path agrees too: force eval off codegen
+    val expr = org.apache.spark.sql.GraftSqlBridge
+      .expression(Ann.cellAssign(lit(cF(3).map(_.toFloat)), cF))
+    assert(expr.eval(null) === 3)
   }
 
   test("scaled (Manku multi-table) simhash: identical verdicts to the " +

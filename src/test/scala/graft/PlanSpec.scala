@@ -54,14 +54,17 @@ class PlanSpec extends AnyFunSuite {
       p.substring(joinIdx).take(800))
   }
 
-  test("knn_graph_bucketed: pinned SMJ bucket join (no corpus-sized " +
-       "broadcast) feeding the GroupedTopK heap reduction") {
+  test("knn_graph_bucketed: pinned shuffle-hash bucket join (no " +
+       "corpus-sized broadcast, no sort of the 22x-amplified probe " +
+       "side) feeding the GroupedTopK heap reduction") {
     val p = plan("knn_graph_bucketed")
-    // the merge hint must hold against toy-scale AQE: both exploded
-    // sides are corpus-sized, so a broadcast here is the plan that
-    // dies at 100 TB
-    assert(p.contains("SortMergeJoin"), p.take(1200))
+    // the shuffle_hash hint must hold against toy-scale AQE: both
+    // exploded sides are corpus-sized, so a broadcast here is the plan
+    // that dies at 100 TB — and a merge join would SORT the probe
+    // explode, the join's dominant cost at x100 (SCALING.md r14)
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
     assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
     // the custom heap operator is what bounds the post-join stream
     assert(p.contains("GroupedTopK"), p.take(1200))
   }
