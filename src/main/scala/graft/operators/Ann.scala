@@ -272,15 +272,16 @@ object Ann {
              nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = fitCentroids(s, dir, nCentroids)
-    // Corpus assignment in the plan, NOT via MLlib transform: argmin
-    // squared-L2 over the centroid literals — codegen'd, shuffle-free,
-    // and the exact formula the DuckDB oracle mirrors, so assignment is
-    // engine-agreed.
+    // Corpus assignment in the plan, NOT via MLlib transform: the
+    // native [[cellAssign]] expression (flat strict-< argmin at the
+    // default k=16 — bit-identical to the literal-argmin formula the
+    // DuckDB oracle mirrors, so assignment is engine-agreed; two-level
+    // above [[TwoLevelAssignThreshold]], the production-k path whose
+    // literal tree would otherwise carry k×dim nodes — the
+    // dedup_semantic ×100 lesson).
     val assigned = table(s, dir, "embeddings")
-      .withColumn("dists", centroidDists(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"),
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int").as("cell"))
+        cellAssign(col("embedding"), centroids).as("cell"))
     // Probe assignment in the plan: explode the literal centroid matrix
     // per query row, rank cells by squared L2, keep the nProbe nearest.
     // (No .collect() of query vectors — the old driver-side loop broke as
@@ -520,10 +521,8 @@ object Ann {
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
     }
     val encoded = table(s, dir, "embeddings")
-      .withColumn("dists", centroidDists(col("embedding"), centroids))
       .select(col("vec_id").as("cand_id") +:
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int").as("cell") +: codeCols: _*)
+        cellAssign(col("embedding"), centroids).as("cell") +: codeCols: _*)
     val cbLits = (0 until PqSub).map(m =>
       array(cbs(m).map(cv => array(cv.map(lit): _*)): _*))
     val rec = concat((0 until PqSub).map(m =>
@@ -813,10 +812,8 @@ object Ann {
     val centroids = fitCentroids(s, dir, IvfCentroids)
     val maxProbe = ProbeLadder.max
     val assigned = table(s, dir, "embeddings")
-      .withColumn("dists", centroidDists(col("embedding"), centroids))
       .select(col("vec_id"), col("embedding"),
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int").as("cell"))
+        cellAssign(col("embedding"), centroids).as("cell"))
     val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
       struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
     }: _*)

@@ -300,14 +300,35 @@ object Dedup {
     val delta = docsRaw.filter(
       col("doc_id") % IndexDeltaMod === IndexDeltaRem)
     val index = s.read.parquet(minhashIndexPath(s, dir))
-    val bandsD = minhashBands(s, delta)
+    incrementalVerdicts(s, delta, minhashBands(s, delta), index,
+      docsRaw.select(col("doc_id"), col("text")), threshold)
+  }
+
+  /** The shared candidate + verify + verdict core of the incremental
+    * MinHash shape: dedup `delta` (whose capped bands are `bandsD`)
+    * against an `index` of already-accepted bands, with `partners` =
+    * (doc_id, text) for every document a candidate pair may touch
+    * (index docs AND the delta itself). Factored out so the batch
+    * operator ([[dedupIncrementalMinhash]]) and the streaming ingest
+    * fold ([[graft.streaming.DedupStream]]) run the IDENTICAL
+    * arithmetic — the streaming spec's verdict-equality proof depends
+    * on it.
+    */
+  private[graft] def incrementalVerdicts(s: SparkSession, delta: DataFrame,
+      bandsD: DataFrame, index: DataFrame, partners: DataFrame,
+      threshold: Double): DataFrame = {
     // delta probes the index: delta is the (hinted) hash-join build
     // side — it is the small side by construction, and the index
     // streams; broadcast would ship the delta to every executor too,
-    // but the pinned SHJ also holds when a batch is occasionally large
+    // but the pinned SHJ also holds when a batch is occasionally large.
+    // The a =!= b guard never binds for the batch operator (sides are
+    // disjoint by the modulus split) — it is belt-and-braces for any
+    // caller whose index could transiently contain a delta doc's own
+    // bands (a replayed streaming batch).
     val candCross = bandsD.as("d").hint("shuffle_hash").join(
         index.as("c"),
         col("d.band") === col("c.band") && col("d.bh") === col("c.bh") &&
+          col("d.doc_id") =!= col("c.doc_id") &&
           sigEstimateOk(col("d.sig"), col("c.sig"), threshold))
       .select(col("c.doc_id").as("a"), col("d.doc_id").as("b"))
     val candIntra = bandsD.as("x").hint("merge").join(bandsD.as("y"),
@@ -319,9 +340,9 @@ object Dedup {
     // tier-2 exact verify, identical to the batch operator: survivors
     // broadcast, texts stream, shingles recomputed on survivor rows only
     val withA = broadcast(survivors)
-      .join(docsRaw.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(partners.select(col("doc_id").as("a"), col("text").as("ta")), "a")
     val verified = broadcast(withA)
-      .join(docsRaw.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .join(partners.select(col("doc_id").as("b"), col("text").as("tb")), "b")
       .withColumn("sa", T.wordShingles(col("ta"), 3))
       .withColumn("sb", T.wordShingles(col("tb"), 3))
       .withColumn("jaccard",
