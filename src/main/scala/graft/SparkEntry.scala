@@ -162,6 +162,11 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_incremental_minhash" ->
       ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
+    // The streaming ingest fold, oracle = the batch operator's oracle
+    // VERBATIM: the driver's hash match proves the micro-batch fold
+    // equals the one-shot batch dedup (see streaming.DedupStream).
+    "dedup_stream_fold" ->
+      ((s, d) => graft.streaming.DedupStream.foldBoundedDelta(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_scaled" -> ((s, d) => Dedup.dedupSimhashScaled(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -2006,6 +2011,7 @@ object SparkEntry {
     "dedup_simhash_scaled" -> dedupSimhashScaledOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "dedup_incremental_minhash" -> dedupIncrementalMinhashOracleSql,
+    "dedup_stream_fold" -> dedupIncrementalMinhashOracleSql,
     "bm25_search" -> bm25OracleSql,
     "chunk_documents" -> chunkDocumentsOracleSql,
     "split_assign" -> """

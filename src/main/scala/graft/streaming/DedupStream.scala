@@ -1,0 +1,191 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+import graft.sources.Tables.table
+
+/** Streaming near-duplicate INGEST: the daily-ingest dedup shape
+  * ([[graft.operators.Dedup.dedupIncrementalMinhash]]) run as a
+  * Structured Streaming fold over arriving document micro-batches.
+  *
+  * Each micro-batch is MinHash-banded (batch rows only — never a corpus
+  * rescan), checked against the PERSISTED band index accumulated by all
+  * prior batches plus the seeded corpus, then appended to that index —
+  * so the index is exactly the lake table a production ingest pipeline
+  * maintains, and per-batch cost tracks batch size, not corpus size.
+  * Candidates, the signature-estimate gate, and the exact-Jaccard
+  * verify are single-sourced with the batch operator through
+  * [[graft.operators.Dedup.incrementalVerdicts]] — the stream runs the
+  * IDENTICAL arithmetic, which is what makes the fold's output
+  * provably equal to the one-shot batch verdicts (StreamingSpec, and
+  * the `dedup_stream_fold` registry query whose DuckDB oracle is the
+  * batch operator's oracle verbatim).
+  *
+  * Batch-equality contract (each documented where it binds):
+  *  - Arrival order must be non-decreasing in doc_id across batches
+  *    (ingest-time monotonic ids — the natural lake layout). The batch
+  *    operator lands each intra-delta verdict on the LARGER id of a
+  *    pair; the stream lands it on the LATER-ARRIVING doc. Id-ordered
+  *    arrival makes those the same doc. Within one batch order is
+  *    irrelevant (the intra-batch self-join is id-symmetric).
+  *  - Every processed doc's bands are appended to the index — keepers
+  *    AND duplicates — because the batch operator's intra-delta pair
+  *    generator considers all delta docs regardless of their own
+  *    verdict (a doc can be dup_of a doc that is itself a dup).
+  *  - [[graft.operators.Dedup.MaxBucket]] caps apply per banding CALL:
+  *    one delta-wide cap in batch mode, one per micro-batch here. A
+  *    bucket that exceeds the cap only jointly can differ; at every
+  *    test SF no delta bucket approaches the cap (asserted by
+  *    StreamingSpec), and at production scale the per-batch cap is the
+  *    standard incremental trade already documented on the batch
+  *    operator.
+  *
+  * Exactly-once: the fold is idempotent per batch id. A batch commits
+  * by writing verdicts/bands/docs dirs and THEN creating the
+  * `commits/<id>` marker (an empty file; creation is atomic). On
+  * redelivery of a committed id the batch is a no-op; on replay after
+  * a crash mid-batch the partial dirs are removed and the batch reruns
+  * whole — and the index read only ever globs dirs (the partials being
+  * cleaned belong to the batch being replayed, never to a later one,
+  * because batches commit in order). The `a =!= b` self-pair guard in
+  * [[graft.operators.Dedup.incrementalVerdicts]] additionally keeps a
+  * transiently-self-indexed replay from matching a doc to itself.
+  *
+  * Index store layout under `root/`:
+  * {{{
+  *   bands/b=seed,b=0,b=1,.../  (doc_id, sig, band, bh) parquet
+  *   docs/b=seed,b=0,.../       (doc_id, text) — verify-join partners
+  *   verdicts/b=0,b=1,.../      (doc_id, dup_of, best_jaccard, keep)
+  *   commits/0,1,...            empty marker files, created last
+  * }}}
+  */
+object DedupStream {
+
+  /** Seed the index store with an already-deduped standing corpus:
+    * bands + partner texts under the `seed` generation. Mirrors
+    * [[graft.operators.Dedup.minhashIndexPath]] (the batch operator's
+    * artifact) but co-locates the partner texts the verify tier joins.
+    */
+  def seed(s: SparkSession, corpus: DataFrame, root: String): Unit = {
+    val docs = corpus.select(col("doc_id"), col("text"))
+    Dedup.minhashBands(s, docs)
+      .write.mode("overwrite").parquet(s"$root/bands/b=seed")
+    docs.write.mode("overwrite").parquet(s"$root/docs/b=seed")
+    Files.createDirectories(Paths.get(root, "commits"))
+  }
+
+  /** Process one micro-batch against the store at `root`: verdicts for
+    * the batch's docs, then append the batch to the index. Public and
+    * batch-id-keyed so foreachBatch wires it directly and specs can
+    * drive replay scenarios without a stream.
+    */
+  def processBatch(batch: DataFrame, root: String, batchId: Long,
+                   threshold: Double = 0.8): Unit = {
+    val s = batch.sparkSession
+    val marker = Paths.get(root, "commits", batchId.toString)
+    if (Files.exists(marker)) return // committed: redelivery is a no-op
+    val gen = Seq("verdicts", "bands", "docs")
+      .map(k => Paths.get(root, k, s"b=$batchId"))
+    gen.foreach(deleteRecursively) // crash residue from THIS id only
+    val docs = batch.select(col("doc_id"), col("text"))
+    // The batch re-enters the plan three times (banding, partner joins,
+    // verdict left side); a micro-batch source is not re-readable, so
+    // pin it once.
+    docs.persist()
+    try {
+      val index = s.read.parquet(s"$root/bands/*")
+      val partners = s.read.parquet(s"$root/docs/*")
+        .select(col("doc_id"), col("text")).union(docs)
+      val verdicts = Dedup.incrementalVerdicts(
+        s, docs, Dedup.minhashBands(s, docs), index, partners, threshold)
+      verdicts.write.parquet(s"$root/verdicts/b=$batchId")
+      Dedup.minhashBands(s, docs)
+        .write.parquet(s"$root/bands/b=$batchId")
+      docs.write.parquet(s"$root/docs/b=$batchId")
+      Files.createDirectories(marker.getParent)
+      Files.createFile(marker) // the commit point — atomic, created last
+    } finally docs.unpersist()
+  }
+
+  /** Start the ingest fold over a streaming (doc_id, text) source.
+    * Processing-order determinism comes from the SOURCE (file sources
+    * deliver in modification-time order; see [[foldBoundedDelta]] for
+    * the bounded harness that fixes it explicitly).
+    */
+  def start(docsStream: DataFrame, root: String, checkpoint: String,
+            threshold: Double = 0.8): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, root, id, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Deterministic bounded harness: split `dir`'s delta carve (the
+    * SAME `doc_id % IndexDeltaMod == IndexDeltaRem` slice the batch
+    * operator dedups) into `chunks` id-range files, stream them one
+    * file per micro-batch in id order through the fold, and return the
+    * union of per-batch verdicts. This is the registry query
+    * `dedup_stream_fold`; its oracle is `dedup_incremental_minhash`'s
+    * oracle VERBATIM — the driver's hash match is a machine-checked
+    * proof that the streaming fold equals the one-shot batch dedup.
+    */
+  def foldBoundedDelta(s: SparkSession, dir: String, chunks: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val base = Files.createTempDirectory("graft-dedup-stream")
+    val root = base.resolve("store").toString
+    val in = base.resolve("in")
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(in)
+    val corpus = table(s, dir, "documents")
+    seed(s, corpus.filter(
+      col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem), root)
+    val delta = corpus.filter(
+      col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)
+      .select(col("doc_id"), col("text"))
+    // id-ordered arrival (see the equality contract): chunk k holds the
+    // k-th id-range slice, written with strictly increasing mtimes so
+    // the file source's mtime order IS id order.
+    val bounds = delta.stat.approxQuantile(
+      "doc_id", (1 until chunks).map(_.toDouble / chunks).toArray, 0.0)
+      .map(_.toLong)
+    (0 until chunks).foreach { k =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      val hi = if (k == chunks - 1) Long.MaxValue else bounds(k)
+      val part = delta.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val tmp = base.resolve(s"tmp$k")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // close the listing stream (directory-fd leak — see
+      // ResultMaterializer.listDir)
+      val ls = Files.list(tmp)
+      val src =
+        try ls.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst.get
+        finally ls.close()
+      val dst = in.resolve(f"chunk-$k%05d.parquet")
+      Files.move(src, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    start(stream, root, ckpt, threshold).awaitTermination()
+    s.read.parquet(s"$root/verdicts/*")
+      .select(col("doc_id"), col("dup_of"), col("best_jaccard"),
+        col("keep"))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+}
