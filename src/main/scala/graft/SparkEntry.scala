@@ -139,6 +139,9 @@ object SparkEntry {
     "q15_top_supplier" -> (RelationalExt.q15TopSupplier _),
     "q19_disjunct_revenue" -> (RelationalExt.q19DiscountedRevenue _),
     "q22_sales_opportunity" -> (RelationalExt.q22SalesOpportunity _),
+    "q2_min_cost_supplier" -> (RelationalExt.q2MinCostSupplier _),
+    "q11_important_value" -> (RelationalExt.q11ImportantValue _),
+    "q16_supplier_count" -> (RelationalExt.q16SupplierCount _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
@@ -2817,6 +2820,62 @@ object SparkEntry {
             WHERE o_custkey = c_custkey
               AND o_orderdate >= '1999-01-01')) custsale
       GROUP BY cntrycode ORDER BY cntrycode""",
+    // q2/q11/q16: the partsupp tranche against the DERIVED supplies
+    // relation (per-(part,supplier) fact aggregate). Each oracle runs
+    // the LITERAL TPC-H form — q2's correlated MIN subquery restating
+    // the full region chain, q11's scalar subquery inside HAVING,
+    // q16's NOT IN — so the hash match proves each decorrelation.
+    "q2_min_cost_supplier" -> """
+      WITH offers AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+          min(l_extendedprice) AS mcost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, mcost
+      FROM offers, part, supplier, nation, region
+      WHERE pk = p_partkey AND sk = s_suppkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND p_type = 'SMALL' AND p_size BETWEEN 10 AND 14
+        AND mcost = (
+          SELECT min(o2.mcost)
+          FROM offers o2, supplier s2, nation n2, region r2
+          WHERE o2.pk = p_partkey AND o2.sk = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+    "q11_important_value" -> """
+      SELECT l_partkey AS partkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+          AS part_value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY l_partkey
+      HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) > (
+        SELECT 1.5 * (CAST(sum(val) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE))
+        FROM (
+          SELECT sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) *
+            CAST(1.0 - l2.l_discount AS DECIMAL(18,2))) AS val
+          FROM lineitem l2, supplier s2, nation n2
+          WHERE l2.l_suppkey = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_name = 'NATION_3'
+          GROUP BY l2.l_partkey) v)
+      ORDER BY part_value DESC, partkey""",
+    "q16_supplier_count" -> """
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_quantity
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",

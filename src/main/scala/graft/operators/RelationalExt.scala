@@ -881,10 +881,12 @@ object RelationalExt {
 
   // ------------------------- TPC-H completion tranche (q4 q6 q8 q10
   // q12 q14 q15 q19 q22 — with q1/3/5/7/9/13/17/18/20/21 this closes
-  // every TPC-H shape expressible without partsupp; q2/q11/q16 need
-  // that absent table). Adaptations to the synthetic schema are noted
-  // per query; every oracle runs the LITERAL TPC-H form (EXISTS /
-  // scalar subquery) so the hash match proves each decorrelation.
+  // every TPC-H shape expressible without partsupp; q2/q11/q16 run as
+  // adapted shapes below, with the partsupp relation DERIVED from the
+  // fact as the per-(part,supplier) offer aggregate). Adaptations to
+  // the synthetic schema are noted per query; every oracle runs the
+  // LITERAL TPC-H form (EXISTS / scalar subquery) so the hash match
+  // proves each decorrelation.
 
   /** TPC-H Q4 priority checking: orders in one quarter having at least
     * one LATE lineitem (ships >60 days after order date — the q21
@@ -1111,4 +1113,138 @@ object RelationalExt {
         dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("cntrycode"))
   }
+
+  // ------------------------- TPC-H partsupp tranche (q2 q11 q16).
+  // The synthetic star has no partsupp table, so these three run
+  // against the DERIVED supplies relation — the per-(part, supplier)
+  // aggregate of the fact ("offers": min sell price; "value": shipped
+  // revenue) — which preserves each query's distinguishing shape: q2's
+  // correlated-equality-to-MIN subquery, q11's global scalar subquery
+  // in HAVING, q16's NOT IN exclusion under COUNT(DISTINCT).
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    * the EUROPE supplier(s) whose offer price equals the region-wide
+    * minimum for that part. The offer relation derives from the fact
+    * (min l_extendedprice per (part, supplier) — the partsupp stand-in,
+    * computed ONCE and reused by both the outer block and the
+    * decorrelated minimum). The oracle runs the LITERAL correlated
+    * form — `mcost = (SELECT min(...) WHERE o2.pk = p_partkey AND
+    * <region chain>)` re-stating the whole supplier→nation→region
+    * chain inside the subquery — while the plan computes one
+    * region-filtered per-part MIN and joins back on exact double
+    * equality (ties survive on both sides; MIN over the identical set
+    * is bit-identical cross-engine), so the hash match proves the
+    * decorrelation.
+    *
+    * Scale shape: the offer aggregate is one map-side-partial shuffle
+    * of the fact's (partkey, suppkey) projection; supplier⋈nation⋈
+    * region and the part predicate both broadcast; the min join-back
+    * keys on partkey. Nothing rescans the fact per part — the literal
+    * form's O(parts × fact) correlation collapses into two aggregates.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euSupp = table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("mcost"))
+    val euOffers = offers
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "part")
+          .filter(col("p_type") === "SMALL" &&
+            col("p_size").between(10, 14))
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+    val minPerPart = euOffers.groupBy(col("p_partkey").as("mp_key"))
+      .agg(min(col("mcost")).as("min_cost"))
+    euOffers.join(minPerPart, col("p_partkey") === col("mp_key") &&
+        col("mcost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("mcost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  /** TPC-H Q11-shaped important stock value: per-part shipped value
+    * over ONE nation's suppliers, keeping parts whose value exceeds a
+    * corpus-derived threshold — the global-scalar-subquery-in-HAVING
+    * shape. Adapted twice: the value relation derives from the fact
+    * (no partsupp), and the threshold is MEAN-RELATIVE (1.5× the mean
+    * per-part value) rather than TPC-H's `0.0001/SF` fraction-of-total
+    * — the literal fraction needs the scale factor as an input, while
+    * the mean-relative cut is scale-free (measured: keeps ~17-20 % of
+    * parts at every test SF, where a fixed fraction kept 0 at sf0.1).
+    *
+    * Exactness: per-part values are DECIMAL(18,2) sums (order-free);
+    * the threshold divides the decimal total by the group count in
+    * DOUBLE on both engines (one IEEE division + one multiply, same
+    * operand order), and only the comparison runs in double — outputs
+    * stay exact until the final cast. The scalar becomes a broadcast
+    * one-row frame ahead of the filter (the q22 device); the oracle
+    * runs the literal HAVING-with-subquery form.
+    *
+    * Scale shape: one fact shuffle into the per-part aggregate (the
+    * nation predicate broadcasts into the scan side), one all-reduce
+    * row for the threshold, no second pass over the fact.
+    */
+  def q11ImportantValue(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = table(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(Relational.dmul(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("val_dec"))
+    val cut = vals.agg((lit(1.5) *
+        (sum(col("val_dec")).cast("double") /
+          count(lit(1)).cast("double"))).as("cut"))
+    vals.crossJoin(broadcast(cut))
+      .filter(col("val_dec").cast("double") > col("cut"))
+      .select(col("partkey"), col("val_dec").cast("double")
+        .as("part_value"))
+      .orderBy(col("part_value").desc, col("partkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier-count distribution: how many DISTINCT
+    * suppliers ship each surviving (brand, type, size) part class,
+    * excluding a blacklisted supplier set via NOT IN — the
+    * anti-join-under-COUNT(DISTINCT) shape. Adapted: the part↔supplier
+    * relation is the fact's (l_partkey, l_suppkey) pair set (no
+    * partsupp); the complaint LIKE has no s_comment column, so the
+    * blacklist is low-balance suppliers (s_acctbal < 1000 — non-empty
+    * at every test SF). s_suppkey is non-nullable, so NOT IN and LEFT
+    * ANTI agree (the null-semantics divergence NOT IN is famous for
+    * cannot arise; the oracle runs the literal NOT IN form).
+    *
+    * Scale shape: both dims broadcast (the part predicate before the
+    * join, the blacklist as an anti build side); the fact flows once
+    * into a two-phase distinct aggregate (partial distinct on
+    * (class, suppkey), then the count) — no pair materialization.
+    */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(table(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(s, dir, "supplier")
+          .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
 }

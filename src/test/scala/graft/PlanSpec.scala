@@ -287,6 +287,36 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("q2: correlated region-MIN decorrelated — part predicates pushed " +
+       "to the part scan, dims broadcast, fact aggregated once (no " +
+       "correlated re-scan, no nested loop)") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("EqualTo(p_type,SMALL)"), p.take(3000))
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q11: the HAVING scalar is a broadcast one-row frame; the nation " +
+       "predicate pushed to its scan; one fact aggregate") {
+    val p = plan("q11_important_value")
+    assert(p.contains("EqualTo(n_name,NATION_3)"), p.take(3000))
+    // the only nested-loop is the broadcast SCALAR threshold (one row)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q16: NOT IN rides a LeftAnti build side; part predicates pushed; " +
+       "distinct count is the two-phase aggregate") {
+    val p = plan("q16_supplier_count")
+    assert(p.contains("LeftAnti"), p.take(2400))
+    assert(p.contains("LessThan(s_acctbal,1000.0)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))
