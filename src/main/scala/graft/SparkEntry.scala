@@ -170,6 +170,8 @@ object SparkEntry {
     // equals the one-shot batch dedup (see streaming.DedupStream).
     "dedup_stream_fold" ->
       ((s, d) => graft.streaming.DedupStream.foldBoundedDelta(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
+    "dedup_substring_clean" -> ((s, d) => Dedup.dedupSubstringClean(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_scaled" -> ((s, d) => Dedup.dedupSimhashScaled(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -3446,6 +3448,68 @@ object SparkEntry {
         FROM documents)
       SELECT doc_id, lang, coin FROM c WHERE coin < thr""",
     "dedup_exact" -> dedupExactOracleSql,
+    // dedup_substring / dedup_substring_clean: exact-substring dedup
+    // (Lee et al. 2022 ExactSubstr at fixed w=10). The oracle rebuilds
+    // the whole pipeline literally: every 10-token window hashed,
+    // >=2-occurrence windows kept, hit positions merged into maximal
+    // spans by the gaps-and-islands device (gap <= w merges — lag's
+    // NULL on the first row falls to the ELSE, exactly Spark's
+    // otherwise()); the clean twin cuts covered token positions and
+    // re-joins the remainder in order. 1-based BIGINT positions, list
+    // slice t[i:i+9] == slice(t, i, 10), both inclusive.
+    "dedup_substring" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 10),
+      pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+          md5(array_to_string(t[i:i+9], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+      dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, i FROM pos
+        WHERE wh IN (SELECT wh FROM dup)),
+      isl AS (
+        SELECT doc_id, i,
+          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+            THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      grp AS (
+        SELECT doc_id, i,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+      SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
+        max(i) + 9 - min(i) + 1 AS span_len
+      FROM grp GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
+    "dedup_substring_clean" -> """
+      WITH toksall AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      toks AS (SELECT doc_id, t FROM toksall WHERE len(t) >= 10),
+      pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+          md5(array_to_string(t[i:i+9], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+      dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, i FROM pos
+        WHERE wh IN (SELECT wh FROM dup)),
+      cov AS (
+        SELECT DISTINCT doc_id, i + g.o AS p
+        FROM hits, UNNEST(generate_series(0, 9)) AS g(o)),
+      tp AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS j, t[j] AS tok
+        FROM toksall, UNNEST(generate_series(1, len(t))) AS gg(j)),
+      kept AS (
+        SELECT tp.doc_id, tp.j, tp.tok FROM tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov
+          WHERE cov.doc_id = tp.doc_id AND cov.p = tp.j))
+      SELECT ta.doc_id,
+        coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text,
+        count(k.j) AS n_kept,
+        CAST(max(len(ta.t)) AS BIGINT) - count(k.j) AS n_removed
+      FROM toksall ta LEFT JOIN kept k ON k.doc_id = ta.doc_id
+      GROUP BY ta.doc_id
+      ORDER BY ta.doc_id""",
     "dedup_ngram" -> """
       WITH g AS (
         SELECT doc_id, lang, n_chars // 64 AS blk,

@@ -1482,4 +1482,130 @@ object Dedup {
       .orderBy(col("n_occ").desc, col("chunk_hash"))
       .limit(CdcTopN)
   }
+
+  // ------------------------------------------- exact-substring dedup
+
+  /** Window width for exact-substring dedup: a duplicated run must
+    * span at least this many tokens to be detected (and any run of at
+    * least this length IS detected — see [[dedupSubstring]]).
+    */
+  val SubstrW = 10
+
+  /** Token-window starts (doc_id, i) whose `w`-token window occurs ≥2
+    * times in the corpus — the candidate positions for exact-substring
+    * dedup. One pass: every window hashed (md5 over the space-joined
+    * slice — cross-engine exact), one count aggregate keyed on the
+    * hash, survivors semi-joined back on the same key.
+    *
+    * Scale shape: O(total tokens) rows through ONE shuffle keyed by
+    * window hash; the ≥2 filter is a partial-aggregatable count, so a
+    * hot boilerplate window costs a counter, never a pair join; the
+    * semi join back reuses the same key. Token positions are 1-based
+    * longs on both engines.
+    */
+  private def substrHits(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+    val pos = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - w + 1)).as("i0"),
+        col("t"))
+      .select(col("doc_id"), col("i0").cast("long").as("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i0"), lit(w)))).as("wh"))
+    val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("wh"))
+    pos.join(dup, Seq("wh"), "left_semi").select(col("doc_id"), col("i"))
+  }
+
+  /** Exact-substring dedup, span report (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr tier): per document, the MAXIMAL
+    * token spans whose every [[SubstrW]]-token window occurs at least
+    * twice in the corpus — the text a substring-level dedup pass would
+    * cut. Doc-level dedup (minhash/simhash) misses these: two mostly
+    * distinct documents sharing one boilerplate paragraph are not
+    * near-dups, but the paragraph still duplicates training data.
+    *
+    * Exactness at fixed w instead of suffix arrays: any shared run of
+    * ≥ w tokens contains a shared w-window at every start it covers,
+    * so the merged island recovers the FULL run (windows overlapping
+    * or adjacent — gap ≤ w — merge); runs shorter than w are below the
+    * match threshold by design, exactly the role of ExactSubstr's
+    * 50-token threshold. Islands merge per document with one lag
+    * window + running-sum island id (doc_id-partitioned — no global
+    * sort). Spans are 1-based inclusive token positions.
+    *
+    * Scale: candidate generation is [[substrHits]]'s single
+    * hash-keyed shuffle; island assembly shuffles only hit positions
+    * (≪ corpus) keyed by doc. The stride-reduced candidate generator
+    * for corpora where full window hashing is too hot is
+    * [[dedupWinnow]] (same pipeline, winnowed fingerprints).
+    */
+  def dedupSubstring(s: SparkSession, dir: String,
+                     w: Int = SubstrW): DataFrame = {
+    val hits = substrHits(
+      table(s, dir, "documents").select(col("doc_id"), col("text")), w)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val islands = hits
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (w - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Exact-substring dedup, applied: every document rewritten with its
+    * duplicated spans REMOVED (tokens covered by any ≥2-occurrence
+    * [[SubstrW]]-window cut, the remainder re-joined in order). The
+    * deterministic all-copies variant — removing every occurrence
+    * rather than electing a canonical one keeps the op one-pass and
+    * order-free (the keep-one variant is a doc_id argmin away and
+    * noted in COVERAGE.md). Documents with nothing duplicated pass
+    * through whole; a document that was ALL boilerplate comes out
+    * empty with its token count in `n_removed` — the downstream
+    * length_filter gate is the intended consumer.
+    *
+    * Scale: covered positions explode hit starts ×w (linear in
+    * duplicated volume, not corpus volume); reassembly is one
+    * doc-keyed aggregate using the bounded array_sort(collect_list)
+    * device — per-doc token counts are document-length bounded, the
+    * same contract every per-doc array op in this file relies on.
+    */
+  def dedupSubstringClean(s: SparkSession, dir: String,
+                          w: Int = SubstrW): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cov = substrHits(docs, w)
+      .select(col("doc_id"), explode(sequence(col("i"),
+        col("i") + (w - 1))).as("p"))
+      .distinct()
+    val tp = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("j0", "tok")))
+      .select(col("doc_id"), (col("j0") + 1).cast("long").as("j"),
+        col("tok"))
+    val kept = tp.join(cov,
+      tp("doc_id") === cov("doc_id") && col("j") === col("p"), "left_anti")
+    val totals = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    totals.join(
+        kept.groupBy(col("doc_id"))
+          .agg(concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("j"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"),
+            count(lit(1)).as("n_kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1645,4 +1645,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(split.length === 2 &&
       split.map(_.length).sum === fixture.length)
   }
+
+  test("dedup_substring recovers exactly the planted >=w shared runs, " +
+       "merges overlapping windows, ignores sub-w runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("substr").toString
+    def toks(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val shared15 = toks("s", 15) // >= w: must be flagged in full
+    val shared9 = toks("r", 9)   // < w: must NOT be flagged
+    val run12 = toks("t", 12)    // repeated INSIDE one doc
+    spark.createDataFrame(Seq(
+      // A: positions 6..20 hold the shared run (5 unique + 15 + 10)
+      (1L, s"${toks("u", 5)} $shared15 ${toks("q", 10)}"),
+      // B: positions 9..23 hold the same run (8 unique + 15 + 2)
+      (2L, s"${toks("v", 8)} $shared15 ${toks("y", 2)}"),
+      // C: fully unique, long enough to window
+      (3L, toks("c", 30)),
+      // D/E: share only a 9-token run — below the w=10 threshold
+      (4L, s"${toks("w", 3)} $shared9 ${toks("z", 7)}"),
+      (5L, s"${toks("x", 5)} $shared9 ${toks("k", 3)}"),
+      // F: the 12-run twice WITHIN one doc: spans [5,16] and [19,30]
+      (6L, s"${toks("f", 4)} $run12 f90 f91 $run12 f92")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.dedupSubstring(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(spans === Set((1L, 6L, 20L), (2L, 9L, 23L),
+      (6L, 5L, 16L), (6L, 19L, 30L)), spans.toString)
+    // the applied twin removes exactly the covered tokens, in order
+    val clean = Dedup.dedupSubstringClean(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(clean(1L) ===
+      ((toks("u", 5) + " " + toks("q", 10), 15L, 15L)))
+    assert(clean(3L) === ((toks("c", 30), 30L, 0L))) // untouched
+    assert(clean(4L)._3 === 0L) // sub-w run survives
+    assert(clean(6L) === (("f1 f2 f3 f4 f90 f91 f92", 7L, 24L)))
+  }
 }

@@ -317,6 +317,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
   }
 
+  test("dedup_substring: candidates ride ONE hash-keyed aggregate + a " +
+       "semi join back on the same key — no pair join, no nested loop") {
+    val p = plan("dedup_substring")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // island assembly is doc-partitioned windowing, never a global sort
+    assert(!p.contains("rangepartitioning(i"), p.take(2000))
+  }
+
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
     val p = plan("project_expr")
     assert(!p.contains("Exchange"), p.take(600))
