@@ -35,7 +35,11 @@ object ScaleBench {
     // the Manku multi-table simhash — built BECAUSE of the 4-chunk
     // variant's key-space ceiling; measured to keep its 20-table
     // constant honest
-    "dedup_simhash_scaled")
+    "dedup_simhash_scaled",
+    // exact-substring dedup (r15): every token window hashed — the
+    // highest row-amplification candidate generator in the fleet
+    // (O(total tokens) through one shuffle); measured to keep it so
+    "dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -171,6 +171,8 @@ object SparkEntry {
     "dedup_stream_fold" ->
       ((s, d) => graft.streaming.DedupStream.foldBoundedDelta(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
+    "dedup_substring_keepone" ->
+      ((s, d) => Dedup.dedupSubstringKeepOne(s, d)),
     "dedup_substring_clean" -> ((s, d) => Dedup.dedupSubstringClean(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_scaled" -> ((s, d) => Dedup.dedupSimhashScaled(s, d)),
@@ -193,6 +195,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
+    "ann_incremental" -> ((s, d) => Ann.annIncremental(s, d)),
     "ann_pq" -> ((s, d) => Ann.annPq(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -809,6 +812,50 @@ object SparkEntry {
           round(list_cosine_similarity(p.qe, a.emb), 6) AS cos_r, a.cell
         FROM assign a JOIN probe p ON a.cell = p.cell
         WHERE p.q_id <> a.vec_id),
+      r AS (SELECT q_id, cand_id, cos_r, cell, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rank
+            FROM s)
+      SELECT q_id, rank, cand_id, cos_r, cell FROM r WHERE rank <= 10"""
+    }
+
+  /** ann_incremental oracle — the annIvf mirror with the ingest carve:
+    * assignment runs over the CORPUS side only (vec_id % 10 <> 7,
+    * exactly what the persisted index artifact holds), probes are the
+    * DELTA side, and there is no self-pair filter (delta is disjoint
+    * from the index by construction). Same cached centroid literals.
+    */
+  private def annIncrementalOracleSqlOpt: Option[(String, String)] =
+    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(d))
+      .map { cents =>
+        val nProbe = graft.operators.Ann.IvfProbe
+        val dim = cents.head.length
+        val vals = cents.zipWithIndex.map { case (c, ci) =>
+          s"($ci, ${c.mkString("[", ", ", "]")})"
+        }.mkString(",\n          ")
+        "ann_incremental" -> s"""
+      WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      d AS (SELECT e.vec_id, e.emb, c.cell,
+              list_sum(list_transform(range(1, ${dim + 1}),
+                i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+            FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM d WHERE vec_id % 10 <> 7)
+        WHERE rn = 1),
+      probe AS (
+        SELECT q_id, qe, cell FROM (
+          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM d WHERE vec_id % 10 = 7)
+        WHERE pr <= $nProbe),
+      s AS (
+        SELECT p.q_id, a.vec_id AS cand_id,
+          round(list_cosine_similarity(p.qe, a.emb), 6) AS cos_r, a.cell
+        FROM assign a JOIN probe p ON a.cell = p.cell),
       r AS (SELECT q_id, cand_id, cos_r, cell, row_number() OVER (
               PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rank
             FROM s)
@@ -3482,6 +3529,43 @@ object SparkEntry {
         max(i) + 9 - min(i) + 1 AS span_len
       FROM grp GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+    // keepone: the oracle elects each window's canonical occurrence
+    // with the LITERAL row_number formulation; the plan runs the
+    // skew-proof min(struct) aggregate — the hash match proves them
+    // equal ((doc_id, i) is unique within a window hash).
+    "dedup_substring_keepone" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 10),
+      pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+          md5(array_to_string(t[i:i+9], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+      dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, i, wh FROM pos
+        WHERE wh IN (SELECT wh FROM dup)),
+      canon AS (
+        SELECT wh, doc_id AS cd, i AS ci FROM (
+          SELECT wh, doc_id, i,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, i) AS rn
+          FROM hits) r WHERE rn = 1),
+      cut AS (
+        SELECT h.doc_id, h.i FROM hits h JOIN canon c ON h.wh = c.wh
+        WHERE NOT (h.doc_id = c.cd AND h.i = c.ci)),
+      isl AS (
+        SELECT doc_id, i,
+          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+            THEN 0 ELSE 1 END AS brk
+        FROM cut),
+      grp AS (
+        SELECT doc_id, i,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+      SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
+        max(i) + 9 - min(i) + 1 AS span_len
+      FROM grp GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
     "dedup_substring_clean" -> """
       WITH toksall AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -3638,6 +3722,7 @@ object SparkEntry {
       graft.operators.Multimodal.multimodalFeaturesCheckedOracleSql,
     "multimodal_features" ->
       graft.operators.Multimodal.multimodalFeaturesOracleSql,
-  ) ++ annIvfOracleSqlOpt ++ dedupSemanticOracleSqlOpt ++
+  ) ++ annIvfOracleSqlOpt ++ annIncrementalOracleSqlOpt ++
+    dedupSemanticOracleSqlOpt ++
     annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt ++ annAutoProbeOracleSqlOpt
 }

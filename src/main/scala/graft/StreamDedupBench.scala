@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.DedupStream
+
+/** Scale measurement for the streaming dedup ingest
+  * ([[graft.streaming.DedupStream]]): seeds the persisted band index
+  * from a corpus, then drives FIXED-SIZE micro-batches through
+  * `processBatch`, timing each one. Run against corpora of different
+  * sizes (sf0.1 / ×10 / ×100), the same-batch-size times answer the
+  * scaling question directly: how does the cost of ingesting ONE batch
+  * grow with the size of the standing index it dedups against?
+  *
+  * The honest expectation (recorded in SCALING.md, not assumed): the
+  * per-batch plan scans the full band index once (no rescan of corpus
+  * TEXT — bands only) and shuffles only batch-derived rows plus the
+  * index's matching buckets, so batch cost should grow sub-linearly in
+  * index size with a linear IO floor from the index scan. A lake
+  * deployment prunes that scan with (band, bh)-partitioned index
+  * layout; this harness measures the unpruned worst case.
+  *
+  * Usage: `runMain graft.StreamDedupBench <sfDir> [nBatches] [batchRows]`
+  * Prints one JSON line and appends target/stream_dedup_scaling.json.
+  */
+object StreamDedupBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val batchRows = args.lift(2).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Partitioning.autoTune(spark, dir)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("sdb").resolve("store").toString
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(
+      col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem)
+    val delta = docs.filter(
+      col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)
+
+    val t0 = System.nanoTime()
+    DedupStream.seed(spark, corpus, root)
+    val seedS = (System.nanoTime() - t0) / 1e9
+    val indexDocs = corpus.count()
+    val bandRows = spark.read.parquet(s"$root/bands/*").count()
+
+    // fixed-size batches: the LOWEST nBatches*batchRows delta ids in
+    // id order (the ingest contract), one bounded driver collect
+    val ids = delta.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(nBatches * batchRows).collect().map(_.getLong(0))
+    require(ids.length == nBatches * batchRows,
+      s"delta too small: ${ids.length} < ${nBatches * batchRows}")
+    val times = (0 until nBatches).map { k =>
+      val lo = ids(k * batchRows)
+      val hi = ids((k + 1) * batchRows - 1)
+      val batch = delta.filter(col("doc_id").between(lo, hi))
+      val b0 = System.nanoTime()
+      DedupStream.processBatch(batch, root, k.toLong)
+      (System.nanoTime() - b0) / 1e9
+    }
+    val flagged = spark.read.parquet(s"$root/verdicts/*")
+      .filter(!col("keep")).count()
+    val line = s"""{"stream_dedup":{"dir":"$dir","index_docs":$indexDocs,""" +
+      s""""band_rows":$bandRows,"seed_s":${Bench.fmt(seedS)},""" +
+      s""""batch_rows":$batchRows,""" +
+      s""""batch_s":[${times.map(Bench.fmt).mkString(",")}],""" +
+      s""""flagged":$flagged}}"""
+    try {
+      val p = java.nio.file.Paths.get("target/stream_dedup_scaling.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val prev =
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8") + "\n"
+        else ""
+      java.nio.file.Files.write(p, (prev + line).getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}

@@ -312,6 +312,92 @@ object Ann {
         col("cell"))
   }
 
+  // ------------------------------------------------- incremental ingest
+
+  /** vec_id carve for the incremental-ingest shape: `% 10 == 7` plays
+    * the newly-ingested delta, the rest the standing indexed corpus —
+    * the same device as Dedup.IndexDeltaMod/Rem on doc_id.
+    */
+  val IncDeltaMod = 10L
+  val IncDeltaRem = 7L
+
+  /** The persisted IVF index artifact for dir's standing corpus
+    * (vec_id, embedding, cell — built ONCE per dir via the session's
+    * standing quantizer, read back by every incremental batch). The
+    * lake table an ingest pipeline appends to: at 100 TB the corpus's
+    * assignments are an artifact, never a per-query recomputation.
+    * Mirrors Dedup.minhashIndexPath exactly (tmp-dir keyed by dir
+    * hash, write-once memoized).
+    */
+  def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, { _ =>
+      graft.functions.GraftFunctions.register(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-index-${md.take(12)}").getAbsolutePath
+      val centroids = fitCentroids(s, dir, IvfCentroids)
+      table(s, dir, "embeddings")
+        .filter(col("vec_id") % IncDeltaMod =!= IncDeltaRem)
+        .select(col("vec_id"), col("embedding"),
+          cellAssign(col("embedding"), centroids).as("cell"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental ANN ingest: newly-arrived delta vectors searched
+    * against the PERSISTED corpus index with NO refit and NO corpus
+    * re-assignment — the quantizer is the dir's standing one (the
+    * shared per-dir fit cache; assignment code never refits), the
+    * corpus's cells come back from the [[ivfIndexPath]] parquet
+    * artifact, and only the delta is assigned fresh. Top-K cosine
+    * neighbors per delta vector from the nProbe nearest cells — the
+    * ingest-time "find my neighbors in the standing index" query of a
+    * production vector pipeline (annIvf is the standing-corpus twin;
+    * the probe/rank formulation is shared shape-for-shape so the
+    * oracle generator mirrors both from the same cached literals).
+    *
+    * Scale shape: per batch, ONE scan of the index artifact (cells
+    * pre-computed — the assignment work the artifact amortizes),
+    * delta-side assignment linear in batch size, probe join keyed on
+    * cell with the small delta probe side broadcast. A lake layout
+    * partitioned BY CELL turns the index scan into nProbe partition
+    * reads; this formulation measures the unpruned worst case.
+    */
+  def annIncremental(s: SparkSession, dir: String,
+                     nProbe: Int = IvfProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = fitCentroids(s, dir, IvfCentroids)
+    val index = s.read.parquet(ivfIndexPath(s, dir))
+    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val probeDf = table(s, dir, "embeddings")
+      .filter(col("vec_id") % IncDeltaMod === IncDeltaRem)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(centExpr).as("ct"))
+      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
+        V.l2sq(col("qe"), col("ct.cv")).as("d"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"), col("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    index.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_r"),
+        col("cell"))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** PQ geometry: 64 dims = [[PqSub]] subspaces x [[PqSubDim]] dims,

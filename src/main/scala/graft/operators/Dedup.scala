@@ -1503,7 +1503,7 @@ object Dedup {
     * semi join back reuses the same key. Token positions are 1-based
     * longs on both engines.
     */
-  private def substrHits(docs: DataFrame, w: Int): DataFrame = {
+  private def substrHitsWh(docs: DataFrame, w: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= w)
@@ -1516,8 +1516,11 @@ object Dedup {
     val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("wh"))
-    pos.join(dup, Seq("wh"), "left_semi").select(col("doc_id"), col("i"))
+    pos.join(dup, Seq("wh"), "left_semi")
   }
+
+  private def substrHits(docs: DataFrame, w: Int): DataFrame =
+    substrHitsWh(docs, w).select(col("doc_id"), col("i"))
 
   /** Exact-substring dedup, span report (Lee et al. 2022,
     * arXiv:2107.06499 "Deduplicating Training Data Makes Language
@@ -1544,9 +1547,15 @@ object Dedup {
     * [[dedupWinnow]] (same pipeline, winnowed fingerprints).
     */
   def dedupSubstring(s: SparkSession, dir: String,
-                     w: Int = SubstrW): DataFrame = {
-    val hits = substrHits(
-      table(s, dir, "documents").select(col("doc_id"), col("text")), w)
+                     w: Int = SubstrW): DataFrame =
+    spansFromHits(substrHits(
+      table(s, dir, "documents").select(col("doc_id"), col("text")), w), w)
+
+  /** Gaps-and-islands merge of hit window-starts into maximal spans:
+    * one doc-partitioned lag window + running-sum island id (never a
+    * global sort), then a per-island min/max aggregate.
+    */
+  private def spansFromHits(hits: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val islands = hits
       .withColumn("brk",
@@ -1560,6 +1569,37 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Exact-substring dedup, canonical-election variant: Lee et al.'s
+    * actual removal rule — every duplicated window keeps its FIRST
+    * occurrence (smallest (doc_id, position), the deterministic
+    * canonical) and marks only the others for removal, so exactly one
+    * copy of each duplicated run survives the cut (ExactSubstr removes
+    * all but one occurrence; [[dedupSubstring]] is the stricter
+    * remove-everywhere report). Spans returned are the NON-canonical
+    * occurrences merged per document.
+    *
+    * The election is a per-window-hash min(struct(doc_id, i)) — a
+    * partial-aggregatable MIN, so a boilerplate window repeated a
+    * million times costs a counter-sized aggregate, never a
+    * single-partition window sort (the row_number formulation the
+    * oracle uses is equivalent — (doc_id, i) is unique within a hash —
+    * but would hot-spot one reducer per viral window at corpus scale;
+    * the oracle is literal, the plan is the skew-proof rewrite, the
+    * driver's hash match proves them equal).
+    */
+  def dedupSubstringKeepOne(s: SparkSession, dir: String,
+                            w: Int = SubstrW): DataFrame = {
+    val hits = substrHitsWh(
+      table(s, dir, "documents").select(col("doc_id"), col("text")), w)
+    val canon = hits.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("c"))
+    val cut = hits.join(canon, Seq("wh"))
+      .filter(!(col("doc_id") === col("c.doc_id") &&
+        col("i") === col("c.i")))
+      .select(col("doc_id"), col("i"))
+    spansFromHits(cut, w)
   }
 
   /** Exact-substring dedup, applied: every document rewritten with its

@@ -1646,6 +1646,45 @@ class PipelineSpec extends AnyFunSuite {
       split.map(_.length).sum === fixture.length)
   }
 
+  test("ann_incremental: the persisted IVF index equals direct corpus " +
+       "assignment; a planted delta copy of a corpus vector retrieves " +
+       "it at rank 1 with cosine 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("annincr").toString
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    // plant: vec_id 9007 (delta carve: % 10 == 7) = an exact copy of
+    // corpus vector 1
+    val planted = base.filter(col("vec_id") === 1L)
+      .withColumn("vec_id", lit(9007L))
+    base.union(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val res = Ann.annIncremental(spark, tmp)
+    val top = res.filter(col("q_id") === 9007L && col("rank") === 1L)
+      .collect()
+    assert(top.length === 1)
+    assert(top(0).getLong(2) === 1L, top(0).toString) // cand_id
+    assert(top(0).getDouble(3) === 1.0, top(0).toString) // cos_r
+    // ranks are 1..k per query, no delta vector appears as a candidate
+    val perQ = res.groupBy(col("q_id"))
+      .agg(countDistinct(col("rank")).as("nr"), count(lit(1)).as("n"),
+        max(col("rank")).as("mx"))
+      .collect()
+    perQ.foreach(r => assert(r.getLong(1) === r.getLong(2) &&
+      r.getLong(3) === r.getLong(1), r.toString))
+    assert(res.filter(col("cand_id") % 10 === 7).count() === 0L)
+    // the artifact IS the corpus assignment: re-deriving cells directly
+    // matches the parquet read-back bit for bit
+    val centroids = Ann.fitCentroids(spark, tmp, Ann.IvfCentroids)
+    val direct = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .filter(col("vec_id") % Ann.IncDeltaMod =!= Ann.IncDeltaRem)
+      .select(col("vec_id"),
+        Ann.cellAssign(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val artifact = spark.read.parquet(Ann.ivfIndexPath(spark, tmp))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(artifact === direct)
+  }
+
   test("dedup_substring recovers exactly the planted >=w shared runs, " +
        "merges overlapping windows, ignores sub-w runs") {
     val tmp = java.nio.file.Files.createTempDirectory("substr").toString
@@ -1672,6 +1711,15 @@ class PipelineSpec extends AnyFunSuite {
       .toSet
     assert(spans === Set((1L, 6L, 20L), (2L, 9L, 23L),
       (6L, 5L, 16L), (6L, 19L, 30L)), spans.toString)
+    // keep-one: each window's first (doc_id, i) occurrence is the
+    // canonical — doc 1 survives whole (it owns every shared window's
+    // canonical), doc 2's copy of the run is cut, and the intra-doc
+    // repeat in doc 6 keeps its FIRST occurrence only
+    val keepone = Dedup.dedupSubstringKeepOne(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(keepone === Set((2L, 9L, 23L), (6L, 19L, 30L)),
+      keepone.toString)
     // the applied twin removes exactly the covered tokens, in order
     val clean = Dedup.dedupSubstringClean(spark, tmp)
       .collect().map(r => r.getLong(0) ->
