@@ -825,7 +825,15 @@ object SparkEntry {
     * from the index by construction). Same cached centroid literals.
     */
   private def annIncrementalOracleSqlOpt: Option[(String, String)] =
-    dumpDirOpt.flatMap(d => graft.operators.Ann.cachedCentroids(d))
+    dumpDirOpt.flatMap { d =>
+      // mirror the size-adaptive cell count through the cached corpus
+      // count (== IvfCentroids at every test SF, so the gate oracle is
+      // unchanged; fail-closed to the historical constant when absent)
+      val k = graft.operators.Ann.cachedCorpusCount(d)
+        .map(graft.operators.Ann.ivfCellsFor)
+        .getOrElse(graft.operators.Ann.IvfCentroids)
+      graft.operators.Ann.cachedCentroids(d, k)
+    }
       .map { cents =>
         val nProbe = graft.operators.Ann.IvfProbe
         val dim = cents.head.length

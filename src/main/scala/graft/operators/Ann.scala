@@ -321,6 +321,24 @@ object Ann {
   val IncDeltaMod = 10L
   val IncDeltaRem = 7L
 
+  /** Cells for the incremental IVF index: holds ~[[IncTargetCell]]
+    * corpus rows per cell, floored at the historical [[IvfCentroids]]
+    * — the size-adaptive contract every geometry knob here follows
+    * (fixed point at every test SF: 2000-row sf0.1 → exactly 16, so
+    * oracles stay hash-identical at the gates). A FIXED cell count is
+    * the ×10 ScaleBench lesson re-learned on the ingest path: with the
+    * query side scaling alongside the corpus, constant k makes
+    * per-query candidates ∝ N and the probe join quadratic — measured
+    * 10.1× for ×10 data before this knob, see SCALING.md. Cell-count
+    * growth ∝ N keeps candidates per query CONSTANT; the probe-side
+    * centroid ranking grows ∝ k per query and stays the smaller term
+    * through ×100 (two-level probe ranking is the next refinement
+    * beyond that, the same walk [[cellAssign]] already does).
+    */
+  val IncTargetCell = 128L
+  def ivfCellsFor(n: Long): Int =
+    math.max(IvfCentroids, ((n + IncTargetCell - 1) / IncTargetCell).toInt)
+
   /** The persisted IVF index artifact for dir's standing corpus
     * (vec_id, embedding, cell — built ONCE per dir via the session's
     * standing quantizer, read back by every incremental batch). The
@@ -337,7 +355,8 @@ object Ann {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft-ivf-index-${md.take(12)}").getAbsolutePath
-      val centroids = fitCentroids(s, dir, IvfCentroids)
+      val centroids =
+        fitCentroids(s, dir, ivfCellsFor(corpusCount(s, dir)))
       table(s, dir, "embeddings")
         .filter(col("vec_id") % IncDeltaMod =!= IncDeltaRem)
         .select(col("vec_id"), col("embedding"),
@@ -370,7 +389,8 @@ object Ann {
   def annIncremental(s: SparkSession, dir: String,
                      nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val centroids = fitCentroids(s, dir, IvfCentroids)
+    val centroids =
+      fitCentroids(s, dir, ivfCellsFor(corpusCount(s, dir)))
     val index = s.read.parquet(ivfIndexPath(s, dir))
     val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
       struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
