@@ -1563,12 +1563,14 @@ object Dedup {
           .otherwise(lit(1L)))
       .withColumn("island", sum(col("brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // no output orderBy: spans scale with the corpus's duplicated
+    // volume, and a presentational global sort is a real range
+    // exchange at 100 TB (the driver's comparator canon-sorts anyway)
     islands.groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("span_start"),
         (max(col("i")) + (w - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
-      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Exact-substring dedup, canonical-election variant: Lee et al.'s
@@ -1642,10 +1644,11 @@ object Dedup {
               x => x.getField("tok"))).as("clean_text"),
             count(lit(1)).as("n_kept")),
         Seq("doc_id"), "left")
+      // corpus-sized output: no presentational global sort (see
+      // spansFromHits)
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-      .orderBy(col("doc_id"))
   }
 }

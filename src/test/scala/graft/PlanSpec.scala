@@ -323,8 +323,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(2000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
-    // island assembly is doc-partitioned windowing, never a global sort
-    assert(!p.contains("rangepartitioning(i"), p.take(2000))
+    // island assembly is doc-partitioned windowing; output unsorted —
+    // no range exchange anywhere (a presentational global sort on a
+    // corpus-scaled span set would be real cost at 100 TB)
+    assert(!p.contains("rangepartitioning"), p.take(2000))
   }
 
   test("project_expr stays in a single whole-stage codegen span, no shuffle") {
