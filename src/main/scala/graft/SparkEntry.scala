@@ -1975,6 +1975,11 @@ object SparkEntry {
       FROM j JOIN b USING (lang)"""
   }
 
+  // exact-substring window width, single-sourced with the plan (the
+  // dedupIncrementalMinhashOracleSql convention: plan constants are
+  // interpolated, never re-typed, so they cannot drift)
+  private val SW = graft.operators.Dedup.SubstrW
+
   def oracleSql: Map[String, String] = Map(
     "curriculum_bins" -> curriculumBinsOracleSql,
     "curate_pipeline" -> curatePipelineOracleSql,
@@ -3512,20 +3517,20 @@ object SparkEntry {
     // otherwise()); the clean twin cuts covered token positions and
     // re-joins the remainder in order. 1-based BIGINT positions, list
     // slice t[i:i+9] == slice(t, i, 10), both inclusive.
-    "dedup_substring" -> """
+    "dedup_substring" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        WHERE len(string_split(text, ' ')) >= 10),
+        WHERE len(string_split(text, ' ')) >= $SW),
       pos AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i,
-          md5(array_to_string(t[i:i+9], ' ')) AS wh
-        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+          md5(array_to_string(t[i:i+${SW - 1}], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - ${SW - 1})) AS g(i)),
       dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
       hits AS (SELECT doc_id, i FROM pos
         WHERE wh IN (SELECT wh FROM dup)),
       isl AS (
         SELECT doc_id, i,
-          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $SW
             THEN 0 ELSE 1 END AS brk
         FROM hits),
       grp AS (
@@ -3533,22 +3538,23 @@ object SparkEntry {
           sum(brk) OVER (PARTITION BY doc_id ORDER BY i
             ROWS UNBOUNDED PRECEDING) AS island
         FROM isl)
-      SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
-        max(i) + 9 - min(i) + 1 AS span_len
+      SELECT doc_id, min(i) AS span_start, max(i) + ${SW - 1} AS span_end,
+        max(i) + ${SW - 1} - min(i) + 1 AS span_len
       FROM grp GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
     // keepone: the oracle elects each window's canonical occurrence
-    // with the LITERAL row_number formulation; the plan runs the
-    // skew-proof min(struct) aggregate — the hash match proves them
-    // equal ((doc_id, i) is unique within a window hash).
-    "dedup_substring_keepone" -> """
+    // with the LITERAL row_number formulation; the plan runs an
+    // unordered min(struct)-over-window riding the hits exchange — the
+    // hash match proves them equal ((doc_id, i) is unique within a
+    // window hash).
+    "dedup_substring_keepone" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        WHERE len(string_split(text, ' ')) >= 10),
+        WHERE len(string_split(text, ' ')) >= $SW),
       pos AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i,
-          md5(array_to_string(t[i:i+9], ' ')) AS wh
-        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+          md5(array_to_string(t[i:i+${SW - 1}], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - ${SW - 1})) AS g(i)),
       dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
       hits AS (SELECT doc_id, i, wh FROM pos
         WHERE wh IN (SELECT wh FROM dup)),
@@ -3562,7 +3568,7 @@ object SparkEntry {
         WHERE NOT (h.doc_id = c.cd AND h.i = c.ci)),
       isl AS (
         SELECT doc_id, i,
-          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $SW
             THEN 0 ELSE 1 END AS brk
         FROM cut),
       grp AS (
@@ -3570,24 +3576,24 @@ object SparkEntry {
           sum(brk) OVER (PARTITION BY doc_id ORDER BY i
             ROWS UNBOUNDED PRECEDING) AS island
         FROM isl)
-      SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
-        max(i) + 9 - min(i) + 1 AS span_len
+      SELECT doc_id, min(i) AS span_start, max(i) + ${SW - 1} AS span_end,
+        max(i) + ${SW - 1} - min(i) + 1 AS span_len
       FROM grp GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
-    "dedup_substring_clean" -> """
+    "dedup_substring_clean" -> s"""
       WITH toksall AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      toks AS (SELECT doc_id, t FROM toksall WHERE len(t) >= 10),
+      toks AS (SELECT doc_id, t FROM toksall WHERE len(t) >= $SW),
       pos AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i,
-          md5(array_to_string(t[i:i+9], ' ')) AS wh
-        FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(i)),
+          md5(array_to_string(t[i:i+${SW - 1}], ' ')) AS wh
+        FROM toks, UNNEST(generate_series(1, len(t) - ${SW - 1})) AS g(i)),
       dup AS (SELECT wh FROM pos GROUP BY wh HAVING count(*) >= 2),
       hits AS (SELECT doc_id, i FROM pos
         WHERE wh IN (SELECT wh FROM dup)),
       cov AS (
         SELECT DISTINCT doc_id, i + g.o AS p
-        FROM hits, UNNEST(generate_series(0, 9)) AS g(o)),
+        FROM hits, UNNEST(generate_series(0, ${SW - 1})) AS g(o)),
       tp AS (
         SELECT doc_id, CAST(j AS BIGINT) AS j, t[j] AS tok
         FROM toksall, UNNEST(generate_series(1, len(t))) AS gg(j)),

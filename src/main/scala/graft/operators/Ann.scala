@@ -339,6 +339,25 @@ object Ann {
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCentroids, ((n + IncTargetCell - 1) / IncTargetCell).toInt)
 
+  /** EXACT flat argmin assignment regardless of cell count: the
+    * incremental index must agree with the probe side's exact
+    * all-cells ranking and the oracle's literal argmin AT EVERY SCALE
+    * — [[cellAssign]]'s two-level walk is an approximation that can
+    * diverge above [[TwoLevelAssignThreshold]] cells (fine for
+    * dedup_semantic, whose oracle mirrors the walk; wrong here, where
+    * a corpus vector assigned to a non-argmin cell is invisible to the
+    * exactly-ranked probe and a delta twin can miss it).
+    * [[graft.functions.VecCellAssign]] holds the matrix as one
+    * reference object, so the flat loop at k≈1500 cells is a primitive
+    * scan, not a literal-tree blowup.
+    */
+  def cellAssignExact(v: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.VecCellAssign(
+      GraftSqlBridge.expression(v),
+      centroids.map(_.toSeq).toSeq, Nil, Nil))
+  }
+
   /** The persisted IVF index artifact for dir's standing corpus
     * (vec_id, embedding, cell — built ONCE per dir via the session's
     * standing quantizer, read back by every incremental batch). The
@@ -360,7 +379,7 @@ object Ann {
       table(s, dir, "embeddings")
         .filter(col("vec_id") % IncDeltaMod =!= IncDeltaRem)
         .select(col("vec_id"), col("embedding"),
-          cellAssign(col("embedding"), centroids).as("cell"))
+          cellAssignExact(col("embedding"), centroids).as("cell"))
         .write.mode("overwrite").parquet(path)
       path
     })

@@ -122,7 +122,15 @@ object Dedup {
     * and delta sides separately, documented there).
     */
   private[graft] def minhashBands(s: SparkSession,
-                                      docs: DataFrame): DataFrame = {
+                                  docs: DataFrame): DataFrame =
+    capBuckets(minhashBandTuples(s, docs), Seq("band", "bh"))
+
+  /** The banding pipeline BEFORE the degenerate-bucket cap — the raw
+    * (doc_id, sig, band, bh) tuples. [[minhashBands]] = this + the
+    * [[capBuckets]] window; [[minhashBucketSizes]] audits it uncapped.
+    */
+  private[graft] def minhashBandTuples(s: SparkSession,
+                                       docs: DataFrame): DataFrame = {
     // word_shingles is a registry function (codegen'd Catalyst expression);
     // register defensively — the caller's session may not carry
     // GraftExtensions (same pattern as TextOps.docFingerprint).
@@ -168,13 +176,22 @@ object Dedup {
           element_at(col("sig"), j * RowsPerBand + r + 1).cast("string")): _*)),
           1, 16).as("bh"))
     }
-    capBuckets(
-      sigs.select(col("doc_id"), col("sig"),
-        explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("sig"),
-          col("b.band").as("band"), col("b.bh").as("bh")),
-      Seq("band", "bh"))
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
   }
+
+  /** PRE-cap (band, bh) bucket sizes for docs — what [[minhashBands]]'s
+    * cap window sees before dropping over-[[MaxBucket]] buckets. The
+    * capped output is blind to exactly the buckets the cap removed, so
+    * any headroom/divergence audit (StreamingSpec's per-batch-vs-
+    * delta-wide cap contract) must measure HERE, not on the survivors.
+    */
+  private[graft] def minhashBucketSizes(s: SparkSession,
+                                        docs: DataFrame): DataFrame =
+    minhashBandTuples(s, docs).groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
 
   /** Tier-1 signature-estimate gate: the (cheap, codegen-adjacent)
     * count of matching MinHash components must clear
@@ -1491,17 +1508,20 @@ object Dedup {
     */
   val SubstrW = 10
 
-  /** Token-window starts (doc_id, i) whose `w`-token window occurs ≥2
-    * times in the corpus — the candidate positions for exact-substring
-    * dedup. One pass: every window hashed (md5 over the space-joined
-    * slice — cross-engine exact), one count aggregate keyed on the
-    * hash, survivors semi-joined back on the same key.
-    *
-    * Scale shape: O(total tokens) rows through ONE shuffle keyed by
-    * window hash; the ≥2 filter is a partial-aggregatable count, so a
-    * hot boilerplate window costs a counter, never a pair join; the
-    * semi join back reuses the same key. Token positions are 1-based
-    * longs on both engines.
+  /** Token-window starts (doc_id, i, wh) whose `w`-token window occurs
+    * ≥2 times in the corpus — the candidate positions for
+    * exact-substring dedup. ONE pass over the tokens: every window
+    * hashed (md5 over the space-joined slice — cross-engine exact),
+    * then the [[capBuckets]] window-count device — `count over
+    * (partition by wh)` needs one shuffle on the window hash and keeps
+    * the expensive explode+md5 subtree SINGLE-CONSUMER (the
+    * groupBy-count + join-back shape consumes it twice and recomputes
+    * the whole upstream per consumer — the measured ~2× trap
+    * documented on capBuckets). The window sorts only on the equal
+    * partition key, so a viral boilerplate window costs an equal-key
+    * run in one partition's external sort, never a pair join; the
+    * planted exchange is reused by every same-key window downstream
+    * (the keep-one election). Positions are 1-based longs both engines.
     */
   private def substrHitsWh(docs: DataFrame, w: Int): DataFrame = {
     val toks = docs
@@ -1513,10 +1533,9 @@ object Dedup {
         col("t"))
       .select(col("doc_id"), col("i0").cast("long").as("i"),
         md5(concat_ws(" ", slice(col("t"), col("i0"), lit(w)))).as("wh"))
-    val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-      .select(col("wh"))
-    pos.join(dup, Seq("wh"), "left_semi")
+    val byWh = Window.partitionBy(col("wh"))
+    pos.withColumn("_n", count(lit(1)).over(byWh))
+      .filter(col("_n") >= 2).drop("_n")
   }
 
   private def substrHits(docs: DataFrame, w: Int): DataFrame =
@@ -1582,22 +1601,23 @@ object Dedup {
     * remove-everywhere report). Spans returned are the NON-canonical
     * occurrences merged per document.
     *
-    * The election is a per-window-hash min(struct(doc_id, i)) — a
-    * partial-aggregatable MIN, so a boilerplate window repeated a
-    * million times costs a counter-sized aggregate, never a
-    * single-partition window sort (the row_number formulation the
-    * oracle uses is equivalent — (doc_id, i) is unique within a hash —
-    * but would hot-spot one reducer per viral window at corpus scale;
-    * the oracle is literal, the plan is the skew-proof rewrite, the
-    * driver's hash match proves them equal).
+    * The election is a per-window-hash `min(struct(doc_id, i)) over
+    * (partition by wh)` — an UNORDERED frame riding the exact exchange
+    * [[substrHitsWh]] already planted (zero extra shuffles, the hits
+    * subtree stays single-consumer), with no per-window row_number
+    * sort: the oracle's literal row_number formulation is equivalent
+    * ((doc_id, i) is unique within a hash) but would order-sort every
+    * viral window's rows; the plan's min-over-window only groups the
+    * equal partition key. The oracle is literal, the plan is the
+    * skew-lean rewrite, the driver's hash match proves them equal.
     */
   def dedupSubstringKeepOne(s: SparkSession, dir: String,
                             w: Int = SubstrW): DataFrame = {
     val hits = substrHitsWh(
       table(s, dir, "documents").select(col("doc_id"), col("text")), w)
-    val canon = hits.groupBy(col("wh"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("c"))
-    val cut = hits.join(canon, Seq("wh"))
+    val byWh = Window.partitionBy(col("wh"))
+    val cut = hits
+      .withColumn("c", min(struct(col("doc_id"), col("i"))).over(byWh))
       .filter(!(col("doc_id") === col("c.doc_id") &&
         col("i") === col("c.i")))
       .select(col("doc_id"), col("i"))
@@ -1609,8 +1629,8 @@ object Dedup {
     * [[SubstrW]]-window cut, the remainder re-joined in order). The
     * deterministic all-copies variant — removing every occurrence
     * rather than electing a canonical one keeps the op one-pass and
-    * order-free (the keep-one variant is a doc_id argmin away and
-    * noted in COVERAGE.md). Documents with nothing duplicated pass
+    * order-free (the canonical election is
+    * [[dedupSubstringKeepOne]]). Documents with nothing duplicated pass
     * through whole; a document that was ALL boilerplate comes out
     * empty with its token count in `n_removed` — the downstream
     * length_filter gate is the intended consumer.

@@ -93,23 +93,47 @@ object DedupStream {
       .map(k => Paths.get(root, k, s"b=$batchId"))
     gen.foreach(deleteRecursively) // crash residue from THIS id only
     val docs = batch.select(col("doc_id"), col("text"))
-    // The batch re-enters the plan three times (banding, partner joins,
-    // verdict left side); a micro-batch source is not re-readable, so
-    // pin it once.
+    // The batch re-enters the plan several times (partner union, docs
+    // write, verdict left side); a micro-batch source is not
+    // re-readable, so pin it once. The bands are pinned too: the
+    // banding pipeline (shingle explode + per-shingle md5 + 64 min
+    // aggregates) is THE per-batch compute, and both the verdict join
+    // and the index append consume it — without the persist it would
+    // run twice per batch.
     docs.persist()
+    val bands = Dedup.minhashBands(s, docs).persist()
     try {
-      val index = s.read.parquet(s"$root/bands/*")
-      val partners = s.read.parquet(s"$root/docs/*")
-        .select(col("doc_id"), col("text")).union(docs)
+      // An unseeded store is a valid start state: a stream over an
+      // initially-empty index dedups batch 0 against itself only and
+      // bootstraps the index from it (generation dirs appear as
+      // batches commit), so the glob reads must tolerate zero
+      // generations instead of dying on a missing path.
+      val index =
+        if (hasGenerations(root, "bands")) s.read.parquet(s"$root/bands/*")
+        else bands.limit(0)
+      val partners =
+        (if (hasGenerations(root, "docs"))
+           s.read.parquet(s"$root/docs/*")
+             .select(col("doc_id"), col("text")).union(docs)
+         else docs)
       val verdicts = Dedup.incrementalVerdicts(
-        s, docs, Dedup.minhashBands(s, docs), index, partners, threshold)
+        s, docs, bands, index, partners, threshold)
       verdicts.write.parquet(s"$root/verdicts/b=$batchId")
-      Dedup.minhashBands(s, docs)
-        .write.parquet(s"$root/bands/b=$batchId")
+      bands.write.parquet(s"$root/bands/b=$batchId")
       docs.write.parquet(s"$root/docs/b=$batchId")
       Files.createDirectories(marker.getParent)
       Files.createFile(marker) // the commit point — atomic, created last
-    } finally docs.unpersist()
+    } finally { bands.unpersist(); docs.unpersist() }
+  }
+
+  /** Whether the store has at least one committed-or-seed generation
+    * dir under `root/<kind>/` (the glob `root/<kind>/STAR` throws on a
+    * missing or empty parent, so empty-index bootstrap checks first).
+    */
+  private def hasGenerations(root: String, kind: String): Boolean = {
+    val d = new java.io.File(root, kind)
+    d.isDirectory && d.listFiles != null &&
+      d.listFiles.exists(_.isDirectory)
   }
 
   /** Start the ingest fold over a streaming (doc_id, text) source.

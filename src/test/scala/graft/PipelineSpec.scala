@@ -1677,7 +1677,7 @@ class PipelineSpec extends AnyFunSuite {
     val direct = spark.read.parquet(s"$tmp/embeddings.parquet")
       .filter(col("vec_id") % Ann.IncDeltaMod =!= Ann.IncDeltaRem)
       .select(col("vec_id"),
-        Ann.cellAssign(col("embedding"), centroids).as("cell"))
+        Ann.cellAssignExact(col("embedding"), centroids).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val artifact = spark.read.parquet(Ann.ivfIndexPath(spark, tmp))
       .select(col("vec_id"), col("cell"))

@@ -317,15 +317,28 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
   }
 
-  test("dedup_substring: candidates ride ONE hash-keyed aggregate + a " +
-       "semi join back on the same key — no pair join, no nested loop") {
+  test("dedup_substring: candidates ride the window-count device — the " +
+       "explode+md5 subtree is SINGLE-consumer (no join at all), no " +
+       "pair join, no nested loop") {
     val p = plan("dedup_substring")
-    assert(p.contains("LeftSemi"), p.take(2000))
+    // the capBuckets lesson: count-over-window keeps one consumer; a
+    // groupBy+join shape would recompute the token pass per consumer
+    assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // exactly two hash exchanges: the wh window + the doc islands
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).size <= 3,
+      p.take(2400))
     // island assembly is doc-partitioned windowing; output unsorted —
     // no range exchange anywhere (a presentational global sort on a
     // corpus-scaled span set would be real cost at 100 TB)
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("dedup_substring_keepone: the canonical election rides the SAME " +
+       "wh exchange as the hits window — no extra shuffle, no join") {
+    val p = plan("dedup_substring_keepone")
+    assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("rangepartitioning"), p.take(2000))
   }
 

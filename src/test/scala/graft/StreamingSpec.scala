@@ -566,12 +566,16 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Dedup
     // cap headroom: the per-batch vs delta-wide MaxBucket caps only
     // diverge when a bucket approaches the cap — assert none does, so
-    // the equality below is exercised where the contract says it holds
+    // the equality below is exercised where the contract says it holds.
+    // Measured PRE-cap: the capped bands output silently DROPS whole
+    // over-cap buckets, so a post-cap max would read small exactly when
+    // the divergence is live.
     val docs = graft.sources.Tables.table(spark, dir, "documents")
     val delta = docs.filter(
       col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)
-    val maxBucket = Dedup.minhashBands(spark, delta.select("doc_id", "text"))
-      .groupBy("band", "bh").count().agg(max("count")).collect()(0).getLong(0)
+    val maxBucket =
+      Dedup.minhashBucketSizes(spark, delta.select("doc_id", "text"))
+        .agg(max("n")).collect()(0).getLong(0)
     assert(maxBucket < Dedup.MaxBucket / 2, s"cap headroom gone: $maxBucket")
     val streamed = DedupStream.foldBoundedDelta(spark, dir, chunks = 3)
       .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
@@ -583,6 +587,28 @@ class StreamingSpec extends AnyFunSuite {
     // against the seed (a vacuous all-keep pass would "match" trivially
     // on a corpus with no dups — guard against that)
     assert(batch.count(r => r(3) == false) > 0)
+  }
+
+  test("dedup ingest bootstraps an UNSEEDED store: batch 0 dedups " +
+       "against itself only and seeds the index for batch 1") {
+    import graft.streaming.DedupStream
+    val root = java.nio.file.Files
+      .createTempDirectory("dedup_boot").resolve("store").toString
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") % 10 === 1)
+    DedupStream.processBatch(b0, root, 0L) // NO seed() before this
+    val v0 = spark.read.parquet(s"$root/verdicts/b=0")
+    assert(v0.count() === b0.count())
+    // batch 1's exact copies of batch-0 docs must match the index the
+    // bootstrap built (ids offset above every original, so verdicts
+    // land on the copies)
+    val b1 = b0.withColumn("doc_id", col("doc_id") + 1000000L)
+    DedupStream.processBatch(b1, root, 1L)
+    val v1 = spark.read.parquet(s"$root/verdicts/b=1")
+    assert(v1.count() === b1.count())
+    assert(v1.filter(!col("keep")).count() === b1.count(),
+      "exact copies must all be flagged against the bootstrapped index")
   }
 
   test("dedup ingest exactly-once: a committed batch re-delivered is a " +
