@@ -1685,6 +1685,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(artifact === direct)
   }
 
+  test("dedup_substring survives a VIRAL boilerplate window: one " +
+       "paragraph shared by 20k documents — the hot-wh partition the " +
+       "window-count device must absorb") {
+    val tmp = java.nio.file.Files.createTempDirectory("viral").toString
+    val boiler = (1 to 12).map("b" + _).mkString(" ") // 12-token virus
+    // 20k docs: unique 20-token prefix + the shared paragraph. Every
+    // boiler window lands 20k rows in ONE wh partition (the count
+    // window groups the equal key; no per-row sort order needed).
+    spark.range(0, 20000).selectExpr("id AS doc_id",
+        s"concat_ws(' ', transform(sequence(1, 20), " +
+          s"j -> concat('u', id, 'x', j)), '$boiler') AS text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t0 = System.nanoTime()
+    val spans = Dedup.dedupSubstring(spark, tmp)
+    // every doc gets exactly one span covering the virus: the 12-run
+    // sits at positions 21..32, windows fully inside start at 21..23
+    assert(spans.count() === 20000L)
+    val bad = spans.filter(col("span_start") =!= 21L ||
+      col("span_end") =!= 32L).count()
+    assert(bad === 0L)
+    // keep-one: the min (doc_id, i) canonical survives — 19999 cut
+    val keep = Dedup.dedupSubstringKeepOne(spark, tmp)
+    assert(keep.count() === 19999L)
+    assert(keep.filter(col("doc_id") === 0L).count() === 0L)
+    val wall = (System.nanoTime() - t0) / 1e9
+    // bounded: the viral key costs an equal-key run in one partition,
+    // not a pair join (a quadratic formulation would be 20k^2 = 400M
+    // pairs here and time out long before this bound)
+    assert(wall < 120.0, s"viral window took ${wall}s")
+  }
+
   test("dedup_substring recovers exactly the planted >=w shared runs, " +
        "merges overlapping windows, ignores sub-w runs") {
     val tmp = java.nio.file.Files.createTempDirectory("substr").toString
