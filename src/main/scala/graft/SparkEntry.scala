@@ -716,12 +716,23 @@ object SparkEntry {
           .getOrElse(graft.operators.Dedup.SemClusters))
     } yield (d, s"threshold=${graft.operators.Dedup.SemDedupCos}\n" +
       centsLines(cents))
+    // ann_incremental: the adaptive-k quantizer (== the ann_ivf fit at
+    // every test SF — same (dir, 16) cache key — but recorded under its
+    // own derived k so any ivfCellsFor/oracle desync diffs in one line)
+    val inc = for {
+      d <- dumpDirOpt
+      k = graft.operators.Ann.cachedCorpusCount(d)
+        .map(graft.operators.Ann.ivfCellsFor)
+        .getOrElse(graft.operators.Ann.IvfCentroids)
+      cents <- graft.operators.Ann.cachedCentroids(d, k)
+    } yield (d, s"cells=$k nProbe=${graft.operators.Ann.IvfProbe}\n" +
+      centsLines(cents))
     "# FIT PROVENANCE\n\nRegenerated by `graft.Verify` each full run: " +
       "the exact fitted literals interpolated into this round's " +
       "generated DuckDB oracles, rendered with the same " +
       "shortest-round-trip Double formatting the oracle SQL embeds.\n\n" +
-      block("ann_ivf", ivf) + "\n" + block("ann_pq", pq) + "\n" +
-      block("dedup_semantic", sem)
+      block("ann_ivf", ivf) + "\n" + block("ann_incremental", inc) +
+      "\n" + block("ann_pq", pq) + "\n" + block("dedup_semantic", sem)
   }
 
   /** ann_pq oracle, from the fitted per-subspace codebooks the plan
