@@ -77,15 +77,16 @@ object StreamDedupBench {
       s""""batch_rows":$batchRows,""" +
       s""""batch_s":[${times.map(Bench.fmt).mkString(",")}],""" +
       s""""flagged":$flagged}}"""
+    // append-mode write (no read-modify-rewrite of the accumulated file);
+    // only non-fatal failures are swallowed — an OOM/VM error must not be
+    // masked as "results file skipped"
     try {
-      val p = java.nio.file.Paths.get("target/stream_dedup_scaling.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      val prev =
-        if (java.nio.file.Files.exists(p))
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8") + "\n"
-        else ""
-      java.nio.file.Files.write(p, (prev + line).getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      val p = Paths.get("target/stream_dedup_scaling.json")
+      Files.createDirectories(p.getParent)
+      Files.write(p, (line + "\n").getBytes("UTF-8"),
+        O.CREATE, O.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(line)
     spark.stop()
   }

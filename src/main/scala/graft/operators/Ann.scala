@@ -365,6 +365,18 @@ object Ann {
     * assignments are an artifact, never a per-query recomputation.
     * Mirrors Dedup.minhashIndexPath exactly (tmp-dir keyed by dir
     * hash, write-once memoized).
+    *
+    * Quantizer provenance, stated precisely: the cell count AND the
+    * KMeans fit are derived from the FULL embeddings table — including
+    * the `vec_id % 10 == 7` delta carve — not from the corpus carve
+    * alone. Deliberate: the delta is a uniform 10% modulus sample of
+    * the same distribution (the fitted centroids are statistically the
+    * standing corpus's), and at every test SF the derived k equals
+    * [[IvfCentroids]], so the fit shares ann_ivf's `(dir, 16)` cache
+    * entry — one quantizer per dir, and the oracle generator reads the
+    * SAME cached count/centroids, so both engines always agree. What
+    * "no refit" means here is no refit PER BATCH: arriving deltas are
+    * assigned through the standing fit, never re-cluster it.
     */
   def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, { _ =>
@@ -387,9 +399,10 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Incremental ANN ingest: newly-arrived delta vectors searched
-    * against the PERSISTED corpus index with NO refit and NO corpus
-    * re-assignment — the quantizer is the dir's standing one (the
-    * shared per-dir fit cache; assignment code never refits), the
+    * against the PERSISTED corpus index with NO per-batch refit and NO
+    * corpus re-assignment — the quantizer is the dir's standing one
+    * (the shared per-dir fit cache, fitted over the full table; see
+    * the provenance note on [[ivfIndexPath]]), the
     * corpus's cells come back from the [[ivfIndexPath]] parquet
     * artifact, and only the delta is assigned fresh. Top-K cosine
     * neighbors per delta vector from the nProbe nearest cells — the

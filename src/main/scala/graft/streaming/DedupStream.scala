@@ -202,6 +202,25 @@ object DedupStream {
     val delta = corpus.filter(
       col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)
       .select(col("doc_id"), col("text"))
+    // Fold≡batch precondition, asserted at RUNTIME (not only by
+    // StreamingSpec at test SFs): MaxBucket caps apply delta-wide in
+    // batch mode but per micro-batch here, so the two can genuinely
+    // diverge once any delta bucket EXCEEDS the cap (a bucket the batch
+    // operator drops whole may partially survive per-batch capping). If
+    // a corpus violates the headroom, fail loud with the contract named
+    // instead of surfacing as an inscrutable oracle hash mismatch.
+    // Cost: one banding pass over the delta (~10% of corpus signature
+    // work), paid once per memoized fold.
+    val maxBucket = Dedup.minhashBucketSizes(s, delta)
+      .agg(max(col("n"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(maxBucket <= Dedup.MaxBucket,
+      s"dedup_stream_fold fold==batch contract violated: a delta-wide " +
+        s"(band, bh) bucket holds $maxBucket rows > MaxBucket=" +
+        s"${Dedup.MaxBucket}; per-micro-batch capping would diverge " +
+        s"from the batch operator's delta-wide cap on this corpus")
     // id-ordered arrival (see the equality contract): chunk k holds the
     // k-th id-range slice, written with strictly increasing mtimes so
     // the file source's mtime order IS id order.

@@ -326,7 +326,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
-    // exactly two hash exchanges: the wh window + the doc islands
+    // two hash EXCHANGES (the wh window + the doc islands); the bound is
+    // <= 3 occurrences because the formatted plan string names the wh
+    // partitioning once more inside a window-spec header than as an
+    // Exchange node — the invariant pinned is "no third exchange", i.e.
+    // no groupBy+join shape sneaking a (doc_id)-keyed aggregate back in
     assert("hashpartitioning".r.findAllIn(p.toLowerCase).size <= 3,
       p.take(2400))
     // island assembly is doc-partitioned windowing; output unsorted —
