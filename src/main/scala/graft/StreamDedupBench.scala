@@ -54,7 +54,10 @@ object StreamDedupBench {
     DedupStream.seed(spark, corpus, root)
     val seedS = (System.nanoTime() - t0) / 1e9
     val indexDocs = corpus.count()
-    val bandRows = spark.read.parquet(s"$root/bands/*").count()
+    // the seed generation is pb-partitioned (bucket-pruned probes); a
+    // mixed glob over partitioned+flat generations won't infer, so
+    // count the seed dir directly — it's the only generation yet
+    val bandRows = spark.read.parquet(s"$root/bands/b=seed").count()
 
     // fixed-size batches: the LOWEST nBatches*batchRows delta ids in
     // id order (the ingest contract), one bounded driver collect

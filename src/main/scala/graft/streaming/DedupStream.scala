@@ -69,12 +69,15 @@ object DedupStream {
   /** Seed the index store with an already-deduped standing corpus:
     * bands + partner texts under the `seed` generation. Mirrors
     * [[graft.operators.Dedup.minhashIndexPath]] (the batch operator's
-    * artifact) but co-locates the partner texts the verify tier joins.
+    * artifact — including its pb-partitioned bucket layout, so every
+    * subsequent batch probe reads only matching buckets) but
+    * co-locates the partner texts the verify tier joins.
     */
   def seed(s: SparkSession, corpus: DataFrame, root: String): Unit = {
     val docs = corpus.select(col("doc_id"), col("text"))
-    Dedup.minhashBands(s, docs)
-      .write.mode("overwrite").parquet(s"$root/bands/b=seed")
+    val p = Dedup.indexBucketsFor(docs.count() * Dedup.Bands)
+    Dedup.writePartitionedBands(
+      Dedup.minhashBands(s, docs), s"$root/bands/b=seed", p)
     docs.write.mode("overwrite").parquet(s"$root/docs/b=seed")
     Files.createDirectories(Paths.get(root, "commits"))
   }
@@ -106,10 +109,15 @@ object DedupStream {
       // An unseeded store is a valid start state: a stream over an
       // initially-empty index dedups batch 0 against itself only and
       // bootstraps the index from it (generation dirs appear as
-      // batches commit), so the glob reads must tolerate zero
-      // generations instead of dying on a missing path.
+      // batches commit), so the reads must tolerate zero generations
+      // instead of dying on a missing path. Partitioned generations
+      // (the seed — the corpus-sized one) are read BUCKET-PRUNED to
+      // this batch's band keys; flat per-batch generations are read
+      // whole (each is batch-sized, so their total grows with batch
+      // count, never with corpus size — and a production lake compacts
+      // them into the partitioned seed periodically).
       val index =
-        if (hasGenerations(root, "bands")) s.read.parquet(s"$root/bands/*")
+        if (hasGenerations(root, "bands")) readStoreBands(s, root, bands)
         else bands.limit(0)
       val partners =
         (if (hasGenerations(root, "docs"))
@@ -130,11 +138,29 @@ object DedupStream {
     * dir under `root/<kind>/` (the glob `root/<kind>/STAR` throws on a
     * missing or empty parent, so empty-index bootstrap checks first).
     */
-  private def hasGenerations(root: String, kind: String): Boolean = {
+  private def hasGenerations(root: String, kind: String): Boolean =
+    generationDirs(root, kind).nonEmpty
+
+  private def generationDirs(root: String, kind: String)
+      : Seq[java.io.File] = {
     val d = new java.io.File(root, kind)
-    d.isDirectory && d.listFiles != null &&
-      d.listFiles.exists(_.isDirectory)
+    if (!d.isDirectory) Seq.empty
+    else Option(d.listFiles).map(_.filter(_.isDirectory).toSeq
+      .sortBy(_.getName)).getOrElse(Seq.empty)
   }
+
+  /** Union of every band generation in the store, with partitioned
+    * generations bucket-pruned to `probeBands`'s keys
+    * ([[graft.operators.Dedup.readBandIndexPruned]] — the per-batch
+    * scan this buys is ~(batch keys x bucket size) instead of the full
+    * standing index; `probeBands` must already be materialized, which
+    * [[processBatch]]'s persist guarantees).
+    */
+  private def readStoreBands(s: SparkSession, root: String,
+                             probeBands: DataFrame): DataFrame =
+    generationDirs(root, "bands")
+      .map(g => Dedup.readBandIndexPruned(s, g.getAbsolutePath, probeBands))
+      .reduce(_ unionByName _)
 
   /** Start the ingest fold over a streaming (doc_id, text) source.
     * Processing-order determinism comes from the SOURCE (file sources
@@ -191,9 +217,12 @@ object DedupStream {
     // Dedup.minhashIndexPath holds minhashBands of exactly this carve
     // (PipelineSpec pins artifact == direct banding), already built by
     // the standing corpus's indexing pass: a production ingest seeds
-    // from the lake's index table, never by re-banding the corpus.
-    s.read.parquet(Dedup.minhashIndexPath(s, dir))
-      .write.mode("overwrite").parquet(s"$root/bands/b=seed")
+    // from the lake's index table, never by re-banding the corpus. A
+    // byte-level copy, so the artifact's pb bucket layout (+ sidecar)
+    // carries over and every batch probe reads it bucket-pruned.
+    copyRecursively(
+      Paths.get(Dedup.minhashIndexPath(s, dir)),
+      Paths.get(root, "bands", "b=seed"))
     corpus.filter(
         col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem)
       .select(col("doc_id"), col("text"))
@@ -248,6 +277,22 @@ object DedupStream {
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
     start(stream, root, ckpt, threshold).awaitTermination()
     root
+  }
+
+  private def copyRecursively(src: Path, dst: Path): Unit = {
+    val walk = Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.QueryMetrics
+import graft.operators.Dedup
+
+/** Bucket-pruned reads of the persisted incremental-index artifacts —
+  * the round-16 fix for the measured StreamDedupBench scan floor
+  * (SCALING.md: per-batch ingest cost grew +38% for a 100x index, all
+  * of it the unpruned artifact scan).
+  *
+  * Pins, with EXECUTED-plan scan metrics (the LayoutSpec z-order
+  * device):
+  *  1. the pb partition filter really prunes — a batch-sized probe
+  *     reads strictly fewer FILES and rows than the full artifact;
+  *  2. pruning is lossless — the (band, bh) candidate join returns the
+  *     identical pair set against the pruned and the full index (pb is
+  *     a pure function of the join key, so the pruned read is a
+  *     superset of every possible match);
+  *  3. the sidecar protocol round-trips, and a legacy unpartitioned
+  *     layout falls back to the full scan.
+  */
+class IndexPruneSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs =
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+
+  test("pb-partitioned band index: batch probe reads fewer files AND " +
+       "rows than the full artifact — executed-plan metrics") {
+    val tmp = java.nio.file.Files.createTempDirectory("pbprune")
+      .resolve("idx").toString
+    // force a bucket count far above the probe's key count so pruning
+    // is certain even at sf0.001 (production sizing does the same:
+    // buckets outgrow batch keys as the corpus grows)
+    val p = 64
+    Dedup.writePartitionedBands(
+      Dedup.minhashBands(spark, docs), tmp, p)
+    assert(Dedup.indexBuckets(tmp) === Some(p))
+    // a genuinely batch-sized probe: 3 documents -> <= 3 x Bands keys
+    val probe = Dedup.minhashBands(spark, docs.limit(3)).persist()
+    try {
+      probe.count()
+      val pruned = QueryMetrics.profile(
+        Dedup.readBandIndexPruned(spark, tmp, probe))
+      val full = QueryMetrics.profile(
+        spark.read.parquet(tmp).drop("pb"))
+      assert(pruned.filesRead < full.filesRead,
+        s"pruning read ${pruned.filesRead} of ${full.filesRead} files")
+      assert(pruned.filesRead <= 3L * Dedup.Bands)
+      assert(pruned.scanRows < full.scanRows)
+      info(s"files ${pruned.filesRead}/${full.filesRead}, " +
+        s"rows ${pruned.scanRows}/${full.scanRows}")
+    } finally probe.unpersist()
+  }
+
+  test("pruning is lossless: candidate (band, bh) join identical " +
+       "against pruned and full index") {
+    val tmp = java.nio.file.Files.createTempDirectory("pbloss")
+      .resolve("idx").toString
+    Dedup.writePartitionedBands(
+      Dedup.minhashBands(spark, docs), tmp, 64)
+    // probe chosen to carry REAL matches: the corpus's own first docs
+    val probe = Dedup.minhashBands(spark, docs.limit(5)).persist()
+    try {
+      probe.count()
+      def pairs(index: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        probe.as("d").join(index.as("c"),
+            col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+          .select(col("d.doc_id"), col("c.doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaPruned = pairs(Dedup.readBandIndexPruned(spark, tmp, probe))
+      val viaFull = pairs(spark.read.parquet(tmp).drop("pb"))
+      assert(viaPruned.nonEmpty, "degenerate: no candidates at all")
+      assert(viaPruned === viaFull)
+    } finally probe.unpersist()
+  }
+
+  test("unpartitioned legacy layout: no sidecar -> full-scan fallback") {
+    val tmp = java.nio.file.Files.createTempDirectory("pbflat")
+      .resolve("idx").toString
+    val bands = Dedup.minhashBands(spark, docs.limit(20))
+    bands.write.parquet(tmp)
+    assert(Dedup.indexBuckets(tmp) === None)
+    val probe = Dedup.minhashBands(spark, docs.limit(2))
+    val back = Dedup.readBandIndexPruned(spark, tmp, probe)
+    assert(back.count() === bands.count())
+    assert(back.columns.toSeq === Seq("doc_id", "sig", "band", "bh"))
+  }
+}

@@ -83,6 +83,7 @@ class PipelineSpec extends AnyFunSuite {
     // the index really is the parquet artifact: read-back equals the
     // directly computed corpus bands, row for row
     val idx = spark.read.parquet(Dedup.minhashIndexPath(spark, tmp))
+      .drop("pb") // layout bucket column, not part of the band schema
     val direct = Dedup.minhashBands(spark,
       spark.read.parquet(s"$tmp/documents.parquet")
         .filter(col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem))
