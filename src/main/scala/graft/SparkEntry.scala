@@ -834,6 +834,19 @@ object SparkEntry {
     * exactly what the persisted index artifact holds), probes are the
     * DELTA side, and there is no self-pair filter (delta is disjoint
     * from the index by construction). Same cached centroid literals.
+    *
+    * The probe CTE follows the operator's strategy switch (the
+    * dedup_semantic assignment-mirror device, generalized to top-n):
+    * flat rank over all cells at/below Ann.TwoLevelAssignThreshold
+    * (every gate SF — SQL byte-identical to the historical oracle),
+    * the coarse-then-fine prefix walk above it — supers, branch
+    * membership, the (dist, branch)-ranked super order, the
+    * ProbeOverscan×nProbe cumulative prefix rule, and the final
+    * (dist, cell) top-nProbe all recomputed by DuckDB from the SAME
+    * cached centroids via the SAME pure miniKmeans, so both engines
+    * probe through identical structures. Assignment stays the flat
+    * exact argmin at every k (the artifact is written with
+    * cellAssignExact — the r15 index/probe-divergence lesson).
     */
   private def annIncrementalOracleSqlOpt: Option[(String, String)] =
     dumpDirOpt.flatMap { d =>
@@ -851,6 +864,55 @@ object SparkEntry {
         val vals = cents.zipWithIndex.map { case (c, ci) =>
           s"($ci, ${c.mkString("[", ", ", "]")})"
         }.mkString(",\n          ")
+        val probeSql =
+          if (cents.length <= graft.operators.Ann.TwoLevelAssignThreshold)
+            s"""
+      probe AS (
+        SELECT q_id, qe, cell FROM (
+          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM d WHERE vec_id % 10 = 7)
+        WHERE pr <= $nProbe),"""
+          else {
+            val branches = graft.operators.Ann.twoLevelStructure(cents)
+            val superVals = branches.zipWithIndex.map { case ((sc, _), bi) =>
+              s"($bi, ${sc.mkString("[", ", ", "]")})"
+            }.mkString(",\n          ")
+            val memberVals = branches.zipWithIndex.flatMap {
+              case ((_, ids), bi) => ids.map(c => s"($bi, $c)")
+            }.mkString(",\n          ")
+            val target =
+              graft.operators.Ann.ProbeOverscan.toLong * nProbe
+            s"""
+      supers AS (SELECT * FROM (VALUES $superVals) AS t(si, sv)),
+      smap AS (SELECT * FROM (VALUES $memberVals) AS t(si, cell)),
+      mcnt AS (SELECT si, count(*) AS mc FROM smap GROUP BY si),
+      sdq AS (SELECT e.vec_id AS q_id, e.emb AS qe, s.si,
+                list_sum(list_transform(range(1, ${dim + 1}),
+                  i -> (emb[i] - sv[i]) * (emb[i] - sv[i]))) AS dist
+              FROM e CROSS JOIN supers s
+              WHERE e.vec_id % 10 = 7),
+      srk AS (SELECT q_id, qe, si, row_number() OVER (
+                PARTITION BY q_id ORDER BY dist ASC, si ASC) AS rk
+              FROM sdq),
+      scm AS (SELECT q_id, qe, si,
+                sum(mc) OVER (PARTITION BY q_id ORDER BY rk) - mc
+                  AS cum_before
+              FROM srk JOIN mcnt USING (si)),
+      chosen AS (SELECT q_id, qe, si FROM scm
+                 WHERE cum_before < $target),
+      cdq AS (SELECT c.q_id, c.qe, m.cell,
+                list_sum(list_transform(range(1, ${dim + 1}),
+                  i -> (c.qe[i] - cv[i]) * (c.qe[i] - cv[i]))) AS dist
+              FROM chosen c JOIN smap m USING (si)
+                JOIN cents USING (cell)),
+      probe AS (
+        SELECT q_id, qe, cell FROM (
+          SELECT q_id, qe, cell, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist ASC, cell ASC) AS pr
+          FROM cdq)
+        WHERE pr <= $nProbe),"""
+          }
         "ann_incremental" -> s"""
       WITH cents AS (SELECT * FROM (VALUES $vals) AS t(cell, cv)),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -864,13 +926,7 @@ object SparkEntry {
           SELECT vec_id, emb, cell, row_number() OVER (
             PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
           FROM d WHERE vec_id % 10 <> 7)
-        WHERE rn = 1),
-      probe AS (
-        SELECT q_id, qe, cell FROM (
-          SELECT vec_id AS q_id, emb AS qe, cell, row_number() OVER (
-            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS pr
-          FROM d WHERE vec_id % 10 = 7)
-        WHERE pr <= $nProbe),
+        WHERE rn = 1),$probeSql
       s AS (
         SELECT p.q_id, a.vec_id AS cand_id,
           round(list_cosine_similarity(p.qe, a.emb), 6) AS cos_r, a.cell

@@ -282,23 +282,15 @@ object Ann {
     val assigned = table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         cellAssign(col("embedding"), centroids).as("cell"))
-    // Probe assignment in the plan: explode the literal centroid matrix
-    // per query row, rank cells by squared L2, keep the nProbe nearest.
-    // (No .collect() of query vectors — the old driver-side loop broke as
-    // soon as the query set was a table.)
-    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
-      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
-    }: _*)
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("d").asc, col("cell").asc)
+    // Probe selection in the plan via the native [[cellTopN]]
+    // expression: the nProbe nearest cells per query, ranked
+    // (squared-L2 asc, cell asc) in one primitive per-row loop — no
+    // literal centroid array (the matrix is a reference object), no
+    // window shuffle of (queries × k) rows, and no .collect() of query
+    // vectors (the query set may itself be a table).
     val probeDf = table(s, dir, "embeddings").filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(centExpr).as("ct"))
-      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
-        V.l2sq(col("qe"), col("ct.cv")).as("d"))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("cell"), col("qe"))
+        explode(cellTopN(col("embedding"), centroids, nProbe)).as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("cand_id").asc)
     assigned.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
@@ -358,6 +350,42 @@ object Ann {
       centroids.map(_.toSeq).toSeq, Nil, Nil))
   }
 
+  /** Prefix width of the two-level probe walk, as a multiple of the
+    * probe count: supers are taken in (dist, branch) rank order until
+    * their members number ≥ `ProbeOverscan × nProbe` — headroom so a
+    * near cell hiding just past the first branch boundary is still
+    * ranked. Mirrored verbatim by the oracle generator's walk SQL.
+    */
+  val ProbeOverscan = 2
+
+  /** Top-nProbe cell selection as the native
+    * [[graft.functions.VecCellTopN]] expression: exact flat ranking
+    * over all cells at/below [[TwoLevelAssignThreshold]] (every test
+    * SF — bit-identical to the window-rank probe it replaces, so all
+    * gate oracles are unchanged), the coarse-then-fine prefix walk
+    * above it (the [[twoLevelStructure]] supers — the probe-side twin
+    * of [[cellAssign]]'s switch, generalized from argmin to top-n).
+    * The expression holds the matrix as one reference object: per-row
+    * cost ~(√k + prefix members) above the switch instead of k, and
+    * NO exchange in the plan for probe selection at any k.
+    */
+  def cellTopN(v: Column, centroids: Array[Array[Double]],
+               nProbe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val childE = GraftSqlBridge.expression(v)
+    val e =
+      if (centroids.length <= TwoLevelAssignThreshold)
+        graft.functions.VecCellTopN(childE,
+          centroids.map(_.toSeq).toSeq, Nil, Nil, nProbe, ProbeOverscan)
+      else {
+        val bs = twoLevelStructure(centroids)
+        graft.functions.VecCellTopN(childE,
+          centroids.map(_.toSeq).toSeq,
+          bs.map(_._1.toSeq), bs.map(_._2), nProbe, ProbeOverscan)
+      }
+    GraftSqlBridge.column(e)
+  }
+
   /** The persisted IVF index artifact for dir's standing corpus
     * (vec_id, embedding, cell — built ONCE per dir via the session's
     * standing quantizer, read back by every incremental batch). The
@@ -388,11 +416,15 @@ object Ann {
         s"graft-ivf-index-${md.take(12)}").getAbsolutePath
       val centroids =
         fitCentroids(s, dir, ivfCellsFor(corpusCount(s, dir)))
+      // Partitioned BY CELL — the IVF lake layout: a probe that wants
+      // nProbe cells reads nProbe directories, not the corpus. One
+      // shuffle on cell so each cell directory holds one file.
       table(s, dir, "embeddings")
         .filter(col("vec_id") % IncDeltaMod =!= IncDeltaRem)
         .select(col("vec_id"), col("embedding"),
           cellAssignExact(col("embedding"), centroids).as("cell"))
-        .write.mode("overwrite").parquet(path)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })
   private val ivfIndexCache =
@@ -411,12 +443,19 @@ object Ann {
     * the probe/rank formulation is shared shape-for-shape so the
     * oracle generator mirrors both from the same cached literals).
     *
-    * Scale shape: per batch, ONE scan of the index artifact (cells
-    * pre-computed — the assignment work the artifact amortizes),
-    * delta-side assignment linear in batch size, probe join keyed on
-    * cell with the small delta probe side broadcast. A lake layout
-    * partitioned BY CELL turns the index scan into nProbe partition
-    * reads; this formulation measures the unpruned worst case.
+    * Scale shape: per batch, delta-side probe selection linear in
+    * batch size (the native [[cellTopN]] walk — no window shuffle, no
+    * literal centroid tree, coarse-then-fine above
+    * [[TwoLevelAssignThreshold]] cells so per-query ranking is ~√k
+    * instead of k), and the index side read FROM ITS CELL PARTITIONS:
+    * the artifact is partitioned by cell and the broadcast probe join
+    * triggers Spark's dynamic partition pruning, so the scan lists
+    * only directories whose cell appears in some query's probe set —
+    * for a batch-sized delta that is (≤ batch × nProbe) directories of
+    * a corpus-sized artifact (AnnSpec pins the pruning with
+    * executed-plan file metrics). This registry query's delta is the
+    * 10% carve whose probes cover every cell, so the prune is inert
+    * here by design; it bites exactly where the ingest shape needs it.
     */
   def annIncremental(s: SparkSession, dir: String,
                      nProbe: Int = IvfProbe): DataFrame = {
@@ -424,20 +463,10 @@ object Ann {
     val centroids =
       fitCentroids(s, dir, ivfCellsFor(corpusCount(s, dir)))
     val index = s.read.parquet(ivfIndexPath(s, dir))
-    val centExpr = array(centroids.zipWithIndex.map { case (c, ci) =>
-      struct(lit(ci).as("cell"), array(c.map(lit): _*).as("cv"))
-    }: _*)
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("d").asc, col("cell").asc)
     val probeDf = table(s, dir, "embeddings")
       .filter(col("vec_id") % IncDeltaMod === IncDeltaRem)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(centExpr).as("ct"))
-      .select(col("q_id"), col("qe"), col("ct.cell").as("cell"),
-        V.l2sq(col("qe"), col("ct.cv")).as("d"))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("cell"), col("qe"))
+        explode(cellTopN(col("embedding"), centroids, nProbe)).as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("cand_id").asc)
     index.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),

@@ -331,13 +331,20 @@ object Dedup {
     * (band, bh) keys can possibly match — the bucket-pruned lake read
     * of a production ingest. `probeBands` should be SMALL and already
     * materialized (persisted or tiny): its distinct pb values are
-    * collected (bounded by min(probe band rows, P) ints) and pushed as
-    * a PARTITION filter, so the scan lists/reads only matching bucket
-    * directories. Correct by construction: pb is a pure function of
-    * (band, bh), so every index row that could join a probe row lives
-    * in a collected bucket — the filter is a superset of the join
-    * matches (IndexPruneSpec pins both the equality and the pruning).
-    * Falls back to the full scan on an unpartitioned layout.
+    * collected (bounded by min(probe band rows, P) ints) and the read
+    * is built from the EXPLICIT matching bucket directories — never
+    * from whole-tree partition discovery, whose cost scales with the
+    * INDEX's bucket count (measured: discovery+pruning over the x100
+    * artifact's 6.3k directories cost more per batch than the full
+    * flat scan it replaced; the explicit-path read is bounded by the
+    * batch's own key count at any index size — the Iceberg-style
+    * manifest-prune shape). A bucket directory that does not exist
+    * holds no rows for those keys, so skipping it is exact.
+    * Correct by construction: pb is a pure function of (band, bh), so
+    * every index row that could join a probe row lives in a collected
+    * bucket — the read is a superset of the join matches
+    * (IndexPruneSpec pins both the equality and the pruning). Falls
+    * back to the full scan on an unpartitioned layout.
     */
   private[graft] def readBandIndexPruned(s: SparkSession, path: String,
                                          probeBands: DataFrame): DataFrame =
@@ -345,9 +352,21 @@ object Dedup {
       case Some(p) =>
         val pbs = probeBands.select(bandBucket(p).as("pb"))
           .distinct().collect().map(_.getInt(0))
-        s.read.parquet(path)
-          .filter(col("pb").isin(pbs.map(Integer.valueOf(_)): _*))
-          .drop("pb")
+        // existence through the Hadoop FS API, so the same read works
+        // against an object-store index (a ranged LIST per candidate
+        // bucket, bounded by the batch's key count)
+        val base = new org.apache.hadoop.fs.Path(path)
+        val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+        val dirs = pbs.toSeq.sorted
+          .map(pb => new org.apache.hadoop.fs.Path(base, s"pb=$pb"))
+          .filter(fs.exists)
+          .map(_.toString)
+        if (dirs.isEmpty)
+          // no matching bucket exists: an empty index slice with the
+          // band schema (probeBands carries exactly those columns)
+          probeBands.select(col("doc_id"), col("sig"), col("band"),
+            col("bh")).limit(0)
+        else s.read.parquet(dirs: _*)
       case None => s.read.parquet(path)
     }
 

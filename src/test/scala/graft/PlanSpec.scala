@@ -450,10 +450,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_ivf: probe assignment is in the plan, not driver-side") {
-    // the centroid matrix appears as literals in an explode over queries;
-    // no LocalTableScan of collected probe rows
+    // probe cells come from the native vec_cell_topn expression (the
+    // centroid matrix is a reference object, not a literal tree); no
+    // LocalTableScan of collected probe rows, and no window exchange
+    // for probe selection either
     val p = plan("ann_ivf")
     assert(!p.contains("LocalTableScan"), p.take(1500))
+    assert(p.contains("vec_cell_topn"), p.take(1500))
   }
 
   test("join_range is an equi-join on buckets, never a nested loop") {
