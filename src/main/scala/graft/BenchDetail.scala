@@ -17,6 +17,27 @@ import org.apache.spark.sql.SparkSession
   * purpose is the spread, and 5 samples make the median meaningful.
   */
 object BenchDetail {
+
+  /** Semantic labels for queries whose rep timings do NOT mean "the
+    * operator's cost": first-rep-vs-rest asymmetry that is CONTRACTUAL,
+    * not cache noise. A ledger consumer reading the median without
+    * these would misjudge the operator (the round-15 lesson:
+    * dedup_stream_fold's 0.1 s median is the exactly-once redelivery
+    * no-op; the real cold ingest is the first rep / SCALING.md).
+    */
+  val Notes: Map[String, String] = Map(
+    "dedup_stream_fold" -> ("first rep = the COLD streaming ingest " +
+      "fold (seed + micro-batches); later reps measure the " +
+      "exactly-once contract's committed-store redelivery no-op " +
+      "(one parquet read) — both are real semantics, report them " +
+      "separately"),
+    "dedup_incremental_minhash" -> ("first rep builds the persisted " +
+      "band-index artifact (per-JVM memoized); later reps are the " +
+      "steady-state delta probe — the production shape"),
+    "ann_incremental" -> ("first rep builds the persisted IVF index " +
+      "artifact (per-JVM memoized); later reps are the steady-state " +
+      "delta probe — the production shape"))
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("target/bench_detail_reps.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,8 +85,10 @@ object BenchDetail {
     def f(d: Double): String = f"$d%.3f"
     val body = selected.map(_._1).filter(times(_).nonEmpty).map { n =>
       val v = times(n)
+      val note = Notes.get(n)
+        .map(t => s""","note":"${t.replace("\"", "'")}"""").getOrElse("")
       s""""$n":{"reps":[${v.map(f).mkString(",")}],"min":${f(v.min)},""" +
-        s""""median":${f(median(v))},"max":${f(v.max)}}"""
+        s""""median":${f(median(v))},"max":${f(v.max)}$note}"""
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$sfDir","reps":$reps,"queries":$body}"""
     val p = java.nio.file.Paths.get(outPath)

@@ -144,6 +144,7 @@ object SparkEntry {
     "q16_supplier_count" -> (RelationalExt.q16SupplierCount _),
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
+    "window_lag_skew" -> (Skew.windowLagSkew _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3014,6 +3015,18 @@ object SparkEntry {
           AS sum_price,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
+    // window_lag_skew: the oracle is the LITERAL per-key window — the
+    // hash match proves the chunked two-pass rewrite (range chunks +
+    // local windows + boundary stats) equals plain LAG/LEAD/ROW_NUMBER,
+    // the saltedJoin/aggTwoPhase proof device applied to windows
+    "window_lag_skew" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        lag(l_quantity, 1) OVER w AS prev_qty,
+        lead(l_quantity, 1) OVER w AS next_qty,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
     // embedding_centroids: component sums go through DECIMAL(25,7) on
     // both sides (order-independent addition — the dsum device for
     // vectors) and are emitted as exact doubles; the mean is left to

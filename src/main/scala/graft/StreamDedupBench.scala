@@ -31,6 +31,9 @@ object StreamDedupBench {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
     val batchRows = args.lift(2).map(_.toInt).getOrElse(100)
+    // "flat" disables the partitioned seed layout: the A/B control
+    // isolating the bucket-pruned read's effect from box drift
+    val partitioned = !args.lift(3).contains("flat")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,7 +54,7 @@ object StreamDedupBench {
       col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)
 
     val t0 = System.nanoTime()
-    DedupStream.seed(spark, corpus, root)
+    DedupStream.seed(spark, corpus, root, partitioned)
     val seedS = (System.nanoTime() - t0) / 1e9
     val indexDocs = corpus.count()
     // the seed generation is pb-partitioned (bucket-pruned probes); a
@@ -77,7 +80,8 @@ object StreamDedupBench {
       .filter(!col("keep")).count()
     val line = s"""{"stream_dedup":{"dir":"$dir","index_docs":$indexDocs,""" +
       s""""band_rows":$bandRows,"seed_s":${Bench.fmt(seedS)},""" +
-      s""""batch_rows":$batchRows,""" +
+      s""""batch_rows":$batchRows,"layout":""" +
+      s""""${if (partitioned) "partitioned" else "flat"}",""" +
       s""""batch_s":[${times.map(Bench.fmt).mkString(",")}],""" +
       s""""flagged":$flagged}}"""
     // append-mode write (no read-modify-rewrite of the accumulated file);

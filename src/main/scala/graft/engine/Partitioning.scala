@@ -90,6 +90,14 @@ object Partitioning {
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       n.toString)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // List moderate path counts on the driver instead of launching a
+    // listing JOB: the bucket-partitioned index artifacts hand the
+    // reader hundreds of explicit directories per probe, and the
+    // default threshold (32) turns every such read into a Spark job
+    // whose scheduling overhead dwarfs the listing itself. Genuinely
+    // huge path sets (beyond 10k) still distribute.
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     n
   }
 

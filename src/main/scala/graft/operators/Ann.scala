@@ -452,7 +452,7 @@ object Ann {
     * triggers Spark's dynamic partition pruning, so the scan lists
     * only directories whose cell appears in some query's probe set —
     * for a batch-sized delta that is (≤ batch × nProbe) directories of
-    * a corpus-sized artifact (AnnSpec pins the pruning with
+    * a corpus-sized artifact (AnnProbeSpec pins the pruning with
     * executed-plan file metrics). This registry query's delta is the
     * 10% carve whose probes cover every cell, so the prune is inert
     * here by design; it bites exactly where the ingest shape needs it.

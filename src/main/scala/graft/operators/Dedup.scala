@@ -350,23 +350,92 @@ object Dedup {
                                          probeBands: DataFrame): DataFrame =
     indexBuckets(path) match {
       case Some(p) =>
+        // one straight collect, no distinct shuffle: the probe is
+        // batch-sized, so deduplicating its pb values driver-side is
+        // cheaper than an exchange stage per ingest batch
         val pbs = probeBands.select(bandBucket(p).as("pb"))
-          .distinct().collect().map(_.getInt(0))
-        // existence through the Hadoop FS API, so the same read works
-        // against an object-store index (a ranged LIST per candidate
-        // bucket, bounded by the batch's key count)
-        val base = new org.apache.hadoop.fs.Path(path)
-        val fs = base.getFileSystem(s.sessionState.newHadoopConf())
-        val dirs = pbs.toSeq.sorted
-          .map(pb => new org.apache.hadoop.fs.Path(base, s"pb=$pb"))
-          .filter(fs.exists)
-          .map(_.toString)
-        if (dirs.isEmpty)
-          // no matching bucket exists: an empty index slice with the
-          // band schema (probeBands carries exactly those columns)
-          probeBands.select(col("doc_id"), col("sig"), col("band"),
-            col("bh")).limit(0)
-        else s.read.parquet(dirs: _*)
+          .collect().map(_.getInt(0)).distinct.sorted
+        if (pbs.length * 2 >= p)
+          // coverage guard: the probe touches most buckets (small
+          // index, or a corpus-sized delta) — explicit-path assembly
+          // would pay per-bucket existence checks to prune almost
+          // nothing; the whole-tree read is strictly cheaper
+          s.read.parquet(path).drop("pb")
+        else {
+          // existence through the Hadoop FS API, so the same read
+          // works against an object-store index (a ranged LIST per
+          // candidate bucket, bounded by the batch's key count)
+          val base = new org.apache.hadoop.fs.Path(path)
+          val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+          val dirs = pbs.toSeq
+            .map(pb => new org.apache.hadoop.fs.Path(base, s"pb=$pb"))
+            .filter(fs.exists)
+            .map(_.toString)
+          if (dirs.isEmpty)
+            // no matching bucket exists: an empty index slice with the
+            // band schema (probeBands carries exactly those columns)
+            probeBands.select(col("doc_id"), col("sig"), col("band"),
+              col("bh")).limit(0)
+          else s.read.parquet(dirs: _*)
+        }
+      case None => s.read.parquet(path)
+    }
+
+  /** Rows-per-bucket target for the PARTNER-TEXT store's doc_id-keyed
+    * layout ([[writePartitionedDocs]]): smaller than
+    * [[IndexBucketTarget]] because partner rows are whole documents
+    * (KBs, not a 4-column band tuple) and the probe side — verified
+    * candidate pairs' doc ids — numbers hundreds, not batch x Bands.
+    */
+  val DocBucketTarget = 128L
+
+  def docBucketsFor(docRows: Long): Int =
+    math.max(IndexBucketMin,
+      ((docRows + DocBucketTarget - 1) / DocBucketTarget).toInt)
+
+  /** The layout bucket of a doc_id for a P-bucket partner store —
+    * layout only, like [[bandBucket]]. */
+  def docBucket(p: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(p.toLong)).cast("int")
+
+  /** Write (doc_id, text) partner rows as a dd-partitioned store at
+    * `path` with `p` buckets (+ sidecar) — the verify tier's lake
+    * layout: a candidate set's texts are fetched from its matching
+    * bucket directories instead of a full corpus-text scan.
+    */
+  private[graft] def writePartitionedDocs(docs: DataFrame, path: String,
+                                          p: Int): Unit = {
+    docs.withColumn("dd", docBucket(p))
+      .repartition(col("dd"))
+      .write.mode("overwrite").partitionBy("dd").parquet(path)
+    writeBucketSidecar(path, p)
+  }
+
+  /** Read a partner store at `path` pruned to the buckets `ids`'s
+    * doc_id values can live in — [[readBandIndexPruned]]'s device keyed
+    * on doc_id. `ids` must be SMALL and materialized (the persisted
+    * candidate set). Falls back to the full scan on an unpartitioned
+    * layout; `emptyLike` supplies the (doc_id, text) schema when no
+    * bucket matches.
+    */
+  private[graft] def readDocsPruned(s: SparkSession, path: String,
+      ids: DataFrame, emptyLike: DataFrame): DataFrame =
+    indexBuckets(path) match {
+      case Some(p) =>
+        val dds = ids.select(docBucket(p).as("dd"))
+          .collect().map(_.getInt(0)).distinct.sorted
+        if (dds.length * 2 >= p) s.read.parquet(path).drop("dd")
+        else {
+          val base = new org.apache.hadoop.fs.Path(path)
+          val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+          val dirs = dds.toSeq
+            .map(dd => new org.apache.hadoop.fs.Path(base, s"dd=$dd"))
+            .filter(fs.exists)
+            .map(_.toString)
+          if (dirs.isEmpty)
+            emptyLike.select(col("doc_id"), col("text")).limit(0)
+          else s.read.parquet(dirs: _*)
+        }
       case None => s.read.parquet(path)
     }
 
@@ -452,7 +521,20 @@ object Dedup {
     */
   private[graft] def incrementalVerdicts(s: SparkSession, delta: DataFrame,
       bandsD: DataFrame, index: DataFrame, partners: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementalVerify(s, delta,
+      incrementalCandidates(bandsD, index, threshold), partners, threshold)
+
+  /** Tier-1 candidate generation of the incremental shape: delta bands
+    * probe the index (cross pairs) and self-join (intra pairs), both
+    * through the signature-estimate gate. Factored from
+    * [[incrementalVerdicts]] so the streaming ingest can MATERIALIZE
+    * the (tiny) candidate set and prune its partner-text read to the
+    * candidates' doc-id buckets ([[readDocsPruned]]) — the arithmetic
+    * stays single-sourced.
+    */
+  private[graft] def incrementalCandidates(bandsD: DataFrame,
+      index: DataFrame, threshold: Double): DataFrame = {
     // delta probes the index: delta is the (hinted) hash-join build
     // side — it is the small side by construction, and the index
     // streams; broadcast would ship the delta to every executor too,
@@ -472,13 +554,38 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id") &&
           sigEstimateOk(col("x.sig"), col("y.sig"), threshold))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val survivors = candCross.union(candIntra)
-    // tier-2 exact verify, identical to the batch operator: survivors
-    // broadcast, texts stream, shingles recomputed on survivor rows only
-    val withA = broadcast(survivors)
-      .join(partners.select(col("doc_id").as("a"), col("text").as("ta")), "a")
-    val verified = broadcast(withA)
-      .join(partners.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+    candCross.union(candIntra)
+  }
+
+  /** Tier-2 exact verify + verdict assembly of the incremental shape.
+    * Partner texts are fetched in ONE scan: each candidate pair melts
+    * into (pair, role, doc_id) rows, joins `partners` once, and
+    * reassembles per pair — the previous two-join formulation scanned
+    * the corpus-sized partner table TWICE per run (measured at the
+    * x100 ingest ladder as the residual per-batch floor after the band
+    * index was pruned). Survivor frames are tiny (band-collision pairs
+    * past the signature gate), so the melt/regroup shuffles nothing of
+    * corpus size, and the pair texts and Jaccard arithmetic are
+    * byte-identical to the two-join shape — the oracle is untouched.
+    */
+  private[graft] def incrementalVerify(s: SparkSession, delta: DataFrame,
+      candidates: DataFrame, partners: DataFrame,
+      threshold: Double): DataFrame = {
+    val melted = candidates
+      .select(col("a"), col("b"), explode(array(
+        struct(lit("a").as("role"), col("a").as("doc_id")),
+        struct(lit("b").as("role"), col("b").as("doc_id")))).as("r"))
+      .select(col("a"), col("b"), col("r.role").as("role"),
+        col("r.doc_id").as("doc_id"))
+    val joined = broadcast(melted).join(partners, "doc_id")
+    val paired = joined.groupBy(col("a"), col("b"))
+      .agg(max(when(col("role") === "a", col("text"))).as("ta"),
+        max(when(col("role") === "b", col("text"))).as("tb"))
+      // an id missing from partners surfaced as a dropped pair in the
+      // two-join shape; the regrouped row would carry a null text —
+      // drop it the same way (never happens for a well-formed store)
+      .filter(col("ta").isNotNull && col("tb").isNotNull)
+    val verified = paired
       .withColumn("sa", T.wordShingles(col("ta"), 3))
       .withColumn("sb", T.wordShingles(col("tb"), 3))
       .withColumn("jaccard",

@@ -100,4 +100,84 @@ object Skew {
           6).as("top_share"),
         col("p50_cnt"), col("p99_cnt"))
   }
+
+  /** Skew-resilient lag/lead/row_number — the chunked two-pass rewrite
+    * of the per-key ordered window, for when ONE key owns a material
+    * share of the fact table (the measured zipf worst case: the plain
+    * `window_lag_lead` ran 42.7x at the x100 hot-key corpus because a
+    * single user's window partition cannot split; SCALING.md). Result
+    * IDENTICAL to the plain window (the oracle is the literal
+    * LAG/LEAD/ROW_NUMBER SQL — the same proof device as saltedJoin /
+    * aggTwoPhase), but no task ever holds more than ~1/P of any key:
+    *
+    *  1. range-partition by (key, ordering...) into P chunks — a hot
+    *     key spans several CONTIGUOUS chunks instead of one partition;
+    *  2. window over (chunk, key): local row_number + local lag/lead —
+    *     the exchange is keyed on (pid, key), so the hot key's rows
+    *     split across its chunks;
+    *  3. one tiny per-(chunk, key) stats aggregate (count, first/last
+    *     value in ordering position — min_by/max_by on the ordering
+    *     struct): cumulative counts give each chunk's global row-number
+    *     offset, and lag/lead ACROSS a chunk boundary come from the
+    *     neighbor chunk's edge values — stats rows number
+    *     #keys + O(P) (only boundary-spanning keys repeat), broadcast
+    *     back. At extreme key cardinality swap the broadcast for a
+    *     plain shuffle join on (pid, key) — itself skew-free, the key
+    *     is composite.
+    *
+    * Boundary algebra: within a (chunk, key) group, lag is local
+    * except at local row 1, whose true predecessor is the SAME key's
+    * last row in its previous chunk (stats `lag(last_q) over key by
+    * chunk` — null exactly when the key starts here: the window's own
+    * null). Lead mirrors with the next chunk's first row. Global
+    * row_number = local + sum of the key's counts over earlier chunks.
+    * Ties across a chunk boundary are inert: the ordering includes
+    * every projected column, so tied rows are full duplicates and any
+    * tie split yields the same output multiset (the windowLagLead
+    * determinism argument, unchanged).
+    */
+  def windowLagSkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val sortCols = col("l_suppkey") +: ordCols
+    // explicit chunk count: AQE never coalesces a user repartition with
+    // fixed N, so spark_partition_id is stable across plan reuse
+    val chunks = s.sparkContext.defaultParallelism
+    val ranged = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
+        col("l_extendedprice"))
+      .repartitionByRange(chunks, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wl = Window.partitionBy(col("pid"), col("l_suppkey"))
+      .orderBy(ordCols: _*)
+    val local = ranged
+      .withColumn("lrn", row_number().over(wl).cast("long"))
+      .withColumn("prev0", lag(col("l_quantity"), 1).over(wl))
+      .withColumn("next0", lead(col("l_quantity"), 1).over(wl))
+    // per-(chunk, key) edge stats; the ordering struct makes
+    // min_by/max_by the first/last row in window order (ties are full
+    // duplicates — same l_quantity — so arg-min ambiguity is valueless)
+    val ordStruct = struct(ordCols: _*)
+    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val stats = ranged.groupBy(col("pid"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"),
+        min_by(col("l_quantity"), ordStruct).as("first_q"),
+        max_by(col("l_quantity"), ordStruct).as("last_q"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_last", lag(col("last_q"), 1).over(wk))
+      .withColumn("next_first", lead(col("first_q"), 1).over(wk))
+      .select(col("pid"), col("l_suppkey"), col("cnt"), col("offset"),
+        col("prev_last"), col("next_first"))
+    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"),
+        when(col("lrn") === 1L, col("prev_last"))
+          .otherwise(col("prev0")).as("prev_qty"),
+        when(col("lrn") === col("cnt"), col("next_first"))
+          .otherwise(col("next0")).as("next_qty"),
+        (col("lrn") + col("offset")).as("rn"))
+  }
 }

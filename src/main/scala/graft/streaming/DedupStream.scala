@@ -58,11 +58,20 @@ import graft.sources.Tables.table
   *
   * Index store layout under `root/`:
   * {{{
-  *   bands/b=seed,b=0,b=1,.../  (doc_id, sig, band, bh) parquet
-  *   docs/b=seed,b=0,.../       (doc_id, text) — verify-join partners
+  *   bands/b=seed,b=0,b=1,.../  (doc_id, sig, band, bh) parquet;
+  *                              b=seed is pb-bucket-partitioned
+  *                              (Dedup.writePartitionedBands) so batch
+  *                              probes read only matching buckets
+  *   docs/b=seed,b=0,.../       (doc_id, text) — verify-join partners;
+  *                              b=seed is dd-bucket-partitioned so the
+  *                              verify tier reads only candidate
+  *                              pairs' buckets
   *   verdicts/b=0,b=1,.../      (doc_id, dup_of, best_jaccard, keep)
   *   commits/0,1,...            empty marker files, created last
   * }}}
+  * Per-batch generations stay flat (batch-sized); a production lake
+  * compacts them into the partitioned seed periodically, which is the
+  * moment per-batch cost resets to the seed-only floor.
   */
 object DedupStream {
 
@@ -73,12 +82,25 @@ object DedupStream {
     * subsequent batch probe reads only matching buckets) but
     * co-locates the partner texts the verify tier joins.
     */
-  def seed(s: SparkSession, corpus: DataFrame, root: String): Unit = {
+  def seed(s: SparkSession, corpus: DataFrame, root: String,
+           partitioned: Boolean = true): Unit = {
     val docs = corpus.select(col("doc_id"), col("text"))
-    val p = Dedup.indexBucketsFor(docs.count() * Dedup.Bands)
-    Dedup.writePartitionedBands(
-      Dedup.minhashBands(s, docs), s"$root/bands/b=seed", p)
-    docs.write.mode("overwrite").parquet(s"$root/docs/b=seed")
+    if (partitioned) {
+      val n = docs.count()
+      Dedup.writePartitionedBands(
+        Dedup.minhashBands(s, docs), s"$root/bands/b=seed",
+        Dedup.indexBucketsFor(n * Dedup.Bands))
+      Dedup.writePartitionedDocs(docs, s"$root/docs/b=seed",
+        Dedup.docBucketsFor(n))
+    } else {
+      // flat layout — the measurement A/B control (StreamDedupBench's
+      // `flat` arg): probes fall back to the whole-artifact scan, so a
+      // partitioned-vs-flat ladder pair isolates what the bucket
+      // pruning buys on the same box, same day
+      Dedup.minhashBands(s, docs)
+        .write.mode("overwrite").parquet(s"$root/bands/b=seed")
+      docs.write.mode("overwrite").parquet(s"$root/docs/b=seed")
+    }
     Files.createDirectories(Paths.get(root, "commits"))
   }
 
@@ -105,6 +127,12 @@ object DedupStream {
     // run twice per batch.
     docs.persist()
     val bands = Dedup.minhashBands(s, docs).persist()
+    // Candidates are materialized (they are tiny — band collisions
+    // past the signature gate) so the partner-text read can prune to
+    // exactly their doc-id buckets; the candidate/verify arithmetic
+    // stays single-sourced with the batch operator
+    // (Dedup.incrementalCandidates / incrementalVerify).
+    var cand: DataFrame = null
     try {
       // An unseeded store is a valid start state: a stream over an
       // initially-empty index dedups batch 0 against itself only and
@@ -119,19 +147,29 @@ object DedupStream {
       val index =
         if (hasGenerations(root, "bands")) readStoreBands(s, root, bands)
         else bands.limit(0)
+      cand = Dedup.incrementalCandidates(bands, index, threshold).persist()
+      // Partner texts pruned to the candidates' own ids: the second
+      // corpus-sized per-batch scan the round-16 ladder isolated after
+      // the band index was pruned (the verify tier only ever reads
+      // texts of candidate pairs — bucket dirs bounded by candidate
+      // count, not corpus size).
+      val candIds = cand.select(
+        explode(array(col("a"), col("b"))).as("doc_id"))
       val partners =
         (if (hasGenerations(root, "docs"))
-           s.read.parquet(s"$root/docs/*")
-             .select(col("doc_id"), col("text")).union(docs)
+           readStoreDocs(s, root, candIds, docs).union(docs)
          else docs)
-      val verdicts = Dedup.incrementalVerdicts(
-        s, docs, bands, index, partners, threshold)
+      val verdicts = Dedup.incrementalVerify(
+        s, docs, cand, partners, threshold)
       verdicts.write.parquet(s"$root/verdicts/b=$batchId")
       bands.write.parquet(s"$root/bands/b=$batchId")
       docs.write.parquet(s"$root/docs/b=$batchId")
       Files.createDirectories(marker.getParent)
       Files.createFile(marker) // the commit point — atomic, created last
-    } finally { bands.unpersist(); docs.unpersist() }
+    } finally {
+      if (cand != null) cand.unpersist()
+      bands.unpersist(); docs.unpersist()
+    }
   }
 
   /** Whether the store has at least one committed-or-seed generation
@@ -160,6 +198,17 @@ object DedupStream {
                              probeBands: DataFrame): DataFrame =
     generationDirs(root, "bands")
       .map(g => Dedup.readBandIndexPruned(s, g.getAbsolutePath, probeBands))
+      .reduce(_ unionByName _)
+
+  /** Union of every partner-text generation, with partitioned
+    * generations pruned to `ids`'s doc buckets
+    * ([[graft.operators.Dedup.readDocsPruned]]); flat per-batch
+    * generations read whole — batch-sized by construction.
+    */
+  private def readStoreDocs(s: SparkSession, root: String,
+                            ids: DataFrame, emptyLike: DataFrame): DataFrame =
+    generationDirs(root, "docs")
+      .map(g => Dedup.readDocsPruned(s, g.getAbsolutePath, ids, emptyLike))
       .reduce(_ unionByName _)
 
   /** Start the ingest fold over a streaming (doc_id, text) source.
@@ -223,10 +272,11 @@ object DedupStream {
     copyRecursively(
       Paths.get(Dedup.minhashIndexPath(s, dir)),
       Paths.get(root, "bands", "b=seed"))
-    corpus.filter(
+    val corpusDocs = corpus.filter(
         col("doc_id") % Dedup.IndexDeltaMod =!= Dedup.IndexDeltaRem)
       .select(col("doc_id"), col("text"))
-      .write.mode("overwrite").parquet(s"$root/docs/b=seed")
+    Dedup.writePartitionedDocs(corpusDocs, s"$root/docs/b=seed",
+      Dedup.docBucketsFor(corpusDocs.count()))
     Files.createDirectories(Paths.get(root, "commits"))
     val delta = corpus.filter(
       col("doc_id") % Dedup.IndexDeltaMod === Dedup.IndexDeltaRem)

@@ -33,6 +33,40 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(two.except(one).count() === 0L && one.except(two).count() === 0L)
   }
 
+  test("window_lag_skew equals the plain per-key window, multiset for " +
+       "multiset — chunk boundaries, offsets, and edge lag/lead all land") {
+    import org.apache.spark.sql.expressions.Window
+    val rewritten = Skew.windowLagSkew(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("prev_qty"),
+        col("next_qty"), col("rn"))
+    assert(rewritten.count() === plain.count())
+    // exceptAll both ways: full-duplicate rows make this a MULTISET
+    // comparison (except() would mask a cardinality bug on dup rows)
+    assert(rewritten.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(rewritten).count() === 0L)
+    // sanity: chunking actually happened (more than one chunk holds
+    // rows), so the boundary algebra above was genuinely exercised
+    val chunks = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(chunks > 1L, s"only $chunks chunk(s) — boundary paths untested")
+  }
+
   test("skew_diagnose profiles every key column with a verifiable top key") {
     val rows = Skew.skewDiagnose(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key_col")).sorted.toSeq ===
