@@ -114,6 +114,32 @@ object DedupStream {
     val s = batch.sparkSession
     val marker = Paths.get(root, "commits", batchId.toString)
     if (Files.exists(marker)) return // committed: redelivery is a no-op
+    // Ingest jobs run at BATCH-derived shuffle width, not the corpus
+    // width: a session autoTuned for the standing corpus (the right
+    // width for seed builds and corpus-sized queries) makes every
+    // batch-sized job here schedule hundreds of near-empty tasks — at
+    // the x100 ladder that per-job overhead, not IO, was the residual
+    // per-batch cost after both index scans were bucket-pruned. Width
+    // never affects results; the session confs are restored on exit
+    // (foreachBatch drives batches sequentially on the driver, so the
+    // temporary override cannot leak across concurrent queries here).
+    val widthConf = "spark.sql.shuffle.partitions"
+    val initConf = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevWidth = s.conf.getOption(widthConf)
+    val prevInit = s.conf.getOption(initConf)
+    val batchWidth = s.sparkContext.defaultParallelism.toString
+    s.conf.set(widthConf, batchWidth)
+    s.conf.set(initConf, batchWidth)
+    try processBatchInner(s, batch, root, batchId, threshold)
+    finally {
+      prevWidth.fold(s.conf.unset(widthConf))(s.conf.set(widthConf, _))
+      prevInit.fold(s.conf.unset(initConf))(s.conf.set(initConf, _))
+    }
+  }
+
+  private def processBatchInner(s: SparkSession, batch: DataFrame,
+      root: String, batchId: Long, threshold: Double): Unit = {
+    val marker = Paths.get(root, "commits", batchId.toString)
     val gen = Seq("verdicts", "bands", "docs")
       .map(k => Paths.get(root, k, s"b=$batchId"))
     gen.foreach(deleteRecursively) // crash residue from THIS id only
