@@ -54,6 +54,25 @@ object RecallProbe {
             (exact & got).size.toDouble / exact.size}%.3f")
       }
     }
+    if (sections("default_knn")) {
+      // the knn leg of the default audit alone — it is by far the
+      // heaviest (an exact strided graph over the corpus) and a crash
+      // in it must not cost a rerun of the other three legs
+      val n = Ann.corpusCount(spark, sfDir)
+      val stride = Ann.strideFor(n)
+      val exact = Ann.knnGraph(spark, sfDir)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Ann.knnGraphBucketed(spark, sfDir)
+        .filter(col("src") % stride === 0)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = (exact & got).size.toDouble / exact.size
+      println(f"default knn recall=$r%.3f floor=${Ann.KnnGraphRecallMin} " +
+        f"ok=${r >= Ann.KnnGraphRecallMin}")
+      println(s"  (knn bits=${Ann.bitsFor(n)} " +
+        s"tables=${Ann.cachedTables(sfDir).getOrElse(Ann.LshTables)})")
+    }
     if (sections("default")) {
       // the floors-under-DEFAULT-invocation audit: every approximate
       // path exactly as the registry runs it, judged against its
