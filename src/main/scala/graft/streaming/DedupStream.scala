@@ -198,6 +198,82 @@ object DedupStream {
     }
   }
 
+  /** Compact the store: fold EVERY band/doc generation (seed + all
+    * committed flat batch gens) into ONE fresh bucket-partitioned seed
+    * generation, resetting per-batch read cost to the seed-only floor
+    * — the maintenance pass the store layout doc promises. Run it
+    * between batches (never concurrently with processBatch).
+    *
+    * Crash-safety by construction, torn states correct at every step:
+    *  1. the new generation is written OUTSIDE the read tree
+    *     (`root/compact-tmp-<n>/`), so readers never see a partial;
+    *  2. it enters the tree by directory MOVE (atomic on one
+    *     filesystem) BEFORE anything is deleted — between the moves
+    *     and the cleanup both old and new rows are visible, and
+    *     duplicate index rows are verdict-invariant (duplicate band
+    *     rows only duplicate candidate pairs, which the dup_of
+    *     min/max aggregate collapses; duplicate partner rows collapse
+    *     in the verify melt's per-pair regroup);
+    *  3. a `commits/compact-<n>` marker listing the superseded dirs is
+    *     written AFTER the moves; cleanup deletes them last. A crash
+    *     leaves either extra-but-correct duplicates (no marker: the
+    *     tmp dir is re-foldable garbage) or a marker whose listed dirs
+    *     the NEXT compact() finishes deleting at entry.
+    * Verdict-equality under compaction is pinned by StreamingSpec
+    * (same batch against a compacted and an uncompacted twin store).
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    finishPendingCleanup(root)
+    val bandGens = generationDirs(root, "bands")
+    val docGens = generationDirs(root, "docs")
+    if (bandGens.size <= 1 && docGens.size <= 1) return
+    val n = 1 + pendingOrDoneCompactIds(root).foldLeft(-1)(math.max)
+    val tmp = Paths.get(root, s"compact-tmp-$n")
+    def readWhole(g: java.io.File): DataFrame =
+      s.read.parquet(g.getAbsolutePath).drop("pb").drop("dd")
+    val allBands = bandGens.map(readWhole).reduce(_ unionByName _)
+    val allDocs = docGens.map(readWhole).reduce(_ unionByName _)
+    val docCount = allDocs.count()
+    Dedup.writePartitionedBands(allBands, tmp.resolve("bands").toString,
+      Dedup.indexBucketsFor(docCount * Dedup.Bands))
+    Dedup.writePartitionedDocs(allDocs, tmp.resolve("docs").toString,
+      Dedup.docBucketsFor(docCount))
+    // moves: new generation becomes visible while the old ones still
+    // are — the duplicate window argued above
+    val newBands = Paths.get(root, "bands", s"b=seed$n")
+    val newDocs = Paths.get(root, "docs", s"b=seed$n")
+    Files.move(tmp.resolve("bands"), newBands)
+    Files.move(tmp.resolve("docs"), newDocs)
+    Files.deleteIfExists(tmp)
+    val superseded = (bandGens ++ docGens).map(_.getAbsolutePath)
+    val marker = Paths.get(root, "commits", s"compact-$n")
+    Files.createDirectories(marker.getParent)
+    Files.write(marker,
+      superseded.mkString("\n").getBytes("UTF-8"))
+    superseded.foreach(p => deleteRecursively(Paths.get(p)))
+  }
+
+  /** Delete any superseded generations a crashed [[compact]] left
+    * behind (marker present, listed dirs still on disk).
+    */
+  private def finishPendingCleanup(root: String): Unit = {
+    val commits = new java.io.File(root, "commits")
+    Option(commits.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("compact-"))
+      .foreach { m =>
+        new String(Files.readAllBytes(m.toPath), "UTF-8")
+          .linesIterator.filter(_.nonEmpty)
+          .foreach(p => deleteRecursively(Paths.get(p)))
+      }
+  }
+
+  private def pendingOrDoneCompactIds(root: String): Seq[Int] = {
+    val commits = new java.io.File(root, "commits")
+    Option(commits.listFiles).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("compact-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("compact-").toInt).toOption)
+  }
+
   /** Whether the store has at least one committed-or-seed generation
     * dir under `root/<kind>/` (the glob `root/<kind>/STAR` throws on a
     * missing or empty parent, so empty-index bootstrap checks first).

@@ -611,6 +611,75 @@ class StreamingSpec extends AnyFunSuite {
       "exact copies must all be flagged against the bootstrapped index")
   }
 
+  test("dedup ingest compaction: folding all generations into a fresh " +
+       "partitioned seed is verdict-invariant for the next batch, " +
+       "resets the store to one generation, and a torn compaction " +
+       "(marker written, old dirs still present) is finished at the " +
+       "next compact() — with the duplicate window itself " +
+       "verdict-correct") {
+    import graft.streaming.DedupStream
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 < 5)
+    val b0 = docs.filter(col("doc_id") % 10 === 5)
+    val b1 = docs.filter(col("doc_id") % 10 === 6)
+    // twin stores, identical seed + batch 0
+    val roots = Seq("a", "b").map { t =>
+      val r = java.nio.file.Files
+        .createTempDirectory(s"dedup_compact_$t").resolve("store").toString
+      DedupStream.seed(spark, corpus, r)
+      DedupStream.processBatch(b0, r, 0L)
+      r
+    }
+    val Seq(rootA, rootB) = roots
+    // A compacts; B does not
+    DedupStream.compact(spark, rootA)
+    def gens(root: String, kind: String): Seq[String] =
+      Option(new java.io.File(root, kind).listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    assert(gens(rootA, "bands") === Seq("b=seed0"))
+    assert(gens(rootA, "docs") === Seq("b=seed0"))
+    // the compacted seed is partitioned (sidecars present)
+    assert(Dedup.indexBuckets(s"$rootA/bands/b=seed0").nonEmpty)
+    assert(Dedup.indexBuckets(s"$rootA/docs/b=seed0").nonEmpty)
+    // batch 1 against compacted vs uncompacted: verdicts identical
+    DedupStream.processBatch(b1, rootA, 1L)
+    DedupStream.processBatch(b1, rootB, 1L)
+    def v1(root: String) = spark.read.parquet(s"$root/verdicts/b=1")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(v1(rootA) === v1(rootB))
+    assert(v1(rootA).exists(r => r(3) == false),
+      "degenerate: batch 1 flagged nothing — the equality proves little")
+    // torn compaction on A: write a marker listing a still-present fake
+    // superseded dir; the next compact() must finish the deletion
+    val stale = java.nio.file.Paths.get(rootA, "bands", "b=999")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rootA, "commits", "compact-7"),
+      stale.toString.getBytes("UTF-8"))
+    DedupStream.compact(spark, rootA) // folds b=seed0 + b=1 into b=seed8
+    assert(!java.nio.file.Files.exists(stale))
+    assert(gens(rootA, "bands") === Seq("b=seed8"))
+    // the duplicate WINDOW is correct: a store holding every gen TWICE
+    // (old + compacted, the mid-compaction state) yields the same
+    // verdicts — duplicates collapse in dup_of and the verify regroup
+    val rootDup = java.nio.file.Files
+      .createTempDirectory("dedup_compact_dup").resolve("store").toString
+    DedupStream.seed(spark, corpus, rootDup)
+    DedupStream.processBatch(b0, rootDup, 0L)
+    spark.read.parquet(s"$rootDup/bands/b=seed").drop("pb")
+      .write.parquet(s"$rootDup/bands/b=888")
+    spark.read.parquet(s"$rootDup/bands/b=0")
+      .write.parquet(s"$rootDup/bands/b=889")
+    spark.read.parquet(s"$rootDup/docs/b=seed").drop("dd")
+      .write.parquet(s"$rootDup/docs/b=888")
+    spark.read.parquet(s"$rootDup/docs/b=0")
+      .write.parquet(s"$rootDup/docs/b=889")
+    DedupStream.processBatch(b1, rootDup, 1L)
+    assert(v1(rootDup) === v1(rootB))
+  }
+
   test("dedup ingest exactly-once: a committed batch re-delivered is a " +
        "no-op; a crash-torn batch replays whole") {
     import graft.streaming.DedupStream
