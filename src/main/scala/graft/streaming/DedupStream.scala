@@ -69,9 +69,9 @@ import graft.sources.Tables.table
   *   verdicts/b=0,b=1,.../      (doc_id, dup_of, best_jaccard, keep)
   *   commits/0,1,...            empty marker files, created last
   * }}}
-  * Per-batch generations stay flat (batch-sized); a production lake
-  * compacts them into the partitioned seed periodically, which is the
-  * moment per-batch cost resets to the seed-only floor.
+  * Per-batch generations stay flat (batch-sized); [[compact]] folds
+  * them into a fresh partitioned seed between batches, resetting
+  * per-batch read cost to the seed-only floor.
   */
 object DedupStream {
 
