@@ -80,6 +80,35 @@ class IndexPruneSpec extends AnyFunSuite {
     } finally probe.unpersist()
   }
 
+  test("dd-partitioned partner store: a candidate-sized id set reads " +
+       "fewer files AND rows than the full store, losslessly") {
+    val tmp = java.nio.file.Files.createTempDirectory("ddprune")
+      .resolve("docs").toString
+    val p = 64
+    Dedup.writePartitionedDocs(docs, tmp, p)
+    assert(Dedup.indexBuckets(tmp) === Some(p))
+    val ids = docs.limit(7).select(col("doc_id")).persist()
+    try {
+      ids.count()
+      val pruned = QueryMetrics.profile(
+        Dedup.readDocsPruned(spark, tmp, ids, docs))
+      val full = QueryMetrics.profile(spark.read.parquet(tmp).drop("dd"))
+      assert(pruned.filesRead < full.filesRead,
+        s"pruning read ${pruned.filesRead} of ${full.filesRead} files")
+      assert(pruned.filesRead <= 7L)
+      assert(pruned.scanRows < full.scanRows)
+      // lossless: every requested id's text is present and correct
+      val got = Dedup.readDocsPruned(spark, tmp, ids, docs)
+        .join(ids, "doc_id").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // derive the expectation from the SAME persisted id set (a
+      // second limit(7) could pick different rows)
+      val want = docs.join(ids, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === want)
+    } finally ids.unpersist()
+  }
+
   test("unpartitioned legacy layout: no sidecar -> full-scan fallback") {
     val tmp = java.nio.file.Files.createTempDirectory("pbflat")
       .resolve("idx").toString
