@@ -34,6 +34,10 @@ object StreamDedupBench {
     // "flat" disables the partitioned seed layout: the A/B control
     // isolating the bucket-pruned read's effect from box drift
     val partitioned = !args.lift(3).contains("flat")
+    // "compact" runs the maintenance pass after the batches and then
+    // nBatches MORE — timing the fold itself and the post-compaction
+    // per-batch cost (it should match the fresh-seed steady state)
+    val withCompact = args.contains("compact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,13 +66,14 @@ object StreamDedupBench {
     // count the seed dir directly — it's the only generation yet
     val bandRows = spark.read.parquet(s"$root/bands/b=seed").count()
 
-    // fixed-size batches: the LOWEST nBatches*batchRows delta ids in
-    // id order (the ingest contract), one bounded driver collect
+    // fixed-size batches: the LOWEST wanted delta ids in id order (the
+    // ingest contract), one bounded driver collect
+    val totalBatches = if (withCompact) 2 * nBatches else nBatches
     val ids = delta.select(col("doc_id")).orderBy(col("doc_id"))
-      .limit(nBatches * batchRows).collect().map(_.getLong(0))
-    require(ids.length == nBatches * batchRows,
-      s"delta too small: ${ids.length} < ${nBatches * batchRows}")
-    val times = (0 until nBatches).map { k =>
+      .limit(totalBatches * batchRows).collect().map(_.getLong(0))
+    require(ids.length == totalBatches * batchRows,
+      s"delta too small: ${ids.length} < ${totalBatches * batchRows}")
+    def runBatch(k: Int): Double = {
       val lo = ids(k * batchRows)
       val hi = ids((k + 1) * batchRows - 1)
       val batch = delta.filter(col("doc_id").between(lo, hi))
@@ -76,13 +81,27 @@ object StreamDedupBench {
       DedupStream.processBatch(batch, root, k.toLong)
       (System.nanoTime() - b0) / 1e9
     }
+    val times = (0 until nBatches).map(runBatch)
+    val (compactS, times2) =
+      if (withCompact) {
+        val c0 = System.nanoTime()
+        DedupStream.compact(spark, root)
+        ((System.nanoTime() - c0) / 1e9,
+          (nBatches until 2 * nBatches).map(runBatch))
+      } else (0.0, Seq.empty[Double])
     val flagged = spark.read.parquet(s"$root/verdicts/*")
       .filter(!col("keep")).count()
+    val compactJson =
+      if (withCompact)
+        s""""compact_s":${Bench.fmt(compactS)},""" +
+          s""""batch_s_post":[${times2.map(Bench.fmt).mkString(",")}],"""
+      else ""
     val line = s"""{"stream_dedup":{"dir":"$dir","index_docs":$indexDocs,""" +
       s""""band_rows":$bandRows,"seed_s":${Bench.fmt(seedS)},""" +
       s""""batch_rows":$batchRows,"layout":""" +
       s""""${if (partitioned) "partitioned" else "flat"}",""" +
       s""""batch_s":[${times.map(Bench.fmt).mkString(",")}],""" +
+      compactJson +
       s""""flagged":$flagged}}"""
     // append-mode write (no read-modify-rewrite of the accumulated file);
     // only non-fatal failures are swallowed — an OOM/VM error must not be
