@@ -78,7 +78,11 @@ object StreamDedupBench {
       val hi = ids((k + 1) * batchRows - 1)
       val batch = delta.filter(col("doc_id").between(lo, hi))
       val b0 = System.nanoTime()
-      DedupStream.processBatch(batch, root, k.toLong)
+      // auto-compaction off: the ladder times the raw per-batch cost at
+      // a FIXED store shape per rung; the compact pass is timed
+      // separately (the "compact" arg), not folded into a batch
+      DedupStream.processBatch(batch, root, k.toLong,
+        autoCompactFraction = 0)
       (System.nanoTime() - b0) / 1e9
     }
     val times = (0 until nBatches).map(runBatch)

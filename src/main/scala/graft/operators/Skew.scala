@@ -144,12 +144,23 @@ object Skew {
     // explicit chunk count: AQE never coalesces a user repartition with
     // fixed N, so spark_partition_id is stable across plan reuse
     val chunks = s.sparkContext.defaultParallelism
+    // The ranged frame fans out to TWO consumers (local windows, edge
+    // stats) that must agree on the chunk assignment. Exchange reuse
+    // makes that hold today, but RangePartitioner's sample seed
+    // incorporates the RDD id — if reuse were ever defeated (AQE
+    // replanning, future plan changes) the two subtrees could draw
+    // DIFFERENT range bounds and the boundary stitching would silently
+    // corrupt lag/lead/rn. localCheckpoint pins the assignment
+    // physically: pid is computed once, both consumers read the same
+    // materialized blocks, and the lineage cut makes recomputation
+    // impossible rather than merely unlikely.
     val ranged = table(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"), col("l_partkey"),
         col("l_extendedprice"))
       .repartitionByRange(chunks, sortCols: _*)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wl = Window.partitionBy(col("pid"), col("l_suppkey"))
       .orderBy(ordCols: _*)
     val local = ranged

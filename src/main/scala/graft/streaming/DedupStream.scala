@@ -104,13 +104,41 @@ object DedupStream {
     Files.createDirectories(Paths.get(root, "commits"))
   }
 
+  /** Fraction of the partitioned seed's on-disk bytes the flat
+    * per-batch generations may accumulate before [[processBatch]]
+    * triggers [[compact]] on its own (after the batch commits — never
+    * concurrently). 0.5 amortizes to O(1) per batch: each compaction
+    * costs ~one seed rebuild and the threshold doubles with the seed.
+    * An unseeded bootstrap store (seed bytes = 0) compacts as soon as
+    * two flat generations exist, promoting them to its first seed.
+    */
+  val AutoCompactFraction = 0.5
+
   /** Process one micro-batch against the store at `root`: verdicts for
     * the batch's docs, then append the batch to the index. Public and
     * batch-id-keyed so foreachBatch wires it directly and specs can
     * drive replay scenarios without a stream.
+    *
+    * After the commit marker lands, flat-generation bytes are checked
+    * against `autoCompactFraction` x seed bytes and the store compacts
+    * itself when over — so an unattended ingest never degrades to the
+    * flat-scan floor. Pass `autoCompactFraction = 0` to disable (the
+    * measurement harnesses do, to keep ladder rungs comparable).
+    *
+    * CONCURRENCY CONTRACT: the batch-width override below temporarily
+    * rewrites session-GLOBAL shuffle confs; nothing else may plan
+    * queries on this SparkSession while a batch is in flight, or those
+    * queries would plan at batch width (results unaffected — width is
+    * a performance lever — but a corpus-sized query at batch width
+    * schedules too few tasks). foreachBatch's sequential driver-side
+    * delivery satisfies the contract; a caller sharing the session
+    * with concurrent work should hand this stream its own
+    * `SparkSession.newSession()` (separate conf, shared context).
     */
   def processBatch(batch: DataFrame, root: String, batchId: Long,
-                   threshold: Double = 0.8): Unit = {
+                   threshold: Double = 0.8,
+                   autoCompactFraction: Double = AutoCompactFraction)
+      : Unit = {
     val s = batch.sparkSession
     val marker = Paths.get(root, "commits", batchId.toString)
     if (Files.exists(marker)) return // committed: redelivery is a no-op
@@ -135,6 +163,31 @@ object DedupStream {
       prevWidth.fold(s.conf.unset(widthConf))(s.conf.set(widthConf, _))
       prevInit.fold(s.conf.unset(initConf))(s.conf.set(initConf, _))
     }
+    if (autoCompactFraction > 0 &&
+        flatBytes(root) > autoCompactFraction * seedBytes(root).max(1L))
+      compact(s, root)
+  }
+
+  /** On-disk bytes of the flat per-batch generations (b=<id>) under
+    * bands/ + docs/ — the accumulation [[compact]] resets. */
+  private def flatBytes(root: String): Long =
+    Seq("bands", "docs").map(k => generationDirs(root, k)
+      .filterNot(_.getName.startsWith("b=seed"))
+      .map(dirBytes).sum).sum
+
+  /** On-disk bytes of the partitioned seed generations. */
+  private def seedBytes(root: String): Long =
+    Seq("bands", "docs").map(k => generationDirs(root, k)
+      .filter(_.getName.startsWith("b=seed"))
+      .map(dirBytes).sum).sum
+
+  private def dirBytes(d: java.io.File): Long = {
+    val walk = Files.walk(d.toPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+    } finally walk.close()
   }
 
   private def processBatchInner(s: SparkSession, batch: DataFrame,
@@ -227,7 +280,20 @@ object DedupStream {
     val bandGens = generationDirs(root, "bands")
     val docGens = generationDirs(root, "docs")
     if (bandGens.size <= 1 && docGens.size <= 1) return
-    val n = 1 + pendingOrDoneCompactIds(root).foldLeft(-1)(math.max)
+    // n must out-number BOTH every marker id AND every existing
+    // b=seed<N> generation suffix: a crash between the moves (below)
+    // and the marker write leaves a moved-but-unmarked b=seedN with no
+    // compact-N marker, and deriving n from markers alone would retry
+    // the same id forever (Files.move into the existing dir throws —
+    // a liveness hole, not a correctness one). A fresh id folds the
+    // orphaned generation in as duplicates, which the duplicate-window
+    // argument already tolerates.
+    val seedGenIds = (bandGens ++ docGens).map(_.getName)
+      .filter(_.startsWith("b=seed"))
+      .flatMap(d =>
+        scala.util.Try(d.stripPrefix("b=seed").toInt).toOption)
+    val n = 1 + (pendingOrDoneCompactIds(root) ++ seedGenIds)
+      .foldLeft(-1)(math.max)
     val tmp = Paths.get(root, s"compact-tmp-$n")
     def readWhole(g: java.io.File): DataFrame =
       s.read.parquet(g.getAbsolutePath).drop("pb").drop("dd")
@@ -251,19 +317,41 @@ object DedupStream {
     Files.write(marker,
       superseded.mkString("\n").getBytes("UTF-8"))
     superseded.foreach(p => deleteRecursively(Paths.get(p)))
+    Files.delete(marker) // cleanup done; crash here = next-entry no-op
   }
 
   /** Delete any superseded generations a crashed [[compact]] left
-    * behind (marker present, listed dirs still on disk).
+    * behind (marker present, listed dirs still on disk), then retire
+    * the marker itself. Two guards keep this safe and bounded:
+    *  - a listed dir whose mtime is NEWER than the marker is not the
+    *    dir the marker superseded (a re-seeded store reusing the same
+    *    root — [[seed]] writes with mode=overwrite) and is left alone,
+    *    so a stale marker can never delete a LIVE generation;
+    *  - a marker is deleted once nothing it lists survives as its
+    *    (older-than-marker) target, making cleanup O(pending) instead
+    *    of O(every compaction ever). Id monotonicity no longer needs
+    *    the markers: [[compact]] also derives the next id from the
+    *    existing b=seed<N> dir suffixes, and the newest seed dir
+    *    always outlives its marker.
     */
   private def finishPendingCleanup(root: String): Unit = {
     val commits = new java.io.File(root, "commits")
     Option(commits.listFiles).getOrElse(Array.empty)
       .filter(_.getName.startsWith("compact-"))
       .foreach { m =>
-        new String(Files.readAllBytes(m.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty)
-          .foreach(p => deleteRecursively(Paths.get(p)))
+        val markerMtime = m.lastModified()
+        def staleTarget(p: String): Option[Path] = {
+          val d = Paths.get(p)
+          if (Files.exists(d) &&
+              Files.getLastModifiedTime(d).toMillis <= markerMtime)
+            Some(d)
+          else None
+        }
+        val listed = new String(Files.readAllBytes(m.toPath), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).toSeq
+        listed.flatMap(staleTarget).foreach(deleteRecursively)
+        if (!listed.exists(p => staleTarget(p).isDefined))
+          Files.delete(m.toPath)
       }
   }
 

@@ -652,15 +652,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1(rootA).exists(r => r(3) == false),
       "degenerate: batch 1 flagged nothing — the equality proves little")
     // torn compaction on A: write a marker listing a still-present fake
-    // superseded dir; the next compact() must finish the deletion
+    // superseded dir; the next compact() must finish the deletion AND
+    // retire the marker (cleanup is O(pending), markers don't accrue)
     val stale = java.nio.file.Paths.get(rootA, "bands", "b=999")
     java.nio.file.Files.createDirectories(stale)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(rootA, "commits", "compact-7"),
-      stale.toString.getBytes("UTF-8"))
-    DedupStream.compact(spark, rootA) // folds b=seed0 + b=1 into b=seed8
+    val tornMarker = java.nio.file.Paths.get(
+      rootA, "commits", "compact-7")
+    java.nio.file.Files.write(tornMarker, stale.toString.getBytes("UTF-8"))
+    // next id comes from live seed-dir suffixes (b=seed0 -> 1), not the
+    // retired marker's 7: markers are deleted after cleanup, so seed
+    // dirs carry id monotonicity now
+    DedupStream.compact(spark, rootA) // folds b=seed0 + b=1 into b=seed1
     assert(!java.nio.file.Files.exists(stale))
-    assert(gens(rootA, "bands") === Seq("b=seed8"))
+    assert(!java.nio.file.Files.exists(tornMarker),
+      "finished marker must be retired")
+    assert(gens(rootA, "bands") === Seq("b=seed1"))
     // the duplicate WINDOW is correct: a store holding every gen TWICE
     // (old + compacted, the mid-compaction state) yields the same
     // verdicts — duplicates collapse in dup_of and the verify regroup
@@ -678,6 +684,112 @@ class StreamingSpec extends AnyFunSuite {
       .write.parquet(s"$rootDup/docs/b=889")
     DedupStream.processBatch(b1, rootDup, 1L)
     assert(v1(rootDup) === v1(rootB))
+  }
+
+  test("dedup ingest auto-compaction: processBatch compacts itself past " +
+       "the byte-fraction threshold, not below it, and the next batch's " +
+       "verdicts are invariant") {
+    import graft.streaming.DedupStream
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def gens(root: String, kind: String): Seq[String] =
+      Option(new java.io.File(root, kind).listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+        .toSeq.sorted
+    // SMALL seed (one decile) + same-sized batch: flat/seed ~ 1 > 0.5,
+    // so the default policy must fire right after batch 0 commits
+    val b0 = docs.filter(col("doc_id") % 10 === 2)
+    val b1 = docs.filter(col("doc_id") % 10 === 3)
+    val roots = Seq("auto", "manual").map { t =>
+      val r = java.nio.file.Files
+        .createTempDirectory(s"dedup_auto_$t").resolve("store").toString
+      DedupStream.seed(spark, docs.filter(col("doc_id") % 10 < 1), r)
+      r
+    }
+    val Seq(rootAuto, rootManual) = roots
+    DedupStream.processBatch(b0, rootAuto, 0L) // default policy: fires
+    DedupStream.processBatch(b0, rootManual, 0L, autoCompactFraction = 0)
+    assert(gens(rootAuto, "bands") === Seq("b=seed0"),
+      "past the threshold the store must have compacted itself")
+    assert(gens(rootManual, "bands") === Seq("b=0", "b=seed"),
+      "policy disabled: generations accumulate")
+    // verdict invariance across the self-trigger
+    DedupStream.processBatch(b1, rootAuto, 1L, autoCompactFraction = 0)
+    DedupStream.processBatch(b1, rootManual, 1L, autoCompactFraction = 0)
+    def v1(root: String) = spark.read.parquet(s"$root/verdicts/b=1")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(v1(rootAuto) === v1(rootManual))
+    // BELOW the threshold nothing fires: a big seed (8 deciles) against
+    // a one-decile batch is ~0.125 of seed bytes
+    val rootBig = java.nio.file.Files
+      .createTempDirectory("dedup_auto_big").resolve("store").toString
+    DedupStream.seed(spark, docs.filter(col("doc_id") % 10 < 8), rootBig)
+    DedupStream.processBatch(docs.filter(col("doc_id") % 10 === 8),
+      rootBig, 0L)
+    assert(gens(rootBig, "bands") === Seq("b=0", "b=seed"),
+      "below the threshold the store must stay un-compacted")
+  }
+
+  test("compaction crash liveness: a moved-but-unmarked generation " +
+       "(crash between the moves and the marker) gets a FRESH id at " +
+       "the next compact; a stale marker never deletes a newer live " +
+       "generation") {
+    import graft.streaming.DedupStream
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("dedup_liveness").resolve("store").toString
+    DedupStream.seed(spark, docs.filter(col("doc_id") % 10 < 3), root)
+    DedupStream.processBatch(docs.filter(col("doc_id") % 10 === 3),
+      root, 0L, autoCompactFraction = 0)
+    DedupStream.compact(spark, root) // -> b=seed0, marker retired
+    def gens(kind: String): Seq[String] =
+      Option(new java.io.File(root, kind).listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+        .toSeq.sorted
+    assert(gens("bands") === Seq("b=seed0"))
+    // simulate the crash window: a compact moved b=seed3 into the tree
+    // and died before writing compact-3 — no marker records id 3
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(from)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val t = to.resolve(from.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+      } finally walk.close()
+    }
+    Seq("bands", "docs").foreach { k =>
+      copyDir(java.nio.file.Paths.get(root, k, "b=seed0"),
+        java.nio.file.Paths.get(root, k, "b=seed3"))
+    }
+    // the old bug: n derived from markers alone -> n=1... then a later
+    // compact at n=3 collides with the orphan and throws forever. The
+    // fix derives n past BOTH markers and live seed suffixes -> 4.
+    DedupStream.compact(spark, root)
+    assert(gens("bands") === Seq("b=seed4"))
+    assert(gens("docs") === Seq("b=seed4"))
+    // stale marker pointing at the LIVE generation (e.g. a re-seeded
+    // root): the target is NEWER than the marker, so cleanup must
+    // refuse to delete it — and retire the marker as spent
+    val live = java.nio.file.Paths.get(root, "bands", "b=seed4")
+    val staleMarker = java.nio.file.Paths.get(root, "commits", "compact-9")
+    java.nio.file.Files.write(staleMarker, live.toString.getBytes("UTF-8"))
+    staleMarker.toFile.setLastModified(
+      live.toFile.lastModified() - 60000L)
+    DedupStream.compact(spark, root) // single generation: fold no-ops,
+                                     // but pending cleanup still runs
+    assert(java.nio.file.Files.exists(live),
+      "a live dir newer than the marker must survive cleanup")
+    assert(!java.nio.file.Files.exists(staleMarker),
+      "the spent marker must be retired")
+    // the store still works end to end after all of the above
+    DedupStream.processBatch(docs.filter(col("doc_id") % 10 === 4),
+      root, 1L, autoCompactFraction = 0)
+    assert(spark.read.parquet(s"$root/verdicts/b=1").count() > 0)
   }
 
   test("dedup ingest exactly-once: a committed batch re-delivered is a " +
