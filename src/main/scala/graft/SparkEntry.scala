@@ -1301,7 +1301,10 @@ object SparkEntry {
       s"""
       SELECT '$k' AS key_col, n_keys, n_rows, max_cnt, top_key,
         round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-          AS top_share, p50_cnt, p99_cnt
+          AS top_share, p50_cnt, p99_cnt,
+        CASE WHEN round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE),
+            6) >= ${graft.operators.Skew.WindowSkewShare}
+          THEN 'window_lag_skew' ELSE 'plain_window' END AS window_plan
       FROM (
         SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
           max(c) AS max_cnt,

@@ -74,6 +74,17 @@ object Skew {
     */
   val SkewKeyCols: Seq[String] = Seq("l_suppkey", "l_partkey", "l_orderkey")
 
+  /** Hot-key share above which a per-key ordered window over that key
+    * should run as the chunked rewrite ([[windowLagSkew]]) instead of
+    * the plain window: one key holding >= 1/P of the rows pins a full
+    * reducer, taken at a reference parallelism P = 100. FIXED rather
+    * than runtime-derived so [[skewDiagnose]]'s recommendation column
+    * is deterministic and oracle-checkable; at a different cluster
+    * width the operator reads top_share directly and applies its own
+    * 1/P.
+    */
+  val WindowSkewShare = 0.01
+
   def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     // ONE scan of the fact table profiles every key column: each row
@@ -99,6 +110,13 @@ object Skew {
         round(col("m.c").cast("double") / col("n_rows").cast("double"),
           6).as("top_share"),
         col("p50_cnt"), col("p99_cnt"))
+      // machine-readable verdict: the diagnose -> choose pair for the
+      // window family (plain window vs the chunked windowLagSkew
+      // rewrite), compared on the ROUNDED share so Spark and the
+      // oracle branch on the identical value
+      .withColumn("window_plan",
+        when(col("top_share") >= lit(WindowSkewShare),
+          lit("window_lag_skew")).otherwise(lit("plain_window")))
   }
 
   /** Skew-resilient lag/lead/row_number — the chunked two-pass rewrite

@@ -84,6 +84,15 @@ class SkewAndExtSpec extends AnyFunSuite {
     val got = rows.find(_.getAs[String]("key_col") == "l_suppkey").get
     assert(got.getAs[Long]("top_key") === expect.getLong(0))
     assert(got.getAs[Long]("max_cnt") === expect.getLong(1))
+    // the machine-readable window recommendation follows top_share
+    // against the fixed WindowSkewShare bound on every row
+    rows.foreach { r =>
+      val want =
+        if (r.getAs[Double]("top_share") >= Skew.WindowSkewShare)
+          "window_lag_skew"
+        else "plain_window"
+      assert(r.getAs[String]("window_plan") === want)
+    }
   }
 
   test("length_filter keeps the central band per language") {
