@@ -1861,40 +1861,55 @@ object Dedup {
     * empty with its token count in `n_removed` — the downstream
     * length_filter gate is the intended consumer.
     *
-    * Scale: covered positions explode hit starts ×w (linear in
-    * duplicated volume, not corpus volume); reassembly is one
-    * doc-keyed aggregate using the bounded array_sort(collect_list)
-    * device — per-doc token counts are document-length bounded, the
-    * same contract every per-doc array op in this file relies on.
+    * Scale: the cut is applied as RUN-LEVEL instructions, never
+    * per-position rows. [[spansFromHits]]'s maximal islands are exactly
+    * the covered set (disjoint, hole-free, non-adjacent — the gap>w
+    * break guarantees ≥1 uncovered token between islands), so the
+    * intermediate is Σ span COUNTS (duplicated runs), not Σ span
+    * lengths, and never the corpus token count: the earlier
+    * formulation posexploded every token and re-collected them through
+    * a corpus-sized shuffle of per-token structs (~15× the text bytes);
+    * this one shuffles the span list (tiny) to the doc and rewrites
+    * each text in place with one fold — per span, append the
+    * uncovered slice before it; finish with the tail slice. The only
+    * corpus-sized exchange left is the doc-keyed join planting the
+    * span arrays. The oracle stays the literal covered-position
+    * formulation, so the driver's hash match proves the span rewrite
+    * equal.
     */
   def dedupSubstringClean(s: SparkSession, dir: String,
                           w: Int = SubstrW): DataFrame = {
     val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-    val cov = substrHits(docs, w)
-      .select(col("doc_id"), explode(sequence(col("i"),
-        col("i") + (w - 1))).as("p"))
-      .distinct()
-    val tp = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("j0", "tok")))
-      .select(col("doc_id"), (col("j0") + 1).cast("long").as("j"),
-        col("tok"))
-    val kept = tp.join(cov,
-      tp("doc_id") === cov("doc_id") && col("j") === col("p"), "left_anti")
-    val totals = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
-    totals.join(
-        kept.groupBy(col("doc_id"))
-          .agg(concat_ws(" ", transform(
-              array_sort(collect_list(struct(col("j"), col("tok")))),
-              x => x.getField("tok"))).as("clean_text"),
-            count(lit(1)).as("n_kept")),
-        Seq("doc_id"), "left")
+    val sp = spansFromHits(substrHits(docs, w), w)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    val emptySpans =
+      "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+    // fold state: next uncovered position + accumulated kept slices;
+    // spans are sorted+disjoint, so every slice length is ≥ 0
+    val cleanToks = raw"""aggregate(
+        sp,
+        named_struct('pos', CAST(1 AS BIGINT),
+                     'acc', CAST(array() AS array<string>)),
+        (st, x) -> named_struct(
+          'pos', x.span_end + CAST(1 AS BIGINT),
+          'acc', concat(st.acc,
+            slice(t, CAST(st.pos AS INT),
+              CAST(x.span_start - st.pos AS INT)))),
+        st -> concat(st.acc,
+          slice(t, CAST(st.pos AS INT),
+            CAST(size(t) - st.pos + 1 AS INT))))"""
+    docs.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        coalesce(col("sp"), expr(emptySpans)).as("sp"))
+      .select(col("doc_id"), expr(cleanToks).as("ct"),
+        size(col("t")).cast("long").as("n_tok"))
       // corpus-sized output: no presentational global sort (see
       // spansFromHits)
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ", col("ct")).as("clean_text"),
+        size(col("ct")).cast("long").as("n_kept"),
+        (col("n_tok") - size(col("ct")).cast("long")).as("n_removed"))
   }
 }
