@@ -168,7 +168,27 @@ object ScaleCorpus {
       "lineitem", math.max(4, 2 * gens))
 
     val documents = spark.read.parquet(s"$src/documents.parquet")
-    write(gened(documents)
+    // zipf mode for the TEXT corpus: the fact-key device applied to the
+    // documents' categorical dimensions. The base corpus's source is
+    // uniform over ~20 values and lang mildly en-heavy — benign for
+    // every groupBy-domain / per-lang-percentile family. Remapped
+    // zipfian (labels only — text untouched, so all shingle/banding
+    // structure is preserved), the hottest source owns ~1/3 of ALL
+    // docs and the hottest language the bulk of the rest: the hot-key
+    // stress for domain_cap, lang_sample, tfidf per-lang aggregation,
+    // and the per-group text dedup families.
+    val nSrc = documents.select("source").distinct().count().toInt
+    val langs = documents.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def maybeZipfDocs(df: DataFrame): DataFrame = zipfS match {
+      case Some(z) => df
+        .withColumn("source",
+          concat(lit("src"), zipfRemap(col("source"), nSrc, z, 104L)))
+        .withColumn("lang", element_at(typedLit(langs),
+          (zipfRemap(col("lang"), langs.size, z, 105L) + 1).cast("int")))
+      case None => df
+    }
+    write(maybeZipfDocs(gened(documents))
       .withColumn("doc_id", col("doc_id") + col("g") * DocKeyStride)
       .withColumn("text", expr(
         """IF(g = 0, text,

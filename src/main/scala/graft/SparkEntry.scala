@@ -197,6 +197,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Ann.annIvf(s, d)),
     "ann_incremental" -> ((s, d) => Ann.annIncremental(s, d)),
+    // The streaming ANN ingest fold, oracle = ann_incremental's oracle
+    // VERBATIM: the driver's hash match proves the micro-batch fold
+    // equals the one-shot batch search (see streaming.AnnStream).
+    "ann_stream_fold" ->
+      ((s, d) => graft.streaming.AnnStream.foldBoundedDelta(s, d)),
     "ann_pq" -> ((s, d) => Ann.annPq(s, d)),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -3820,6 +3825,10 @@ object SparkEntry {
     "multimodal_features" ->
       graft.operators.Multimodal.multimodalFeaturesOracleSql,
   ) ++ annIvfOracleSqlOpt ++ annIncrementalOracleSqlOpt ++
+    // the streaming fold's oracle is the batch operator's verbatim —
+    // the fold==batch proof device (see dedup_stream_fold)
+    annIncrementalOracleSqlOpt.map { case (_, sql) =>
+      "ann_stream_fold" -> sql } ++
     dedupSemanticOracleSqlOpt ++
     annPqOracleSqlOpt ++ annIvfPqOracleSqlOpt ++ annAutoProbeOracleSqlOpt
 }

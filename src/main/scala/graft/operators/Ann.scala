@@ -425,6 +425,12 @@ object Ann {
           cellAssignExact(col("embedding"), centroids).as("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // file-listing manifest (the Dedup index device): per-batch
+      // probes read explicit matching cell files instead of paying
+      // whole-tree partition discovery — measured on the ×100
+      // artifact's 1.5k cell dirs to cost MORE per batch than the
+      // flat scan it was meant to beat
+      Dedup.writeFilesManifest(path)
       path
     })
   private val ivfIndexCache =
@@ -463,15 +469,72 @@ object Ann {
     val centroids =
       fitCentroids(s, dir, ivfCellsFor(corpusCount(s, dir)))
     val index = s.read.parquet(ivfIndexPath(s, dir))
-    val probeDf = table(s, dir, "embeddings")
-      .filter(col("vec_id") % IncDeltaMod === IncDeltaRem)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(cellTopN(col("embedding"), centroids, nProbe)).as("cell"))
+    val probeDf = incrementalProbes(
+      table(s, dir, "embeddings")
+        .filter(col("vec_id") % IncDeltaMod === IncDeltaRem),
+      centroids, nProbe)
+    incrementalRank(probeDf, index)
+  }
+
+  /** Probe-set construction of the incremental ANN search — (q_id, qe,
+    * cell) exploded over each query's [[cellTopN]] probe walk. Shared
+    * verbatim by [[annIncremental]] and the streaming ingest fold
+    * ([[graft.streaming.AnnStream]]) so the fold runs the IDENTICAL
+    * arithmetic — the same single-sourcing device as
+    * [[Dedup.incrementalCandidates]].
+    */
+  def incrementalProbes(queries: DataFrame,
+                        centroids: Array[Array[Double]],
+                        nProbe: Int = IvfProbe): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      explode(cellTopN(col("embedding"), centroids, nProbe)).as("cell"))
+
+  /** Read a cell-partitioned IVF artifact pruned to `cells` — the
+    * explicit-path lake read ([[Dedup.readBandIndexPruned]]'s device,
+    * keyed on cell): file paths come from the `_graft_files` manifest
+    * filtered by cell prefix, so a batch-sized probe costs ZERO
+    * directory listings at any artifact size — whole-tree partition
+    * discovery over the ×100 artifact's ~1.5k cell dirs measured MORE
+    * per batch than a flat full scan, the same trap the dedup index
+    * hit at 6.3k dirs. The `basePath` option keeps `cell` as a
+    * partition column parsed from each file's path. Coverage guard:
+    * a probe touching most cells reads every manifest file instead
+    * (pruning would buy nothing); a missing manifest (legacy layout)
+    * falls back to the discovery read.
+    */
+  def readCellsPruned(s: SparkSession, path: String,
+                      cells: Seq[Int]): DataFrame =
+    Dedup.indexFilesManifest(path) match {
+      case Some(all) if all.nonEmpty =>
+        val total = all.flatMap(f => Option(f.indexOf('/'))
+          .filter(_ > 0).map(f.substring(0, _))).distinct.length
+        val want = cells.map(c => s"cell=$c").toSet
+        val files =
+          (if (cells.length * 2 >= total) all
+           else all.filter { f =>
+             val slash = f.indexOf('/')
+             slash > 0 && want.contains(f.substring(0, slash))
+           }).map(f => s"$path/$f")
+        if (files.isEmpty)
+          s.read.option("basePath", path).parquet(path).limit(0)
+        else s.read.option("basePath", path).parquet(files: _*)
+      case _ => s.read.parquet(path)
+    }
+
+  /** Rank tier of the incremental ANN search: broadcast the (small)
+    * probe set against the cell-partitioned index — the broadcast join
+    * on `cell` is what triggers dynamic partition pruning on the
+    * artifact scan — then top-[[K]] cosine per query on the
+    * (cos desc, cand_id) key the generated oracle mirrors. Shared by
+    * [[annIncremental]] and the streaming fold (see
+    * [[incrementalProbes]]).
+    */
+  def incrementalRank(probes: DataFrame, index: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("cand_id").asc)
     index.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("cell"))
-      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -1312,9 +1375,19 @@ object Ann {
     // recall must be the recall of the ACTUAL serving shape (n is a
     // driver value here, so the threshold is a literal)
     val cellW = Window.partitionBy(col("tbl"), col("bucket"))
-    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"),
-        explode(cTabs).as("tb"))
-      .select(col("dst"), col("ce"), col("tb.tbl").as("tbl"),
+    // IDS-ONLY through the explode, the cap window, and the candidate
+    // join: the ladder-max frame is corpus × 24 tables (× masks on the
+    // probe side), and with the 64-dim embeddings riding it the ×100
+    // corpus overran the sandbox's ~65 GB scratch in shuffle spill —
+    // measured, twice. Candidate pairs are bounded by queries × tables
+    // × masks × cell width, so embeddings are fetched for exactly that
+    // verify slice AFTERWARD (qe on a broadcast of the stride subset,
+    // ce on one corpus-keyed join), shrinking the in-flight bytes by
+    // the embedding width (~20×) at identical results: cosines across
+    // tables are equal, so per-pair min(tbl) + one cos after the fetch
+    // equals the old per-row cos + max-over-tables.
+    val c = e.select(col("vec_id").as("dst"), explode(cTabs).as("tb"))
+      .select(col("dst"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
       .withColumn("_bsz", count(lit(1)).over(cellW))
       .filter(col("_bsz") <= lit(math.max(CellCapFloor,
@@ -1325,17 +1398,22 @@ object Ann {
       struct(lit(t).as("tbl"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
     val q = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("src"), col("embedding").as("qe"),
-        explode(qProbes).as("tb"))
-      .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
+      .select(col("vec_id").as("src"), explode(qProbes).as("tb"))
+      .select(col("src"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
     // one bucket join at ladder max; min(tbl) per pair encodes EVERY
     // rung's candidate set (rung nt holds pairs with first_tbl < nt)
-    val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val candIds = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
-      .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
       .groupBy(col("src"), col("dst"))
-      .agg(min(col("tbl")).as("first_tbl"), max(col("cos")).as("cos_r"))
+      .agg(min(col("tbl")).as("first_tbl"))
+    val qe = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val ce = table(s, dir, "embeddings")
+      .select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val pairs = candIds.join(ce, Seq("dst")).join(broadcast(qe), Seq("src"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .select(col("src"), col("dst"), col("first_tbl"), col("cos_r"))
     val wr = Window.partitionBy(col("nt"), col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
     val perRung = pairs

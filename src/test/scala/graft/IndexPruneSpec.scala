@@ -109,6 +109,92 @@ class IndexPruneSpec extends AnyFunSuite {
     } finally ids.unpersist()
   }
 
+  test("_graft_files manifest == the on-disk listing, and the " +
+       "whole-tree manifest read equals the discovery read") {
+    val tmp = java.nio.file.Files.createTempDirectory("pbmani")
+      .resolve("idx").toString
+    Dedup.writePartitionedBands(Dedup.minhashBands(spark, docs), tmp, 16)
+    val manifest = Dedup.indexFilesManifest(tmp).get.toSet
+    // independent listing of the same tree
+    val base = java.nio.file.Paths.get(tmp)
+    val walk = java.nio.file.Files.walk(base)
+    val listed =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString)
+          .filter(n =>
+            n.substring(n.lastIndexOf('/') + 1).startsWith("part-"))
+          .toSet
+      } finally walk.close()
+    assert(manifest === listed)
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(_.startsWith("pb=")))
+    // a probe covering EVERY bucket trips the coverage guard -> the
+    // whole-tree manifest read; it must equal partition discovery
+    val probe = Dedup.minhashBands(spark, docs).persist()
+    try {
+      probe.count()
+      val viaManifest = Dedup.readBandIndexPruned(spark, tmp, probe)
+        .collect().map(_.toSeq).toSet
+      val viaDiscovery = spark.read.parquet(tmp).drop("pb")
+        .collect().map(_.toSeq).toSet
+      assert(viaManifest === viaDiscovery)
+      assert(viaManifest.nonEmpty)
+    } finally probe.unpersist()
+  }
+
+  test("partitioned layout with the manifest REMOVED (pre-r17 index): " +
+       "the per-bucket existence fallback still reads correctly") {
+    val tmp = java.nio.file.Files.createTempDirectory("pbnomani")
+      .resolve("idx").toString
+    Dedup.writePartitionedBands(Dedup.minhashBands(spark, docs), tmp, 64)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tmp, "_graft_files"))
+    assert(Dedup.indexFilesManifest(tmp).isEmpty)
+    val probe = Dedup.minhashBands(spark, docs.limit(5)).persist()
+    try {
+      probe.count()
+      def pairs(index: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        probe.as("d").join(index.as("c"),
+            col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+          .select(col("d.doc_id"), col("c.doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaFallback = pairs(Dedup.readBandIndexPruned(spark, tmp, probe))
+      val viaFull = pairs(spark.read.parquet(tmp).drop("pb"))
+      assert(viaFallback === viaFull)
+      assert(viaFallback.nonEmpty)
+    } finally probe.unpersist()
+  }
+
+  test("cell-partitioned IVF artifact: readCellsPruned reads only the " +
+       "probed cells' files, losslessly, keeping the cell column") {
+    import graft.operators.Ann
+    val path = Ann.ivfIndexPath(spark, dir)
+    assert(Dedup.indexFilesManifest(path).nonEmpty,
+      "the artifact build must write the manifest")
+    val full = spark.read.parquet(path)
+    val allCells = full.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(allCells.length > 2)
+    val some = allCells.take(2)
+    val pruned = QueryMetrics.profile(
+      Ann.readCellsPruned(spark, path, some))
+    val fullProf = QueryMetrics.profile(full)
+    assert(pruned.filesRead < fullProf.filesRead)
+    val got = Ann.readCellsPruned(spark, path, some)
+      .collect().map(_.toSeq).toSet
+    val want = full.filter(col("cell").isin(some.map(Integer.valueOf): _*))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // coverage guard: probing every cell reads the whole artifact
+    val whole = Ann.readCellsPruned(spark, path, allCells)
+      .collect().map(_.toSeq).toSet
+    assert(whole === full.collect().map(_.toSeq).toSet)
+  }
+
   test("unpartitioned legacy layout: no sidecar -> full-scan fallback") {
     val tmp = java.nio.file.Files.createTempDirectory("pbflat")
       .resolve("idx").toString
