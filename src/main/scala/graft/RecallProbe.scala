@@ -45,8 +45,10 @@ object RecallProbe {
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       for (tables <- Seq(3, 6, 9)) {
-        val got = Ann.knnGraphBucketed(spark, sfDir, nTablesOpt = tables)
-          .filter(col("src") % stride === 0)
+        // srcStride: per-source independence makes the audit slice
+        // exact, and only it is disk-feasible at ×100 (Ann scaladoc)
+        val got = Ann.knnGraphBucketed(spark, sfDir, nTablesOpt = tables,
+            srcStride = stride)
           .select(col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"knn bits=${Ann.bitsFor(Ann.corpusCount(spark, sfDir))} " +
@@ -63,8 +65,7 @@ object RecallProbe {
       val exact = Ann.knnGraph(spark, sfDir)
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = Ann.knnGraphBucketed(spark, sfDir)
-        .filter(col("src") % stride === 0)
+      val got = Ann.knnGraphBucketed(spark, sfDir, srcStride = stride)
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val r = (exact & got).size.toDouble / exact.size
@@ -89,8 +90,7 @@ object RecallProbe {
       val exact = Ann.knnGraph(spark, sfDir)
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = Ann.knnGraphBucketed(spark, sfDir)
-        .filter(col("src") % stride === 0)
+      val got = Ann.knnGraphBucketed(spark, sfDir, srcStride = stride)
         .select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       verdict("knn", (exact & got).size.toDouble / exact.size,

@@ -1452,9 +1452,21 @@ object Ann {
     * corpus². Recall vs the exact graph is gated in PipelineSpec on the
     * stride subset ([[KnnGraphRecallMin]]).
     */
+  /** `srcStride > 0` restricts the QUERY (src) side to `vec_id %
+    * srcStride == 0` — the recall-audit slice. Per-source independence
+    * makes the restriction exact: a source's top-K depends only on its
+    * own probe cells and the (unchanged) capped corpus side, so the
+    * audited sources' rows are identical to the full graph's
+    * (PipelineSpec pins the equality). This is what makes the ×100
+    * recall audit disk-feasible — the full serving graph at the tuned
+    * table count shuffles corpus × tables × masks rows WITH embeddings
+    * (measured past the sandbox's scratch at ×100, nt=24), while the
+    * audit needs only ~KnnAuditQueries sources of it.
+    */
   def knnGraphBucketed(s: SparkSession, dir: String, nBitsOpt: Int = 0,
                        nTablesOpt: Int = 0,
-                       probeBits: Int = LshProbeBits): DataFrame = {
+                       probeBits: Int = LshProbeBits,
+                       srcStride: Long = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // 0 = size-adaptive (the default): [[bitsFor]] keeps the expected
     // cell at TargetCellRows so the bucket self-join scales linearly;
@@ -1489,7 +1501,9 @@ object Ann {
     val qProbes = array((for { t <- 0 until nTables; m <- masks } yield
       struct(lit(t).as("tbl"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
-    val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"),
+    val qBase =
+      if (srcStride > 0) e.filter(col("vec_id") % srcStride === 0) else e
+    val q = qBase.select(col("vec_id").as("src"), col("embedding").as("qe"),
         explode(qProbes).as("tb"))
       .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))

@@ -653,6 +653,19 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= Ann.KnnGraphRecallMin, s"recall=$recall")
+    // srcStride audit slice == the full graph filtered to the same
+    // sources, row for row: per-source independence (a source's top-K
+    // sees only its own probes and the unchanged capped corpus side)
+    // is what makes the ×100 recall audit disk-feasible, so pin it
+    val sliced = Ann.knnGraphBucketed(spark, dir,
+        srcStride = Ann.KnnStride.toLong)
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val filtered = rows.filter(_.getLong(0) % Ann.KnnStride == 0)
+      .map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(sliced.nonEmpty)
+    assert(sliced === filtered)
   }
 
   /** Scala mirror of V.hyperplaneBucket for [[cellCapCorpus]]: bit j set
