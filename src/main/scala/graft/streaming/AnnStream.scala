@@ -32,13 +32,13 @@ import graft.sources.Tables.table
   * ANY batching and ANY arrival order (no id-monotonicity clause).
   * Arriving vectors are appended to the store as per-batch generations
   * (`cells/b=<id>` — the lake growth a production ingest lands), but
-  * the search tier reads the seed generation only: that IS the batch
-  * operator's semantics ("neighbors in the standing corpus"), and the
-  * growing flat generations are folded into a fresh partitioned seed
-  * by the same maintenance pass the dedup store runs (one
-  * repartition-on-cell write — [[graft.operators.Ann.ivfIndexPath]]'s
-  * layout; a rebuild decision, not a per-batch one, so it lives with
-  * the operator).
+  * the search tier reads the newest SEED generation only: that IS the
+  * batch operator's semantics ("neighbors in the standing corpus").
+  * [[compact]] folds the flat generations into a fresh partitioned
+  * seed when the operator decides to widen the serving scope to the
+  * arrivals — a semantic rebuild decision (deliberately NOT
+  * auto-triggered; see its doc), unlike the dedup store's
+  * cost-driven, verdict-invariant compaction.
   *
   * Exactly-once: identical to [[DedupStream]] — a batch commits by
   * writing `results/` and `cells/` dirs and THEN creating the atomic
@@ -143,8 +143,10 @@ object AnnStream {
       val cells = probes.select(col("cell"))
         .collect().map(_.getInt(0)).distinct.sorted.toSeq
       // seed-scoped search (the batch-operator contract — see the
-      // class doc), pruned to the probed cells
-      val index = Ann.readCellsPruned(s, s"$root/cells/b=seed", cells)
+      // class doc), pruned to the probed cells; the NEWEST seed
+      // generation is the serving index (compact() installs
+      // b=seed<n> atomically by directory move)
+      val index = Ann.readCellsPruned(s, newestSeed(root), cells)
       Ann.incrementalRank(probes, index)
         .write.parquet(s"$root/results/b=$batchId")
       vecs.select(col("vec_id"), col("embedding"),
@@ -154,6 +156,115 @@ object AnnStream {
       Files.createFile(marker) // the commit point — atomic, created last
     } finally { probes.unpersist(); vecs.unpersist() }
   }
+
+  /** Compact the store: fold the serving seed and every flat batch
+    * generation into ONE fresh cell-partitioned seed (the
+    * [[graft.operators.Ann.ivfIndexPath]] layout + manifest),
+    * installed atomically by directory move. Run between batches
+    * (never concurrently with [[processBatch]]).
+    *
+    * Semantics — deliberately DIFFERENT from [[DedupStream.compact]]:
+    * folding arrivals into the seed EXPANDS the search scope.
+    * Post-compaction batches rank neighbors among corpus + folded
+    * arrivals — exactly what a production index rebuild is for
+    * (StreamingSpec pins the expanded results against
+    * [[graft.operators.Ann.incrementalRank]] over the union index).
+    * There is also no auto-trigger here: flat generations are never
+    * read by searches (seed-scoped), so accumulation costs nothing per
+    * batch — WHEN to widen the serving scope is an operator decision,
+    * not a performance one.
+    *
+    * Crash safety is [[DedupStream.compact]]'s protocol: the new
+    * generation is written OUTSIDE the read tree, moves in before any
+    * delete, a marker lists the superseded dirs, cleanup deletes them
+    * and retires the marker; the next id clears both marker ids and
+    * live seed suffixes (a moved-but-unmarked generation gets a fresh
+    * id). Readers are immune to the torn window because they pin the
+    * NEWEST seed generation ([[newestSeed]]) — the switch is atomic at
+    * the move — and the fold itself drops duplicate vec_ids, so a
+    * re-fold over a torn state (new seed + still-present old
+    * generations) is exact, not duplicate-inflating (ANN ranks, unlike
+    * the dedup verdict aggregates, are NOT duplicate-tolerant: a
+    * doubled index row would double its candidate and shift every rank
+    * below it).
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    finishPendingCleanup(root)
+    val gens = generationDirs(root, "cells")
+    if (gens.size <= 1) return
+    val seedIds = gens.map(_.getName).filter(_.startsWith("b=seed"))
+      .flatMap(d => scala.util.Try(d.stripPrefix("b=seed").toInt).toOption)
+    val n = 1 + (pendingCompactIds(root) ++ seedIds).foldLeft(-1)(math.max)
+    val tmp = Paths.get(root, s"compact-tmp-$n")
+    val all = gens.map(g => s.read.parquet(g.getAbsolutePath)
+        .select(col("vec_id"), col("embedding"), col("cell")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("vec_id") // torn-state re-fold exactness
+    all.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // manifest paths are relative, so it survives the move
+    graft.operators.Dedup.writeFilesManifest(tmp.toString)
+    Files.move(tmp, Paths.get(root, "cells", s"b=seed$n"))
+    val superseded = gens.map(_.getAbsolutePath)
+    val marker = Paths.get(root, "commits", s"compact-$n")
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, superseded.mkString("\n").getBytes("UTF-8"))
+    superseded.foreach(p => deleteRecursively(Paths.get(p)))
+    Files.delete(marker) // cleanup done; crash here = next-entry no-op
+  }
+
+  /** Superseded generations a crashed [[compact]] left behind — the
+    * [[DedupStream]] guards: a listed dir newer than its marker is a
+    * re-seeded LIVE dir and survives; spent markers are retired.
+    */
+  private def finishPendingCleanup(root: String): Unit = {
+    val commits = new java.io.File(root, "commits")
+    Option(commits.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("compact-"))
+      .foreach { m =>
+        val markerMtime = m.lastModified()
+        def staleTarget(p: String): Option[Path] = {
+          val d = Paths.get(p)
+          if (Files.exists(d) &&
+              Files.getLastModifiedTime(d).toMillis <= markerMtime)
+            Some(d)
+          else None
+        }
+        val listed = new String(Files.readAllBytes(m.toPath), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).toSeq
+        listed.flatMap(staleTarget).foreach(deleteRecursively)
+        if (!listed.exists(p => staleTarget(p).isDefined))
+          Files.delete(m.toPath)
+      }
+  }
+
+  private def pendingCompactIds(root: String): Seq[Int] = {
+    val commits = new java.io.File(root, "commits")
+    Option(commits.listFiles).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("compact-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("compact-").toInt).toOption)
+  }
+
+  private def generationDirs(root: String, kind: String)
+      : Seq[java.io.File] = {
+    val d = new java.io.File(root, kind)
+    if (!d.isDirectory) Seq.empty
+    else Option(d.listFiles).map(_.filter(_.isDirectory).toSeq
+      .sortBy(_.getName)).getOrElse(Seq.empty)
+  }
+
+  /** The serving index: the newest seed generation (bare `b=seed` is
+    * generation -1; `b=seed<n>` from [[compact]] supersede it in id
+    * order).
+    */
+  private def newestSeed(root: String): String =
+    generationDirs(root, "cells").map(_.getName)
+      .filter(_.startsWith("b=seed"))
+      .sortBy(d => scala.util.Try(
+        d.stripPrefix("b=seed").toInt).getOrElse(-1))
+      .lastOption
+      .map(d => s"$root/cells/$d")
+      .getOrElse(s"$root/cells/b=seed")
 
   /** Start the ingest fold over a streaming (vec_id, embedding)
     * source.

@@ -752,6 +752,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(union === batch)
   }
 
+  test("streaming ANN store compaction: folding arrivals into a fresh " +
+       "seed expands the search scope to them (pinned against the " +
+       "union-index rank), resets the store to one generation, and a " +
+       "torn-state re-fold dedups instead of inflating ranks") {
+    import graft.streaming.AnnStream
+    import graft.operators.Ann
+    val root = java.nio.file.Files
+      .createTempDirectory("ann_compact").resolve("store").toString
+    val centroids = Ann.fitCentroids(spark, dir,
+      Ann.ivfCellsFor(Ann.corpusCount(spark, dir)))
+    AnnStream.seed(spark, dir, root)
+    val delta = graft.sources.Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % Ann.IncDeltaMod === Ann.IncDeltaRem)
+      .select(col("vec_id"), col("embedding"))
+    val b0 = delta.filter(col("vec_id") % 20 === 7)
+    val b1 = delta.filter(col("vec_id") % 20 === 17)
+    AnnStream.processBatch(b0, root, 0L, centroids)
+    // expected post-compaction scope: seed + b0, computed BEFORE the
+    // fold from the independent pre-compaction reads
+    val unionIdx = spark.read.parquet(s"$root/cells/b=seed")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .unionByName(spark.read.parquet(s"$root/cells/b=0"))
+    val expected = Ann.incrementalRank(
+        Ann.incrementalProbes(b1, centroids), unionIdx)
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val seedRows = spark.read.parquet(s"$root/cells/b=seed").count() +
+      b0.count()
+    AnnStream.compact(spark, root)
+    def gens(): Seq[String] =
+      Option(new java.io.File(root, "cells").listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+        .toSeq.sorted
+    assert(gens() === Seq("b=seed0"))
+    assert(graft.operators.Dedup.indexFilesManifest(
+      s"$root/cells/b=seed0").nonEmpty)
+    assert(spark.read.parquet(s"$root/cells/b=seed0").count() === seedRows)
+    // post-compaction batch ranks against corpus + folded arrivals
+    AnnStream.processBatch(b1, root, 1L, centroids)
+    val got = spark.read.parquet(s"$root/results/b=1")
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(got === expected)
+    // the scope really widened: some neighbor comes from batch 0
+    val b0Ids = b0.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.exists(r => b0Ids.contains(r(2).asInstanceOf[Long])),
+      "no batch-0 arrival ranked as a neighbor — scope expansion unproven")
+    // torn-state re-fold: a duplicate generation (the mid-compaction
+    // state) must dedup away, not double the index
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(from)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val t = to.resolve(from.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+      } finally walk.close()
+    }
+    copyDir(java.nio.file.Paths.get(root, "cells", "b=seed0"),
+      java.nio.file.Paths.get(root, "cells", "b=777"))
+    AnnStream.compact(spark, root)
+    assert(gens() === Seq("b=seed1"))
+    assert(spark.read.parquet(s"$root/cells/b=seed1").count()
+      === seedRows + b1.count())
+  }
+
   test("dedup ingest auto-compaction: processBatch compacts itself past " +
        "the byte-fraction threshold, not below it, and the next batch's " +
        "verdicts are invariant") {
