@@ -145,6 +145,7 @@ object SparkEntry {
     "join_salted" -> (Skew.joinSalted _),
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "window_lag_skew" -> (Skew.windowLagSkew _),
+    "window_rank_skew" -> ((s, d) => Skew.windowRankSkew(s, d)),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3035,6 +3036,22 @@ object SparkEntry {
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
         l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    // window_rank_skew: the oracle is the LITERAL rank/dense_rank/ntile
+    // window SQL — the hash match PROVES the chunked rewrite (Skew
+    // .windowRankSkew's boundary algebra) equal. rank/dense_rank order
+    // by the coarse l_shipdate (real ties; both are tie-invariant),
+    // ntile by the full tuple (ties are full duplicates, so the bucket
+    // multiset is deterministic — the window_lag_lead argument).
+    "window_rank_skew" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        CAST(rank() OVER wd AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER wd AS BIGINT) AS drank,
+        CAST(ntile(4) OVER wf AS BIGINT) AS bucket
+      FROM lineitem
+      WINDOW
+        wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+        wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+          l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
     // embedding_centroids: component sums go through DECIMAL(25,7) on
     // both sides (order-independent addition — the dsum device for
     // vectors) and are emitted as exact doubles; the mean is left to

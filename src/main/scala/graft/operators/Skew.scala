@@ -209,4 +209,131 @@ object Skew {
           .otherwise(col("next0")).as("next_qty"),
         (col("lrn") + col("offset")).as("rn"))
   }
+
+  /** Skew-resilient rank / dense_rank / ntile — closing what the
+    * [[windowLagSkew]] round documented as "genuinely chunk-hostile":
+    * the global distinct-prefix counts those functions need DO
+    * chunk, with boundary algebra one level richer than lag/lead's.
+    * Result IDENTICAL to the plain window (the oracle is the literal
+    * RANK/DENSE_RANK/NTILE SQL); no task ever holds more than ~1/P of
+    * any key.
+    *
+    * rank/dense_rank run on the COARSE `l_shipdate` ordering — real
+    * ties, hundreds of rows per (supplier, date), every chunk boundary
+    * splits a tie run, so the boundary machinery is load-bearing, not
+    * decorative. Both outputs are tie-invariant (every tied row gets
+    * the same value), hence deterministic under any tie split. ntile
+    * runs on the FULL tuple ordering (ties are full duplicates — the
+    * windowLagLead determinism argument), because its value depends on
+    * the row number. The shipdate ordering is a PREFIX of the full
+    * ordering, so ONE range partitioning serves both: shipdates stay
+    * contiguous across the same chunks.
+    *
+    * Boundary algebra, per (chunk c, key), chunks in range order:
+    *  - global rn = local rn + cumulative row count of earlier chunks
+    *    (lag/lead's offset device) → ntile is then pure arithmetic on
+    *    (rn, per-key total): q = total div n, r = total mod n, the
+    *    first r buckets take q+1 rows (Spark's and DuckDB's shared
+    *    NTILE definition).
+    *  - global dense_rank = local dense_rank + Σ_{c'<c} d(c') −
+    *    Σ_{c'≤c} overlap(c'), where d = the chunk's distinct shipdate
+    *    count and overlap(c) = 1 when first(c) == last(c−1) — each
+    *    boundary-straddling date is counted once per chunk it touches
+    *    and the sum subtracts the re-counts.
+    *  - global rank: a row that does not continue the boundary run is
+    *    offset + local rank. A row IN the boundary run (its date ==
+    *    first(c) == last(c−1)) takes the run's global START rank,
+    *    which may lie several chunks back when whole chunks are one
+    *    date. The run-group device finds it without recursion: a chunk
+    *    STARTS its last date's run unless it is single-dated AND
+    *    continues its predecessor (startsRun = !(single && cont));
+    *    cumulative-summing startsRun groups consecutive chunks sharing
+    *    one run, and first_value(offset + cnt − last_cnt + 1) over the
+    *    (key, group) window is the run's start rank, read by the next
+    *    chunk via lag.
+    * All stats rows number #keys × P (tiny), broadcast back.
+    */
+  def windowRankSkew(s: SparkSession, dir: String,
+                     nTiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val sortCols = col("l_suppkey") +: ordCols
+    val chunks = s.sparkContext.defaultParallelism
+    // one physical chunk assignment for both consumers (the
+    // windowLagSkew localCheckpoint rationale)
+    val ranged = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
+        col("l_extendedprice"))
+      .repartitionByRange(chunks, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wFull = Window.partitionBy(col("pid"), col("l_suppkey"))
+      .orderBy(ordCols: _*)
+    val wDate = Window.partitionBy(col("pid"), col("l_suppkey"))
+      .orderBy(col("l_shipdate"))
+    val local = ranged
+      .withColumn("lrn", row_number().over(wFull).cast("long"))
+      .withColumn("lrk", rank().over(wDate).cast("long"))
+      .withColumn("ldr", dense_rank().over(wDate).cast("long"))
+    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val before = wk.rowsBetween(Window.unboundedPreceding, -1)
+    val through = wk.rowsBetween(Window.unboundedPreceding, 0)
+    // max(lrk) IS the last date's local run-start rank (rank of the
+    // chunk's maximal date = cnt − last_cnt + 1), so the stats ride
+    // the local frame and need no nested aggregate
+    val statsBase = local.groupBy(col("pid"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("l_shipdate")).as("d"),
+        min(col("l_shipdate")).as("first_dt"),
+        max(col("l_shipdate")).as("last_dt"),
+        max(col("lrk")).as("last_rk"))
+    val stats0 = statsBase
+      .withColumn("offset", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("l_suppkey"))))
+      .withColumn("cont",
+        col("first_dt") === lag(col("last_dt"), 1).over(wk))
+      .withColumn("overlap",
+        when(col("cont"), lit(1L)).otherwise(lit(0L)))
+      // dense-rank adjustment: d's before MINUS overlaps through self
+      .withColumn("adj_d",
+        coalesce(sum(col("d")).over(before), lit(0L)) -
+          sum(col("overlap")).over(through))
+      // run-group device for the boundary run's global start rank
+      .withColumn("starts_run",
+        when(col("first_dt") === col("last_dt") && col("cont"), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("starts_run")).over(through))
+    val wg = Window.partitionBy(col("l_suppkey"), col("grp"))
+      .orderBy(col("pid"))
+    val stats = stats0
+      .withColumn("last_run_start",
+        first(col("offset") + col("last_rk")).over(wg))
+      .withColumn("prev_run_start",
+        lag(col("last_run_start"), 1).over(wk))
+      .withColumn("prev_last_dt", lag(col("last_dt"), 1).over(wk))
+      .select(col("pid"), col("l_suppkey"), col("offset"), col("total"),
+        col("adj_d"), col("prev_run_start"), col("prev_last_dt"))
+    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
+      .withColumn("rn", col("lrn") + col("offset"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"),
+        when(col("l_shipdate") === col("prev_last_dt"),
+          col("prev_run_start"))
+          .otherwise(col("offset") + col("lrk")).as("rnk"),
+        (col("ldr") + col("adj_d")).as("drank"),
+        // Spark/DuckDB NTILE: total mod n buckets of size q+1 first,
+        // the rest size q (q = total div n); the div-by-zero branch
+        // when q = 0 is unreachable (the first branch then covers
+        // every rn ≤ total) and CaseWhen short-circuits
+        expr(s"""CASE
+          WHEN rn <= ((total div $nTiles) + 1) * (total % $nTiles)
+          THEN (rn - 1) div ((total div $nTiles) + 1) + 1
+          ELSE (total % $nTiles) +
+            (rn - 1 - ((total div $nTiles) + 1) * (total % $nTiles))
+              div (total div $nTiles) + 1
+          END""").as("bucket"))
+  }
 }
