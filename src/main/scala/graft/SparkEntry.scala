@@ -146,6 +146,7 @@ object SparkEntry {
     "agg_twophase" -> (Skew.aggTwoPhase _),
     "window_lag_skew" -> (Skew.windowLagSkew _),
     "window_rank_skew" -> ((s, d) => Skew.windowRankSkew(s, d)),
+    "window_running_skew" -> (Skew.windowRunningSkew _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3052,6 +3053,17 @@ object SparkEntry {
         wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
         wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
           l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    // window_running_skew: literal running-frame SQL; BIGINT summand
+    // makes the chunked partial sums associativity-proof cross-engine
+    "window_running_skew" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+          AS running_qty,
+        CAST(count(*) OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // embedding_centroids: component sums go through DECIMAL(25,7) on
     // both sides (order-independent addition — the dsum device for
     // vectors) and are emitted as exact doubles; the mean is left to

@@ -210,6 +210,57 @@ object Skew {
         (col("lrn") + col("offset")).as("rn"))
   }
 
+  /** Skew-resilient RUNNING aggregate (cumulative sum + row count) —
+    * completing the skew-window family: lag/lead/row_number
+    * ([[windowLagSkew]]), rank/dense_rank/ntile ([[windowRankSkew]]),
+    * and now the running-frame class. The easiest boundary algebra of
+    * the three: a chunk's cumulative value = its local cumulative +
+    * the SUM of earlier chunks' totals (no tie or distinct-count
+    * subtleties — addition is order-free once the summand is exact,
+    * which the BIGINT cast guarantees; quantities are integer-valued,
+    * and an integral running sum is associativity-proof where a double
+    * fold would not be). Oracle = the literal SUM/COUNT OVER (ROWS
+    * UNBOUNDED PRECEDING) SQL. Ordering ties are full duplicates (the
+    * windowLagLead argument), so any tie split yields the same output
+    * multiset.
+    */
+  def windowRunningSkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val sortCols = col("l_suppkey") +: ordCols
+    val chunks = s.sparkContext.defaultParallelism
+    val ranged = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
+        col("l_extendedprice"))
+      .repartitionByRange(chunks, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("pid"), col("l_suppkey"))
+      .orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("lsum", sum(col("l_quantity").cast("long")).over(wl))
+      .withColumn("lrn", count(lit(1)).over(wl))
+    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val before = wk.rowsBetween(Window.unboundedPreceding, -1)
+    val stats = ranged.groupBy(col("pid"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("csum"),
+        count(lit(1)).as("cnt"))
+      .withColumn("sum_offset",
+        coalesce(sum(col("csum")).over(before), lit(0L)))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .select(col("pid"), col("l_suppkey"), col("sum_offset"),
+        col("offset"))
+    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"),
+        (col("lsum") + col("sum_offset")).as("running_qty"),
+        (col("lrn") + col("offset")).as("rn"))
+  }
+
   /** Skew-resilient rank / dense_rank / ntile — closing what the
     * [[windowLagSkew]] round documented as "genuinely chunk-hostile":
     * the global distinct-prefix counts those functions need DO

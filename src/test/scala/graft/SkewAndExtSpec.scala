@@ -94,6 +94,25 @@ class SkewAndExtSpec extends AnyFunSuite {
       "no tie runs at all — rank==dense_rank everywhere is vacuous")
   }
 
+  test("window_running_skew equals the plain running-frame window, " +
+       "multiset for multiset") {
+    import org.apache.spark.sql.expressions.Window
+    val rewritten = Skew.windowRunningSkew(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("running_qty", sum(col("l_quantity").cast("long")).over(w))
+      .withColumn("rn", count(lit(1)).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("running_qty"),
+        col("rn"))
+    assert(rewritten.count() === plain.count())
+    assert(rewritten.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(rewritten).count() === 0L)
+  }
+
   test("skew_diagnose profiles every key column with a verifiable top key") {
     val rows = Skew.skewDiagnose(spark, dir).collect()
     assert(rows.map(_.getAs[String]("key_col")).sorted.toSeq ===
