@@ -94,6 +94,62 @@ class SkewAndExtSpec extends AnyFunSuite {
       "no tie runs at all — rank==dense_rank everywhere is vacuous")
   }
 
+  test("window_rank_skew boundary chain: ONE date spanning many whole " +
+       "chunks (the run-group device's adversarial case) still equals " +
+       "the plain windows") {
+    import org.apache.spark.sql.expressions.Window
+    // planted lineitem: supplier 1 has 20k rows of a single date (the
+    // viral date — spans most of the 32 range chunks as whole-chunk
+    // runs) bracketed by a handful of earlier/later dates; supplier 2
+    // is small and ordinary. Exercises: cont-chains through
+    // single-date chunks, run-start propagation past several chunks,
+    // and distinct-count overlap subtraction across the same chain.
+    val tmp = java.nio.file.Files.createTempDirectory("rankskew").toString
+    val rows = (1 to 200).map(i =>
+        (1L, 1000L + i, 1, java.sql.Date.valueOf("1994-01-01"),
+          (i % 7 + 1).toDouble, 10L + i, 100.0 + i)) ++
+      (1 to 20000).map(i =>
+        (1L, 2000L + i, 1, java.sql.Date.valueOf("1995-06-15"),
+          (i % 9 + 1).toDouble, 30000L + i, 500.0 + i)) ++
+      (1 to 150).map(i =>
+        (1L, 90000L + i, 1, java.sql.Date.valueOf("1997-12-31"),
+          (i % 5 + 1).toDouble, 60000L + i, 900.0 + i)) ++
+      (1 to 300).map(i =>
+        (2L, 500000L + i, 1,
+          java.sql.Date.valueOf(f"1996-0${i % 9 + 1}%d-11"),
+          (i % 4 + 1).toDouble, 80000L + i, 50.0 + i))
+    spark.createDataFrame(rows).toDF("l_suppkey", "l_orderkey",
+        "l_linenumber", "l_shipdate", "l_quantity", "l_partkey",
+        "l_extendedprice")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val rewritten = Skew.windowRankSkew(spark, tmp)
+    val wd = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+    val wf = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val plain = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .withColumn("rnk", rank().over(wd).cast("long"))
+      .withColumn("drank", dense_rank().over(wd).cast("long"))
+      .withColumn("bucket", ntile(4).over(wf).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("rnk"), col("drank"),
+        col("bucket"))
+    assert(rewritten.count() === plain.count())
+    assert(rewritten.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(rewritten).count() === 0L)
+    // non-vacuity: the viral date really does span several chunks
+    val viralChunks = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .select(spark_partition_id().as("p"), col("l_shipdate"))
+      .filter(col("l_shipdate") === lit("1995-06-15"))
+      .select(col("p")).distinct().count()
+    assert(viralChunks >= 3L,
+      s"viral date spans only $viralChunks chunk(s) — chain untested")
+  }
+
   test("window_running_skew equals the plain running-frame window, " +
        "multiset for multiset") {
     import org.apache.spark.sql.expressions.Window
