@@ -147,6 +147,7 @@ object SparkEntry {
     "window_lag_skew" -> (Skew.windowLagSkew _),
     "window_rank_skew" -> ((s, d) => Skew.windowRankSkew(s, d)),
     "window_running_skew" -> (Skew.windowRunningSkew _),
+    "window_range_skew" -> ((s, d) => Skew.windowRangeSkew(s, d)),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3053,6 +3054,18 @@ object SparkEntry {
         wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
         wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
           l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    // window_range_skew: literal value-range-frame SQL — the hash
+    // match proves the ghost-row rewrite (backward-need + forward-tie
+    // replication into neighbor chunks) exact, peers included
+    "window_range_skew" -> s"""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+          AS rng_sum,
+        CAST(count(*) OVER w AS BIGINT) AS rng_n
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+        RANGE BETWEEN ${graft.operators.Skew.RangeSkewW} PRECEDING
+        AND CURRENT ROW)""",
     // window_running_skew: literal running-frame SQL; BIGINT summand
     // makes the chunked partial sums associativity-proof cross-engine
     "window_running_skew" -> """

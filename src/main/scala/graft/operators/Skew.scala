@@ -261,6 +261,85 @@ object Skew {
         (col("lrn") + col("offset")).as("rn"))
   }
 
+  /** Value width of [[windowRangeSkew]]'s trailing frame (orderkeys are
+    * dense, so ~1000 keys of history per row).
+    */
+  val RangeSkewW = 1000L
+
+  /** Skew-resilient RANGE frame (trailing value-window sum/count) — the
+    * last window class without a hot-key path. A value-range frame
+    * cannot be offset-corrected like the row-frame rewrites: a row near
+    * a chunk's start needs the actual PREDECESSOR ROWS within `w` of
+    * its ordering value, and — because RANGE frames include every PEER
+    * of the current value — a row at a chunk's end whose value
+    * straddles the boundary needs its tied rows from the next chunk.
+    * So the rewrite ships GHOST ROWS instead of stats: each row
+    * replicates into every other chunk whose frames can see it —
+    * backward-need targets (later chunks whose minimum ordering value
+    * lies within `w` above the row) and forward-tie targets (earlier
+    * chunks whose maximum equals the row's value; possible only as
+    * boundary tie splits). Ghost volume per boundary is bounded by the
+    * rows inside one `w`-wide value band plus tie peers — independent
+    * of the hot key's total size, which is the whole point. Ghosts
+    * contribute to local frames and are dropped before output; outputs
+    * are tie-invariant (a frame is a value set), so any boundary tie
+    * split yields identical rows. Oracle = the literal RANGE BETWEEN
+    * SQL; BIGINT summand for cross-engine associativity.
+    */
+  def windowRangeSkew(s: SparkSession, dir: String,
+                      w: Long = RangeSkewW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = s.sparkContext.defaultParallelism
+    val ranged = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .repartitionByRange(chunks, col("l_suppkey"), col("l_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val bounds = ranged.groupBy(col("pid"), col("l_suppkey"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .withColumn("nxt_lo", lead(col("lo"), 1).over(wb))
+      .withColumn("prv_hi", lag(col("hi"), 1).over(wb))
+    // EXACT candidate pre-filter before the multi-target expansion: lo
+    // rises with the chunk id, so a row can ghost into SOME later
+    // chunk iff it lies within w below its key's NEXT boundary, and
+    // into some earlier chunk iff it ties its PREVIOUS chunk's hi.
+    // This keeps the corpus-sized join a single-bucket (pid, key)
+    // lookup — the naive one-step join probed every chunk's bounds per
+    // row (~P predicate evaluations x corpus), measured 2.2x the whole
+    // lag-skew query at the zipf x100 corpus.
+    val nearEdge = ranged.join(broadcast(
+        bounds.select(col("pid"), col("l_suppkey"),
+          col("nxt_lo"), col("prv_hi"))),
+        Seq("pid", "l_suppkey"))
+      .filter((col("nxt_lo").isNotNull &&
+          col("l_orderkey") >= col("nxt_lo") - w) ||
+        (col("prv_hi").isNotNull && col("l_orderkey") <= col("prv_hi")))
+    val targets = bounds.select(col("l_suppkey").as("gk"),
+      col("pid").as("tpid"), col("lo"), col("hi"))
+    val ghosts = nearEdge.join(broadcast(targets),
+        col("gk") === col("l_suppkey") &&
+          ((col("tpid") > col("pid") &&
+             col("lo") - w <= col("l_orderkey")) ||
+           (col("tpid") < col("pid") &&
+             col("l_orderkey") <= col("hi"))))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("tpid").as("pid"), lit(true).as("ghost"))
+    val all = ranged
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("pid"), lit(false).as("ghost"))
+      .unionByName(ghosts)
+    val wr = Window.partitionBy(col("pid"), col("l_suppkey"))
+      .orderBy(col("l_orderkey")).rangeBetween(-w, 0)
+    all
+      .withColumn("rng_sum", sum(col("l_quantity").cast("long")).over(wr))
+      .withColumn("rng_n", count(lit(1)).over(wr))
+      .filter(!col("ghost"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("rng_sum"), col("rng_n"))
+  }
+
   /** Skew-resilient rank / dense_rank / ntile — closing what the
     * [[windowLagSkew]] round documented as "genuinely chunk-hostile":
     * the global distinct-prefix counts those functions need DO
