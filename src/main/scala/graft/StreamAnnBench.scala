@@ -32,6 +32,10 @@ object StreamAnnBench {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
     val batchRows = args.lift(2).map(_.toInt).getOrElse(50)
     val partitioned = !args.lift(3).contains("flat")
+    // "compact" runs AnnStream.compact after the batches and then
+    // nBatches MORE — timing the rebuild itself and the post-rebuild
+    // per-batch cost against the widened seed
+    val withCompact = args.contains("compact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,11 +61,12 @@ object StreamAnnBench {
       .select(col("vec_id"), col("embedding"))
     // fixed-size batches: the LOWEST delta ids in id order, one bounded
     // driver collect of ids only
+    val totalBatches = if (withCompact) 2 * nBatches else nBatches
     val ids = delta.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(nBatches * batchRows).collect().map(_.getLong(0))
-    require(ids.length == nBatches * batchRows,
-      s"delta too small: ${ids.length} < ${nBatches * batchRows}")
-    val times = (0 until nBatches).map { k =>
+      .limit(totalBatches * batchRows).collect().map(_.getLong(0))
+    require(ids.length == totalBatches * batchRows,
+      s"delta too small: ${ids.length} < ${totalBatches * batchRows}")
+    def runBatch(k: Int): Double = {
       val lo = ids(k * batchRows)
       val hi = ids((k + 1) * batchRows - 1)
       val batch = delta.filter(col("vec_id").between(lo, hi))
@@ -69,12 +74,26 @@ object StreamAnnBench {
       AnnStream.processBatch(batch, root, k.toLong, centroids)
       (System.nanoTime() - b0) / 1e9
     }
+    val times = (0 until nBatches).map(runBatch)
+    val (compactS, times2) =
+      if (withCompact) {
+        val c0 = System.nanoTime()
+        AnnStream.compact(spark, root)
+        ((System.nanoTime() - c0) / 1e9,
+          (nBatches until 2 * nBatches).map(runBatch))
+      } else (0.0, Seq.empty[Double])
     val resultRows = spark.read.parquet(s"$root/results/*").count()
+    val compactJson =
+      if (withCompact)
+        s""""compact_s":${Bench.fmt(compactS)},""" +
+          s""""batch_s_post":[${times2.map(Bench.fmt).mkString(",")}],"""
+      else ""
     val line = s"""{"stream_ann":{"dir":"$dir","index_rows":$indexRows,""" +
       s""""cells":${centroids.length},"seed_s":${Bench.fmt(seedS)},""" +
       s""""batch_rows":$batchRows,"layout":""" +
       s""""${if (partitioned) "partitioned" else "flat"}",""" +
       s""""batch_s":[${times.map(Bench.fmt).mkString(",")}],""" +
+      compactJson +
       s""""result_rows":$resultRows}}"""
     try {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
