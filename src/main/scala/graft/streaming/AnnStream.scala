@@ -22,7 +22,7 @@ import graft.sources.Tables.table
   * ([[graft.operators.Ann.incrementalProbes]] /
   * [[graft.operators.Ann.incrementalRank]]) — the stream runs the
   * IDENTICAL arithmetic, which is what makes the fold's output
-  * provably equal to the one-shot batch search (AnnStreamSpec cases in
+  * provably equal to the one-shot batch search (the ANN cases in
   * StreamingSpec, and the `ann_stream_fold` registry query whose
   * DuckDB oracle is `ann_incremental`'s VERBATIM).
   *

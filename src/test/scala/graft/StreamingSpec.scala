@@ -752,6 +752,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(union === batch)
   }
 
+  test("streaming ANN ingest over a FLAT (unpartitioned) seed — the " +
+       "measurement A/B control — yields results identical to the " +
+       "partitioned layout's") {
+    import graft.streaming.AnnStream
+    import graft.operators.Ann
+    val centroids = Ann.fitCentroids(spark, dir,
+      Ann.ivfCellsFor(Ann.corpusCount(spark, dir)))
+    val b0 = graft.sources.Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % Ann.IncDeltaMod === Ann.IncDeltaRem)
+      .filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+    val results = Seq(true, false).map { part =>
+      val r = java.nio.file.Files
+        .createTempDirectory(s"ann_flat_$part").resolve("store").toString
+      AnnStream.seed(spark, dir, r, partitioned = part)
+      AnnStream.processBatch(b0, r, 0L, centroids)
+      spark.read.parquet(s"$r/results/b=0").collect().map(_.toSeq)
+        .sortBy(x => (x.head.asInstanceOf[Long], x(1).asInstanceOf[Long]))
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) === results(1))
+  }
+
   test("streaming ANN store compaction: folding arrivals into a fresh " +
        "seed expands the search scope to them (pinned against the " +
        "union-index rank), resets the store to one generation, and a " +
