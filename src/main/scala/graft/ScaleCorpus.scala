@@ -177,8 +177,10 @@ object ScaleCorpus {
     // docs and the hottest language the bulk of the rest: the hot-key
     // stress for domain_cap, lang_sample, tfidf per-lang aggregation,
     // and the per-group text dedup families.
-    val nSrc = documents.select("source").distinct().count().toInt
-    val langs = documents.select("lang").distinct()
+    // lazy: two corpus-sized jobs that only the zipf branch needs —
+    // the common plain build must not pay them
+    lazy val nSrc = documents.select("source").distinct().count().toInt
+    lazy val langs = documents.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     def maybeZipfDocs(df: DataFrame): DataFrame = zipfS match {
       case Some(z) => df

@@ -36,6 +36,12 @@ object StreamAnnBench {
     // nBatches MORE — timing the rebuild itself and the post-rebuild
     // per-batch cost against the widened seed
     val withCompact = args.contains("compact")
+    // compact always installs a PARTITIONED seed, so combining it with
+    // the flat control would record post-rebuild times under
+    // layout:"flat" — a silently corrupted A/B ladder line
+    require(partitioned || !withCompact,
+      "'flat compact' would mislabel the post-rebuild batches: " +
+        "AnnStream.compact always writes a cell-partitioned seed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

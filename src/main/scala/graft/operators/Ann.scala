@@ -506,15 +506,11 @@ object Ann {
                       cells: Seq[Int]): DataFrame =
     Dedup.indexFilesManifest(path) match {
       case Some(all) if all.nonEmpty =>
-        val total = all.flatMap(f => Option(f.indexOf('/'))
-          .filter(_ > 0).map(f.substring(0, _))).distinct.length
-        val want = cells.map(c => s"cell=$c").toSet
+        val total = all.flatMap(Dedup.bucketPrefix).distinct.length
         val files =
-          (if (cells.length * 2 >= total) all
-           else all.filter { f =>
-             val slash = f.indexOf('/')
-             slash > 0 && want.contains(f.substring(0, slash))
-           }).map(f => s"$path/$f")
+          if (cells.length * 2 >= total) all.map(f => s"$path/$f")
+          else Dedup.manifestFiles(path,
+            cells.map(c => s"cell=$c").toSet).get
         if (files.isEmpty)
           s.read.option("basePath", path).parquet(path).limit(0)
         else s.read.option("basePath", path).parquet(files: _*)

@@ -360,17 +360,26 @@ object Dedup {
     else None
   }
 
+  /** The bucket-directory prefix of a manifest line ("pb=12/part-..."
+    * → "pb=12"); None for a root-level file.
+    */
+  private[graft] def bucketPrefix(f: String): Option[String] = {
+    val slash = f.indexOf('/')
+    if (slash > 0) Some(f.substring(0, slash)) else None
+  }
+
   /** Manifest-driven read of the bucket dirs in `keys` (e.g. "pb=12"):
     * zero FS calls — file paths come from the manifest filtered by
     * bucket-prefix; None when no manifest exists (legacy layout).
-    * An empty Some means no matching bucket holds rows.
+    * An empty Some means no matching bucket holds rows. Shared by
+    * every partitioned-artifact consumer (band index, partner store,
+    * and [[graft.operators.Ann.readCellsPruned]]) so the manifest
+    * format has ONE reader.
     */
-  private def manifestFiles(path: String, keys: Set[String])
+  private[graft] def manifestFiles(path: String, keys: Set[String])
       : Option[Seq[String]] =
-    indexFilesManifest(path).map(_.filter { f =>
-      val slash = f.indexOf('/')
-      slash > 0 && keys.contains(f.substring(0, slash))
-    }.map(f => s"$path/$f"))
+    indexFilesManifest(path).map(_.filter(f =>
+      bucketPrefix(f).exists(keys.contains)).map(f => s"$path/$f"))
 
   /** Write `bands` as a pb-partitioned index at `path` with `p` buckets
     * (+ sidecar): one shuffle on pb so each bucket directory holds ONE

@@ -171,7 +171,14 @@ object Skew {
     // corrupt lag/lead/rn. localCheckpoint pins the assignment
     // physically: pid is computed once, both consumers read the same
     // materialized blocks, and the lineage cut makes recomputation
-    // impossible rather than merely unlikely.
+    // impossible rather than merely unlikely. Lifecycle: the blocks
+    // live until the RDD is unpersisted or GC'd — the bench harnesses
+    // sweep getPersistentRDDs between queries, and a long-lived
+    // session running many skew windows should do the same. At
+    // cluster scale note localCheckpoint is non-replicated: an
+    // executor loss fails the query (rerun it) instead of silently
+    // recomputing a possibly-different chunk assignment — for this
+    // operator fail-and-rerun IS the safe behavior.
     val ranged = table(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"), col("l_partkey"),

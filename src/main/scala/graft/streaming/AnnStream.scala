@@ -189,12 +189,10 @@ object AnnStream {
     * below it).
     */
   def compact(s: SparkSession, root: String): Unit = {
-    finishPendingCleanup(root)
+    StoreProtocol.finishPendingCleanup(root)
     val gens = generationDirs(root, "cells")
     if (gens.size <= 1) return
-    val seedIds = gens.map(_.getName).filter(_.startsWith("b=seed"))
-      .flatMap(d => scala.util.Try(d.stripPrefix("b=seed").toInt).toOption)
-    val n = 1 + (pendingCompactIds(root) ++ seedIds).foldLeft(-1)(math.max)
+    val n = StoreProtocol.nextCompactId(root, gens.map(_.getName))
     val tmp = Paths.get(root, s"compact-tmp-$n")
     val all = gens.map(g => s.read.parquet(g.getAbsolutePath)
         .select(col("vec_id"), col("embedding"), col("cell")))
@@ -205,53 +203,11 @@ object AnnStream {
     // manifest paths are relative, so it survives the move
     graft.operators.Dedup.writeFilesManifest(tmp.toString)
     Files.move(tmp, Paths.get(root, "cells", s"b=seed$n"))
-    val superseded = gens.map(_.getAbsolutePath)
-    val marker = Paths.get(root, "commits", s"compact-$n")
-    Files.createDirectories(marker.getParent)
-    Files.write(marker, superseded.mkString("\n").getBytes("UTF-8"))
-    superseded.foreach(p => deleteRecursively(Paths.get(p)))
-    Files.delete(marker) // cleanup done; crash here = next-entry no-op
-  }
-
-  /** Superseded generations a crashed [[compact]] left behind — the
-    * [[DedupStream]] guards: a listed dir newer than its marker is a
-    * re-seeded LIVE dir and survives; spent markers are retired.
-    */
-  private def finishPendingCleanup(root: String): Unit = {
-    val commits = new java.io.File(root, "commits")
-    Option(commits.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("compact-"))
-      .foreach { m =>
-        val markerMtime = m.lastModified()
-        def staleTarget(p: String): Option[Path] = {
-          val d = Paths.get(p)
-          if (Files.exists(d) &&
-              Files.getLastModifiedTime(d).toMillis <= markerMtime)
-            Some(d)
-          else None
-        }
-        val listed = new String(Files.readAllBytes(m.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty).toSeq
-        listed.flatMap(staleTarget).foreach(deleteRecursively)
-        if (!listed.exists(p => staleTarget(p).isDefined))
-          Files.delete(m.toPath)
-      }
-  }
-
-  private def pendingCompactIds(root: String): Seq[Int] = {
-    val commits = new java.io.File(root, "commits")
-    Option(commits.listFiles).getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("compact-"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("compact-").toInt).toOption)
+    StoreProtocol.supersede(root, n, gens.map(_.getAbsolutePath))
   }
 
   private def generationDirs(root: String, kind: String)
-      : Seq[java.io.File] = {
-    val d = new java.io.File(root, kind)
-    if (!d.isDirectory) Seq.empty
-    else Option(d.listFiles).map(_.filter(_.isDirectory).toSeq
-      .sortBy(_.getName)).getOrElse(Seq.empty)
-  }
+      : Seq[java.io.File] = StoreProtocol.generationDirs(root, kind)
 
   /** The serving index: the newest seed generation (bare `b=seed` is
     * generation -1; `b=seed<n>` from [[compact]] supersede it in id
@@ -346,28 +302,9 @@ object AnnStream {
     root
   }
 
-  private def copyRecursively(src: Path, dst: Path): Unit = {
-    val walk = Files.walk(src)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.foreach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
-          Files.createDirectories(t.getParent)
-          Files.copy(p, t,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-    } finally walk.close()
-  }
+  private def copyRecursively(src: Path, dst: Path): Unit =
+    StoreProtocol.copyRecursively(src, dst)
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
+    StoreProtocol.deleteRecursively(p)
 }

@@ -169,26 +169,38 @@ object DedupStream {
   }
 
   /** On-disk bytes of the flat per-batch generations (b=<id>) under
-    * bands/ + docs/ — the accumulation [[compact]] resets. */
+    * bands/ + docs/ — the accumulation [[compact]] resets. Walk cost
+    * tracks the flat data itself (batch-sized dirs, reset by every
+    * compaction), never the standing index.
+    */
   private def flatBytes(root: String): Long =
     Seq("bands", "docs").map(k => generationDirs(root, k)
       .filterNot(_.getName.startsWith("b=seed"))
-      .map(dirBytes).sum).sum
+      .map(StoreProtocol.dirBytes).sum).sum
 
-  /** On-disk bytes of the partitioned seed generations. */
-  private def seedBytes(root: String): Long =
-    Seq("bands", "docs").map(k => generationDirs(root, k)
-      .filter(_.getName.startsWith("b=seed"))
-      .map(dirBytes).sum).sum
-
-  private def dirBytes(d: java.io.File): Long = {
-    val walk = Files.walk(d.toPath)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-    } finally walk.close()
+  /** On-disk bytes of the partitioned seed generations, CACHED per
+    * seed-dir-name set: the seed is immutable between compactions, so
+    * re-walking its thousands of bucket files on every batch commit
+    * (the ×100 store: ~13k files across both kinds) would put an
+    * index-sized listing on the per-batch hot path — the exact cost
+    * shape the manifest work removed from the read side. The cache key
+    * is the seed generation NAME list (one cheap dir listing), which
+    * changes exactly when a compaction installs a new seed.
+    */
+  private def seedBytes(root: String): Long = {
+    val seedDirs = Seq("bands", "docs").flatMap(k =>
+      generationDirs(root, k).filter(_.getName.startsWith("b=seed")))
+    val key = seedDirs.map(_.getAbsolutePath)
+    val cached = seedBytesCache.get(root)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val bytes = seedDirs.map(StoreProtocol.dirBytes).sum
+      seedBytesCache.put(root, (key, bytes))
+      bytes
+    }
   }
+  private val seedBytesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Long)]()
 
   private def processBatchInner(s: SparkSession, batch: DataFrame,
       root: String, batchId: Long, threshold: Double): Unit = {
@@ -276,24 +288,16 @@ object DedupStream {
     * (same batch against a compacted and an uncompacted twin store).
     */
   def compact(s: SparkSession, root: String): Unit = {
-    finishPendingCleanup(root)
+    StoreProtocol.finishPendingCleanup(root)
     val bandGens = generationDirs(root, "bands")
     val docGens = generationDirs(root, "docs")
     if (bandGens.size <= 1 && docGens.size <= 1) return
-    // n must out-number BOTH every marker id AND every existing
-    // b=seed<N> generation suffix: a crash between the moves (below)
-    // and the marker write leaves a moved-but-unmarked b=seedN with no
-    // compact-N marker, and deriving n from markers alone would retry
-    // the same id forever (Files.move into the existing dir throws —
-    // a liveness hole, not a correctness one). A fresh id folds the
-    // orphaned generation in as duplicates, which the duplicate-window
-    // argument already tolerates.
-    val seedGenIds = (bandGens ++ docGens).map(_.getName)
-      .filter(_.startsWith("b=seed"))
-      .flatMap(d =>
-        scala.util.Try(d.stripPrefix("b=seed").toInt).toOption)
-    val n = 1 + (pendingOrDoneCompactIds(root) ++ seedGenIds)
-      .foldLeft(-1)(math.max)
+    // id derivation clears live seed suffixes as well as markers
+    // (StoreProtocol.nextCompactId) so a moved-but-unmarked generation
+    // gets a fresh id — it folds in as duplicates, which the
+    // duplicate-window argument already tolerates
+    val n = StoreProtocol.nextCompactId(root,
+      (bandGens ++ docGens).map(_.getName))
     val tmp = Paths.get(root, s"compact-tmp-$n")
     def readWhole(g: java.io.File): DataFrame =
       s.read.parquet(g.getAbsolutePath).drop("pb").drop("dd")
@@ -311,55 +315,8 @@ object DedupStream {
     Files.move(tmp.resolve("bands"), newBands)
     Files.move(tmp.resolve("docs"), newDocs)
     Files.deleteIfExists(tmp)
-    val superseded = (bandGens ++ docGens).map(_.getAbsolutePath)
-    val marker = Paths.get(root, "commits", s"compact-$n")
-    Files.createDirectories(marker.getParent)
-    Files.write(marker,
-      superseded.mkString("\n").getBytes("UTF-8"))
-    superseded.foreach(p => deleteRecursively(Paths.get(p)))
-    Files.delete(marker) // cleanup done; crash here = next-entry no-op
-  }
-
-  /** Delete any superseded generations a crashed [[compact]] left
-    * behind (marker present, listed dirs still on disk), then retire
-    * the marker itself. Two guards keep this safe and bounded:
-    *  - a listed dir whose mtime is NEWER than the marker is not the
-    *    dir the marker superseded (a re-seeded store reusing the same
-    *    root — [[seed]] writes with mode=overwrite) and is left alone,
-    *    so a stale marker can never delete a LIVE generation;
-    *  - a marker is deleted once nothing it lists survives as its
-    *    (older-than-marker) target, making cleanup O(pending) instead
-    *    of O(every compaction ever). Id monotonicity no longer needs
-    *    the markers: [[compact]] also derives the next id from the
-    *    existing b=seed<N> dir suffixes, and the newest seed dir
-    *    always outlives its marker.
-    */
-  private def finishPendingCleanup(root: String): Unit = {
-    val commits = new java.io.File(root, "commits")
-    Option(commits.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("compact-"))
-      .foreach { m =>
-        val markerMtime = m.lastModified()
-        def staleTarget(p: String): Option[Path] = {
-          val d = Paths.get(p)
-          if (Files.exists(d) &&
-              Files.getLastModifiedTime(d).toMillis <= markerMtime)
-            Some(d)
-          else None
-        }
-        val listed = new String(Files.readAllBytes(m.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty).toSeq
-        listed.flatMap(staleTarget).foreach(deleteRecursively)
-        if (!listed.exists(p => staleTarget(p).isDefined))
-          Files.delete(m.toPath)
-      }
-  }
-
-  private def pendingOrDoneCompactIds(root: String): Seq[Int] = {
-    val commits = new java.io.File(root, "commits")
-    Option(commits.listFiles).getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("compact-"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("compact-").toInt).toOption)
+    StoreProtocol.supersede(root, n,
+      (bandGens ++ docGens).map(_.getAbsolutePath))
   }
 
   /** Whether the store has at least one committed-or-seed generation
@@ -370,12 +327,7 @@ object DedupStream {
     generationDirs(root, kind).nonEmpty
 
   private def generationDirs(root: String, kind: String)
-      : Seq[java.io.File] = {
-    val d = new java.io.File(root, kind)
-    if (!d.isDirectory) Seq.empty
-    else Option(d.listFiles).map(_.filter(_.isDirectory).toSeq
-      .sortBy(_.getName)).getOrElse(Seq.empty)
-  }
+      : Seq[java.io.File] = StoreProtocol.generationDirs(root, kind)
 
   /** Union of every band generation in the store, with partitioned
     * generations bucket-pruned to `probeBands`'s keys
@@ -519,28 +471,9 @@ object DedupStream {
     root
   }
 
-  private def copyRecursively(src: Path, dst: Path): Unit = {
-    val walk = Files.walk(src)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.foreach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
-          Files.createDirectories(t.getParent)
-          Files.copy(p, t,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-    } finally walk.close()
-  }
+  private def copyRecursively(src: Path, dst: Path): Unit =
+    StoreProtocol.copyRecursively(src, dst)
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
+    StoreProtocol.deleteRecursively(p)
 }

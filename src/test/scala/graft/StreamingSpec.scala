@@ -659,6 +659,12 @@ class StreamingSpec extends AnyFunSuite {
     val tornMarker = java.nio.file.Paths.get(
       rootA, "commits", "compact-7")
     java.nio.file.Files.write(tornMarker, stale.toString.getBytes("UTF-8"))
+    // the cleanup guard deletes only STRICTLY-older targets (a tied
+    // mtime could be a live re-seed); a real crash always leaves the
+    // superseded dirs older than the marker, so pin that here instead
+    // of racing the filesystem's mtime tick
+    tornMarker.toFile.setLastModified(
+      stale.toFile.lastModified() + 60000L)
     // next id comes from live seed-dir suffixes (b=seed0 -> 1), not the
     // retired marker's 7: markers are deleted after cleanup, so seed
     // dirs carry id monotonicity now
