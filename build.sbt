@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one TestSession.spark inside the forked JVM, and the
+// ingest specs exercise DedupStream/AnnStream.processBatch, whose
+// DOCUMENTED concurrency contract temporarily rewrites session-global
+// shuffle-width confs per batch. Running suites in parallel lets a
+// plan-shape assertion (PlanSpec) observe a batch's width override —
+// a real race seen once in a full run. Serial suites apply the same
+// contract to the tests; wall time barely moves (every suite already
+// saturates the shared local[32] session).
+Test / parallelExecution := false
 // Forked run output normally routes through sbt's logger, which prefixes
 // every line with "[info] " — that breaks the driver's JSON-line parse of
 // Bench's output (rounds 1-4 all recorded "parsed": null). StdoutOutput
