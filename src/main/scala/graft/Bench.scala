@@ -64,9 +64,17 @@ object Bench {
     for (pass <- 0 until maxPasses; (name, fn) <- selected
          if pass < repsFor(name)) {
       val t0 = System.nanoTime()
+      // withCheckpointScope: dead operator-internal localCheckpoint
+      // blocks (the chunked skew windows' chunk pins) are reclaimed as
+      // the rep completes — engine behavior now
+      // (graft.engine.CheckpointScope), not a harness courtesy; each
+      // rep rebuilds its query from scratch, so the reap can never
+      // invalidate a future read.
       val ok =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          graft.engine.CheckpointScope.withCheckpointScope(spark) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           true
         } catch { case e: Throwable =>
           if (!failed.contains(name)) {
@@ -76,17 +84,6 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // the rep is fully executed: any RDD still persisted is a dead
-      // operator-internal localCheckpoint (live ones are scoped
-      // persist/unpersist pairs inside the query call). Spark only
-      // reclaims these at the ContextCleaner's periodic GC (30 min
-      // default) — far longer than a bench session — so a 144-query x
-      // 3-rep run otherwise accumulates hundreds of dead frames of
-      // storage pressure (the r6 dedup_clusters 2.15->3.0s drift).
-      // Each rep rebuilds its query from scratch, so sweeping here can
-      // never invalidate a future read.
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
       // min over SUCCESSFUL reps — a fast failure must not report as the
       // query's time; an always-failing query keeps its (failed) timing
       if (ok) {

@@ -148,6 +148,7 @@ object SparkEntry {
     "window_rank_skew" -> ((s, d) => Skew.windowRankSkew(s, d)),
     "window_running_skew" -> (Skew.windowRunningSkew _),
     "window_range_skew" -> ((s, d) => Skew.windowRangeSkew(s, d)),
+    "window_auto" -> (Skew.windowAuto _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3031,6 +3032,18 @@ object SparkEntry {
     // local windows + boundary stats) equals plain LAG/LEAD/ROW_NUMBER,
     // the saltedJoin/aggTwoPhase proof device applied to windows
     "window_lag_skew" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        lag(l_quantity, 1) OVER w AS prev_qty,
+        lead(l_quantity, 1) OVER w AS next_qty,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    // window_auto: same literal window SQL as window_lag_skew — the
+    // dispatcher (Skew.windowAutoOn) picks plain vs chunked from the
+    // PROFILED top-key share, and both branches are row-identical, so
+    // one oracle covers whichever branch the data selects
+    "window_auto" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         lag(l_quantity, 1) OVER w AS prev_qty,
         lead(l_quantity, 1) OVER w AS next_qty,

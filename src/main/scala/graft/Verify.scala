@@ -24,8 +24,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped reclaim of operator-internal checkpoint pins (see
+      // graft.engine.CheckpointScope) — 190+ queries in one session
+      // would otherwise accumulate every chunked window's blocks
+      try graft.engine.CheckpointScope.withCheckpointScope(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -82,7 +82,13 @@ object ResultMaterializer {
   /** Write `df` as `<root>/<queryId>/rec_N.parquet`. */
   def materialize(df: DataFrame, root: String, queryId: String): ResultSet = {
     val dir = Paths.get(root, queryId)
-    df.write.mode("overwrite").parquet(dir.toString)
+    // scoped reclaim of operator-internal checkpoint pins: once the
+    // write completes the plan is spent, so whatever it pinned
+    // (chunked-window chunk assignments) is dead weight in a
+    // long-lived serving session
+    graft.engine.CheckpointScope.withCheckpointScope(df.sparkSession) {
+      df.write.mode("overwrite").parquet(dir.toString)
+    }
     val parts = listDir(dir)
       .filter(p => p.getFileName.toString.startsWith("part-"))
       .sortBy(_.getFileName.toString)

@@ -506,11 +506,16 @@ object Ann {
                       cells: Seq[Int]): DataFrame =
     Dedup.indexFilesManifest(path) match {
       case Some(all) if all.nonEmpty =>
-        val total = all.flatMap(Dedup.bucketPrefix).distinct.length
+        val present = all.flatMap(Dedup.bucketPrefix).distinct
+        val want = cells.map(c => s"cell=$c").toSet
+        // coverage ratio counts only cells the artifact actually HOLDS:
+        // probed-but-absent cells contribute no files either way, so
+        // counting them (cells.length) inflated the ratio and could
+        // needlessly trip the whole-artifact read on sparse artifacts
+        val hit = present.count(want.contains)
         val files =
-          if (cells.length * 2 >= total) all.map(f => s"$path/$f")
-          else Dedup.manifestFiles(path,
-            cells.map(c => s"cell=$c").toSet).get
+          if (hit * 2 >= present.length) all.map(f => s"$path/$f")
+          else Dedup.manifestFiles(path, want).get
         if (files.isEmpty)
           s.read.option("basePath", path).parquet(path).limit(0)
         else s.read.option("basePath", path).parquet(files: _*)
@@ -1339,9 +1344,28 @@ object Ann {
   def tablesFor(s: SparkSession, dir: String): Int =
     tablesCache.computeIfAbsent(dir, { _ =>
       val n = corpusCount(s, dir)
-      if (bitsFor(n) == LshBits) Integer.valueOf(LshTables)
-      else Integer.valueOf(autotuneTables(s, dir, n))
+      if (bitsFor(n) == LshBits) {
+        // calibrated regime: floors measured to hold — no refinement
+        refineCache.put(dir, java.lang.Boolean.FALSE)
+        Integer.valueOf(LshTables)
+      } else Integer.valueOf(autotuneTables(s, dir, n))
     }).intValue()
+
+  /** Whether the serving graph needs the NN-descent refinement round:
+    * true iff the autotuner measured that even the ladder cap misses
+    * [[KnnGraphRecallMin]] on this corpus — the r17 cap-and-report
+    * shortfall, now bought back by a different ALGORITHM (candidate
+    * expansion) instead of a bigger index-size knob, which the ladder
+    * cap exists to bound. Never true at a gate SF (the adaptive code
+    * width is inert there, so the tuner never runs and the oracles
+    * mirror the plain bucket join).
+    */
+  def refineFor(s: SparkSession, dir: String): Boolean = {
+    tablesFor(s, dir) // ensures the autotune (and its verdict) ran
+    Option(refineCache.get(dir)).exists(_.booleanValue())
+  }
+  private val refineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The tuned table count for dir, if [[tablesFor]] ran in this JVM —
     * the oracle generators' lookup ([[cachedCentroids]] discipline).
@@ -1425,8 +1449,14 @@ object Ann {
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1).toDouble / nExact)).toMap
-    AutoTablesLadder.find(t => recalls.getOrElse(t, 0.0) >= KnnGraphRecallMin)
+    val chosen = AutoTablesLadder
+      .find(t => recalls.getOrElse(t, 0.0) >= KnnGraphRecallMin)
       .getOrElse(AutoTablesLadder.max)
+    // the cap-shortfall verdict drives the serving graph's refinement
+    // round (refineFor): measured, cached with the table choice
+    refineCache.put(dir, java.lang.Boolean.valueOf(
+      recalls.getOrElse(chosen, 0.0) < KnnGraphRecallMin))
+    chosen
   }
 
   /** Full-corpus kNN graph on the LSH bucket join (oracle-checked) —
@@ -1463,6 +1493,89 @@ object Ann {
                        nTablesOpt: Int = 0,
                        probeBits: Int = LshProbeBits,
                        srcStride: Long = 0): DataFrame = {
+    // NN-descent refinement engages ONLY when the autotuner measured
+    // that even the ladder cap misses the recall floor (refineFor —
+    // never at a gate SF, where the adaptive knobs are inert and the
+    // oracle mirrors the plain bucket join): the base graph runs at
+    // the wider [[KnnRefineFan]] fan-out and one neighbors-of-
+    // neighbors round re-ranks the expanded candidate set down to
+    // [[KnnK]]. Explicit nTablesOpt pins the historical single-pass
+    // behavior (the tuner's own per-rung measurements must stay
+    // un-refined).
+    if (nTablesOpt == 0 && refineFor(s, dir)) {
+      val base = knnGraphBucketedBase(s, dir, nBitsOpt, 0, probeBits,
+        srcStride, null, KnnRefineFan)
+      knnRefineRound(s, dir, base, nBitsOpt, probeBits, srcStride)
+    } else
+      knnGraphBucketedBase(s, dir, nBitsOpt, nTablesOpt, probeBits,
+        srcStride, null, KnnK)
+  }
+
+  /** Fan-out of the refinement base graph: neighbor lists kept per
+    * node for the neighbors-of-neighbors expansion. Wider than
+    * [[KnnK]] because rank-6..10 bucket candidates are exactly where
+    * missed true top-5 neighbors hide (the NN-descent premise: a
+    * near-neighbor's near-neighbors are candidates the hash tables
+    * missed).
+    */
+  val KnnRefineFan = 10
+
+  /** One NN-descent round over `base` (src → top-[[KnnRefineFan]]
+    * bucket-join neighbors): expand each source's candidates with its
+    * neighbors' neighbor lists, score the expanded set exactly, keep
+    * top-[[KnnK]]. Candidate volume is |src| × fan² — linear in the
+    * source count with a constant factor, never corpus² — and the
+    * expansion reuses the SAME bucketed generator for the neighbor
+    * lists, so no new all-pairs risk anywhere. On the audit slice
+    * (srcStride > 0) the neighbor lists come from a second bucketed
+    * run restricted to the candidate ids (per-source independence
+    * makes the restriction exact — the srcStride argument, applied to
+    * an id list); on the full graph `base` already holds every node's
+    * list. Output columns/rank key identical to the single-pass graph.
+    */
+  private[graft] def knnRefineRound(s: SparkSession, dir: String,
+      base0: DataFrame, nBitsOpt: Int, probeBits: Int,
+      srcStride: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the base graph is consumed by the edge list, the candidate-id
+    // collect (audit path), and the union — pin it once (small:
+    // |src| × fan rows of ids)
+    val base = base0.select(col("src"), col("dst")).localCheckpoint()
+    val nbrs =
+      if (srcStride == 0) base
+      else {
+        val ids = base.select(col("dst")).distinct()
+          .collect().map(_.getLong(0))
+        knnGraphBucketedBase(s, dir, nBitsOpt, 0, probeBits, 0, ids,
+          KnnRefineFan).select(col("src"), col("dst"))
+      }
+    val twoHop = base.select(col("src"), col("dst").as("mid"))
+      .join(nbrs.select(col("src").as("mid"), col("dst").as("d2")),
+        Seq("mid"))
+      .filter(col("src") =!= col("d2"))
+      .select(col("src"), col("d2").as("dst"))
+    val pairs = base.unionByName(twoHop).distinct()
+    val e = table(s, dir, "embeddings")
+    val qe = e.select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val ce = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val scored = pairs.join(ce, Seq("dst")).join(qe, Seq("src"))
+      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+      .select(col("src"), col("dst"), col("cos_r"))
+    val top = graft.plans.TopKPlans.groupedTopK(scored,
+      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), KnnK)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos_r"))
+  }
+
+  private[graft] def knnGraphBucketedBase(s: SparkSession, dir: String,
+                       nBitsOpt: Int = 0,
+                       nTablesOpt: Int = 0,
+                       probeBits: Int = LshProbeBits,
+                       srcStride: Long = 0,
+                       srcIds: Array[Long] = null,
+                       k: Int = KnnK): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // 0 = size-adaptive (the default): [[bitsFor]] keeps the expected
     // cell at TargetCellRows so the bucket self-join scales linearly;
@@ -1498,7 +1611,9 @@ object Ann {
       struct(lit(t).as("tbl"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)
     val qBase =
-      if (srcStride > 0) e.filter(col("vec_id") % srcStride === 0) else e
+      if (srcIds != null) e.filter(col("vec_id").isin(srcIds: _*))
+      else if (srcStride > 0) e.filter(col("vec_id") % srcStride === 0)
+      else e
     val q = qBase.select(col("vec_id").as("src"), col("embedding").as("qe"),
         explode(qProbes).as("tb"))
       .select(col("src"), col("qe"), col("tb.tbl").as("tbl"),
@@ -1544,7 +1659,7 @@ object Ann {
       .groupBy(col("src"), col("dst"))
       .agg(max(col("cos")).as("cos_r"))
     val top = graft.plans.TopKPlans.groupedTopK(pairs,
-      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), KnnK)
+      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), k)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))

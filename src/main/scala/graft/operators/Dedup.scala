@@ -295,24 +295,57 @@ object Dedup {
     */
   private val BucketSidecar = "_graft_pb"
 
-  private[graft] def writeBucketSidecar(path: String, p: Int): Unit = {
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve(BucketSidecar),
-      p.toString.getBytes("UTF-8"))
+  /** Sidecar + manifest I/O goes through the Hadoop FileSystem API —
+    * NOT java.nio — because the write path is invoked unconditionally
+    * from every partitioned-artifact build: a java.nio walk would throw
+    * the moment an index is pointed at an HDFS/S3 root, regressing the
+    * object-store compatibility the read path deliberately preserves
+    * (and the manifest's whole point is zero LIST calls on an object
+    * store). The active session's Hadoop conf carries the store
+    * credentials; outside a session (never on the engine paths) the
+    * default conf still serves local files.
+    */
+  private def hadoopFs(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
+
+  private def fsWriteString(path: String, name: String, body: String)
+      : Unit = {
+    val (fs, base) = hadoopFs(path)
+    fs.mkdirs(base)
+    val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def fsReadString(path: String, name: String): Option[String] = {
+    val (fs, base) = hadoopFs(path)
+    val f = new org.apache.hadoop.fs.Path(base, name)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeBucketSidecar(path: String, p: Int): Unit =
+    fsWriteString(path, BucketSidecar, p.toString)
 
   /** The bucket count a partitioned index was written with, if its
     * sidecar is present (absent => an unpartitioned/legacy layout; all
     * readers then fall back to the full scan).
     */
-  def indexBuckets(path: String): Option[Int] = {
-    val f = java.nio.file.Paths.get(path, BucketSidecar)
-    if (java.nio.file.Files.exists(f))
-      scala.util.Try(new String(
-        java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt).toOption
-    else None
-  }
+  def indexBuckets(path: String): Option[Int] =
+    fsReadString(path, BucketSidecar)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
 
   /** File-listing manifest next to the bucket sidecar: every data
     * file's path RELATIVE to the index root, one per line, sorted —
@@ -337,28 +370,24 @@ object Dedup {
   private val FilesManifest = "_graft_files"
 
   private[graft] def writeFilesManifest(path: String): Unit = {
-    val base = java.nio.file.Paths.get(path)
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(base)
-    val files =
-      try walk.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => base.relativize(p).toString)
-        .filter(n => n.substring(n.lastIndexOf('/') + 1).startsWith("part-"))
-        .toSeq.sorted
-      finally walk.close()
-    java.nio.file.Files.write(base.resolve(FilesManifest),
-      files.mkString("\n").getBytes("UTF-8"))
+    val (fs, rawBase) = hadoopFs(path)
+    val base = fs.makeQualified(rawBase)
+    val baseUri = base.toUri
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(base, true) // recursive; one ranged LIST per dir
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = baseUri.relativize(st.getPath.toUri).getPath
+      if (rel.substring(rel.lastIndexOf('/') + 1).startsWith("part-"))
+        files += rel
+    }
+    fsWriteString(path, FilesManifest, files.sorted.mkString("\n"))
   }
 
   /** The manifest's relative file list, if present. */
-  def indexFilesManifest(path: String): Option[Seq[String]] = {
-    val f = java.nio.file.Paths.get(path, FilesManifest)
-    if (java.nio.file.Files.exists(f))
-      Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        .linesIterator.filter(_.nonEmpty).toSeq)
-    else None
-  }
+  def indexFilesManifest(path: String): Option[Seq[String]] =
+    fsReadString(path, FilesManifest)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq)
 
   /** The bucket-directory prefix of a manifest line ("pb=12/part-..."
     * → "pb=12"); None for a root-level file.

@@ -154,10 +154,20 @@ object Skew {
     * tie split yields the same output multiset (the windowLagLead
     * determinism argument, unchanged).
     */
-  def windowLagSkew(s: SparkSession, dir: String): DataFrame = {
+  /** The full-tuple window ordering shared by the lag/running/ntile
+    * classes (every projected column, so ordering ties are full
+    * duplicates — the determinism argument each rewrite cites).
+    */
+  private val WinOrdCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+    "l_partkey", "l_quantity", "l_extendedprice")
+
+  def windowLagSkew(s: SparkSession, dir: String): DataFrame =
+    windowLagSkewOn(s, table(s, dir, "lineitem"))
+
+  private[graft] def windowLagSkewOn(s: SparkSession, df: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
-      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val ordCols = WinOrdCols.map(col)
     val sortCols = col("l_suppkey") +: ordCols
     // explicit chunk count: AQE never coalesces a user repartition with
     // fixed N, so spark_partition_id is stable across plan reuse
@@ -179,7 +189,7 @@ object Skew {
     // executor loss fails the query (rerun it) instead of silently
     // recomputing a possibly-different chunk assignment — for this
     // operator fail-and-rerun IS the safe behavior.
-    val ranged = table(s, dir, "lineitem")
+    val ranged = df
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"), col("l_partkey"),
         col("l_extendedprice"))
@@ -231,13 +241,16 @@ object Skew {
     * windowLagLead argument), so any tie split yields the same output
     * multiset.
     */
-  def windowRunningSkew(s: SparkSession, dir: String): DataFrame = {
+  def windowRunningSkew(s: SparkSession, dir: String): DataFrame =
+    windowRunningSkewOn(s, table(s, dir, "lineitem"))
+
+  private[graft] def windowRunningSkewOn(s: SparkSession, df: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
-      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val ordCols = WinOrdCols.map(col)
     val sortCols = col("l_suppkey") +: ordCols
     val chunks = s.sparkContext.defaultParallelism
-    val ranged = table(s, dir, "lineitem")
+    val ranged = df
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"), col("l_partkey"),
         col("l_extendedprice"))
@@ -294,10 +307,14 @@ object Skew {
     * SQL; BIGINT summand for cross-engine associativity.
     */
   def windowRangeSkew(s: SparkSession, dir: String,
-                      w: Long = RangeSkewW): DataFrame = {
+                      w: Long = RangeSkewW): DataFrame =
+    windowRangeSkewOn(s, table(s, dir, "lineitem"), w)
+
+  private[graft] def windowRangeSkewOn(s: SparkSession, df: DataFrame,
+                                       w: Long = RangeSkewW): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = s.sparkContext.defaultParallelism
-    val ranged = table(s, dir, "lineitem")
+    val ranged = df
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"))
       .repartitionByRange(chunks, col("l_suppkey"), col("l_orderkey"))
@@ -337,14 +354,96 @@ object Skew {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("pid"), lit(false).as("ghost"))
       .unionByName(ghosts)
-    val wr = Window.partitionBy(col("pid"), col("l_suppkey"))
-      .orderBy(col("l_orderkey")).rangeBetween(-w, 0)
-    all
-      .withColumn("rng_sum", sum(col("l_quantity").cast("long")).over(wr))
-      .withColumn("rng_n", count(lit(1)).over(wr))
-      .filter(!col("ghost"))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("rng_sum"), col("rng_n"))
+    rangeFrameSweep(all, w, chunks)
+  }
+
+  /** Evaluate the trailing RANGE frame (sum + count of rows whose
+    * ordering value lies in [v−w, v], peers included) over the
+    * chunk-assigned `all` frame with ONE forward sweep per (chunk, key)
+    * group instead of Spark's per-row frame re-evaluation — the r17
+    * profile's residual hotspot: a sliding range frame holding ~f rows
+    * costs O(f) per row under the window operator (~60× redundant
+    * arithmetic at the zipf ×100 corpus), where the sweep pays O(1)
+    * amortized per row. Mechanics: rows arrive sorted by (pid, key,
+    * ordval) — the same exchange+sort the window operator needed, so
+    * the plan's shuffle shape is unchanged — and a two-pointer pass
+    * groups rows by ordering value (peers share one frame by the RANGE
+    * definition), maintains a deque of in-window value groups with a
+    * running (sum, count), evicts groups older than v−w at each new
+    * value, and emits every non-ghost row of the group with the
+    * current totals. Memory per task is one value group + the deque —
+    * bounded by the w-wide value band, never the chunk. Integer
+    * summand (the BIGINT cast) keeps the running add/subtract exact,
+    * so eviction-by-subtraction is associativity-proof; the oracle is
+    * the literal RANGE BETWEEN SQL, unchanged.
+    */
+  private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = all.repartition(chunks, col("pid"))
+      .sortWithinPartitions(col("pid"), col("l_suppkey"), col("l_orderkey"))
+    val outSchema = StructType(Seq(
+      StructField("l_suppkey", LongType),
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("rng_sum", LongType),
+      StructField("rng_n", LongType)))
+    val in = sorted.schema
+    val iKey = in.fieldIndex("l_suppkey")
+    val iOrd = in.fieldIndex("l_orderkey")
+    val iLn = in.fieldIndex("l_linenumber")
+    val iQty = in.fieldIndex("l_quantity")
+    val iPid = in.fieldIndex("pid")
+    val iGhost = in.fieldIndex("ghost")
+    sorted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var cur: Row = if (rows.hasNext) rows.next() else null
+        private var curPid = Int.MinValue
+        private var curKey = Long.MinValue
+        // in-window value groups: (ordval, groupSum, groupCnt)
+        private val win = new java.util.ArrayDeque[(Long, Long, Long)]()
+        private var wSum = 0L
+        private var wCnt = 0L
+        def hasNext: Boolean = out.nonEmpty || cur != null
+        def next(): Row = {
+          while (out.isEmpty && cur != null) advanceValueGroup()
+          out.dequeue()
+        }
+        private def advanceValueGroup(): Unit = {
+          val pid = cur.getInt(iPid)
+          val key = cur.getLong(iKey)
+          if (pid != curPid || key != curKey) {
+            win.clear(); wSum = 0L; wCnt = 0L
+            curPid = pid; curKey = key
+          }
+          val v = cur.getLong(iOrd)
+          // drain the whole value group first: RANGE frames include
+          // PEERS, so every row of the group shares one total
+          val grp = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var gSum = 0L
+          var gCnt = 0L
+          while (cur != null && cur.getInt(iPid) == pid &&
+              cur.getLong(iKey) == key && cur.getLong(iOrd) == v) {
+            grp += cur
+            gSum += cur.getDouble(iQty).toLong
+            gCnt += 1L
+            cur = if (rows.hasNext) rows.next() else null
+          }
+          while (!win.isEmpty && win.peekFirst()._1 < v - w) {
+            val h = win.pollFirst(); wSum -= h._2; wCnt -= h._3
+          }
+          win.addLast((v, gSum, gCnt)); wSum += gSum; wCnt += gCnt
+          grp.foreach { r =>
+            if (!r.getBoolean(iGhost))
+              out.enqueue(Row(key, v, r.getInt(iLn), r.getDouble(iQty),
+                wSum, wCnt))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Skew-resilient rank / dense_rank / ntile — closing what the
@@ -391,15 +490,18 @@ object Skew {
     * All stats rows number #keys × P (tiny), broadcast back.
     */
   def windowRankSkew(s: SparkSession, dir: String,
-                     nTiles: Int = 4): DataFrame = {
+                     nTiles: Int = 4): DataFrame =
+    windowRankSkewOn(s, table(s, dir, "lineitem"), nTiles)
+
+  private[graft] def windowRankSkewOn(s: SparkSession, df: DataFrame,
+                                      nTiles: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
-      "l_partkey", "l_quantity", "l_extendedprice").map(col)
+    val ordCols = WinOrdCols.map(col)
     val sortCols = col("l_suppkey") +: ordCols
     val chunks = s.sparkContext.defaultParallelism
     // one physical chunk assignment for both consumers (the
     // windowLagSkew localCheckpoint rationale)
-    val ranged = table(s, dir, "lineitem")
+    val ranged = df
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"), col("l_partkey"),
         col("l_extendedprice"))
@@ -473,4 +575,109 @@ object Skew {
               div (total div $nTiles) + 1
           END""").as("bucket"))
   }
+
+  // -------------------------------------------------- auto dispatch
+
+  /** Measured share of the heaviest `key` value in `df`: max per-key
+    * count / total rows — the profile step of the diagnose→choose pair
+    * [[skewDiagnose]] documents, as a single driver-read aggregate
+    * (map-side combined; one job, cost ~ one scan of `df`'s key
+    * column). 0.0 on an empty frame.
+    */
+  def topKeyShare(df: DataFrame, key: String): Double = {
+    val r = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).first()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
+
+  /** The plain (single-window) twins of the four chunked rewrites —
+    * identical output columns, so [[windowAutoOn]] can swap either in.
+    */
+  private[graft] def windowLagPlain(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(WinOrdCols.map(col): _*)
+    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), col("l_quantity"),
+      lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+      lead(col("l_quantity"), 1).over(w).as("next_qty"),
+      row_number().over(w).cast("long").as("rn"))
+  }
+
+  private[graft] def windowRankPlain(df: DataFrame, nTiles: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+    val wf = Window.partitionBy(col("l_suppkey"))
+      .orderBy(WinOrdCols.map(col): _*)
+    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), col("l_quantity"),
+      rank().over(wd).cast("long").as("rnk"),
+      dense_rank().over(wd).cast("long").as("drank"),
+      ntile(nTiles).over(wf).cast("long").as("bucket"))
+  }
+
+  private[graft] def windowRunningPlain(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(WinOrdCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), col("l_quantity"),
+      sum(col("l_quantity").cast("long")).over(w).as("running_qty"),
+      count(lit(1)).over(w).as("rn"))
+  }
+
+  private[graft] def windowRangePlain(df: DataFrame, w: Long = RangeSkewW)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+      .rangeBetween(-w, 0)
+    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"),
+      sum(col("l_quantity").cast("long")).over(wr).as("rng_sum"),
+      count(lit(1)).over(wr).as("rng_n"))
+  }
+
+  /** Auto-dispatching per-key window — [[skewDiagnose]]'s `window_plan`
+    * verdict turned into an ENGINE decision instead of a hand-picked
+    * rewrite: profile the heaviest l_suppkey share ([[topKeyShare]] —
+    * one aggregate job at plan-build time), then run the window class
+    * `cls` as the plain single-window plan below `threshold` and as
+    * the chunked skew rewrite at or above it. Both branches produce
+    * IDENTICAL rows (each rewrite's oracle is the literal window SQL),
+    * so the dispatch is purely a physical-plan decision — the same
+    * contract as AQE's skew-join split, applied to the window family
+    * Spark has no runtime split for. Threshold default =
+    * [[WindowSkewShare]] (one key ≥ 1/P of the rows pins a full
+    * reducer at reference parallelism P = 100); at a different cluster
+    * width pass your own 1/P.
+    *
+    * `cls`: "lag" (lag/lead/row_number), "rank" (rank/dense_rank/
+    * ntile), "running" (cumulative sum + count), "range" (trailing
+    * value-range sum + count).
+    */
+  def windowAutoOn(s: SparkSession, df: DataFrame, cls: String = "lag",
+                   threshold: Double = WindowSkewShare): DataFrame = {
+    val skewed = topKeyShare(df, "l_suppkey") >= threshold
+    cls match {
+      case "lag" =>
+        if (skewed) windowLagSkewOn(s, df) else windowLagPlain(df)
+      case "rank" =>
+        if (skewed) windowRankSkewOn(s, df) else windowRankPlain(df)
+      case "running" =>
+        if (skewed) windowRunningSkewOn(s, df) else windowRunningPlain(df)
+      case "range" =>
+        if (skewed) windowRangeSkewOn(s, df) else windowRangePlain(df)
+      case other => throw new IllegalArgumentException(
+        s"unknown window class '$other' (expected lag|rank|running|range)")
+    }
+  }
+
+  /** The registry query: auto-dispatched lag/lead/row_number over
+    * lineitem (oracle = the literal window SQL — the dispatch never
+    * changes results, only the physical plan).
+    */
+  def windowAuto(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, table(s, dir, "lineitem"))
 }

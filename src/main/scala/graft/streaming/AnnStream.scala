@@ -34,11 +34,14 @@ import graft.sources.Tables.table
   * (`cells/b=<id>` — the lake growth a production ingest lands), but
   * the search tier reads the newest SEED generation only: that IS the
   * batch operator's semantics ("neighbors in the standing corpus").
-  * [[compact]] folds the flat generations into a fresh partitioned
-  * seed when the operator decides to widen the serving scope to the
-  * arrivals — a semantic rebuild decision (deliberately NOT
-  * auto-triggered; see its doc), unlike the dedup store's
-  * cost-driven, verdict-invariant compaction.
+  * Two compactions with different jobs: [[compactFlat]] (COST —
+  * auto-triggered by the [[DedupStream]] byte-fraction device)
+  * consolidates the flat generations into one `b=fold<n>` dir without
+  * touching the serving scope, so unattended ingest never accumulates
+  * an unbounded dir tail; [[compact]] (SEMANTIC — operator-invoked)
+  * rebuilds the seed from everything, widening the serving scope to
+  * the arrivals, which is a result-changing decision no cost
+  * threshold should make.
   *
   * Exactly-once: identical to [[DedupStream]] — a batch commits by
   * writing `results/` and `cells/` dirs and THEN creating the atomic
@@ -105,7 +108,9 @@ object AnnStream {
     */
   def processBatch(batch: DataFrame, root: String, batchId: Long,
                    centroids: Array[Array[Double]],
-                   nProbe: Int = Ann.IvfProbe): Unit = {
+                   nProbe: Int = Ann.IvfProbe,
+                   autoCompactFraction: Double = AutoCompactFraction)
+      : Unit = {
     val s = batch.sparkSession
     val marker = Paths.get(root, "commits", batchId.toString)
     if (Files.exists(marker)) return // committed: redelivery is a no-op
@@ -121,6 +126,94 @@ object AnnStream {
       prevWidth.fold(s.conf.unset(widthConf))(s.conf.set(widthConf, _))
       prevInit.fold(s.conf.unset(initConf))(s.conf.set(initConf, _))
     }
+    if (autoCompactFraction > 0 &&
+        rawBytes(root) > autoCompactFraction * servingBytes(root).max(1L))
+      compactFlat(s, root)
+  }
+
+  /** Fraction of the serving bytes (newest seed + consolidated fold
+    * generations) the RAW per-batch generations may accumulate before
+    * [[processBatch]] triggers [[compactFlat]] on its own (after the
+    * batch commits — never concurrently). The
+    * [[DedupStream.AutoCompactFraction]] device: 0.5 amortizes to
+    * O(1) per byte because the consolidated base grows geometrically.
+    * Pass `autoCompactFraction = 0` to disable (the measurement
+    * harnesses do, to keep ladder rungs comparable).
+    */
+  val AutoCompactFraction = 0.5
+
+  /** On-disk bytes of the raw per-batch generations (`b=<id>`) under
+    * cells/ — the accumulation [[compactFlat]] resets. Walk cost
+    * tracks the raw data itself (batch-sized dirs), never the
+    * standing index.
+    */
+  private def rawBytes(root: String): Long =
+    generationDirs(root, "cells")
+      .filterNot(d => d.getName.startsWith("b=seed") ||
+        d.getName.startsWith("b=fold"))
+      .map(StoreProtocol.dirBytes).sum
+
+  /** On-disk bytes of the seed + fold generations, cached per
+    * (name, mtime) set — the [[DedupStream]] seedBytes device: the
+    * serving artifact is immutable between compactions, so re-walking
+    * its thousands of cell files on every batch commit would put an
+    * index-sized listing on the per-batch hot path. The mtime in the
+    * key invalidates on in-place re-seeds.
+    */
+  private def servingBytes(root: String): Long = {
+    val dirs = generationDirs(root, "cells")
+      .filter(d => d.getName.startsWith("b=seed") ||
+        d.getName.startsWith("b=fold"))
+    val key = dirs.map(d => s"${d.getAbsolutePath}@${d.lastModified}")
+    val cached = servingBytesCache.get(root)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val bytes = dirs.map(StoreProtocol.dirBytes).sum
+      servingBytesCache.put(root, (key, bytes))
+      bytes
+    }
+  }
+  private val servingBytesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Long)]()
+
+  /** Consolidate the flat arrival generations — raw `b=<id>` batch
+    * dirs plus any previous `b=fold<n>` — into ONE fresh `b=fold<m>`
+    * generation: the COST compaction of this store, auto-triggered by
+    * [[processBatch]]'s byte-fraction threshold. Deliberately
+    * SCOPE-PRESERVING, unlike [[compact]]: searches read the newest
+    * SEED only, so consolidating arrivals changes NO search result —
+    * post-consolidation batches stay result-identical (StreamingSpec
+    * pins it), which is what lets the trigger fire unattended
+    * mid-ingest without breaking the fold==batch oracle proof (the
+    * dedup store's trigger could port directly because its searches
+    * read every generation; here the same trigger drives the
+    * scope-preserving fold instead, because a scope-WIDENING rebuild
+    * mid-stream would change later batches' neighbor sets). What it
+    * buys is file count and rebuild cost: raw generations grow one
+    * dir per batch without bound — unread by searches but paid by
+    * every [[compact]] rebuild, store listing, and DR copy — and
+    * consolidation resets the tail, amortized O(1) per byte by the
+    * geometric threshold. Crash protocol = the shared
+    * [[StoreProtocol]] marker scheme; fold ids share the
+    * compaction-id space (a moved-but-unmarked fold generation gets a
+    * fresh id and re-folds as duplicates, which the vec_id dedup
+    * makes exact, same as [[compact]]'s torn-state argument).
+    */
+  def compactFlat(s: SparkSession, root: String): Unit = {
+    StoreProtocol.finishPendingCleanup(root)
+    val flat = generationDirs(root, "cells")
+      .filterNot(_.getName.startsWith("b=seed"))
+    if (flat.size <= 1) return
+    val n = StoreProtocol.nextCompactId(root,
+      generationDirs(root, "cells").map(_.getName))
+    val tmp = Paths.get(root, s"compact-tmp-$n")
+    flat.map(g => s.read.parquet(g.getAbsolutePath)
+        .select(col("vec_id"), col("embedding"), col("cell")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("vec_id") // torn-state re-fold exactness
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, Paths.get(root, "cells", s"b=fold$n"))
+    StoreProtocol.supersede(root, n, flat.map(_.getAbsolutePath))
   }
 
   private def processBatchInner(s: SparkSession, batch: DataFrame,
@@ -169,10 +262,11 @@ object AnnStream {
     * arrivals — exactly what a production index rebuild is for
     * (StreamingSpec pins the expanded results against
     * [[graft.operators.Ann.incrementalRank]] over the union index).
-    * There is also no auto-trigger here: flat generations are never
-    * read by searches (seed-scoped), so accumulation costs nothing per
-    * batch — WHEN to widen the serving scope is an operator decision,
-    * not a performance one.
+    * No auto-trigger HERE: widening the serving scope changes later
+    * batches' neighbor sets, so WHEN to rebuild is an operator
+    * decision. The cost dimension (unbounded flat-dir tail) is owned
+    * by [[compactFlat]]'s auto-trigger instead, which preserves
+    * scope; this rebuild then folds seed + fold + raw alike.
     *
     * Crash safety is [[DedupStream.compact]]'s protocol: the new
     * generation is written OUTSIDE the read tree, moves in before any
@@ -227,10 +321,12 @@ object AnnStream {
     */
   def start(vecStream: DataFrame, root: String, checkpoint: String,
             centroids: Array[Array[Double]],
-            nProbe: Int = Ann.IvfProbe): StreamingQuery =
+            nProbe: Int = Ann.IvfProbe,
+            autoCompactFraction: Double = AutoCompactFraction)
+      : StreamingQuery =
     vecStream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, root, id, centroids, nProbe)
+        processBatch(b, root, id, centroids, nProbe, autoCompactFraction)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

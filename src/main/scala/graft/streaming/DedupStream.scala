@@ -184,13 +184,17 @@ object DedupStream {
     * (the ×100 store: ~13k files across both kinds) would put an
     * index-sized listing on the per-batch hot path — the exact cost
     * shape the manifest work removed from the read side. The cache key
-    * is the seed generation NAME list (one cheap dir listing), which
-    * changes exactly when a compaction installs a new seed.
+    * is the seed generation NAME list PLUS each dir's mtime (one cheap
+    * dir listing + one stat per seed dir): the name list changes when
+    * a compaction installs a new seed, and the mtime changes when
+    * [[seed]] overwrites `b=seed` in place under the same name — so a
+    * re-seeded root never serves a stale byte count to the
+    * auto-compaction threshold.
     */
   private def seedBytes(root: String): Long = {
     val seedDirs = Seq("bands", "docs").flatMap(k =>
       generationDirs(root, k).filter(_.getName.startsWith("b=seed")))
-    val key = seedDirs.map(_.getAbsolutePath)
+    val key = seedDirs.map(d => s"${d.getAbsolutePath}@${d.lastModified}")
     val cached = seedBytesCache.get(root)
     if (cached != null && cached._1 == key) cached._2
     else {

@@ -13,22 +13,28 @@ private[streaming] object StoreProtocol {
 
   /** Delete any superseded generations a crashed compaction left
     * behind (marker present, listed dirs still on disk), then retire
-    * the marker. Guards:
-    *  - a listed dir must be STRICTLY older than its marker to be
-    *    deleted. Superseded dirs always predate the marker that lists
-    *    them, so the normal crash-recovery path is unaffected; a dir
-    *    whose mtime ties or exceeds the marker's may be a LIVE
-    *    re-seeded generation (same-tick creation on a coarse-mtime
-    *    filesystem, or a clock step) and survives — leftover stale
-    *    data is harmless in both stores (the dedup verdict aggregates
-    *    are duplicate-tolerant; the ann fold dedups vec_ids and its
-    *    readers pin the newest seed) and a LATER compaction folds and
-    *    re-lists it under a fresh, younger marker, which then deletes
-    *    it;
-    *  - a marker is retired once nothing it lists survives as a
-    *    strictly-older target, keeping cleanup O(pending). Id
-    *    monotonicity comes from live seed-dir suffixes
-    *    ([[nextCompactId]]), not the markers.
+    * the marker. Each marker line records the dir's OBSERVED mtime at
+    * supersede time (`<mtime>\t<path>`), and a listed dir is deleted
+    * iff it still carries exactly that mtime:
+    *  - a genuinely superseded dir is immutable after supersede
+    *    (compaction is the store's single writer), so it always
+    *    matches and is always reclaimed — no mtime-tie leak on a
+    *    coarse-granularity filesystem (the prior strictly-older guard
+    *    could retire a marker while a same-tick dir survived,
+    *    leaking it permanently when no later compaction ran);
+    *  - a dir whose mtime CHANGED since supersede was re-created or
+    *    re-seeded after the crash — live data — and survives: dropped
+    *    from consideration, never deleted by this marker. Leftover
+    *    live-but-stale generations are harmless in both stores (the
+    *    dedup verdict aggregates are duplicate-tolerant; the ann fold
+    *    dedups vec_ids and its readers pin the newest seed) and a
+    *    LATER compaction folds and re-lists them under a fresh marker.
+    *  - legacy lines without a recorded mtime (pre-r18 markers) fall
+    *    back to the strictly-older-than-marker guard.
+    * The marker is then retired unconditionally: every line was either
+    * reclaimed or deliberately ceded to a later compaction. Id
+    * monotonicity comes from live seed-dir suffixes
+    * ([[nextCompactId]]), not the markers.
     */
   def finishPendingCleanup(root: String): Unit = {
     val commits = new java.io.File(root, "commits")
@@ -36,31 +42,40 @@ private[streaming] object StoreProtocol {
       .filter(_.getName.startsWith("compact-"))
       .foreach { m =>
         val markerMtime = m.lastModified()
-        def staleTarget(p: String): Option[Path] = {
-          val d = Paths.get(p)
-          if (Files.exists(d) &&
-              Files.getLastModifiedTime(d).toMillis < markerMtime)
-            Some(d)
-          else None
-        }
-        val listed = new String(Files.readAllBytes(m.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty).toSeq
-        listed.flatMap(staleTarget).foreach(deleteRecursively)
-        if (!listed.exists(p => staleTarget(p).isDefined))
-          Files.delete(m.toPath)
+        new String(Files.readAllBytes(m.toPath), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).foreach { line =>
+            val (recorded, path) = line.indexOf('\t') match {
+              case -1 => (None, line)
+              case i => (scala.util.Try(line.take(i).toLong).toOption,
+                line.drop(i + 1))
+            }
+            val d = Paths.get(path)
+            if (Files.exists(d)) {
+              val mtime = Files.getLastModifiedTime(d).toMillis
+              val stale = recorded match {
+                case Some(rec) => mtime == rec // unchanged since supersede
+                case None => mtime < markerMtime // legacy marker
+              }
+              if (stale) deleteRecursively(d)
+            }
+          }
+        Files.delete(m.toPath)
       }
   }
 
   /** The next compaction id: past BOTH every pending marker id and
-    * every live `b=seed<N>` generation suffix, so a crash between the
-    * directory moves and the marker write (a moved-but-unmarked
-    * generation) never wedges future compactions on an id collision —
-    * the orphan folds in under a fresh id.
+    * every live compaction-produced generation suffix (`b=seed<N>`
+    * from a scope-widening rebuild, `b=fold<N>` from the ann store's
+    * flat consolidation), so a crash between the directory moves and
+    * the marker write (a moved-but-unmarked generation) never wedges
+    * future compactions on an id collision — the orphan folds in
+    * under a fresh id.
     */
   def nextCompactId(root: String, genDirNames: Seq[String]): Int = {
-    val seedIds = genDirNames.filter(_.startsWith("b=seed"))
-      .flatMap(d => scala.util.Try(d.stripPrefix("b=seed").toInt).toOption)
-    1 + (pendingCompactIds(root) ++ seedIds).foldLeft(-1)(math.max)
+    val liveIds = Seq("b=seed", "b=fold").flatMap(pre =>
+      genDirNames.filter(_.startsWith(pre))
+        .flatMap(d => scala.util.Try(d.stripPrefix(pre).toInt).toOption))
+    1 + (pendingCompactIds(root) ++ liveIds).foldLeft(-1)(math.max)
   }
 
   def pendingCompactIds(root: String): Seq[Int] = {
@@ -70,14 +85,22 @@ private[streaming] object StoreProtocol {
       .flatMap(n => scala.util.Try(n.stripPrefix("compact-").toInt).toOption)
   }
 
-  /** Write the superseded-dirs marker, delete the dirs, retire the
-    * marker (a crash at any point is recovered by
-    * [[finishPendingCleanup]] at the next compaction's entry).
+  /** Write the superseded-dirs marker (each line `<mtime>\t<path>`,
+    * the dir's mtime at supersede time — see [[finishPendingCleanup]]
+    * for why the snapshot matters), delete the dirs, retire the marker
+    * (a crash at any point is recovered by [[finishPendingCleanup]] at
+    * the next compaction's entry).
     */
   def supersede(root: String, n: Int, superseded: Seq[String]): Unit = {
     val marker = Paths.get(root, "commits", s"compact-$n")
     Files.createDirectories(marker.getParent)
-    Files.write(marker, superseded.mkString("\n").getBytes("UTF-8"))
+    val lines = superseded.map { p =>
+      val d = Paths.get(p)
+      val mt = if (Files.exists(d))
+        Files.getLastModifiedTime(d).toMillis else 0L
+      s"$mt\t$p"
+    }
+    Files.write(marker, lines.mkString("\n").getBytes("UTF-8"))
     superseded.foreach(p => deleteRecursively(Paths.get(p)))
     Files.delete(marker) // cleanup done; crash here = next-entry no-op
   }

@@ -219,6 +219,76 @@ class SkewAndExtSpec extends AnyFunSuite {
     }
   }
 
+  test("windowAuto dispatches on the profiled top-key share: plain " +
+       "single-window plan below the threshold, chunked rewrite above — " +
+       "identical rows either way") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // same table, two key shapes: ~uniform (top share far below the
+    // 1/P threshold) and planted-hot (one key owns ~half the rows)
+    val uniform = li.withColumn("l_suppkey", col("l_orderkey") % 2000)
+    val skewed = li.withColumn("l_suppkey",
+      when(col("l_orderkey") % 2 === 0, lit(7L))
+        .otherwise(col("l_orderkey") % 2000 + 10000))
+    assert(Skew.topKeyShare(uniform, "l_suppkey") < Skew.WindowSkewShare)
+    assert(Skew.topKeyShare(skewed, "l_suppkey") >= Skew.WindowSkewShare)
+    val plainPick = Skew.windowAutoOn(spark, uniform)
+    val chunkPick = Skew.windowAutoOn(spark, skewed)
+    // dispatch pinned on EXECUTED plans (the chunked rewrite's
+    // signature is the spark_partition_id chunk column; the plain
+    // branch must be one Window with no chunk machinery)
+    plainPick.write.format("noop").mode("overwrite").save()
+    chunkPick.write.format("noop").mode("overwrite").save()
+    // the chunked rewrites checkpoint the chunk assignment, so their
+    // plans scan an ExistingRDD and carry the materialized pid column;
+    // the plain branch must show neither
+    val plainPlan = plainPick.queryExecution.executedPlan.toString
+    val chunkPlan = chunkPick.queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("pid#"),
+      "below the share threshold the dispatcher must run the plain window")
+    assert(plainPlan.contains("Window"))
+    assert(chunkPlan.contains("pid#"),
+      "above the share threshold the dispatcher must run the chunked " +
+        "rewrite")
+    // the skewed pick still equals the literal window, rows for rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val literal = skewed
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("prev_qty"),
+        col("next_qty"), col("rn"))
+    assert(chunkPick.exceptAll(literal).count() === 0L)
+    assert(literal.exceptAll(chunkPick).count() === 0L)
+    // per-class dispatch: every window class obeys the same verdict
+    for (cls <- Seq("rank", "running", "range")) {
+      assert(!Skew.windowAutoOn(spark, uniform, cls).queryExecution
+        .executedPlan.toString.contains("pid#"),
+        s"class $cls must run plain below the threshold")
+      assert(Skew.windowAutoOn(spark, skewed, cls).queryExecution
+        .executedPlan.toString.contains("pid#"),
+        s"class $cls must run chunked above the threshold")
+    }
+  }
+
+  test("withCheckpointScope reclaims the chunked windows' checkpoint " +
+       "blocks once the action completes") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+    graft.engine.CheckpointScope.withCheckpointScope(spark) {
+      Skew.windowLagSkew(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(sc.getPersistentRDDs.nonEmpty,
+        "the chunked rewrite should have pinned its chunk assignment")
+    }
+    assert(sc.getPersistentRDDs.isEmpty,
+      "scope exit must reclaim every RDD the query pinned")
+  }
+
   test("length_filter keeps the central band per language") {
     val out = graft.operators.Curation.lengthFilter(spark, dir)
     val frac = out.filter(col("keep")).count().toDouble / out.count()

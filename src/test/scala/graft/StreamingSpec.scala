@@ -659,12 +659,22 @@ class StreamingSpec extends AnyFunSuite {
     val tornMarker = java.nio.file.Paths.get(
       rootA, "commits", "compact-7")
     java.nio.file.Files.write(tornMarker, stale.toString.getBytes("UTF-8"))
-    // the cleanup guard deletes only STRICTLY-older targets (a tied
-    // mtime could be a live re-seed); a real crash always leaves the
-    // superseded dirs older than the marker, so pin that here instead
-    // of racing the filesystem's mtime tick
+    // a LEGACY marker (path-only lines, no recorded mtime): cleanup
+    // falls back to the strictly-older-than-marker guard, so pin the
+    // marker newer than the dir instead of racing the mtime tick
     tornMarker.toFile.setLastModified(
       stale.toFile.lastModified() + 60000L)
+    // the r18 recorded-mtime protocol closes the legacy guard's one
+    // leak: a superseded dir whose mtime TIES its marker's (same-tick
+    // creation on a coarse-granularity filesystem) is still reclaimed,
+    // because staleness is recorded-mtime equality, not marker-relative
+    // age — pin the tie explicitly
+    val tied = java.nio.file.Paths.get(rootA, "bands", "b=998")
+    java.nio.file.Files.createDirectories(tied)
+    val tiedMarker = java.nio.file.Paths.get(rootA, "commits", "compact-6")
+    java.nio.file.Files.write(tiedMarker,
+      s"${tied.toFile.lastModified()}\t$tied".getBytes("UTF-8"))
+    tiedMarker.toFile.setLastModified(tied.toFile.lastModified())
     // next id comes from live seed-dir suffixes (b=seed0 -> 1), not the
     // retired marker's 7: markers are deleted after cleanup, so seed
     // dirs carry id monotonicity now
@@ -672,6 +682,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(stale))
     assert(!java.nio.file.Files.exists(tornMarker),
       "finished marker must be retired")
+    assert(!java.nio.file.Files.exists(tied),
+      "a tied-mtime superseded dir must be reclaimed under the " +
+        "recorded-mtime protocol (the legacy guard's leak)")
+    assert(!java.nio.file.Files.exists(tiedMarker))
     assert(gens(rootA, "bands") === Seq("b=seed1"))
     // the duplicate WINDOW is correct: a store holding every gen TWICE
     // (old + compacted, the mid-compaction state) yields the same
@@ -850,6 +864,92 @@ class StreamingSpec extends AnyFunSuite {
       === seedRows + b1.count())
   }
 
+  test("ann ingest auto-compaction: processBatch consolidates the flat " +
+       "generations past the byte-fraction threshold, not below it; the " +
+       "serving scope is untouched so every batch's results are " +
+       "invariant — including one processed AFTER a consolidation") {
+    import graft.streaming.AnnStream
+    import graft.operators.Ann
+    val centroids = Ann.fitCentroids(spark, dir,
+      Ann.ivfCellsFor(Ann.corpusCount(spark, dir)))
+    val delta = graft.sources.Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % Ann.IncDeltaMod === Ann.IncDeltaRem)
+      .select(col("vec_id"), col("embedding"))
+    // three-way exact split of the carve (vec_id%10==7 <=> %30 in
+    // {7,17,27}) so batch 2 runs on a store that has ALREADY
+    // consolidated batches 0+1
+    val Seq(b0, b1, b2) =
+      Seq(7, 17, 27).map(m => delta.filter(col("vec_id") % 30 === m))
+    def gens(root: String): Seq[String] =
+      Option(new java.io.File(root, "cells").listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+        .toSeq.sorted
+    val Seq(rootAuto, rootManual) = Seq("auto", "manual").map { t =>
+      val r = java.nio.file.Files
+        .createTempDirectory(s"ann_auto_$t").resolve("store").toString
+      AnnStream.seed(spark, dir, r)
+      r
+    }
+    // tiny fraction = the trigger condition always holds once raw
+    // generations exist; the control store disables the policy
+    val eps = 1e-9
+    AnnStream.processBatch(b0, rootAuto, 0L, centroids,
+      autoCompactFraction = eps)
+    AnnStream.processBatch(b0, rootManual, 0L, centroids,
+      autoCompactFraction = 0)
+    // a single raw generation has nothing to consolidate with: the
+    // <=1 guard keeps the trigger a no-op
+    assert(gens(rootAuto) === Seq("b=0", "b=seed"))
+    AnnStream.processBatch(b1, rootAuto, 1L, centroids,
+      autoCompactFraction = eps)
+    AnnStream.processBatch(b1, rootManual, 1L, centroids,
+      autoCompactFraction = 0)
+    assert(gens(rootAuto) === Seq("b=fold0", "b=seed"),
+      "past the threshold the raw generations must consolidate")
+    assert(gens(rootManual) === Seq("b=0", "b=1", "b=seed"),
+      "policy disabled: raw generations accumulate")
+    assert(spark.read.parquet(s"$rootAuto/cells/b=fold0").count()
+      === b0.count() + b1.count())
+    // batch 2 runs against the consolidated store; a later trigger
+    // re-folds fold0 + b=2 under the next id
+    AnnStream.processBatch(b2, rootAuto, 2L, centroids,
+      autoCompactFraction = eps)
+    AnnStream.processBatch(b2, rootManual, 2L, centroids,
+      autoCompactFraction = 0)
+    assert(gens(rootAuto) === Seq("b=fold1", "b=seed"),
+      "fold + raw must re-consolidate under a fresh id")
+    assert(spark.read.parquet(s"$rootAuto/cells/b=fold1").count()
+      === b0.count() + b1.count() + b2.count())
+    // result invariance, every batch — consolidation preserves the
+    // serving scope by construction (searches read the newest seed)
+    for (g <- Seq("b=0", "b=1", "b=2")) {
+      def rows(r: String) = spark.read.parquet(s"$r/results/$g")
+        .collect().map(_.toSeq)
+        .sortBy(x => (x.head.asInstanceOf[Long], x(1).asInstanceOf[Long]))
+      assert(rows(rootAuto) === rows(rootManual),
+        s"results/$g must be invariant under auto-consolidation")
+      assert(rows(rootAuto).nonEmpty)
+    }
+    // the default fraction does NOT fire against a corpus-sized seed
+    // (raw arrivals are a small fraction of the serving bytes)
+    val rootDef = java.nio.file.Files
+      .createTempDirectory("ann_auto_def").resolve("store").toString
+    AnnStream.seed(spark, dir, rootDef)
+    AnnStream.processBatch(b0, rootDef, 0L, centroids)
+    AnnStream.processBatch(b1, rootDef, 1L, centroids)
+    assert(gens(rootDef) === Seq("b=0", "b=1", "b=seed"),
+      "below the threshold the store must stay un-consolidated")
+    // the semantic rebuild still folds EVERYTHING — seed + fold — and
+    // its scope expansion matches the manual store's
+    AnnStream.compact(spark, rootAuto)
+    AnnStream.compact(spark, rootManual)
+    assert(gens(rootAuto) === Seq("b=seed2"))
+    val na = spark.read.parquet(s"$rootAuto/cells/b=seed2").count()
+    val nm = spark.read.parquet(
+      s"$rootManual/cells/${gens(rootManual).head}").count()
+    assert(na === nm, "post-rebuild scope must match the manual store")
+  }
+
   test("dedup ingest auto-compaction: processBatch compacts itself past " +
        "the byte-fraction threshold, not below it, and the next batch's " +
        "verdicts are invariant") {
@@ -936,20 +1036,35 @@ class StreamingSpec extends AnyFunSuite {
     DedupStream.compact(spark, root)
     assert(gens("bands") === Seq("b=seed4"))
     assert(gens("docs") === Seq("b=seed4"))
-    // stale marker pointing at the LIVE generation (e.g. a re-seeded
-    // root): the target is NEWER than the marker, so cleanup must
-    // refuse to delete it — and retire the marker as spent
+    // stale LEGACY marker pointing at the LIVE generation (e.g. a
+    // re-seeded root): the target is NEWER than the marker, so the
+    // legacy guard must refuse to delete it — and retire the marker as
+    // spent
     val live = java.nio.file.Paths.get(root, "bands", "b=seed4")
     val staleMarker = java.nio.file.Paths.get(root, "commits", "compact-9")
     java.nio.file.Files.write(staleMarker, live.toString.getBytes("UTF-8"))
     staleMarker.toFile.setLastModified(
       live.toFile.lastModified() - 60000L)
+    // and a RECORDED-mtime marker (the r18 protocol) whose target was
+    // modified after supersede (a re-seed): recorded != current, so it
+    // survives regardless of marker age — the protocol's live-data
+    // guard is content-based, not tick-based
+    val reseeded = java.nio.file.Paths.get(root, "docs", "b=seed4")
+    val recMarker = java.nio.file.Paths.get(root, "commits", "compact-8")
+    java.nio.file.Files.write(recMarker,
+      s"${reseeded.toFile.lastModified() - 1}\t$reseeded".getBytes("UTF-8"))
     DedupStream.compact(spark, root) // single generation: fold no-ops,
                                      // but pending cleanup still runs
     assert(java.nio.file.Files.exists(live),
       "a live dir newer than the marker must survive cleanup")
     assert(!java.nio.file.Files.exists(staleMarker),
       "the spent marker must be retired")
+    assert(java.nio.file.Files.exists(reseeded),
+      "a dir modified after supersede (recorded mtime mismatch) must " +
+        "survive cleanup")
+    assert(!java.nio.file.Files.exists(recMarker),
+      "the recorded-mtime marker must be retired after ceding the " +
+        "modified dir")
     // the store still works end to end after all of the above
     DedupStream.processBatch(docs.filter(col("doc_id") % 10 === 4),
       root, 1L, autoCompactFraction = 0)
