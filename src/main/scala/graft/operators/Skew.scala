@@ -310,8 +310,22 @@ object Skew {
                       w: Long = RangeSkewW): DataFrame =
     windowRangeSkewOn(s, table(s, dir, "lineitem"), w)
 
+  /** Ghost-transport threshold: ghost rows are bounded by one w-wide
+    * value band + tie peers per (boundary, key) — corpus-independent —
+    * so up to this many are COLLECTED and broadcast, letting the sweep
+    * run directly over the checkpointed range partitioning with no
+    * second corpus-wide shuffle (measured: the hash-by-pid exchange of
+    * the 60M-row zipf ×100 corpus was a quarter of the rewrite's
+    * residual). A pathological corpus that exceeds the bound (every
+    * row a boundary tie peer) falls back to the shuffle transport —
+    * same rows, one more exchange, no driver risk.
+    */
+  val GhostBroadcastMax = 1000000
+
   private[graft] def windowRangeSkewOn(s: SparkSession, df: DataFrame,
-                                       w: Long = RangeSkewW): DataFrame = {
+                                       w: Long = RangeSkewW,
+                                       ghostBroadcastMax: Int =
+                                         GhostBroadcastMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = s.sparkContext.defaultParallelism
     val ranged = df
@@ -350,11 +364,23 @@ object Skew {
              col("l_orderkey") <= col("hi"))))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("tpid").as("pid"), lit(true).as("ghost"))
-    val all = ranged
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("pid"), lit(false).as("ghost"))
-      .unionByName(ghosts)
-    rangeFrameSweep(all, w, chunks)
+    // ghost transport: collect-and-broadcast when the band bound holds
+    // (no second corpus shuffle — the sweep merges each partition's
+    // ghost slice into the checkpointed range partitioning in place);
+    // shuffle fallback otherwise
+    val ghostRows = ghosts
+      .select(col("pid"), col("l_suppkey"), col("l_orderkey"),
+        col("l_quantity"))
+      .limit(ghostBroadcastMax + 1).collect()
+    if (ghostRows.length <= ghostBroadcastMax)
+      rangeFrameSweepBroadcast(s, ranged, ghostRows, w)
+    else {
+      val all = ranged
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("pid"), lit(false).as("ghost"))
+        .unionByName(ghosts)
+      rangeFrameSweep(all, w, chunks)
+    }
   }
 
   /** Evaluate the trailing RANGE frame (sum + count of rows whose
@@ -377,19 +403,112 @@ object Skew {
     * so eviction-by-subtraction is associativity-proof; the oracle is
     * the literal RANGE BETWEEN SQL, unchanged.
     */
-  private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int)
-      : DataFrame = {
-    import org.apache.spark.sql.Row
+  private val RangeSweepSchema = {
     import org.apache.spark.sql.types._
-    val sorted = all.repartition(chunks, col("pid"))
-      .sortWithinPartitions(col("pid"), col("l_suppkey"), col("l_orderkey"))
-    val outSchema = StructType(Seq(
+    StructType(Seq(
       StructField("l_suppkey", LongType),
       StructField("l_orderkey", LongType),
       StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType),
       StructField("rng_sum", LongType),
       StructField("rng_n", LongType)))
+  }
+
+  /** The no-extra-shuffle sweep: each partition of the CHECKPOINTED
+    * range partitioning is sorted in place ((key, ordval) — no
+    * exchange; partitions are pid-pure by construction) and merged
+    * with its broadcast ghost slice, feeding the same value-group
+    * two-pointer as [[rangeFrameSweep]]. Ghosts contribute to the
+    * running (sum, count) and emit nothing.
+    */
+  private def rangeFrameSweepBroadcast(s: SparkSession, ranged: DataFrame,
+      ghostRows: Array[org.apache.spark.sql.Row], w: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    // (key, ordval, qty) ghost slices per target chunk, in sweep order
+    val byPid: Map[Int, Array[(Long, Long, Double)]] = ghostRows
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (p, a) =>
+        p -> a.map(_._2).sortBy(t => (t._1, t._2))
+      }
+    val bc = s.sparkContext.broadcast(byPid)
+    val sorted = ranged
+      .sortWithinPartitions(col("l_suppkey"), col("l_orderkey"))
+    val in = sorted.schema
+    val iKey = in.fieldIndex("l_suppkey")
+    val iOrd = in.fieldIndex("l_orderkey")
+    val iLn = in.fieldIndex("l_linenumber")
+    val iQty = in.fieldIndex("l_quantity")
+    val iPid = in.fieldIndex("pid")
+    sorted.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else new Iterator[Row] {
+        private val it = rows.buffered
+        private val g = bc.value
+          .getOrElse(it.head.getInt(iPid), Array.empty[(Long, Long, Double)])
+        private var gi = 0
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var curKey = Long.MinValue
+        private var anyKey = false
+        private val win = new java.util.ArrayDeque[(Long, Long, Long)]()
+        private var wSum = 0L
+        private var wCnt = 0L
+        def hasNext: Boolean = {
+          while (out.isEmpty && (it.hasNext || gi < g.length))
+            advanceValueGroup()
+          out.nonEmpty
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty sweep")
+          out.dequeue()
+        }
+        private def advanceValueGroup(): Unit = {
+          // the next (key, ordval) group is the minimum across the two
+          // sorted sources
+          var key = 0L
+          var v = 0L
+          if (it.hasNext) {
+            key = it.head.getLong(iKey); v = it.head.getLong(iOrd)
+            if (gi < g.length && (g(gi)._1 < key ||
+                (g(gi)._1 == key && g(gi)._2 < v))) {
+              key = g(gi)._1; v = g(gi)._2
+            }
+          } else { key = g(gi)._1; v = g(gi)._2 }
+          if (!anyKey || key != curKey) {
+            win.clear(); wSum = 0L; wCnt = 0L
+            curKey = key; anyKey = true
+          }
+          val grp = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var gSum = 0L
+          var gCnt = 0L
+          while (it.hasNext && it.head.getLong(iKey) == key &&
+              it.head.getLong(iOrd) == v) {
+            val r = it.next()
+            grp += r
+            gSum += r.getDouble(iQty).toLong
+            gCnt += 1L
+          }
+          while (gi < g.length && g(gi)._1 == key && g(gi)._2 == v) {
+            gSum += g(gi)._3.toLong; gCnt += 1L; gi += 1
+          }
+          while (!win.isEmpty && win.peekFirst()._1 < v - w) {
+            val h = win.pollFirst(); wSum -= h._2; wCnt -= h._3
+          }
+          win.addLast((v, gSum, gCnt)); wSum += gSum; wCnt += gCnt
+          grp.foreach { r =>
+            out.enqueue(Row(key, v, r.getInt(iLn), r.getDouble(iQty),
+              wSum, wCnt))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(RangeSweepSchema))
+  }
+
+  private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = all.repartition(chunks, col("pid"))
+      .sortWithinPartitions(col("pid"), col("l_suppkey"), col("l_orderkey"))
     val in = sorted.schema
     val iKey = in.fieldIndex("l_suppkey")
     val iOrd = in.fieldIndex("l_orderkey")
@@ -407,9 +526,12 @@ object Skew {
         private val win = new java.util.ArrayDeque[(Long, Long, Long)]()
         private var wSum = 0L
         private var wCnt = 0L
-        def hasNext: Boolean = out.nonEmpty || cur != null
-        def next(): Row = {
+        def hasNext: Boolean = {
           while (out.isEmpty && cur != null) advanceValueGroup()
+          out.nonEmpty
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty sweep")
           out.dequeue()
         }
         private def advanceValueGroup(): Unit = {
@@ -443,7 +565,7 @@ object Skew {
           }
         }
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(RangeSweepSchema))
   }
 
   /** Skew-resilient rank / dense_rank / ntile — closing what the

@@ -668,6 +668,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(sliced === filtered)
   }
 
+  test("knnRefineRound: one NN-descent round is well-formed, per-source " +
+       "independent (audit slice == full-graph filter), and can only " +
+       "raise recall (candidate superset + exact re-scoring)") {
+    val stride = Ann.strideFor(Ann.corpusCount(spark, dir))
+    // full-graph path: neighbor lists come from the base itself
+    val baseFull = Ann.knnGraphBucketedBase(spark, dir,
+      k = Ann.KnnRefineFan)
+    val refFull = Ann.knnRefineRound(spark, dir, baseFull,
+      0, Ann.LshProbeBits, 0).collect()
+    // k-bound and contiguous ranks survive the refinement re-rank
+    refFull.groupBy(_.getLong(0)).foreach { case (_, es) =>
+      assert(es.length <= Ann.KnnK)
+      assert(es.map(_.getLong(1)).sorted.toSeq === (1L to es.length.toLong))
+    }
+    // audit path: neighbor lists come from a SECOND bucketed run
+    // restricted to the candidate ids — must equal the full graph
+    // filtered to the audited sources, row for row
+    val baseAudit = Ann.knnGraphBucketedBase(spark, dir,
+      srcStride = stride, k = Ann.KnnRefineFan)
+    val refAudit = Ann.knnRefineRound(spark, dir, baseAudit,
+      0, Ann.LshProbeBits, stride)
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val fullSliced = refFull.filter(_.getLong(0) % stride == 0)
+      .map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(refAudit.nonEmpty)
+    assert(refAudit === fullSliced)
+    // recall monotonicity is DETERMINISTIC, not statistical: refined
+    // candidates ⊇ base pairs and both rank by the exact rounded
+    // cosine, so a true-positive can only be displaced by another
+    // true-positive — assert it anyway (the property the ×100
+    // shortfall buy-back rests on)
+    val exact = Ann.knnGraph(spark, dir)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base5 = Ann.knnGraphBucketed(spark, dir)
+      .filter(col("src") % stride === 0)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref5 = refAudit.map(r => (r.head.asInstanceOf[Long],
+      r(2).asInstanceOf[Long])).toSet
+    val baseRecall = (exact & base5).size.toDouble / exact.size
+    val refRecall = (exact & ref5).size.toDouble / exact.size
+    assert(refRecall >= baseRecall,
+      s"refined $refRecall < base $baseRecall")
+    // and the expansion genuinely added scored candidates somewhere
+    // (fan 10 > K guarantees two-hop pairs exist on this corpus)
+    assert(refRecall > 0.0)
+  }
+
   /** Scala mirror of V.hyperplaneBucket for [[cellCapCorpus]]: bit j set
     * iff the sequential widened-double dot with table t's plane j is
     * strictly positive — the exact expression semantics.

@@ -170,6 +170,13 @@ class SkewAndExtSpec extends AnyFunSuite {
     // hard to observe directly; instead assert multi-row frames exist
     // at all AND the chunking produced several chunks)
     assert(plain.filter(col("rng_n") > 1L).count() > 0L)
+    // both ghost transports produce the same multiset: ghostBroadcastMax
+    // = 0 forces the shuffle fallback (any ghost at all overflows it)
+    val fallback = Skew.windowRangeSkewOn(spark,
+      spark.read.parquet(s"$dir/lineitem.parquet"), Skew.RangeSkewW,
+      ghostBroadcastMax = 0)
+    assert(fallback.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(fallback).count() === 0L)
   }
 
   test("window_running_skew equals the plain running-frame window, " +
