@@ -16,6 +16,11 @@ object RecallProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val sections = args.lift(1).getOrElse("lsh,ivf").split(",").toSet
     val spark = graft.engine.GraftSession.getOrCreate("graft-recall-probe")
+    // harness surface for the Ann ladder-cap session conf (the knob
+    // that makes the knn recall floor purchasable past the default
+    // index-size budget — see Ann.ladderFor)
+    sys.env.get("SPARK_GRAFT_LADDER_CAP").foreach(c =>
+      spark.conf.set("spark.graft.ann.ladderCap", c))
     import graft.operators.Ann
     val bf = Ann.annBruteforce(spark, sfDir)
       .select(col("q_id"), col("cand_id")).collect()
@@ -54,6 +59,23 @@ object RecallProbe {
         println(f"knn bits=${Ann.bitsFor(Ann.corpusCount(spark, sfDir))} " +
           f"nTables=$tables recall=${
             (exact & got).size.toDouble / exact.size}%.3f")
+      }
+    }
+    if (sections("knn_cap")) {
+      // raw (un-refined, explicitly-pinned table count) recall at and
+      // beyond the default ladder cap — the measured recall-vs-budget
+      // curve behind the spark.graft.ann.ladderCap knob
+      val stride = Ann.strideFor(Ann.corpusCount(spark, sfDir))
+      val exact = Ann.knnGraph(spark, sfDir)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (tables <- Seq(24, 48)) {
+        val got = Ann.knnGraphBucketed(spark, sfDir, nTablesOpt = tables,
+            srcStride = stride)
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"knn_cap nTables=$tables recall=${
+          (exact & got).size.toDouble / exact.size}%.3f")
       }
     }
     if (sections("default_knn")) {

@@ -31,9 +31,17 @@ object VectorFunctions {
     * is sign(dot(v, plane_j)). Vectors within a cosine cone share buckets
     * with high probability — the candidate-generation step that turns an
     * O(n^2) similarity scan into a bucket join at scale.
+    *
+    * Each plane rides as ONE array-typed literal (`typedLit`), which
+    * codegen passes through the references array — NOT as 64 inlined
+    * scalar constants (`array(lit…)`), which blew the generated
+    * class's constant pool once the tuner's ladder-cap knob pushed the
+    * signature select past 24 tables (48 × 13 planes × 64 dims ≈ 40k
+    * Java literals — InternalCompilerException, measured). Same
+    * values, same array<double> input type, bit-identical buckets.
     */
   def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(dot(v, array(p.map(lit): _*)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(v, typedLit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -1315,6 +1315,25 @@ object Ann {
     */
   val AutoTablesLadder = Seq(3, 6, 9, 12, 15, 18, 24)
 
+  /** The ladder the tuner actually sweeps: [[AutoTablesLadder]],
+    * extended with doublings (48, 96, …) up to the
+    * `spark.graft.ann.ladderCap` session conf when the operator has
+    * explicitly raised it. The DEFAULT cap stays 24 — on a
+    * near-isotropic corpus a fixed recall needs a ~constant scanned
+    * fraction, so the floor's price grows with the corpus and the
+    * engine will not silently spend it; the conf makes the floor
+    * PURCHASABLE (the measured ×100 curve lives in SCALING.md) while
+    * cap-and-report stays the default contract. The tuned choice is
+    * memoized per dir ([[tablesFor]]), so set the conf before the
+    * first query against a corpus.
+    */
+  private[graft] def ladderFor(s: SparkSession): Seq[Int] = {
+    val cap = s.conf.get("spark.graft.ann.ladderCap",
+      AutoTablesLadder.max.toString).toInt
+    AutoTablesLadder ++ Iterator.iterate(AutoTablesLadder.max * 2)(_ * 2)
+      .takeWhile(_ <= cap).toSeq
+  }
+
   /** Size-adaptive nTables for [[knnGraphBucketed]] — the recall analog
     * of [[bitsFor]], chosen by MEASUREMENT, not formula: above the
     * calibrated regime (where [[bitsFor]] starts widening the code and
@@ -1380,8 +1399,9 @@ object Ann {
 
   private def autotuneTables(s: SparkSession, dir: String, n: Long): Int = {
     graft.functions.GraftFunctions.register(s)
+    val ladder = ladderFor(s)
     val nBits = bitsFor(n)
-    val tMax = AutoTablesLadder.max
+    val tMax = ladder.max
     val stride = strideFor(n)
     val exact = knnGraph(s, dir).select(col("src"), col("dst"))
     val sigs = (0 until tMax).map(t =>
@@ -1437,7 +1457,7 @@ object Ann {
     val wr = Window.partitionBy(col("nt"), col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
     val perRung = pairs
-      .withColumn("nt", explode(array(AutoTablesLadder.map(lit): _*)))
+      .withColumn("nt", explode(array(ladder.map(lit): _*)))
       .filter(col("first_tbl") < col("nt"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= KnnK)
@@ -1449,9 +1469,9 @@ object Ann {
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1).toDouble / nExact)).toMap
-    val chosen = AutoTablesLadder
+    val chosen = ladder
       .find(t => recalls.getOrElse(t, 0.0) >= KnnGraphRecallMin)
-      .getOrElse(AutoTablesLadder.max)
+      .getOrElse(ladder.max)
     // the cap-shortfall verdict drives the serving graph's refinement
     // round (refineFor): measured, cached with the table choice
     refineCache.put(dir, java.lang.Boolean.valueOf(
@@ -1535,39 +1555,68 @@ object Ann {
     */
   private[graft] def knnRefineRound(s: SparkSession, dir: String,
       base0: DataFrame, nBitsOpt: Int, probeBits: Int,
-      srcStride: Long): DataFrame = {
+      srcStride: Long, rounds: Int = KnnRefineRounds): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // the base graph is consumed by the edge list, the candidate-id
-    // collect (audit path), and the union — pin it once (small:
-    // |src| × fan rows of ids)
+    // the base graph is consumed by each round's expansion, the
+    // candidate-id collect (audit path), and the union — pin it once
+    // (small: |src| × fan rows of ids)
     val base = base0.select(col("src"), col("dst")).localCheckpoint()
-    val nbrs =
-      if (srcStride == 0) base
-      else {
-        val ids = base.select(col("dst")).distinct()
-          .collect().map(_.getLong(0))
-        knnGraphBucketedBase(s, dir, nBitsOpt, 0, probeBits, 0, ids,
-          KnnRefineFan).select(col("src"), col("dst"))
-      }
-    val twoHop = base.select(col("src"), col("dst").as("mid"))
-      .join(nbrs.select(col("src").as("mid"), col("dst").as("d2")),
-        Seq("mid"))
-      .filter(col("src") =!= col("d2"))
-      .select(col("src"), col("d2").as("dst"))
-    val pairs = base.unionByName(twoHop).distinct()
     val e = table(s, dir, "embeddings")
     val qe = e.select(col("vec_id").as("src"), col("embedding").as("qe"))
     val ce = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
-    val scored = pairs.join(ce, Seq("dst")).join(qe, Seq("src"))
-      .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
-      .select(col("src"), col("dst"), col("cos_r"))
-    val top = graft.plans.TopKPlans.groupedTopK(scored,
-      Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), KnnK)
+    def topOf(pairs: DataFrame, k: Int): DataFrame = {
+      val scored = pairs.join(ce, Seq("dst")).join(qe, Seq("src"))
+        .withColumn("cos_r", round(V.cosine(col("qe"), col("ce")), 6))
+        .select(col("src"), col("dst"), col("cos_r"))
+      graft.plans.TopKPlans.groupedTopK(scored,
+        Seq(col("src")), Seq(col("cos_r").desc, col("dst").asc), k)
+    }
+    // Iterated descent: each round expands the CURRENT refined
+    // top-fan lists of the sources through the UNREFINED bucketed
+    // lists of the mids, re-scores exactly, and keeps top-fan
+    // (top-K on the final round). Mid lists deliberately stay
+    // unrefined — on the audit slice only the sources' lists exist
+    // refined, so refining mids would make the slice diverge from the
+    // full graph; with unrefined mids the slice equality holds by
+    // induction (cur matches ⇒ mids match ⇒ the per-source
+    // independent bucketed fetch matches ⇒ next cur matches).
+    // Recall is deterministically monotone per round: candidates ⊇
+    // the current lists and ranking is the exact rounded cosine.
+    var cur = base
+    for (r <- 1 to rounds) {
+      val nbrs =
+        if (srcStride == 0) base
+        else {
+          val ids = cur.select(col("dst")).distinct()
+            .collect().map(_.getLong(0))
+          knnGraphBucketedBase(s, dir, nBitsOpt, 0, probeBits, 0, ids,
+            KnnRefineFan).select(col("src"), col("dst"))
+        }
+      val twoHop = cur.select(col("src"), col("dst").as("mid"))
+        .join(nbrs.select(col("src").as("mid"), col("dst").as("d2")),
+          Seq("mid"))
+        .filter(col("src") =!= col("d2"))
+        .select(col("src"), col("d2").as("dst"))
+      val pairs = cur.select(col("src"), col("dst"))
+        .unionByName(twoHop).distinct()
+      cur = topOf(pairs, if (r == rounds) KnnK else KnnRefineFan)
+        .localCheckpoint()
+    }
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    cur.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("src"), col("rank"), col("dst"), col("cos_r"))
   }
+
+  /** NN-descent rounds of the shortfall buy-back. One round measured
+    * 0.722 → 0.806 at the ×100 cell (still under [[KnnGraphRecallMin]]);
+    * the second expands from the ROUND-1 refined lists — mids are now
+    * true near-neighbors, so their bucket lists reach the remaining
+    * misses. Per-round cost is |src| × fan² exact scores, linear in
+    * the source count; engaged only when the autotuner measured the
+    * ladder cap short of the floor (never at a gate SF).
+    */
+  val KnnRefineRounds = 2
 
   private[graft] def knnGraphBucketedBase(s: SparkSession, dir: String,
                        nBitsOpt: Int = 0,

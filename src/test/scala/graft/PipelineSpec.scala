@@ -747,6 +747,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(refRecall > 0.0)
   }
 
+  test("ann ladder cap knob: default ladder unchanged, conf extends " +
+       "with doublings, never past the configured cap") {
+    import graft.operators.Ann
+    val key = "spark.graft.ann.ladderCap"
+    try {
+      // default: exactly the declared ladder — the cap-and-report
+      // contract's budget bound
+      spark.conf.unset(key)
+      assert(Ann.ladderFor(spark) === Ann.AutoTablesLadder)
+      // a raised cap extends with doublings of the default max…
+      spark.conf.set(key, "48")
+      assert(Ann.ladderFor(spark) === Ann.AutoTablesLadder :+ 48)
+      spark.conf.set(key, "96")
+      assert(Ann.ladderFor(spark) === Ann.AutoTablesLadder ++ Seq(48, 96))
+      // …and a cap below the next doubling changes nothing
+      spark.conf.set(key, "40")
+      assert(Ann.ladderFor(spark) === Ann.AutoTablesLadder)
+    } finally spark.conf.unset(key)
+  }
+
   /** Scala mirror of V.hyperplaneBucket for [[cellCapCorpus]]: bit j set
     * iff the sequential widened-double dot with table t's plane j is
     * strictly positive — the exact expression semantics.
