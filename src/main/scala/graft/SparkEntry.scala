@@ -149,6 +149,9 @@ object SparkEntry {
     "window_running_skew" -> (Skew.windowRunningSkew _),
     "window_range_skew" -> ((s, d) => Skew.windowRangeSkew(s, d)),
     "window_auto" -> (Skew.windowAuto _),
+    "window_auto_rank" -> (Skew.windowAutoRank _),
+    "window_auto_running" -> (Skew.windowAutoRunning _),
+    "window_auto_range" -> (Skew.windowAutoRange _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3051,6 +3054,39 @@ object SparkEntry {
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
         l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    // window_auto_rank / _running / _range: the remaining dispatch
+    // classes, each under ITS class's literal window SQL (the same
+    // oracles that prove the chunked rewrites) — so the auto path is
+    // oracle-proven end to end for every window class it serves,
+    // whichever branch the profiled share selects at this SF
+    "window_auto_rank" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        CAST(rank() OVER wd AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER wd AS BIGINT) AS drank,
+        CAST(ntile(4) OVER wf AS BIGINT) AS bucket
+      FROM lineitem
+      WINDOW
+        wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+        wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+          l_linenumber, l_partkey, l_quantity, l_extendedprice)""",
+    "window_auto_running" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+          AS running_qty,
+        CAST(count(*) OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "window_auto_range" -> s"""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+          AS rng_sum,
+        CAST(count(*) OVER w AS BIGINT) AS rng_n
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+        RANGE BETWEEN ${graft.operators.Skew.RangeSkewW} PRECEDING
+        AND CURRENT ROW)""",
     // window_rank_skew: the oracle is the LITERAL rank/dense_rank/ntile
     // window SQL — the hash match PROVES the chunked rewrite (Skew
     // .windowRankSkew's boundary algebra) equal. rank/dense_rank order

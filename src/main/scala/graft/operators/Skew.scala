@@ -796,10 +796,18 @@ object Skew {
     }
   }
 
-  /** The registry query: auto-dispatched lag/lead/row_number over
-    * lineitem (oracle = the literal window SQL — the dispatch never
-    * changes results, only the physical plan).
+  /** The registry queries: auto-dispatched windows over lineitem, one
+    * per window class (oracle = the literal window SQL for the class —
+    * the dispatch never changes results, only the physical plan, and
+    * both branches of each class are row-identical by the same proof
+    * that backs the chunked rewrites' own oracles).
     */
   def windowAuto(s: SparkSession, dir: String): DataFrame =
     windowAutoOn(s, table(s, dir, "lineitem"))
+  def windowAutoRank(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, table(s, dir, "lineitem"), "rank")
+  def windowAutoRunning(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, table(s, dir, "lineitem"), "running")
+  def windowAutoRange(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, table(s, dir, "lineitem"), "range")
 }
