@@ -372,14 +372,34 @@ object Dedup {
   private[graft] def writeFilesManifest(path: String): Unit = {
     val (fs, rawBase) = hadoopFs(path)
     val base = fs.makeQualified(rawBase)
-    val baseUri = base.toUri
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(base, true) // recursive; one ranged LIST per dir
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = baseUri.relativize(st.getPath.toUri).getPath
-      if (rel.substring(rel.lastIndexOf('/') + 1).startsWith("part-"))
-        files += rel
+    if (base.toUri.getScheme == "file") {
+      // Local roots walk via java.nio. The Hadoop branch below lists
+      // LocatedFileStatus-es, and RawLocalFileSystem materializes each
+      // one's permissions by FORKING `ls` (the non-native-IO path) —
+      // thousands of process forks per manifest write from a 24 GiB
+      // JVM, and under full-suite load one fork was SIGKILLed
+      // (ExitCodeException 137, seen twice as a StreamingSpec
+      // ingest-test failure before this branch existed). java.nio
+      // stats files in-process; same relative part-file list.
+      val root = java.nio.file.Paths.get(base.toUri)
+      val stream = java.nio.file.Files.walk(root)
+      try stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith("part-"))
+          files += root.relativize(p).toString
+      } finally stream.close()
+    } else {
+      // remote schemes (hdfs/s3a/...): one ranged LIST per dir — the
+      // object-store compatibility this API went Hadoop-FS for
+      val baseUri = base.toUri
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = baseUri.relativize(st.getPath.toUri).getPath
+        if (rel.substring(rel.lastIndexOf('/') + 1).startsWith("part-"))
+          files += rel
+      }
     }
     fsWriteString(path, FilesManifest, files.sorted.mkString("\n"))
   }
