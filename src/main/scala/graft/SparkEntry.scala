@@ -152,6 +152,7 @@ object SparkEntry {
     "window_auto_rank" -> (Skew.windowAutoRank _),
     "window_auto_running" -> (Skew.windowAutoRunning _),
     "window_auto_range" -> (Skew.windowAutoRange _),
+    "window_auto_events" -> (Skew.windowAutoEvents _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3087,6 +3088,20 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
         RANGE BETWEEN ${graft.operators.Skew.RangeSkewW} PRECEDING
         AND CURRENT ROW)""",
+    // window_auto_events: the dispatcher on a SECOND table shape
+    // (events keyed on user_id via WindowSpec.Events) — the r18
+    // operators baked in lineitem's columns; this query pins that the
+    // parameterized API serves any (key, ordering, value) roles under
+    // the same literal-window oracle. event_id makes the full ordering
+    // unique, so the row_number is deterministic.
+    "window_auto_events" -> """
+      SELECT user_id, event_id, ts, event_type, value,
+        lag(value, 1) OVER w AS prev_val,
+        lead(value, 1) OVER w AS next_val,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_type, ts,
+        event_id, value)""",
     // window_rank_skew: the oracle is the LITERAL rank/dense_rank/ntile
     // window SQL — the hash match PROVES the chunked rewrite (Skew
     // .windowRankSkew's boundary algebra) equal. rank/dense_rank order

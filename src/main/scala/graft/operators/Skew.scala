@@ -5,6 +5,82 @@ import org.apache.spark.sql.functions._
 import graft.operators.Relational.dsum
 import graft.sources.Tables.table
 
+/** Parameterization of the skew-window family: which columns play the
+  * key / ordering / value roles, and which columns ride through to the
+  * output. Nothing in the chunked rewrites' algebra (chunk boundary
+  * stats, run-group start ranks, ghost bands, two-pointer sweeps)
+  * depends on a concrete table — the r18 operators baked in lineitem's
+  * columns only because they grew out of that registry query; this
+  * spec is the engine API.
+  *
+  * Roles and constraints:
+  *  - `key`: the PARTITION BY column (the potentially-skewed key).
+  *  - `ord`: the full-tuple ordering for the lag / running / ntile
+  *    classes. Every output column should appear in it (or be
+  *    functionally determined by it) so ordering ties are full
+  *    duplicates — the determinism argument each rewrite cites.
+  *    `ord.head` doubles as the rank class's COARSE ordering (real
+  *    ties expected); being the ordering's first column keeps coarse
+  *    runs contiguous across one shared range partitioning.
+  *  - `value`: the windowed measure (lag/lead subject, running/range
+  *    summand — cast to BIGINT inside the running/range classes so
+  *    partial sums re-merge exactly).
+  *  - `rangeOrd`: the range class's ordering column; must cast to
+  *    BIGINT losslessly (value-range arithmetic is integral).
+  *  - `out` / `rangeOut`: passthrough output columns; the computed
+  *    columns are named `prev_<valueAlias>` / `next_<valueAlias>` /
+  *    `rn` (lag), `rnk` / `drank` / `bucket` (rank),
+  *    `running_<valueAlias>` / `rn` (running), `rng_sum` / `rng_n`
+  *    (range).
+  */
+final case class WindowSpec(
+    key: String,
+    ord: Seq[String],
+    value: String,
+    rangeOrd: String,
+    out: Seq[String],
+    rangeOut: Seq[String],
+    valueAlias: String = "qty") {
+  require(ord.nonEmpty, "window spec needs at least one ordering column")
+  def prevName: String = s"prev_$valueAlias"
+  def nextName: String = s"next_$valueAlias"
+  def runningName: String = s"running_$valueAlias"
+  /** Columns the row-frame classes must carry through the chunking. */
+  def keep: Seq[String] = ((key +: ord) ++ out :+ value).distinct
+}
+
+object WindowSpec {
+  /** The lineitem shape the registry window queries run on (the r18
+    * operators' baked-in columns, now just one spec value).
+    */
+  val Lineitem: WindowSpec = WindowSpec(
+    key = "l_suppkey",
+    ord = Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+      "l_quantity", "l_extendedprice"),
+    value = "l_quantity",
+    rangeOrd = "l_orderkey",
+    out = Seq("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+      "l_quantity"),
+    rangeOut = Seq("l_suppkey", "l_orderkey", "l_linenumber",
+      "l_quantity"))
+
+  /** The events shape (user_id-keyed, time-ordered): the second table
+    * the dispatcher and chunked rewrites are spec-pinned on.
+    * `ord.head` = event_type gives the rank class real coarse ties
+    * (many events share a type per user); event_id makes the full
+    * tuple unique, so ordering ties are impossible rather than merely
+    * harmless.
+    */
+  val Events: WindowSpec = WindowSpec(
+    key = "user_id",
+    ord = Seq("event_type", "ts", "event_id", "value"),
+    value = "value",
+    rangeOrd = "event_id",
+    out = Seq("user_id", "event_id", "ts", "event_type", "value"),
+    rangeOut = Seq("user_id", "event_id", "event_type", "value"),
+    valueAlias = "val")
+}
+
 /** Skew-handling operators (SURVEY.md §7.3 step 7). AQE's skew-join
   * splitting handles most cases at runtime; these are the explicit
   * formulations for when the plan must be skew-proof by construction —
@@ -154,21 +230,14 @@ object Skew {
     * tie split yields the same output multiset (the windowLagLead
     * determinism argument, unchanged).
     */
-  /** The full-tuple window ordering shared by the lag/running/ntile
-    * classes (every projected column, so ordering ties are full
-    * duplicates — the determinism argument each rewrite cites).
-    */
-  private val WinOrdCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
-    "l_partkey", "l_quantity", "l_extendedprice")
-
   def windowLagSkew(s: SparkSession, dir: String): DataFrame =
     windowLagSkewOn(s, table(s, dir, "lineitem"))
 
-  private[graft] def windowLagSkewOn(s: SparkSession, df: DataFrame)
-      : DataFrame = {
+  private[graft] def windowLagSkewOn(s: SparkSession, df: DataFrame,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = WinOrdCols.map(col)
-    val sortCols = col("l_suppkey") +: ordCols
+    val ordCols = spec.ord.map(col)
+    val sortCols = col(spec.key) +: ordCols
     // explicit chunk count: AQE never coalesces a user repartition with
     // fixed N, so spark_partition_id is stable across plan reuse
     val chunks = s.sparkContext.defaultParallelism
@@ -190,41 +259,38 @@ object Skew {
     // recomputing a possibly-different chunk assignment — for this
     // operator fail-and-rerun IS the safe behavior.
     val ranged = df
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
-        col("l_extendedprice"))
+      .select(spec.keep.map(col): _*)
       .repartitionByRange(chunks, sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val wl = Window.partitionBy(col("pid"), col("l_suppkey"))
+    val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
     val local = ranged
       .withColumn("lrn", row_number().over(wl).cast("long"))
-      .withColumn("prev0", lag(col("l_quantity"), 1).over(wl))
-      .withColumn("next0", lead(col("l_quantity"), 1).over(wl))
+      .withColumn("prev0", lag(col(spec.value), 1).over(wl))
+      .withColumn("next0", lead(col(spec.value), 1).over(wl))
     // per-(chunk, key) edge stats; the ordering struct makes
     // min_by/max_by the first/last row in window order (ties are full
-    // duplicates — same l_quantity — so arg-min ambiguity is valueless)
+    // duplicates — same value — so arg-min ambiguity is valueless)
     val ordStruct = struct(ordCols: _*)
-    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
-    val stats = ranged.groupBy(col("pid"), col("l_suppkey"))
+    val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
+    val stats = ranged.groupBy(col("pid"), col(spec.key))
       .agg(count(lit(1)).as("cnt"),
-        min_by(col("l_quantity"), ordStruct).as("first_q"),
-        max_by(col("l_quantity"), ordStruct).as("last_q"))
+        min_by(col(spec.value), ordStruct).as("first_q"),
+        max_by(col(spec.value), ordStruct).as("last_q"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
         wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("prev_last", lag(col("last_q"), 1).over(wk))
       .withColumn("next_first", lead(col("first_q"), 1).over(wk))
-      .select(col("pid"), col("l_suppkey"), col("cnt"), col("offset"),
+      .select(col("pid"), col(spec.key), col("cnt"), col("offset"),
         col("prev_last"), col("next_first"))
-    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"),
+    local.join(broadcast(stats), Seq("pid", spec.key))
+      .select(spec.out.map(col) ++ Seq(
         when(col("lrn") === 1L, col("prev_last"))
-          .otherwise(col("prev0")).as("prev_qty"),
+          .otherwise(col("prev0")).as(spec.prevName),
         when(col("lrn") === col("cnt"), col("next_first"))
-          .otherwise(col("next0")).as("next_qty"),
-        (col("lrn") + col("offset")).as("rn"))
+          .otherwise(col("next0")).as(spec.nextName),
+        (col("lrn") + col("offset")).as("rn")): _*)
   }
 
   /** Skew-resilient RUNNING aggregate (cumulative sum + row count) —
@@ -234,51 +300,47 @@ object Skew {
     * the three: a chunk's cumulative value = its local cumulative +
     * the SUM of earlier chunks' totals (no tie or distinct-count
     * subtleties — addition is order-free once the summand is exact,
-    * which the BIGINT cast guarantees; quantities are integer-valued,
-    * and an integral running sum is associativity-proof where a double
-    * fold would not be). Oracle = the literal SUM/COUNT OVER (ROWS
-    * UNBOUNDED PRECEDING) SQL. Ordering ties are full duplicates (the
-    * windowLagLead argument), so any tie split yields the same output
-    * multiset.
+    * which the BIGINT cast guarantees; an integral running sum is
+    * associativity-proof where a double fold would not be). Oracle =
+    * the literal SUM/COUNT OVER (ROWS UNBOUNDED PRECEDING) SQL.
+    * Ordering ties are full duplicates (the windowLagLead argument),
+    * so any tie split yields the same output multiset.
     */
   def windowRunningSkew(s: SparkSession, dir: String): DataFrame =
     windowRunningSkewOn(s, table(s, dir, "lineitem"))
 
-  private[graft] def windowRunningSkewOn(s: SparkSession, df: DataFrame)
-      : DataFrame = {
+  private[graft] def windowRunningSkewOn(s: SparkSession, df: DataFrame,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = WinOrdCols.map(col)
-    val sortCols = col("l_suppkey") +: ordCols
+    val ordCols = spec.ord.map(col)
+    val sortCols = col(spec.key) +: ordCols
     val chunks = s.sparkContext.defaultParallelism
     val ranged = df
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
-        col("l_extendedprice"))
+      .select(spec.keep.map(col): _*)
       .repartitionByRange(chunks, sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val wl = Window.partitionBy(col("pid"), col("l_suppkey"))
+    val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged
-      .withColumn("lsum", sum(col("l_quantity").cast("long")).over(wl))
+      .withColumn("lsum", sum(col(spec.value).cast("long")).over(wl))
       .withColumn("lrn", count(lit(1)).over(wl))
-    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
     val before = wk.rowsBetween(Window.unboundedPreceding, -1)
-    val stats = ranged.groupBy(col("pid"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("csum"),
+    val stats = ranged.groupBy(col("pid"), col(spec.key))
+      .agg(sum(col(spec.value).cast("long")).as("csum"),
         count(lit(1)).as("cnt"))
       .withColumn("sum_offset",
         coalesce(sum(col("csum")).over(before), lit(0L)))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(before), lit(0L)))
-      .select(col("pid"), col("l_suppkey"), col("sum_offset"),
+      .select(col("pid"), col(spec.key), col("sum_offset"),
         col("offset"))
-    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"),
-        (col("lsum") + col("sum_offset")).as("running_qty"),
-        (col("lrn") + col("offset")).as("rn"))
+    local.join(broadcast(stats), Seq("pid", spec.key))
+      .select(spec.out.map(col) ++ Seq(
+        (col("lsum") + col("sum_offset")).as(spec.runningName),
+        (col("lrn") + col("offset")).as("rn")): _*)
   }
 
   /** Value width of [[windowRangeSkew]]'s trailing frame (orderkeys are
@@ -325,18 +387,27 @@ object Skew {
   private[graft] def windowRangeSkewOn(s: SparkSession, df: DataFrame,
                                        w: Long = RangeSkewW,
                                        ghostBroadcastMax: Int =
-                                         GhostBroadcastMax): DataFrame = {
+                                         GhostBroadcastMax,
+                                       spec: WindowSpec =
+                                         WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = s.sparkContext.defaultParallelism
+    // normalized role columns (_k/_ov/_v — BIGINT key + ordering +
+    // summand) so the sweeps below are spec-independent: passthrough
+    // columns keep their original types and ride by position
+    val keep = (spec.rangeOut :+ spec.key :+ spec.rangeOrd :+ spec.value)
+      .distinct
     val ranged = df
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"))
-      .repartitionByRange(chunks, col("l_suppkey"), col("l_orderkey"))
+      .select(keep.map(col): _*)
+      .withColumn("_k", col(spec.key).cast("long"))
+      .withColumn("_ov", col(spec.rangeOrd).cast("long"))
+      .withColumn("_v", col(spec.value).cast("long"))
+      .repartitionByRange(chunks, col("_k"), col("_ov"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val wb = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
-    val bounds = ranged.groupBy(col("pid"), col("l_suppkey"))
-      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+    val wb = Window.partitionBy(col("_k")).orderBy(col("pid"))
+    val bounds = ranged.groupBy(col("pid"), col("_k"))
+      .agg(min(col("_ov")).as("lo"), max(col("_ov")).as("hi"))
       .withColumn("nxt_lo", lead(col("lo"), 1).over(wb))
       .withColumn("prv_hi", lag(col("hi"), 1).over(wb))
     // EXACT candidate pre-filter before the multi-target expansion: lo
@@ -348,38 +419,37 @@ object Skew {
     // row (~P predicate evaluations x corpus), measured 2.2x the whole
     // lag-skew query at the zipf x100 corpus.
     val nearEdge = ranged.join(broadcast(
-        bounds.select(col("pid"), col("l_suppkey"),
+        bounds.select(col("pid"), col("_k"),
           col("nxt_lo"), col("prv_hi"))),
-        Seq("pid", "l_suppkey"))
+        Seq("pid", "_k"))
       .filter((col("nxt_lo").isNotNull &&
-          col("l_orderkey") >= col("nxt_lo") - w) ||
-        (col("prv_hi").isNotNull && col("l_orderkey") <= col("prv_hi")))
-    val targets = bounds.select(col("l_suppkey").as("gk"),
+          col("_ov") >= col("nxt_lo") - w) ||
+        (col("prv_hi").isNotNull && col("_ov") <= col("prv_hi")))
+    val targets = bounds.select(col("_k").as("gk"),
       col("pid").as("tpid"), col("lo"), col("hi"))
     val ghosts = nearEdge.join(broadcast(targets),
-        col("gk") === col("l_suppkey") &&
+        col("gk") === col("_k") &&
           ((col("tpid") > col("pid") &&
-             col("lo") - w <= col("l_orderkey")) ||
+             col("lo") - w <= col("_ov")) ||
            (col("tpid") < col("pid") &&
-             col("l_orderkey") <= col("hi"))))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("tpid").as("pid"), lit(true).as("ghost"))
+             col("_ov") <= col("hi"))))
+      .select(keep.map(col) ++ Seq(col("_k"), col("_ov"), col("_v"),
+        col("tpid").as("pid"), lit(true).as("ghost")): _*)
     // ghost transport: collect-and-broadcast when the band bound holds
     // (no second corpus shuffle — the sweep merges each partition's
     // ghost slice into the checkpointed range partitioning in place);
     // shuffle fallback otherwise
     val ghostRows = ghosts
-      .select(col("pid"), col("l_suppkey"), col("l_orderkey"),
-        col("l_quantity"))
+      .select(col("pid"), col("_k"), col("_ov"), col("_v"))
       .limit(ghostBroadcastMax + 1).collect()
     if (ghostRows.length <= ghostBroadcastMax)
-      rangeFrameSweepBroadcast(s, ranged, ghostRows, w)
+      rangeFrameSweepBroadcast(s, ranged, ghostRows, w, spec)
     else {
       val all = ranged
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("pid"), lit(false).as("ghost"))
+        .select(keep.map(col) ++ Seq(col("_k"), col("_ov"), col("_v"),
+          col("pid"), lit(false).as("ghost")): _*)
         .unionByName(ghosts)
-      rangeFrameSweep(all, w, chunks)
+      rangeFrameSweep(all, w, chunks, spec)
     }
   }
 
@@ -403,13 +473,10 @@ object Skew {
     * so eviction-by-subtraction is associativity-proof; the oracle is
     * the literal RANGE BETWEEN SQL, unchanged.
     */
-  private val RangeSweepSchema = {
+  private def rangeSweepSchema(in: org.apache.spark.sql.types.StructType,
+      spec: WindowSpec): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("l_suppkey", LongType),
-      StructField("l_orderkey", LongType),
-      StructField("l_linenumber", IntegerType),
-      StructField("l_quantity", DoubleType),
+    StructType(spec.rangeOut.map(c => in(in.fieldIndex(c))) ++ Seq(
       StructField("rng_sum", LongType),
       StructField("rng_n", LongType)))
   }
@@ -422,29 +489,29 @@ object Skew {
     * running (sum, count) and emit nothing.
     */
   private def rangeFrameSweepBroadcast(s: SparkSession, ranged: DataFrame,
-      ghostRows: Array[org.apache.spark.sql.Row], w: Long): DataFrame = {
+      ghostRows: Array[org.apache.spark.sql.Row], w: Long,
+      spec: WindowSpec): DataFrame = {
     import org.apache.spark.sql.Row
-    // (key, ordval, qty) ghost slices per target chunk, in sweep order
-    val byPid: Map[Int, Array[(Long, Long, Double)]] = ghostRows
-      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // (key, ordval, summand) ghost slices per target chunk, sweep order
+    val byPid: Map[Int, Array[(Long, Long, Long)]] = ghostRows
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .groupBy(_._1).map { case (p, a) =>
         p -> a.map(_._2).sortBy(t => (t._1, t._2))
       }
     val bc = s.sparkContext.broadcast(byPid)
-    val sorted = ranged
-      .sortWithinPartitions(col("l_suppkey"), col("l_orderkey"))
+    val sorted = ranged.sortWithinPartitions(col("_k"), col("_ov"))
     val in = sorted.schema
-    val iKey = in.fieldIndex("l_suppkey")
-    val iOrd = in.fieldIndex("l_orderkey")
-    val iLn = in.fieldIndex("l_linenumber")
-    val iQty = in.fieldIndex("l_quantity")
+    val iKey = in.fieldIndex("_k")
+    val iOrd = in.fieldIndex("_ov")
+    val iVal = in.fieldIndex("_v")
     val iPid = in.fieldIndex("pid")
+    val outIdx = spec.rangeOut.map(in.fieldIndex)
     sorted.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else new Iterator[Row] {
         private val it = rows.buffered
         private val g = bc.value
-          .getOrElse(it.head.getInt(iPid), Array.empty[(Long, Long, Double)])
+          .getOrElse(it.head.getInt(iPid), Array.empty[(Long, Long, Long)])
         private var gi = 0
         private val out = scala.collection.mutable.Queue.empty[Row]
         private var curKey = Long.MinValue
@@ -484,38 +551,37 @@ object Skew {
               it.head.getLong(iOrd) == v) {
             val r = it.next()
             grp += r
-            gSum += r.getDouble(iQty).toLong
+            gSum += r.getLong(iVal)
             gCnt += 1L
           }
           while (gi < g.length && g(gi)._1 == key && g(gi)._2 == v) {
-            gSum += g(gi)._3.toLong; gCnt += 1L; gi += 1
+            gSum += g(gi)._3; gCnt += 1L; gi += 1
           }
           while (!win.isEmpty && win.peekFirst()._1 < v - w) {
             val h = win.pollFirst(); wSum -= h._2; wCnt -= h._3
           }
           win.addLast((v, gSum, gCnt)); wSum += gSum; wCnt += gCnt
           grp.foreach { r =>
-            out.enqueue(Row(key, v, r.getInt(iLn), r.getDouble(iQty),
-              wSum, wCnt))
+            out.enqueue(Row.fromSeq(
+              outIdx.map(r.get) ++ Seq(wSum, wCnt)))
           }
         }
       }
-    }(org.apache.spark.sql.Encoders.row(RangeSweepSchema))
+    }(org.apache.spark.sql.Encoders.row(rangeSweepSchema(in, spec)))
   }
 
-  private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int)
-      : DataFrame = {
+  private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int,
+      spec: WindowSpec): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val sorted = all.repartition(chunks, col("pid"))
-      .sortWithinPartitions(col("pid"), col("l_suppkey"), col("l_orderkey"))
+      .sortWithinPartitions(col("pid"), col("_k"), col("_ov"))
     val in = sorted.schema
-    val iKey = in.fieldIndex("l_suppkey")
-    val iOrd = in.fieldIndex("l_orderkey")
-    val iLn = in.fieldIndex("l_linenumber")
-    val iQty = in.fieldIndex("l_quantity")
+    val iKey = in.fieldIndex("_k")
+    val iOrd = in.fieldIndex("_ov")
+    val iVal = in.fieldIndex("_v")
     val iPid = in.fieldIndex("pid")
     val iGhost = in.fieldIndex("ghost")
+    val outIdx = spec.rangeOut.map(in.fieldIndex)
     sorted.mapPartitions { rows =>
       new Iterator[Row] {
         private val out = scala.collection.mutable.Queue.empty[Row]
@@ -550,7 +616,7 @@ object Skew {
           while (cur != null && cur.getInt(iPid) == pid &&
               cur.getLong(iKey) == key && cur.getLong(iOrd) == v) {
             grp += cur
-            gSum += cur.getDouble(iQty).toLong
+            gSum += cur.getLong(iVal)
             gCnt += 1L
             cur = if (rows.hasNext) rows.next() else null
           }
@@ -560,12 +626,12 @@ object Skew {
           win.addLast((v, gSum, gCnt)); wSum += gSum; wCnt += gCnt
           grp.foreach { r =>
             if (!r.getBoolean(iGhost))
-              out.enqueue(Row(key, v, r.getInt(iLn), r.getDouble(iQty),
-                wSum, wCnt))
+              out.enqueue(Row.fromSeq(
+                outIdx.map(r.get) ++ Seq(wSum, wCnt)))
           }
         }
       }
-    }(org.apache.spark.sql.Encoders.row(RangeSweepSchema))
+    }(org.apache.spark.sql.Encoders.row(rangeSweepSchema(in, spec)))
   }
 
   /** Skew-resilient rank / dense_rank / ntile — closing what the
@@ -576,16 +642,17 @@ object Skew {
     * RANK/DENSE_RANK/NTILE SQL); no task ever holds more than ~1/P of
     * any key.
     *
-    * rank/dense_rank run on the COARSE `l_shipdate` ordering — real
-    * ties, hundreds of rows per (supplier, date), every chunk boundary
-    * splits a tie run, so the boundary machinery is load-bearing, not
-    * decorative. Both outputs are tie-invariant (every tied row gets
-    * the same value), hence deterministic under any tie split. ntile
-    * runs on the FULL tuple ordering (ties are full duplicates — the
-    * windowLagLead determinism argument), because its value depends on
-    * the row number. The shipdate ordering is a PREFIX of the full
-    * ordering, so ONE range partitioning serves both: shipdates stay
-    * contiguous across the same chunks.
+    * rank/dense_rank run on the COARSE `ord.head` ordering — real
+    * ties (lineitem: hundreds of rows per (supplier, shipdate)), every
+    * chunk boundary splits a tie run, so the boundary machinery is
+    * load-bearing, not decorative. Both outputs are tie-invariant
+    * (every tied row gets the same value), hence deterministic under
+    * any tie split. ntile runs on the FULL tuple ordering (ties are
+    * full duplicates — the windowLagLead determinism argument),
+    * because its value depends on the row number. The coarse ordering
+    * is a PREFIX of the full ordering, so ONE range partitioning
+    * serves both: coarse values stay contiguous across the same
+    * chunks.
     *
     * Boundary algebra, per (chunk c, key), chunks in range order:
     *  - global rn = local rn + cumulative row count of earlier chunks
@@ -594,17 +661,17 @@ object Skew {
     *    first r buckets take q+1 rows (Spark's and DuckDB's shared
     *    NTILE definition).
     *  - global dense_rank = local dense_rank + Σ_{c'<c} d(c') −
-    *    Σ_{c'≤c} overlap(c'), where d = the chunk's distinct shipdate
-    *    count and overlap(c) = 1 when first(c) == last(c−1) — each
-    *    boundary-straddling date is counted once per chunk it touches
-    *    and the sum subtracts the re-counts.
+    *    Σ_{c'≤c} overlap(c'), where d = the chunk's distinct
+    *    coarse-value count and overlap(c) = 1 when first(c) ==
+    *    last(c−1) — each boundary-straddling value is counted once per
+    *    chunk it touches and the sum subtracts the re-counts.
     *  - global rank: a row that does not continue the boundary run is
-    *    offset + local rank. A row IN the boundary run (its date ==
-    *    first(c) == last(c−1)) takes the run's global START rank,
-    *    which may lie several chunks back when whole chunks are one
-    *    date. The run-group device finds it without recursion: a chunk
-    *    STARTS its last date's run unless it is single-dated AND
-    *    continues its predecessor (startsRun = !(single && cont));
+    *    offset + local rank. A row IN the boundary run (its coarse
+    *    value == first(c) == last(c−1)) takes the run's global START
+    *    rank, which may lie several chunks back when whole chunks are
+    *    one value. The run-group device finds it without recursion: a
+    *    chunk STARTS its last value's run unless it is single-valued
+    *    AND continues its predecessor (startsRun = !(single && cont));
     *    cumulative-summing startsRun groups consecutive chunks sharing
     *    one run, and first_value(offset + cnt − last_cnt + 1) over the
     *    (key, group) window is the run's start rank, read by the next
@@ -616,44 +683,44 @@ object Skew {
     windowRankSkewOn(s, table(s, dir, "lineitem"), nTiles)
 
   private[graft] def windowRankSkewOn(s: SparkSession, df: DataFrame,
-                                      nTiles: Int = 4): DataFrame = {
+      nTiles: Int = 4,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = WinOrdCols.map(col)
-    val sortCols = col("l_suppkey") +: ordCols
+    val ordCols = spec.ord.map(col)
+    val coarse = spec.ord.head
+    val sortCols = col(spec.key) +: ordCols
     val chunks = s.sparkContext.defaultParallelism
     // one physical chunk assignment for both consumers (the
     // windowLagSkew localCheckpoint rationale)
     val ranged = df
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"), col("l_partkey"),
-        col("l_extendedprice"))
+      .select(spec.keep.map(col): _*)
       .repartitionByRange(chunks, sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val wFull = Window.partitionBy(col("pid"), col("l_suppkey"))
+    val wFull = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
-    val wDate = Window.partitionBy(col("pid"), col("l_suppkey"))
-      .orderBy(col("l_shipdate"))
+    val wDate = Window.partitionBy(col("pid"), col(spec.key))
+      .orderBy(col(coarse))
     val local = ranged
       .withColumn("lrn", row_number().over(wFull).cast("long"))
       .withColumn("lrk", rank().over(wDate).cast("long"))
       .withColumn("ldr", dense_rank().over(wDate).cast("long"))
-    val wk = Window.partitionBy(col("l_suppkey")).orderBy(col("pid"))
+    val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
     val before = wk.rowsBetween(Window.unboundedPreceding, -1)
     val through = wk.rowsBetween(Window.unboundedPreceding, 0)
-    // max(lrk) IS the last date's local run-start rank (rank of the
-    // chunk's maximal date = cnt − last_cnt + 1), so the stats ride
-    // the local frame and need no nested aggregate
-    val statsBase = local.groupBy(col("pid"), col("l_suppkey"))
+    // max(lrk) IS the last coarse value's local run-start rank (rank of
+    // the chunk's maximal value = cnt − last_cnt + 1), so the stats
+    // ride the local frame and need no nested aggregate
+    val statsBase = local.groupBy(col("pid"), col(spec.key))
       .agg(count(lit(1)).as("cnt"),
-        countDistinct(col("l_shipdate")).as("d"),
-        min(col("l_shipdate")).as("first_dt"),
-        max(col("l_shipdate")).as("last_dt"),
+        countDistinct(col(coarse)).as("d"),
+        min(col(coarse)).as("first_dt"),
+        max(col(coarse)).as("last_dt"),
         max(col("lrk")).as("last_rk"))
     val stats0 = statsBase
       .withColumn("offset", coalesce(sum(col("cnt")).over(before), lit(0L)))
       .withColumn("total", sum(col("cnt")).over(
-        Window.partitionBy(col("l_suppkey"))))
+        Window.partitionBy(col(spec.key))))
       .withColumn("cont",
         col("first_dt") === lag(col("last_dt"), 1).over(wk))
       .withColumn("overlap",
@@ -667,7 +734,7 @@ object Skew {
         when(col("first_dt") === col("last_dt") && col("cont"), lit(0L))
           .otherwise(lit(1L)))
       .withColumn("grp", sum(col("starts_run")).over(through))
-    val wg = Window.partitionBy(col("l_suppkey"), col("grp"))
+    val wg = Window.partitionBy(col(spec.key), col("grp"))
       .orderBy(col("pid"))
     val stats = stats0
       .withColumn("last_run_start",
@@ -675,13 +742,12 @@ object Skew {
       .withColumn("prev_run_start",
         lag(col("last_run_start"), 1).over(wk))
       .withColumn("prev_last_dt", lag(col("last_dt"), 1).over(wk))
-      .select(col("pid"), col("l_suppkey"), col("offset"), col("total"),
+      .select(col("pid"), col(spec.key), col("offset"), col("total"),
         col("adj_d"), col("prev_run_start"), col("prev_last_dt"))
-    local.join(broadcast(stats), Seq("pid", "l_suppkey"))
+    local.join(broadcast(stats), Seq("pid", spec.key))
       .withColumn("rn", col("lrn") + col("offset"))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"),
-        when(col("l_shipdate") === col("prev_last_dt"),
+      .select(spec.out.map(col) ++ Seq(
+        when(col(coarse) === col("prev_last_dt"),
           col("prev_run_start"))
           .otherwise(col("offset") + col("lrk")).as("rnk"),
         (col("ldr") + col("adj_d")).as("drank"),
@@ -695,7 +761,7 @@ object Skew {
           ELSE (total % $nTiles) +
             (rn - 1 - ((total div $nTiles) + 1) * (total % $nTiles))
               div (total div $nTiles) + 1
-          END""").as("bucket"))
+          END""").as("bucket")): _*)
   }
 
   // -------------------------------------------------- auto dispatch
@@ -713,94 +779,162 @@ object Skew {
     else r.getLong(0).toDouble / r.getLong(1).toDouble
   }
 
+  /** Fixed sample fraction of the scale-honest profile (one in fifty
+    * rows feed the per-key counts), and the floor below which the
+    * sample is too small to trust and the EXACT scan runs instead —
+    * tiny inputs are exactly where the exact scan is free.
+    */
+  val ProfileSampleFraction = 0.02
+  val ProfileSampleFloor = 200000L
+  private val ProfileSeed = 1042L
+
+  /** Sampled estimate of [[topKeyShare]] — the scale-honest profile
+    * step: at 100 TB the exact per-key count is an entire extra job
+    * before every auto-dispatched window, while a `fraction` Bernoulli
+    * sample feeds ~1/50 of the rows through the same two aggregates
+    * (the scan still reads the pruned key column; the CPU + shuffle
+    * shrink by the fraction).
+    *
+    * Error bound: the hot key's sampled count is Binomial(c, f), so
+    * the estimated share p̂ has stderr ≤ sqrt(p(1−p)/n) for n sampled
+    * rows. At the [[ProfileSampleFloor]] (n ≥ 200k) and the dispatch
+    * threshold t = [[WindowSkewShare]] = 0.01, the 3σ band is
+    * ±3·sqrt(.01·.99/200000) ≈ ±0.00067 — the dispatch can flip only
+    * for true shares inside [t−0.0007, t+0.0007], a regime where the
+    * plain and chunked plans are within noise of each other (the
+    * threshold itself is a 1/P heuristic, not a cliff). Below the
+    * floor the estimate falls back to the exact scan, so small frames
+    * (where sampling is noisy AND the scan is cheap) always dispatch
+    * exactly — and identically across runs, the property the dispatch
+    * spec pins.
+    */
+  def topKeyShareSampled(df: DataFrame, key: String,
+                         fraction: Double = ProfileSampleFraction,
+                         floor: Long = ProfileSampleFloor): Double = {
+    val r = df.sample(fraction, ProfileSeed)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).first()
+    val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+    if (n < floor) topKeyShare(df, key)
+    else r.getLong(0).toDouble / n.toDouble
+  }
+
+  /** The share the dispatcher acts on, resolved from session conf —
+    * the three scale postures, cheapest first:
+    *  - `spark.graft.window.share.<key>` = a PINNED share: a cached
+    *    stats artifact (a prior [[skewDiagnose]] / profile run, a
+    *    catalog statistic) — zero jobs at plan-build time, the right
+    *    posture for a 100 TB table profiled once and queried often;
+    *  - `spark.graft.window.profile` = "sample" (DEFAULT): the
+    *    [[topKeyShareSampled]] estimate, with its documented error
+    *    band and exact fallback below the floor;
+    *  - `spark.graft.window.profile` = "exact": the full per-key scan.
+    */
+  def profiledShare(s: SparkSession, df: DataFrame, key: String): Double =
+    s.conf.getOption(s"spark.graft.window.share.$key") match {
+      case Some(pinned) => pinned.toDouble
+      case None =>
+        s.conf.get("spark.graft.window.profile", "sample") match {
+          case "exact" => topKeyShare(df, key)
+          case _ => topKeyShareSampled(df, key)
+        }
+    }
+
   /** The plain (single-window) twins of the four chunked rewrites —
     * identical output columns, so [[windowAutoOn]] can swap either in.
     */
-  private[graft] def windowLagPlain(df: DataFrame): DataFrame = {
+  private[graft] def windowLagPlain(df: DataFrame,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_suppkey")).orderBy(WinOrdCols.map(col): _*)
-    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_shipdate"), col("l_quantity"),
-      lag(col("l_quantity"), 1).over(w).as("prev_qty"),
-      lead(col("l_quantity"), 1).over(w).as("next_qty"),
-      row_number().over(w).cast("long").as("rn"))
+    val w = Window.partitionBy(col(spec.key))
+      .orderBy(spec.ord.map(col): _*)
+    df.select(spec.out.map(col) ++ Seq(
+      lag(col(spec.value), 1).over(w).as(spec.prevName),
+      lead(col(spec.value), 1).over(w).as(spec.nextName),
+      row_number().over(w).cast("long").as("rn")): _*)
   }
 
-  private[graft] def windowRankPlain(df: DataFrame, nTiles: Int = 4)
-      : DataFrame = {
+  private[graft] def windowRankPlain(df: DataFrame, nTiles: Int = 4,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-    val wf = Window.partitionBy(col("l_suppkey"))
-      .orderBy(WinOrdCols.map(col): _*)
-    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_shipdate"), col("l_quantity"),
+    val wd = Window.partitionBy(col(spec.key)).orderBy(col(spec.ord.head))
+    val wf = Window.partitionBy(col(spec.key))
+      .orderBy(spec.ord.map(col): _*)
+    df.select(spec.out.map(col) ++ Seq(
       rank().over(wd).cast("long").as("rnk"),
       dense_rank().over(wd).cast("long").as("drank"),
-      ntile(nTiles).over(wf).cast("long").as("bucket"))
+      ntile(nTiles).over(wf).cast("long").as("bucket")): _*)
   }
 
-  private[graft] def windowRunningPlain(df: DataFrame): DataFrame = {
+  private[graft] def windowRunningPlain(df: DataFrame,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(WinOrdCols.map(col): _*)
+    val w = Window.partitionBy(col(spec.key))
+      .orderBy(spec.ord.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_shipdate"), col("l_quantity"),
-      sum(col("l_quantity").cast("long")).over(w).as("running_qty"),
-      count(lit(1)).over(w).as("rn"))
+    df.select(spec.out.map(col) ++ Seq(
+      sum(col(spec.value).cast("long")).over(w).as(spec.runningName),
+      count(lit(1)).over(w).as("rn")): _*)
   }
 
-  private[graft] def windowRangePlain(df: DataFrame, w: Long = RangeSkewW)
-      : DataFrame = {
+  private[graft] def windowRangePlain(df: DataFrame, w: Long = RangeSkewW,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wr = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+    val wr = Window.partitionBy(col(spec.key)).orderBy(col(spec.rangeOrd))
       .rangeBetween(-w, 0)
-    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity"),
-      sum(col("l_quantity").cast("long")).over(wr).as("rng_sum"),
-      count(lit(1)).over(wr).as("rng_n"))
+    df.select(spec.rangeOut.map(col) ++ Seq(
+      sum(col(spec.value).cast("long")).over(wr).as("rng_sum"),
+      count(lit(1)).over(wr).as("rng_n")): _*)
   }
 
   /** Auto-dispatching per-key window — [[skewDiagnose]]'s `window_plan`
     * verdict turned into an ENGINE decision instead of a hand-picked
-    * rewrite: profile the heaviest l_suppkey share ([[topKeyShare]] —
-    * one aggregate job at plan-build time), then run the window class
-    * `cls` as the plain single-window plan below `threshold` and as
-    * the chunked skew rewrite at or above it. Both branches produce
-    * IDENTICAL rows (each rewrite's oracle is the literal window SQL),
-    * so the dispatch is purely a physical-plan decision — the same
-    * contract as AQE's skew-join split, applied to the window family
-    * Spark has no runtime split for. Threshold default =
-    * [[WindowSkewShare]] (one key ≥ 1/P of the rows pins a full
-    * reducer at reference parallelism P = 100); at a different cluster
-    * width pass your own 1/P.
+    * rewrite: profile the heaviest key share ([[profiledShare]] —
+    * pinned stat, sampled estimate, or exact scan, per session conf),
+    * then run the window class `cls` as the plain single-window plan
+    * below `threshold` and as the chunked skew rewrite at or above it.
+    * Both branches produce IDENTICAL rows (each rewrite's oracle is
+    * the literal window SQL), so the dispatch is purely a
+    * physical-plan decision — the same contract as AQE's skew-join
+    * split, applied to the window family Spark has no runtime split
+    * for. Threshold default = [[WindowSkewShare]] (one key ≥ 1/P of
+    * the rows pins a full reducer at reference parallelism P = 100);
+    * at a different cluster width pass your own 1/P.
     *
     * `cls`: "lag" (lag/lead/row_number), "rank" (rank/dense_rank/
     * ntile), "running" (cumulative sum + count), "range" (trailing
-    * value-range sum + count).
+    * value-range sum + count). `spec` names the key / ordering /
+    * value / output roles ([[WindowSpec]]); the lineitem registry
+    * queries and the events dispatch spec are just two values of it.
     */
   def windowAutoOn(s: SparkSession, df: DataFrame, cls: String = "lag",
-                   threshold: Double = WindowSkewShare): DataFrame = {
-    val skewed = topKeyShare(df, "l_suppkey") >= threshold
+                   threshold: Double = WindowSkewShare,
+                   spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+    val skewed = profiledShare(s, df, spec.key) >= threshold
     cls match {
       case "lag" =>
-        if (skewed) windowLagSkewOn(s, df) else windowLagPlain(df)
+        if (skewed) windowLagSkewOn(s, df, spec)
+        else windowLagPlain(df, spec)
       case "rank" =>
-        if (skewed) windowRankSkewOn(s, df) else windowRankPlain(df)
+        if (skewed) windowRankSkewOn(s, df, spec = spec)
+        else windowRankPlain(df, spec = spec)
       case "running" =>
-        if (skewed) windowRunningSkewOn(s, df) else windowRunningPlain(df)
+        if (skewed) windowRunningSkewOn(s, df, spec)
+        else windowRunningPlain(df, spec)
       case "range" =>
-        if (skewed) windowRangeSkewOn(s, df) else windowRangePlain(df)
+        if (skewed) windowRangeSkewOn(s, df, spec = spec)
+        else windowRangePlain(df, spec = spec)
       case other => throw new IllegalArgumentException(
         s"unknown window class '$other' (expected lag|rank|running|range)")
     }
   }
 
   /** The registry queries: auto-dispatched windows over lineitem, one
-    * per window class (oracle = the literal window SQL for the class —
-    * the dispatch never changes results, only the physical plan, and
-    * both branches of each class are row-identical by the same proof
-    * that backs the chunked rewrites' own oracles).
+    * per window class, plus the events shape (oracle = the literal
+    * window SQL for the class — the dispatch never changes results,
+    * only the physical plan, and both branches of each class are
+    * row-identical by the same proof that backs the chunked rewrites'
+    * own oracles).
     */
   def windowAuto(s: SparkSession, dir: String): DataFrame =
     windowAutoOn(s, table(s, dir, "lineitem"))
@@ -810,4 +944,7 @@ object Skew {
     windowAutoOn(s, table(s, dir, "lineitem"), "running")
   def windowAutoRange(s: SparkSession, dir: String): DataFrame =
     windowAutoOn(s, table(s, dir, "lineitem"), "range")
+  def windowAutoEvents(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, graft.sources.Tables.events(s, dir), "lag",
+      spec = WindowSpec.Events)
 }

@@ -281,6 +281,106 @@ class SkewAndExtSpec extends AnyFunSuite {
     }
   }
 
+  test("windowAuto on a second table shape (events keyed on user_id): " +
+       "the parameterized spec dispatches a planted hot key to the " +
+       "chunked rewrite and equals the literal windows, every class") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.WindowSpec
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // benign: ~500 synthetic users over ~1000 events (top share ~0.002);
+    // hot: one user owns half the rows
+    val uniform = ev.withColumn("user_id", col("event_id") % 500)
+    val skewed = ev.withColumn("user_id",
+      when(col("event_id") % 2 === 0, lit(42L))
+        .otherwise(col("event_id") % 500 + 10000))
+    val spec = WindowSpec.Events
+    for (cls <- Seq("lag", "rank", "running", "range")) {
+      assert(!Skew.windowAutoOn(spark, uniform, cls, spec = spec)
+        .queryExecution.executedPlan.toString.contains("pid#"),
+        s"events/$cls must run plain below the threshold")
+      assert(Skew.windowAutoOn(spark, skewed, cls, spec = spec)
+        .queryExecution.executedPlan.toString.contains("pid#"),
+        s"events/$cls must run chunked above the threshold")
+    }
+    // the chunked branch equals the literal windows, multiset for
+    // multiset, on the hot-key frame — none of the boundary algebra
+    // below is lineitem-specific
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val lagLit = skewed.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"),
+      lag(col("value"), 1).over(wf).as("prev_val"),
+      lead(col("value"), 1).over(wf).as("next_val"),
+      row_number().over(wf).cast("long").as("rn"))
+    val lagChunk = Skew.windowAutoOn(spark, skewed, "lag", spec = spec)
+    assert(lagChunk.exceptAll(lagLit).count() === 0L)
+    assert(lagLit.exceptAll(lagChunk).count() === 0L)
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+    val rankLit = skewed.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"),
+      rank().over(wd).cast("long").as("rnk"),
+      dense_rank().over(wd).cast("long").as("drank"),
+      ntile(4).over(wf).cast("long").as("bucket"))
+    val rankChunk = Skew.windowAutoOn(spark, skewed, "rank", spec = spec)
+    assert(rankChunk.exceptAll(rankLit).count() === 0L)
+    assert(rankLit.exceptAll(rankChunk).count() === 0L)
+    // real coarse ties (the boundary machinery's food): rnk != drank
+    assert(rankLit.filter(col("rnk") =!= col("drank")).count() > 0L)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rangeBetween(-Skew.RangeSkewW, 0)
+    val rangeLit = skewed.select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      sum(col("value").cast("long")).over(wr).as("rng_sum"),
+      count(lit(1)).over(wr).as("rng_n"))
+    val rangeChunk = Skew.windowAutoOn(spark, skewed, "range", spec = spec)
+    assert(rangeChunk.exceptAll(rangeLit).count() === 0L)
+    assert(rangeLit.exceptAll(rangeChunk).count() === 0L)
+    val wrun = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runLit = skewed.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"),
+      sum(col("value").cast("long")).over(wrun).as("running_val"),
+      count(lit(1)).over(wrun).as("rn"))
+    val runChunk = Skew.windowAutoOn(spark, skewed, "running", spec = spec)
+    assert(runChunk.exceptAll(runLit).count() === 0L)
+    assert(runLit.exceptAll(runChunk).count() === 0L)
+  }
+
+  test("sampled profile dispatches identically to the exact scan on " +
+       "both a skewed and a benign corpus; a pinned share short-circuits " +
+       "the profile job entirely") {
+    // corpora big enough that the sampled branch really runs (the
+    // floor guards tiny frames back to the exact scan)
+    val benign = spark.range(400000L).select(
+      (col("id") % 8000).as("k"), col("id").as("v"))
+    val skewed = spark.range(400000L).select(
+      when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    for (df <- Seq(benign, skewed)) {
+      val exact = Skew.topKeyShare(df, "k")
+      val sampled = Skew.topKeyShareSampled(df, "k", floor = 1000L)
+      assert((exact >= Skew.WindowSkewShare) ===
+        (sampled >= Skew.WindowSkewShare),
+        s"dispatch flips sampled=$sampled exact=$exact")
+      // the estimate is genuinely close, not merely same-side
+      assert(math.abs(exact - sampled) < 0.01,
+        s"sampled=$sampled exact=$exact")
+    }
+    // below the floor the sampled path falls back to the exact scan:
+    // tiny frames always dispatch deterministically
+    val tiny = spark.range(1000L).select((col("id") % 7).as("k"))
+    assert(Skew.topKeyShareSampled(tiny, "k") ===
+      Skew.topKeyShare(tiny, "k"))
+    // a pinned share (the cached-stats posture) is read from conf with
+    // NO profile job — pin an absurd value and watch the dispatcher
+    // believe it
+    try {
+      spark.conf.set("spark.graft.window.share.k", "0.99")
+      assert(Skew.profiledShare(spark, benign, "k") === 0.99)
+      spark.conf.set("spark.graft.window.share.k", "0.0")
+      assert(Skew.profiledShare(spark, skewed, "k") === 0.0)
+    } finally spark.conf.unset("spark.graft.window.share.k")
+  }
+
   test("withCheckpointScope reclaims the chunked windows' checkpoint " +
        "blocks once the action completes") {
     val sc = spark.sparkContext
