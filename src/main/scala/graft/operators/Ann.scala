@@ -17,6 +17,8 @@ import graft.sources.Tables.table
   */
 object Ann {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Ann")
+
   val K = 10
 
   /** Deterministic hyperplanes (fixed seed — no runtime randomness, so
@@ -1328,10 +1330,19 @@ object Ann {
     * first query against a corpus.
     */
   private[graft] def ladderFor(s: SparkSession): Seq[Int] = {
-    val cap = s.conf.get("spark.graft.ann.ladderCap",
-      AutoTablesLadder.max.toString).toInt
-    AutoTablesLadder ++ Iterator.iterate(AutoTablesLadder.max * 2)(_ * 2)
+    val capConf = s.conf.getOption("spark.graft.ann.ladderCap")
+    val cap = capConf.map(_.toInt).getOrElse(AutoTablesLadder.max)
+    val ext = Iterator.iterate(AutoTablesLadder.max * 2)(_ * 2)
       .takeWhile(_ <= cap).toSeq
+    // a configured cap that changes nothing is a silent no-op unless
+    // named: the ladder only extends in doublings of the default max
+    // (48, 96, ...), so caps below 48 leave the default ladder intact
+    if (capConf.isDefined && ext.isEmpty && cap != AutoTablesLadder.max)
+      log.warn(s"spark.graft.ann.ladderCap=$cap has no effect: the " +
+        s"ladder extends in doublings of ${AutoTablesLadder.max} " +
+        s"(48, 96, ...); serving the default ladder " +
+        AutoTablesLadder.mkString("[", ",", "]"))
+    AutoTablesLadder ++ ext
   }
 
   /** Size-adaptive nTables for [[knnGraphBucketed]] — the recall analog
@@ -1360,8 +1371,8 @@ object Ann {
     * floors are measured to hold), so this returns [[LshTables]]
     * without running a job and every existing oracle is bit-identical.
     */
-  def tablesFor(s: SparkSession, dir: String): Int =
-    tablesCache.computeIfAbsent(dir, { _ =>
+  def tablesFor(s: SparkSession, dir: String): Int = {
+    val t = tablesCache.computeIfAbsent(dir, { _ =>
       val n = corpusCount(s, dir)
       if (bitsFor(n) == LshBits) {
         // calibrated regime: floors measured to hold — no refinement
@@ -1369,6 +1380,21 @@ object Ann {
         Integer.valueOf(LshTables)
       } else Integer.valueOf(autotuneTables(s, dir, n))
     }).intValue()
+    // a ladder conf set AFTER the tuner memoized this corpus is inert —
+    // name it (the silent-knob ADVICE): the tuned choice serves until a
+    // fresh JVM or corpus dir
+    Option(tunedLadderCache.get(dir)).foreach { tuned =>
+      val now = ladderFor(s).mkString(",")
+      if (now != tuned)
+        log.warn(s"ann ladder conf changed after tuning memoized for " +
+          s"$dir (tuned over [$tuned], conf now gives [$now]) — still " +
+          s"serving nTables=$t; set ladder confs before the first " +
+          "query against a corpus")
+    }
+    t
+  }
+  private val tunedLadderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Whether the serving graph needs the NN-descent refinement round:
     * true iff the autotuner measured that even the ladder cap misses
@@ -1397,9 +1423,55 @@ object Ann {
   def oracleTables(dirOpt: Option[String]): Int =
     dirOpt.flatMap(cachedTables).getOrElse(LshTables)
 
+  /** Budget conf letting the tuner CLOSE the recall floor itself: when
+    * the swept ladder's best rung still misses [[KnnGraphRecallMin]]
+    * and this conf authorizes more tables than the ladder's max, the
+    * tuner extends its own ladder (doublings up to the budget) and
+    * re-sweeps — the r18 `ladderCap` knob turned from a user-set dial
+    * into an engine decision under an explicit spend authorization.
+    * Default 0 = cap-and-report stays the contract: the engine never
+    * silently buys recall with index size (the measured ×100 curve —
+    * 48 tables → 0.908 at ~2× index budget — lives in SCALING.md).
+    */
+  val AutoBudgetConf = "spark.graft.ann.autoBudget"
+
   private def autotuneTables(s: SparkSession, dir: String, n: Long): Int = {
+    val ladder0 = ladderFor(s)
+    var ladder = ladder0
+    var (chosen, recall) = sweepLadder(s, dir, n, ladder)
+    if (recall < KnnGraphRecallMin) {
+      val budget = s.conf.get(AutoBudgetConf, "0").toInt
+      val extended = ladder0 ++ Iterator.iterate(ladder0.max * 2)(_ * 2)
+        .takeWhile(_ <= budget).toSeq
+      if (extended.size > ladder0.size) {
+        log.info(s"ann autotune: ladder max ${ladder0.max} measured " +
+          f"recall $recall%.3f < $KnnGraphRecallMin — extending to " +
+          s"${extended.max} under $AutoBudgetConf=$budget and re-sweeping")
+        ladder = extended
+        val r2 = sweepLadder(s, dir, n, extended)
+        chosen = r2._1; recall = r2._2
+      }
+    }
+    // the cap-shortfall verdict drives the serving graph's refinement
+    // round (refineFor): measured, cached with the table choice
+    refineCache.put(dir, java.lang.Boolean.valueOf(
+      recall < KnnGraphRecallMin))
+    tunedLadderCache.put(dir, ladder.mkString(","))
+    log.info(s"ann autotune($dir): ladder ${ladder.mkString("[", ",", "]")}"
+      + f" -> nTables=$chosen (recall@$KnnK $recall%.3f, floor " +
+      s"$KnnGraphRecallMin${if (recall < KnnGraphRecallMin)
+        " MISSED — refinement round enabled" else ""})")
+    chosen
+  }
+
+  /** One tuning sweep over `ladder`: the single candidate join at the
+    * ladder's max plus per-rung re-ranks (see [[tablesFor]]'s cost
+    * shape note); returns the smallest rung meeting the floor (else
+    * the max) and its measured recall.
+    */
+  private def sweepLadder(s: SparkSession, dir: String, n: Long,
+                          ladder: Seq[Int]): (Int, Double) = {
     graft.functions.GraftFunctions.register(s)
-    val ladder = ladderFor(s)
     val nBits = bitsFor(n)
     val tMax = ladder.max
     val stride = strideFor(n)
@@ -1472,11 +1544,7 @@ object Ann {
     val chosen = ladder
       .find(t => recalls.getOrElse(t, 0.0) >= KnnGraphRecallMin)
       .getOrElse(ladder.max)
-    // the cap-shortfall verdict drives the serving graph's refinement
-    // round (refineFor): measured, cached with the table choice
-    refineCache.put(dir, java.lang.Boolean.valueOf(
-      recalls.getOrElse(chosen, 0.0) < KnnGraphRecallMin))
-    chosen
+    (chosen, recalls.getOrElse(chosen, 0.0))
   }
 
   /** Full-corpus kNN graph on the LSH bucket join (oracle-checked) —

@@ -382,13 +382,29 @@ object Dedup {
       // (ExitCodeException 137, seen twice as a StreamingSpec
       // ingest-test failure before this branch existed). java.nio
       // stats files in-process; same relative part-file list.
+      // walkFileTree, not Files.walk: a concurrent writer's _temporary
+      // cleanup can delete entries mid-walk, and Files.walk surfaces
+      // that as an UncheckedIOException that aborts the whole manifest
+      // write. The visitor treats a vanished entry as skippable (it
+      // was not a data file of this immutable layout) and does not
+      // follow symlinks, matching the Hadoop listFiles branch's
+      // semantics.
+      import java.nio.file.{FileVisitResult, Files => NioFiles, Path => NioPath}
+      import java.nio.file.attribute.BasicFileAttributes
       val root = java.nio.file.Paths.get(base.toUri)
-      val stream = java.nio.file.Files.walk(root)
-      try stream.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.startsWith("part-"))
-          files += root.relativize(p).toString
-      } finally stream.close()
+      NioFiles.walkFileTree(root,
+        new java.nio.file.SimpleFileVisitor[NioPath] {
+          override def visitFile(p: NioPath,
+              attrs: BasicFileAttributes): FileVisitResult = {
+            if (attrs.isRegularFile &&
+                p.getFileName.toString.startsWith("part-"))
+              files += root.relativize(p).toString
+            FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(p: NioPath,
+              e: java.io.IOException): FileVisitResult =
+            FileVisitResult.CONTINUE // vanished or unreadable: skip
+        })
     } else {
       // remote schemes (hdfs/s3a/...): one ranged LIST per dir — the
       // object-store compatibility this API went Hadoop-FS for
@@ -1527,13 +1543,27 @@ object Dedup {
     * md5-quarter sampling cuts the gram volume 4x deterministically,
     * mirrored in SQL.
     */
+  /** Candidate-pair ceiling under which the verify tier's doc-id sets
+    * are BROADCAST into the semi-joins (ids are 8-byte longs, so the
+    * cap is ~80 MB of driver/executor footprint worst case); a
+    * near-duplicate-saturated corpus whose gated candidates exceed it
+    * falls back to shuffle semi-joins — same rows, one more exchange,
+    * no driver risk (the ghost-transport guard pattern from
+    * Skew.GhostBroadcastMax). The prefix/positional/signature tiers
+    * thin candidates relative to the corpus but put no ABSOLUTE bound
+    * on them, so the hard guard lives here, not in the tiers.
+    */
+  val ContainIdBroadcastMax = 10000000L
+
   def dedupContainment(s: SparkSession, dir: String,
                        threshold: Double = ContainThreshold,
-                       maxDf: Int = 0): DataFrame = {
+                       maxDf: Int = 0,
+                       posFilter: Boolean = true): DataFrame = {
     val docs = table(s, dir, "documents")
     // 0 = corpus-scaled df cut (see containMaxDfFor); explicit pins
     val (g, cand0) = containmentCandidates(s, dir, threshold,
-      if (maxDf > 0) maxDf else containMaxDfFor(docCount(s, dir)))
+      if (maxDf > 0) maxDf else containMaxDfFor(docCount(s, dir)),
+      posFilter = posFilter)
     // Materialize the gated candidate pairs once (bounded: the prefix
     // theorem + positional + signature tiers cap them far below the
     // corpus), then SEMI-JOIN the gram profile down to candidate docs
@@ -1541,15 +1571,27 @@ object Dedup {
     // leg shuffles and sorts the FULL corpus-sized gram list on its
     // doc key to serve a candidate set that touches a fraction of the
     // docs (the ×100 measurement: two 60M-row sorts feeding 63k
-    // pairs). The id frames are candidate-bounded, never
-    // corpus-scaled, so broadcasting them is safe by construction —
-    // it is the GRAM-list broadcast AQE picks at toy scale that OOMs
-    // at ×100, which is why the legs themselves stay pinned SMJ.
-    val cand = cand0.localCheckpoint()
+    // pairs). NOTE the count() below means CONSTRUCTING this frame
+    // executes the candidate tier — deliberate: the broadcast-vs-
+    // shuffle dispatch needs the materialized candidate count, the
+    // same build-time-job posture as windowAutoOn's profile step
+    // (PlanSpec accounts for it).
+    val cand = cand0.localCheckpoint(eager = false)
+    val nCand = cand.count()
     val aIds = cand.select(col("a").as("doc_id")).distinct()
     val bIds = cand.select(col("b").as("doc_id")).distinct()
-    val gA = g.join(broadcast(aIds), Seq("doc_id"), "left_semi")
-    val gB = g.join(broadcast(bIds), Seq("doc_id"), "left_semi")
+    // candidate ids usually sit far below the corpus, but nothing
+    // BOUNDS them — count-guard the broadcast so a candidate blowup
+    // degrades to a shuffle semi-join instead of a driver OOM (it is
+    // the GRAM-list broadcast AQE picks at toy scale that the pinned
+    // SMJ legs below exist to prevent; this guard closes the id-side
+    // hole of the same rule)
+    def semi(ids: DataFrame): DataFrame =
+      if (nCand <= ContainIdBroadcastMax)
+        g.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      else g.join(ids, Seq("doc_id"), "left_semi")
+    val gA = semi(aIds)
+    val gB = semi(bIds)
     val ver = cand
       .hint("merge")
       .join(gA.select(col("doc_id").as("a"), col("gram")), Seq("a"))

@@ -528,6 +528,16 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pSet.subsetOf(npSet), "positional filter admitted a pair " +
       "the unfiltered join did not")
+    // the LOSSLESS direction, pinned through the verify tier on this
+    // corpus (not just the trivial subset property above): the
+    // composed operator's VERDICT OUTPUT is identical with the
+    // positional filter on and off — every pair the filter kills
+    // would have died in the exact-intersection verify anyway
+    val vOn = graft.operators.Dedup.dedupContainment(spark, dir)
+    val vOff = graft.operators.Dedup.dedupContainment(spark, dir,
+      posFilter = false)
+    assert(vOn.exceptAll(vOff).count() === 0L)
+    assert(vOff.exceptAll(vOn).count() === 0L)
   }
 
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
@@ -765,6 +775,79 @@ class PipelineSpec extends AnyFunSuite {
       spark.conf.set(key, "40")
       assert(Ann.ladderFor(spark) === Ann.AutoTablesLadder)
     } finally spark.conf.unset(key)
+  }
+
+  /** A non-calibrated-regime corpus (n > 2048 so bitsFor widens and the
+    * autotuner actually runs): `nCluster` identical vectors (their true
+    * top-K are siblings, but identical vectors sign identically under
+    * EVERY table's planes, so their cells exceed the degenerate-cell
+    * cap at any table count and recall is STRUCTURALLY capped below
+    * the floor) interleaved with seeded background gaussians.
+    */
+  private def autotuneCorpus(tag: String, nCluster: Int): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    val rnd = new scala.util.Random(23)
+    val n = 5000
+    val hot = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until n).map { i =>
+      val v = if (i >= n - nCluster) hot.clone()
+      else {
+        // benign structure: 250 tight clusters of ~20 (under the cell
+        // cap), so true neighbors are high-cosine siblings LSH finds
+        // at a small table count — the floor is genuinely met
+        val cRnd = new scala.util.Random(100 + i % 250)
+        val center = Array.fill(64)(cRnd.nextGaussian())
+        Array.tabulate(64)(d =>
+          (center(d) + 0.08 * rnd.nextGaussian()).toFloat)
+      }
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("ann autoBudget: on a corpus whose recall floor the default " +
+       "ladder structurally misses, the tuner extends its own ladder " +
+       "under the budget conf — and never extends without it") {
+    import graft.operators.Ann
+    // two copies of the SAME adversarial corpus (the tuner memoizes per
+    // dir): 2000 of 5000 vectors identical → ≥40% of exact edges live
+    // in cap-dropped cells, recall ≤ ~0.6 < 0.85 at every rung
+    val dirA = autotuneCorpus("abudA", 2000)
+    val dirB = autotuneCorpus("abudB", 2000)
+    try {
+      spark.conf.unset(Ann.AutoBudgetConf)
+      val tA = Ann.tablesFor(spark, dirA)
+      // cap-and-report default: the tuner stops at the ladder max and
+      // flags the shortfall for the refinement round
+      assert(tA === Ann.AutoTablesLadder.max, s"chose $tA")
+      assert(Ann.refineFor(spark, dirA),
+        "a structural miss must set the refinement verdict")
+      // budget set: the tuner extends its own ladder (doublings up to
+      // the budget) and — the miss being structural — lands on the
+      // extended max, with the shortfall still reported honestly
+      spark.conf.set(Ann.AutoBudgetConf, "96")
+      val tB = Ann.tablesFor(spark, dirB)
+      assert(tB === 96, s"budgeted tuner chose $tB, expected 96")
+      assert(Ann.refineFor(spark, dirB))
+    } finally spark.conf.unset(Ann.AutoBudgetConf)
+    // benign corpus: the floor is met inside the default ladder, so the
+    // budget must NOT extend anything (no silent index-size spend)
+    val dirC = autotuneCorpus("abudC", 0)
+    val dirD = autotuneCorpus("abudD", 0)
+    try {
+      spark.conf.unset(Ann.AutoBudgetConf)
+      val tC = Ann.tablesFor(spark, dirC)
+      assert(tC < Ann.AutoTablesLadder.max,
+        s"benign corpus unexpectedly at the cap ($tC) — floor not met?")
+      assert(!Ann.refineFor(spark, dirC))
+      spark.conf.set(Ann.AutoBudgetConf, "96")
+      val tD = Ann.tablesFor(spark, dirD)
+      assert(tD === tC, s"budget changed a floor-met choice: $tC -> $tD")
+      assert(!Ann.refineFor(spark, dirD))
+    } finally spark.conf.unset(Ann.AutoBudgetConf)
   }
 
   /** Scala mirror of V.hyperplaneBucket for [[cellCapCorpus]]: bit j set
