@@ -21,19 +21,34 @@ import org.apache.spark.sql.functions._
   *    partition values (the classic small-files/OOM write pattern);
   *  - deterministic ASSIGNMENT: no RNG, no timestamps — re-running the
   *    export over the same input routes every row to the same partition
-  *    directory and salt shard (the guarantee the test pins via
-  *    ExportStats). The bytes themselves are NOT identical across runs:
-  *    parquet footers embed writer metadata and part-file names embed
-  *    task IDs.
+  *    directory and salt shard (the guarantee the test pins via the
+  *    stats sidecar). The bytes themselves are NOT identical across
+  *    runs: parquet footers embed writer metadata and part-file names
+  *    embed task IDs.
+  *  - per-partition row counts leave the driver's hands entirely: they
+  *    are written by a JOB as a `_stats` sidecar under the export root
+  *    (underscore prefix — parquet partition discovery skips it), so
+  *    [[ExportStats]] stays O(1) regardless of the partition column's
+  *    cardinality. The old design collected the counts to a driver Map
+  *    — bounded only by partition-value cardinality, which a 100 TB
+  *    export over a high-cardinality column (date × lang × source)
+  *    could blow.
   */
 object ShardedExport {
 
-  final case class ExportStats(files: Long, rows: Long,
-                               partitions: Map[String, Long])
+  /** Bounded (O(1)) export receipt: shard count, total rows, and where
+    * the per-partition count sidecar landed ([[readStats]]).
+    */
+  final case class ExportStats(files: Long, rows: Long, statsPath: String)
+
+  /** Sidecar directory name under the export root. */
+  val StatsDir = "_stats"
 
   /** Export `df` under `outDir` partitioned by `cols`, each file capped
-    * at `maxRecordsPerFile` rows. Returns per-partition row counts read
-    * back from the committed files (a verification read, not a cache).
+    * at `maxRecordsPerFile` rows. Per-partition row counts are computed
+    * from the committed files (a verification read, not a cache) and
+    * written as a single-shard parquet sidecar at `outDir/_stats` —
+    * one row per partition value, never collected to the driver.
     */
   def export(s: SparkSession, df: DataFrame, outDir: String,
              cols: Seq[String],
@@ -48,21 +63,38 @@ object ShardedExport {
       .mode("overwrite")
       .parquet(outDir)
     val back = s.read.parquet(outDir)
-    val counts = back.groupBy(cols.map(col): _*).count().collect()
-      .map(r => cols.indices.map(i => s"${cols(i)}=${r.get(i)}")
-        .mkString("/") -> r.getLong(cols.length)).toMap
+    val statsPath = s"$outDir/$StatsDir"
+    // counts ride a job end to end: groupBy → single-shard sidecar
+    // write (the count frame is one row per partition VALUE — small —
+    // but "small" is a cardinality bet the driver no longer makes).
+    // Column order (cols..., rows) sorted by the partition tuple keeps
+    // the sidecar deterministic for the re-export equality check.
+    back.groupBy(cols.map(col): _*).agg(count(lit(1)).as("rows"))
+      .sort(cols.map(col): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+    val rows = back.count()
     val nFiles = {
-      val fs = new org.apache.hadoop.fs.Path(outDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(outDir), true)
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
       var n = 0L
       while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        val p = it.next().getPath
+        // data shards only: the _stats sidecar is not an export shard
+        if (p.getName.endsWith(".parquet") &&
+            !p.toString.contains(s"/$StatsDir/")) n += 1
       }
       n
     }
-    ExportStats(nFiles, counts.values.sum, counts)
+    ExportStats(nFiles, rows, statsPath)
   }
+
+  /** The per-partition counts of a prior [[export]], read back from its
+    * sidecar: the partition columns plus a `rows` count.
+    */
+  def readStats(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(s"$outDir/$StatsDir")
 
   /** The canonical pipeline export: documents that survive the quality
     * filter, sharded by language. A sink, not a driver query — ExecSpec

@@ -375,7 +375,9 @@ class ExecSpec extends AnyFunSuite {
     } finally { rdr.close(); alloc.close() }
   }
 
-  test("sharded export: partitioned, size-capped, deterministic") {
+  test("sharded export: partitioned, size-capped, deterministic; " +
+       "per-partition counts ride a job into the _stats sidecar " +
+       "(ExportStats is O(1) — no driver-side collect of counts)") {
     import graft.exec.ShardedExport
     val out = java.nio.file.Files.createTempDirectory("shards").toString
     val stats = ShardedExport.exportCurated(spark, dir, out,
@@ -384,11 +386,23 @@ class ExecSpec extends AnyFunSuite {
     val kept = graft.operators.TextOps.textQuality(spark, dir)
       .filter(col("keep")).count()
     assert(stats.rows === kept)
-    assert(stats.partitions.keys.forall(_.startsWith("lang=")))
-    assert(stats.partitions.size > 1)
-    // the per-file cap held: no parquet file exceeds 50 rows
+    // the receipt itself is bounded: counts live in the sidecar, read
+    // back as a frame — and equal a recomputed groupBy over the
+    // committed files, partition for partition
+    val side = ShardedExport.readStats(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recomputed = spark.read.parquet(out)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(side === recomputed)
+    assert(side.keys.nonEmpty && side.size > 1)
+    assert(side.values.sum === kept)
+    // the per-file cap held: no parquet file exceeds 50 rows (data
+    // shards only — the _stats sidecar is a receipt, not a shard)
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-      .filter(_.toString.endsWith(".parquet")).iterator()
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains(s"/${ShardedExport.StatsDir}/"))
+      .iterator()
     var checked = 0
     while (files.hasNext) {
       val f = files.next()
@@ -396,10 +410,13 @@ class ExecSpec extends AnyFunSuite {
       checked += 1
     }
     assert(checked.toLong === stats.files && stats.files > 1L)
-    // re-export is deterministic: same layout, same counts
+    // re-export is deterministic: same receipt, same sidecar counts
     val again = ShardedExport.exportCurated(spark, dir, out,
       maxRecordsPerFile = 50L)
     assert(again === stats)
+    val sideAgain = ShardedExport.readStats(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sideAgain === side)
   }
 
   test("arrow page: empty result set pages as an empty IPC stream") {
