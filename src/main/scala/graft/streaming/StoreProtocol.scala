@@ -9,7 +9,7 @@ import java.nio.file.{Files, Path, Paths}
   * stores at once (each previously carried a private copy, and the
   * r17 marker-retirement fixes had to be hand-mirrored).
   */
-private[streaming] object StoreProtocol {
+private[graft] object StoreProtocol {
 
   /** Delete any superseded generations a crashed compaction left
     * behind (marker present, listed dirs still on disk), then retire
@@ -30,11 +30,20 @@ private[streaming] object StoreProtocol {
     *    dedups vec_ids and its readers pin the newest seed) and a
     *    LATER compaction folds and re-lists them under a fresh marker.
     *  - legacy lines without a recorded mtime (pre-r18 markers) fall
-    *    back to the strictly-older-than-marker guard.
-    * The marker is then retired unconditionally: every line was either
-    * reclaimed or deliberately ceded to a later compaction. Id
-    * monotonicity comes from live seed-dir suffixes
-    * ([[nextCompactId]]), not the markers.
+    *    back to the strictly-older-than-marker guard. A legacy line
+    *    that survives on a TIE (dir mtime == marker mtime — ambiguous
+    *    between same-tick supersede and same-tick re-creation on a
+    *    coarse filesystem) is not abandoned: the marker is REWRITTEN
+    *    listing the survivor with its now-observed mtime, so the NEXT
+    *    cleanup pass disambiguates — still unchanged ⇒ superseded and
+    *    reclaimed; changed ⇒ genuinely live, ceded. Without the
+    *    rewrite a tie-surviving superseded dir leaked permanently
+    *    whenever no later compaction ran.
+    * The marker is retired only when every line was reclaimed or
+    * deliberately ceded to a later compaction; otherwise it persists
+    * (rewritten) and the next entry finishes the job. Id monotonicity
+    * comes from live seed-dir suffixes ([[nextCompactId]]) AND pending
+    * marker ids, so a rewritten marker also keeps its id reserved.
     */
   def finishPendingCleanup(root: String): Unit = {
     val commits = new java.io.File(root, "commits")
@@ -42,6 +51,7 @@ private[streaming] object StoreProtocol {
       .filter(_.getName.startsWith("compact-"))
       .foreach { m =>
         val markerMtime = m.lastModified()
+        val relist = scala.collection.mutable.ArrayBuffer.empty[String]
         new String(Files.readAllBytes(m.toPath), "UTF-8")
           .linesIterator.filter(_.nonEmpty).foreach { line =>
             val (recorded, path) = line.indexOf('\t') match {
@@ -52,14 +62,26 @@ private[streaming] object StoreProtocol {
             val d = Paths.get(path)
             if (Files.exists(d)) {
               val mtime = Files.getLastModifiedTime(d).toMillis
-              val stale = recorded match {
-                case Some(rec) => mtime == rec // unchanged since supersede
-                case None => mtime < markerMtime // legacy marker
+              recorded match {
+                case Some(rec) =>
+                  // unchanged since supersede ⇒ immutable superseded
+                  // data; changed ⇒ re-created live data, ceded to a
+                  // later compaction (never deleted by this marker)
+                  if (mtime == rec) deleteRecursively(d)
+                case None =>
+                  if (mtime < markerMtime) deleteRecursively(d)
+                  // the ambiguous legacy tie: observe now, decide at
+                  // the next pass (see Scaladoc)
+                  else if (mtime == markerMtime)
+                    relist += s"$mtime\t$path"
+                // mtime > markerMtime: re-created after the marker —
+                // live, ceded (the legacy analog of the mismatch arm)
               }
-              if (stale) deleteRecursively(d)
             }
           }
-        Files.delete(m.toPath)
+        if (relist.isEmpty) Files.delete(m.toPath)
+        else Files.write(m.toPath,
+          relist.mkString("\n").getBytes("UTF-8"))
       }
   }
 

@@ -706,6 +706,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1(rootDup) === v1(rootB))
   }
 
+  test("tie-surviving legacy generation: the survivor-rewrite makes the " +
+       "NEXT cleanup pass reclaim it with no compaction in between; a " +
+       "survivor that changes between passes is ceded as live") {
+    import graft.streaming.StoreProtocol
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("survivor").toString
+    val dir = Paths.get(root, "bands", "b=997")
+    Files.createDirectories(dir)
+    val marker = Paths.get(root, "commits", "compact-3")
+    Files.createDirectories(marker.getParent)
+    // LEGACY marker line (path only, no recorded mtime) with the dir
+    // TYING the marker's mtime — the pre-r18 guard's ambiguous case
+    Files.write(marker, dir.toString.getBytes("UTF-8"))
+    marker.toFile.setLastModified(dir.toFile.lastModified())
+    StoreProtocol.finishPendingCleanup(root)
+    // pass 1: the tie is ambiguous (same-tick supersede vs same-tick
+    // re-creation) — survive, but REWRITE the marker in recorded form
+    // with the observed mtime instead of abandoning the survivor
+    assert(Files.exists(dir), "ambiguous tie must not be deleted blind")
+    assert(Files.exists(marker), "marker must persist for the survivor")
+    assert(new String(Files.readAllBytes(marker), "UTF-8") ===
+      s"${dir.toFile.lastModified()}\t$dir")
+    // the pending id stays reserved while the marker persists
+    assert(StoreProtocol.pendingCompactIds(root) === Seq(3))
+    StoreProtocol.finishPendingCleanup(root)
+    // pass 2, NO compaction in between: unchanged since observed ⇒
+    // superseded-immutable ⇒ reclaimed; marker retired (the pre-rewrite
+    // protocol leaked this dir permanently)
+    assert(!Files.exists(dir), "tie survivor must be reclaimed by the " +
+      "next cleanup pass")
+    assert(!Files.exists(marker))
+    // and a survivor WRITTEN between passes is live data: it survives
+    // every pass and the marker retires after ceding it
+    val live = Paths.get(root, "bands", "b=996")
+    Files.createDirectories(live)
+    val m2 = Paths.get(root, "commits", "compact-4")
+    Files.write(m2, live.toString.getBytes("UTF-8"))
+    m2.toFile.setLastModified(live.toFile.lastModified())
+    StoreProtocol.finishPendingCleanup(root)
+    assert(Files.exists(live) && Files.exists(m2))
+    live.toFile.setLastModified(live.toFile.lastModified() + 60000L)
+    StoreProtocol.finishPendingCleanup(root)
+    assert(Files.exists(live), "re-created live data must survive")
+    assert(!Files.exists(m2), "marker retired after ceding the live dir")
+  }
+
   test("streaming ANN ingest fold equals the one-shot batch search, " +
        "bit for bit") {
     import graft.streaming.AnnStream
