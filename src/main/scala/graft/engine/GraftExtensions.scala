@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule (opt-in via spark.graft.rewriteBloomJoin): plain
     // star joins get the portable Bloom fact-side pre-filter injected
     e.injectOptimizerRule(_ => graft.plans.BloomJoinRewrite)
+    // optimizer rule (opt-in via spark.graft.rewriteWindowAuto): the
+    // canonical lag-class window SELECT entering as plain SQL gets the
+    // profile-dispatched chunked rewrite above the hot-key threshold
+    e.injectOptimizerRule(_ => graft.plans.WindowAutoRewrite)
   }
 }

@@ -146,6 +146,64 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("opt-in optimizer rule dispatches lag-class window SQL to the " +
+       "chunked rewrite above the hot-key share; benign keys keep the " +
+       "plain window; the result is the literal window's, rows for rows") {
+    val key = graft.plans.WindowAutoRewrite.ConfKey
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.withColumn("l_suppkey",
+        when(col("l_orderkey") % 2 === 0, lit(7L))
+          .otherwise(col("l_orderkey") % 2000 + 10000))
+      .createOrReplaceTempView("li_hot")
+    li.withColumn("l_suppkey", col("l_orderkey") % 2000)
+      .createOrReplaceTempView("li_cold")
+    def q(view: String) = s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        l_shipdate, l_quantity,
+        lag(l_quantity, 1) OVER w AS prev_qty,
+        lead(l_quantity, 1) OVER w AS next_qty,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM $view
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, l_partkey, l_quantity, l_extendedprice)"""
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    try {
+      // default off: the plain single-window plan — and the expected
+      // multiset, collected while the rule cannot fire
+      val off = spark.sql(q("li_hot"))
+      assert(!off.queryExecution.executedPlan.toString.contains("pid#"))
+      val expected = rows(off)
+      spark.conf.set(key, "true")
+      val hot = spark.sql(q("li_hot"))
+      val hp = hot.queryExecution.executedPlan.toString
+      // fired: the chunked rewrite's checkpointed chunk column is in
+      // the executed plan — a plain SQL query got the skew dispatch
+      assert(hp.contains("pid#"), hp.take(800))
+      // schema unchanged (rn stays BIGINT through the cast fold)
+      assert(hot.schema === off.schema)
+      assert(rows(hot) === expected)
+      // benign key: the profile stays below the threshold, the plan
+      // stays the query's own single window
+      val cold = spark.sql(q("li_cold"))
+      val cp = cold.queryExecution.executedPlan.toString
+      assert(!cp.contains("pid#"), cp.take(800))
+      assert(cp.contains("Window"))
+      // a query ordering by FEWER columns than it projects must not
+      // rewrite (tie safety unprovable — the guard is load-bearing)
+      val loose = spark.sql(s"""SELECT l_suppkey, l_orderkey, l_quantity,
+          lag(l_quantity, 1) OVER w AS prev_qty,
+          lead(l_quantity, 1) OVER w AS next_qty,
+          CAST(row_number() OVER w AS BIGINT) AS rn
+        FROM li_hot
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""")
+      assert(!loose.queryExecution.executedPlan.toString.contains("pid#"))
+    } finally {
+      spark.conf.unset(key)
+      spark.catalog.dropTempView("li_hot")
+      spark.catalog.dropTempView("li_cold")
+    }
+  }
+
   test("opt-in optimizer rule rewrites rank-filter windows to GroupedTopK") {
     val key = graft.plans.RankLimitRewrite.ConfKey
     // default off: the window formulation keeps its window plan — and
