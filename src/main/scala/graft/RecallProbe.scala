@@ -21,6 +21,10 @@ object RecallProbe {
     // index-size budget — see Ann.ladderFor)
     sys.env.get("SPARK_GRAFT_LADDER_CAP").foreach(c =>
       spark.conf.set("spark.graft.ann.ladderCap", c))
+    // the r19 self-extension budget: with it set, the tuner closes a
+    // measured floor shortfall itself (Ann.AutoBudgetConf)
+    sys.env.get("SPARK_GRAFT_AUTO_BUDGET").foreach(c =>
+      spark.conf.set(graft.operators.Ann.AutoBudgetConf, c))
     import graft.operators.Ann
     val bf = Ann.annBruteforce(spark, sfDir)
       .select(col("q_id"), col("cand_id")).collect()

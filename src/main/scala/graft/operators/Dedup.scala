@@ -1662,7 +1662,26 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gram"))))
-      .localCheckpoint()
+      // Profile checkpoint storage tier, conf-selectable
+      // (spark.graft.contain.profileLevel). MEASURED at zipf ×100
+      // (REPS=3, in-session drift control — SCALING.md r19):
+      //  - MEMORY_AND_DISK (default): coldest rep 185 s, warm reps
+      //    51–58 s (warm band 1.13) — the row objects live
+      //    deserialized, so a cold 24 GiB heap pays GC against ~125M
+      //    long-lived rows once, then steady state is the fastest
+      //    tier;
+      //  - MEMORY_AND_DISK_SER: 96 / 87 / 74 s — the cold cliff
+      //    HALVES (rows pack into byte-array blocks, near-zero GC
+      //    scanning) and the full band tightens to 1.29, but every
+      //    consumer pass re-deserializes 125M rows through the Java
+      //    serializer, +45% on the warm best. Kept purchasable, not
+      //    default: a memory-tight deployment (or one-shot jobs that
+      //    never reach steady state) should set it; a warm service
+      //    should not.
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.fromString(
+          s.conf.get("spark.graft.contain.profileLevel",
+            "MEMORY_AND_DISK")))
     val g = gd.select(col("doc_id"), col("gram"))
     val pref = gd.filter(
       col("rn") <= floor(col("n") * expr(ContainPrefixFrac)) + 1 &&

@@ -538,6 +538,16 @@ class PipelineSpec extends AnyFunSuite {
       posFilter = false)
     assert(vOn.exceptAll(vOff).count() === 0L)
     assert(vOff.exceptAll(vOn).count() === 0L)
+    // the profile checkpoint's storage tier is a pure physical knob:
+    // the serialized level (the measured cold-cliff escape, SCALING.md
+    // r19) must produce the identical verdict frame
+    try {
+      spark.conf.set("spark.graft.contain.profileLevel",
+        "MEMORY_AND_DISK_SER")
+      val vSer = graft.operators.Dedup.dedupContainment(spark, dir)
+      assert(vSer.exceptAll(vOn).count() === 0L)
+      assert(vOn.exceptAll(vSer).count() === 0L)
+    } finally spark.conf.unset("spark.graft.contain.profileLevel")
   }
 
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
