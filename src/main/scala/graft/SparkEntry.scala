@@ -3092,7 +3092,9 @@ object SparkEntry {
     // (events keyed on user_id via WindowSpec.Events) — the r18
     // operators baked in lineitem's columns; this query pins that the
     // parameterized API serves any (key, ordering, value) roles under
-    // the same literal-window oracle. event_id makes the full ordering
+    // the same literal-window oracle (both dispatch branches are
+    // row-identical, so one oracle covers whichever the two-signal
+    // profile picks at a given SF). event_id makes the full ordering
     // unique, so the row_number is deterministic.
     "window_auto_events" -> """
       SELECT user_id, event_id, ts, event_type, value,

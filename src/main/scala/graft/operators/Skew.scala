@@ -773,10 +773,16 @@ object Skew {
     * column). 0.0 on an empty frame.
     */
   def topKeyShare(df: DataFrame, key: String): Double = {
+    val (hot, total) = topKeyStats(df, key)
+    if (total == 0L) 0.0 else hot.toDouble / total.toDouble
+  }
+
+  /** (heaviest key's row count, total rows) — one aggregate job. */
+  def topKeyStats(df: DataFrame, key: String): (Long, Long) = {
     val r = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).first()
-    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-    else r.getLong(0).toDouble / r.getLong(1).toDouble
+    if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L)
+    else (r.getLong(0), r.getLong(1))
   }
 
   /** Fixed sample fraction of the scale-honest profile (one in fifty
@@ -811,12 +817,22 @@ object Skew {
   def topKeyShareSampled(df: DataFrame, key: String,
                          fraction: Double = ProfileSampleFraction,
                          floor: Long = ProfileSampleFloor): Double = {
+    val (hot, total) = topKeyStatsSampled(df, key, fraction, floor)
+    if (total == 0L) 0.0 else hot.toDouble / total.toDouble
+  }
+
+  /** Sampled [[topKeyStats]], counts scaled back up by 1/fraction so
+    * the hot count is corpus-scale; exact fallback below the floor.
+    */
+  def topKeyStatsSampled(df: DataFrame, key: String,
+                         fraction: Double = ProfileSampleFraction,
+                         floor: Long = ProfileSampleFloor): (Long, Long) = {
     val r = df.sample(fraction, ProfileSeed)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).first()
     val n = if (r.isNullAt(1)) 0L else r.getLong(1)
-    if (n < floor) topKeyShare(df, key)
-    else r.getLong(0).toDouble / n.toDouble
+    if (n < floor) topKeyStats(df, key)
+    else ((r.getLong(0) / fraction).toLong, (n / fraction).toLong)
   }
 
   /** The share the dispatcher acts on, resolved from session conf —
@@ -839,6 +855,53 @@ object Skew {
           case _ => topKeyShareSampled(df, key)
         }
     }
+
+  /** Absolute hot-key row floor for the chunked dispatch — the SECOND
+    * dispatch signal, measured into existence (SCALING.md r19): on the
+    * zipf ×100 EVENTS corpus the hot user holds 15.4% of 10M rows
+    * (share 15× the threshold) yet the chunked rewrite does NOT beat
+    * the plain window (auto 10.7–15.7 s vs plain 10.1–10.8 s) — a
+    * 1.5M-row hot partition sorts in single-digit seconds on one
+    * task, so the chunk machinery's constant cost (checkpoint, stats
+    * window, boundary join) cancels the split's win. The lineitem
+    * ×100 hot key (11.5M rows) wins 6–7×. Share says "one reducer
+    * owns a constant fraction"; only share × corpus — the ABSOLUTE
+    * hot size against per-task capacity — says whether that reducer
+    * is actually the bottleneck. Conf-tunable
+    * (`spark.graft.window.minHotRows`): a cluster with slower tasks
+    * or wider rows lowers it; the specs pin dispatch mechanics with
+    * it at 0.
+    */
+  val MinHotRows = 2000000L
+  val MinHotRowsConf = "spark.graft.window.minHotRows"
+
+  /** The dispatch decision [[windowAutoOn]] and the SQL-seam rule act
+    * on: chunked iff the profiled share clears `threshold` AND the
+    * hot key's absolute row count clears [[MinHotRows]]. Postures:
+    * a PINNED share (`spark.graft.window.share.<key>`) dispatches on
+    * share alone unless a pinned hot count
+    * (`spark.graft.window.hot.<key>`) is also present — a share-only
+    * stats artifact is trusted as the operator's explicit word;
+    * otherwise the sampled/exact profile supplies both signals from
+    * one job.
+    */
+  def dispatchChunked(s: SparkSession, df: DataFrame, key: String,
+                      threshold: Double = WindowSkewShare): Boolean = {
+    val minHot = s.conf.get(MinHotRowsConf, MinHotRows.toString).toLong
+    s.conf.getOption(s"spark.graft.window.share.$key") match {
+      case Some(pinned) =>
+        pinned.toDouble >= threshold &&
+          s.conf.getOption(s"spark.graft.window.hot.$key")
+            .forall(_.toLong >= minHot)
+      case None =>
+        val (hot, total) =
+          s.conf.get("spark.graft.window.profile", "sample") match {
+            case "exact" => topKeyStats(df, key)
+            case _ => topKeyStatsSampled(df, key)
+          }
+        total > 0L && hot.toDouble / total >= threshold && hot >= minHot
+    }
+  }
 
   /** The plain (single-window) twins of the four chunked rewrites —
     * identical output columns, so [[windowAutoOn]] can swap either in.
@@ -889,10 +952,15 @@ object Skew {
 
   /** Auto-dispatching per-key window — [[skewDiagnose]]'s `window_plan`
     * verdict turned into an ENGINE decision instead of a hand-picked
-    * rewrite: profile the heaviest key share ([[profiledShare]] —
-    * pinned stat, sampled estimate, or exact scan, per session conf),
-    * then run the window class `cls` as the plain single-window plan
-    * below `threshold` and as the chunked skew rewrite at or above it.
+    * rewrite: profile the heaviest key ([[dispatchChunked]] — pinned
+    * stats, sampled estimate, or exact scan, per session conf), then
+    * run the window class `cls` as the plain single-window plan when
+    * the key is benign and as the chunked skew rewrite when BOTH
+    * signals fire — share at/above `threshold` (one reducer owns a
+    * material fraction) and the hot key's absolute rows at/above
+    * [[MinHotRows]] (that reducer is genuinely the bottleneck; the
+    * measured events-×100 counterexample in the MinHotRows doc is why
+    * share alone is not enough).
     * Both branches produce IDENTICAL rows (each rewrite's oracle is
     * the literal window SQL), so the dispatch is purely a
     * physical-plan decision — the same contract as AQE's skew-join
@@ -910,7 +978,7 @@ object Skew {
   def windowAutoOn(s: SparkSession, df: DataFrame, cls: String = "lag",
                    threshold: Double = WindowSkewShare,
                    spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
-    val skewed = profiledShare(s, df, spec.key) >= threshold
+    val skewed = dispatchChunked(s, df, spec.key, threshold)
     cls match {
       case "lag" =>
         if (skewed) windowLagSkewOn(s, df, spec)

@@ -3,59 +3,75 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
-  AttributeReference, Cast, ExprId, Lag, Lead, Literal, NamedExpression,
-  RowNumber, SortOrder, WindowExpression}
-import org.apache.spark.sql.types.LongType
+  AttributeReference, Cast, CurrentRow, ExprId, Lag, Lead, Literal,
+  NamedExpression, NullsFirst, RowFrame, RowNumber, SortOrder,
+  SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+  WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
   Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
 import graft.operators.{Skew, WindowSpec}
 
 /** The SQL seam for the auto-dispatched skew window: an OPT-IN
-  * optimizer rule routing the canonical lag-class window SELECT
+  * optimizer rule routing the canonical lag-class and running-class
+  * window SELECTs
   *
   *   SELECT pass..., lag(v,1) OVER w, lead(v,1) OVER w,
   *          row_number() OVER w
   *   FROM t WINDOW w AS (PARTITION BY k ORDER BY o1, o2, ...)
   *
-  * through [[Skew.windowAutoOn]] — so a plain SQL query entering via
-  * `QueryFacade`/`spark.sql` gets the profile-dispatched plan (plain
-  * single window below the hot-key threshold, the chunked two-pass
-  * rewrite above it) the DataFrame API already has. The replacement
-  * subtree is built by the SAME operator code the registry query uses
-  * (the BloomJoinRewrite splice discipline), so correctness is the
-  * operator's own oracle-proven contract.
+  *   SELECT pass..., sum(CAST(v AS BIGINT)) OVER w, count(*) OVER w
+  *   FROM t WINDOW w AS (PARTITION BY k ORDER BY o...
+  *     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  *
+  * through [[Skew.windowLagSkewOn]] / [[Skew.windowRunningSkewOn]] —
+  * so a plain SQL query entering via `QueryFacade`/`spark.sql` gets
+  * the profile-dispatched plan (plain single window below the hot-key
+  * threshold, the chunked two-pass rewrite above it) the DataFrame
+  * API already has. The replacement subtree is built by the SAME
+  * operator code the registry queries use (the BloomJoinRewrite
+  * splice discipline), so correctness is the operator's own
+  * oracle-proven contract.
   *
   * Fires only when the shape is PROVABLY safe (the dispatch must be
-  * result-invisible, which the chunked rewrite only guarantees when
+  * result-invisible, which the chunked rewrites only guarantee when
   * ordering ties are full duplicates):
   *  - `spark.graft.rewriteWindowAuto=true` (opt-in: the rewrite runs a
   *    profile job and, above the threshold, a chunk-materializing job
   *    at optimization time — a plan-shape decision the user makes
   *    knowingly; same contract as RankLimitRewrite/BloomJoinRewrite);
-  *  - the window expressions are EXACTLY [lag(v,1), lead(v,1),
-  *    row_number()] over one shared (single-key, all-ascending) window
-  *    — the lag class. The other three classes follow the same pattern
-  *    and stay DataFrame-API-only until a query needs them;
-  *  - every partition/order/value expression is a direct child column;
-  *  - every projected passthrough column (and the lag subject) appears
-  *    in the ORDERING (plus the key) — the syntactic proof that
-  *    ordering ties are full duplicates, hence any tie split yields
-  *    the same output multiset. A query ordering by fewer columns than
-  *    it projects is NOT rewritten: its plain-window output is already
+  *  - the window expressions are EXACTLY one class's set over one
+  *    shared (single-key, all-ascending, nulls-first) window: lag
+  *    [lag(v,1), lead(v,1), row_number()], or running
+  *    [sum(BIGINT v), count(*)] on the UNBOUNDED PRECEDING..CURRENT
+  *    ROW row frame (the running summand must already be integral —
+  *    a double sum would change float fold order). The rank/range
+  *    classes follow the same pattern and stay DataFrame-API-only
+  *    until a query needs them;
+  *  - every partition/order/value expression is a direct child column,
+  *    and every role column resolves unambiguously by name;
+  *  - every projected passthrough column (and the subject) appears in
+  *    the ORDERING (plus the key) — the syntactic proof that ordering
+  *    ties are full duplicates, hence any tie split yields the same
+  *    output multiset. A query ordering by fewer columns than it
+  *    projects is NOT rewritten: its plain-window output is already
   *    tie-nondeterministic, but the rewrite must not pick a different
   *    nondeterminism;
-  *  - the projection is [child passthroughs..., lag, lead, rn] in that
-  *    order (the operator's output layout — renamed positionally to
-  *    the query's aliases);
+  *  - the projection is [child passthroughs..., the class's window
+  *    columns in order] (the operator's output layout — renamed
+  *    positionally to the query's aliases, `CAST(... AS BIGINT)`
+  *    wrappers folding into the operator's native BIGINT outputs);
   *  - child column names are disjoint from the operator's scratch
-  *    names (pid/lrn/... — the chunked rewrite's internals).
+  *    names (pid/lrn/... — the chunked rewrites' internals).
   * Dispatch asymmetry, which is also the FIXED-POINT argument: below
   * the profiled threshold the rule leaves the plan UNTOUCHED — the
   * query's own single-window plan IS the plain branch, so splicing
-  * [[Skew.windowLagPlain]] would re-create the very shape this rule
-  * matches (an endless fixed-point loop); above it the spliced
-  * chunked subtree's internal windows partition by (pid, key) — two
+  * the plain twin would re-create the very shape this rule matches
+  * (an endless fixed-point loop); above it the spliced chunked
+  * subtree's internal windows partition by (pid, key) — two
   * expressions — so the single-key guard never re-matches our own
   * output, and the batch converges after one rewrite. The spliced
   * subtree re-aliases its output to the original expression IDs, so
@@ -72,23 +88,53 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       s.experimental.extraOptimizations = cur :+ WindowAutoRewrite
   }
 
-  /** The chunked rewrite's internal column names: a child already using
+  /** The chunked rewrites' internal column names: a child already using
     * one would be silently clobbered by withColumn — refuse instead.
     */
   private val Scratch = Set("pid", "lrn", "prev0", "next0", "cnt",
     "offset", "prev_last", "next_first", "first_q", "last_q",
-    "prev_qty", "next_qty", "rn")
+    "prev_qty", "next_qty", "rn", "lsum", "csum", "sum_offset",
+    "running_qty")
 
   /** The expression id a projection entry forwards: a direct reference,
-    * or the oracle-SQL idiom `CAST(rn AS BIGINT)` (the chunked rewrite
-    * emits BIGINT natively, so the cast folds into the splice).
+    * or the oracle-SQL idiom `CAST(x AS BIGINT)` (the chunked rewrites
+    * emit BIGINT natively, so the cast folds into the splice).
     */
   private def fwdId(e: NamedExpression): Option[ExprId] = e match {
     case a: AttributeReference => Some(a.exprId)
+    // plain rename: `_we0 AS running_qty` (how extracted window
+    // expressions surface once a no-op outer cast simplifies away)
+    case Alias(a: AttributeReference, _) => Some(a.exprId)
     case Alias(Cast(a: AttributeReference, LongType, _, _), _) =>
       Some(a.exprId)
     case _ => None
   }
+
+  /** Tie coverage for the value subject: it rides the ordering
+    * directly, OR it is a child-Project cast alias of a column that
+    * does (the optimizer extracts `sum(CAST(v AS BIGINT))`'s cast into
+    * the window child as `_w0 := cast(v)` — a per-row deterministic
+    * function of v, so equal ordering tuples still imply equal
+    * subjects and the full-duplicate-ties argument holds unchanged).
+    */
+  private def tieCovered(value: AttributeReference, child: LogicalPlan,
+                         ordIds: Set[ExprId]): Boolean =
+    ordIds.contains(value.exprId) || (child match {
+      case Project(exprs, _) => exprs.exists {
+        case a @ Alias(Cast(o: AttributeReference, _, _, _), _) =>
+          a.exprId == value.exprId && ordIds.contains(o.exprId)
+        case _ => false
+      }
+      case _ => false
+    })
+
+  /** A matched window class: its name, the value subject, and the
+    * Window operator's aliases in output order.
+    */
+  private def windowClassOf(wes: Seq[NamedExpression])
+      : Option[(String, AttributeReference, Seq[Alias])] =
+    lagShape(wes).map { case (v, as) => ("lag", v, as) }
+      .orElse(runningShape(wes).map { case (v, as) => ("running", v, as) })
 
   private def lagShape(wes: Seq[NamedExpression])
       : Option[(AttributeReference, Seq[Alias])] = wes match {
@@ -105,6 +151,38 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The UNBOUNDED PRECEDING..CURRENT ROW row frame both running-class
+    * expressions must carry.
+    */
+  private def runningFrame(ws: WindowSpecDefinition): Boolean =
+    ws.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+        true
+      case _ => false
+    }
+
+  private def runningShape(wes: Seq[NamedExpression])
+      : Option[(AttributeReference, Seq[Alias])] = wes match {
+    case Seq(
+        a1 @ Alias(WindowExpression(
+          AggregateExpression(sumF: Sum, _, false, None, _),
+          ws1: WindowSpecDefinition), _),
+        a2 @ Alias(WindowExpression(
+          AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
+          ws2: WindowSpecDefinition), _))
+        if runningFrame(ws1) && runningFrame(ws2) =>
+      // the summand must ALREADY be integral: the chunked rewrite sums
+      // BIGINT (exact, associativity-proof) — rewriting a double sum
+      // would change the float fold order, i.e. the result
+      sumF.child match {
+        case Cast(v: AttributeReference, LongType, _, _) => Some((v, Seq(a1, a2)))
+        case v: AttributeReference if v.dataType == LongType =>
+          Some((v, Seq(a1, a2)))
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
     plan.transform {
@@ -112,44 +190,50 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
           w @ Window(wes, Seq(key: AttributeReference), order, child, _))
           if order.nonEmpty &&
             order.forall(o => o.direction == Ascending &&
-              o.nullOrdering ==
-                org.apache.spark.sql.catalyst.expressions.NullsFirst &&
+              o.nullOrdering == NullsFirst &&
               o.child.isInstanceOf[AttributeReference]) &&
             child.output.forall(a => !Scratch.contains(a.name)) =>
-        lagShape(wes) match {
-          case Some((value, aliases))
-              if child.outputSet.contains(value) &&
+        windowClassOf(wes) match {
+          case Some((cls, value, aliases))
+              if {
+                val n = aliases.length
+                child.outputSet.contains(value) &&
                 child.outputSet.contains(key) &&
                 order.forall(o => child.outputSet.contains(
                   o.child.asInstanceOf[AttributeReference])) &&
-                // projection = [child passthroughs..., lag, lead, rn]
-                pl.length >= 3 &&
-                pl.dropRight(3).forall(e => e.isInstanceOf[AttributeReference]
+                // projection = [child passthroughs..., class columns]
+                pl.length >= n &&
+                pl.dropRight(n).forall(e => e.isInstanceOf[AttributeReference]
                   && child.outputSet.contains(
                     e.asInstanceOf[AttributeReference])) &&
-                pl.takeRight(3).map(fwdId) ==
+                pl.takeRight(n).map(fwdId) ==
                   aliases.map(a => Some(a.exprId)) &&
                 // name-resolution safety: every role column resolves
                 // unambiguously by name on the child
-                (pl.dropRight(3).map(
+                (pl.dropRight(n).map(
                     _.asInstanceOf[AttributeReference].name) ++
                   order.map(_.child.asInstanceOf[AttributeReference].name)
-                  ++ Seq(key.name, value.name)).distinct.forall(n =>
-                    child.output.count(_.name == n) == 1) &&
+                  ++ Seq(key.name, value.name)).distinct.forall(nm =>
+                    child.output.count(_.name == nm) == 1) &&
                 // tie safety: every output column (and the subject)
                 // rides the ordering, so ties are full duplicates
-                (pl.dropRight(3).map(_.exprId).toSet + value.exprId)
-                  .subsetOf(order.map(
+                {
+                  val ordKey = order.map(
                     _.child.asInstanceOf[AttributeReference].exprId).toSet +
-                    key.exprId) =>
+                    key.exprId
+                  pl.dropRight(n).map(_.exprId).toSet.subsetOf(ordKey) &&
+                    tieCovered(value, child, ordKey)
+                }
+              } =>
             val s = SparkSession.getActiveSession.getOrElse(
               throw new IllegalStateException(
                 "WindowAutoRewrite ran without an active SparkSession"))
             val childDf = GraftSqlBridge.ofRows(s, child)
-            if (Skew.profiledShare(s, childDf, key.name) <
-                Skew.WindowSkewShare) p // plain dispatch = the plan as-is
+            if (!Skew.dispatchChunked(s, childDf, key.name))
+              p // plain dispatch = the plan as-is
             else {
-              val pass = pl.dropRight(3)
+              val n = aliases.length
+              val pass = pl.dropRight(n)
                 .map(_.asInstanceOf[AttributeReference].name)
               val ordNames = order.map(
                 _.child.asInstanceOf[AttributeReference].name)
@@ -157,9 +241,13 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                 key = key.name,
                 ord = ordNames,
                 value = value.name,
-                rangeOrd = ordNames.head, // unused by the lag class
+                rangeOrd = ordNames.head, // unused by these classes
                 out = pass,
                 rangeOut = pass)
+              val chunked = cls match {
+                case "lag" => Skew.windowLagSkewOn(s, childDf, spec)
+                case _ => Skew.windowRunningSkewOn(s, childDf, spec)
+              }
               // the stats broadcast() marks arrive as ResolvedHint
               // nodes, but the optimizer's hint-elimination batch
               // already ran before this rule — fold them into JoinHint
@@ -167,15 +255,14 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
               // physical planner rejects the plan
               val replaced =
                 org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-                  Skew.windowLagSkewOn(s, childDf, spec)
-                    .queryExecution.analyzed)
+                  chunked.queryExecution.analyzed)
               // re-alias to the original output ids so references above
               // the Project resolve unchanged (names, ids AND types
               // preserved — the operator's BIGINT rn casts back down
               // when the query's rn was uncast INT)
-              Project(p.output.zip(replaced.output).map { case (o, n) =>
-                val e = if (n.dataType == o.dataType) n
-                  else Cast(n, o.dataType)
+              Project(p.output.zip(replaced.output).map { case (o, nw) =>
+                val e = if (nw.dataType == o.dataType) nw
+                  else Cast(nw, o.dataType)
                 Alias(e, o.name)(exprId = o.exprId)
               }, replaced)
             }

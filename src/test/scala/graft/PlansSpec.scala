@@ -174,6 +174,13 @@ class PlansSpec extends AnyFunSuite {
       assert(!off.queryExecution.executedPlan.toString.contains("pid#"))
       val expected = rows(off)
       spark.conf.set(key, "true")
+      // rule on, DEFAULT hot-row floor: the planted key is hot in
+      // share but tiny in absolute rows — the dispatcher must refuse
+      // (the two-signal contract windowAutoOn pins)
+      assert(!spark.sql(q("li_hot")).queryExecution.executedPlan
+        .toString.contains("pid#"),
+        "tiny hot partition must stay plain under the default floor")
+      spark.conf.set(graft.operators.Skew.MinHotRowsConf, "0")
       val hot = spark.sql(q("li_hot"))
       val hp = hot.queryExecution.executedPlan.toString
       // fired: the chunked rewrite's checkpointed chunk column is in
@@ -197,8 +204,44 @@ class PlansSpec extends AnyFunSuite {
         FROM li_hot
         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""")
       assert(!loose.queryExecution.executedPlan.toString.contains("pid#"))
+      // the RUNNING class matcher: same dispatch, the chunked
+      // cumulative rewrite spliced under the literal running SQL
+      def qRun(view: String) = s"""SELECT l_suppkey, l_orderkey,
+          l_linenumber, l_shipdate, l_quantity,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+            AS running_qty,
+          CAST(count(*) OVER w AS BIGINT) AS rn
+        FROM $view
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate,
+          l_orderkey, l_linenumber, l_partkey, l_quantity,
+          l_extendedprice
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+      spark.conf.unset(key)
+      val runOff = spark.sql(qRun("li_hot"))
+      assert(!runOff.queryExecution.executedPlan.toString.contains("pid#"))
+      val runExpected = rows(runOff)
+      spark.conf.set(key, "true")
+      val runHot = spark.sql(qRun("li_hot"))
+      val rp = runHot.queryExecution.executedPlan.toString
+      assert(rp.contains("pid#"), rp.take(800))
+      assert(runHot.schema === runOff.schema)
+      assert(rows(runHot) === runExpected)
+      // a DOUBLE sum must not rewrite: the chunked rewrite's integral
+      // summand would change the float fold order
+      val dbl = spark.sql(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+          l_shipdate, l_quantity,
+          sum(l_quantity) OVER w AS running_qty,
+          CAST(count(*) OVER w AS BIGINT) AS rn
+        FROM li_hot
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate,
+          l_orderkey, l_linenumber, l_partkey, l_quantity,
+          l_extendedprice
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+      assert(!dbl.queryExecution.executedPlan.toString.contains("pid#"),
+        "a double-summand running window must not be rewritten")
     } finally {
       spark.conf.unset(key)
+      spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
       spark.catalog.dropTempView("li_hot")
       spark.catalog.dropTempView("li_cold")
     }

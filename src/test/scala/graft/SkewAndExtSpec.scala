@@ -238,6 +238,17 @@ class SkewAndExtSpec extends AnyFunSuite {
         .otherwise(col("l_orderkey") % 2000 + 10000))
     assert(Skew.topKeyShare(uniform, "l_suppkey") < Skew.WindowSkewShare)
     assert(Skew.topKeyShare(skewed, "l_suppkey") >= Skew.WindowSkewShare)
+    // the SECOND dispatch signal: at the DEFAULT absolute hot-row
+    // floor this planted key (share ~0.5 but only ~3k hot rows) is
+    // hot-but-tiny — the measured events-×100 case where the chunk
+    // machinery cancels the win — so the dispatcher must stay plain
+    assert(!Skew.windowAutoOn(spark, skewed).queryExecution
+      .executedPlan.toString.contains("pid#"),
+      "a tiny hot partition must not pay the chunk machinery")
+    // floor lowered to 0: share alone decides — the rest of this test
+    // pins the share signal's mechanics on executed plans
+    spark.conf.set(Skew.MinHotRowsConf, "0")
+    try {
     val plainPick = Skew.windowAutoOn(spark, uniform)
     val chunkPick = Skew.windowAutoOn(spark, skewed)
     // dispatch pinned on EXECUTED plans (the chunked rewrite's
@@ -279,6 +290,7 @@ class SkewAndExtSpec extends AnyFunSuite {
         .executedPlan.toString.contains("pid#"),
         s"class $cls must run chunked above the threshold")
     }
+    } finally spark.conf.unset(Skew.MinHotRowsConf)
   }
 
   test("windowAuto on a second table shape (events keyed on user_id): " +
@@ -294,6 +306,11 @@ class SkewAndExtSpec extends AnyFunSuite {
       when(col("event_id") % 2 === 0, lit(42L))
         .otherwise(col("event_id") % 500 + 10000))
     val spec = WindowSpec.Events
+    // floor at 0 for the mechanics pin: the planted hot key is tiny in
+    // ABSOLUTE rows, which the default floor correctly leaves plain
+    // (the first dispatch test pins that signal)
+    spark.conf.set(Skew.MinHotRowsConf, "0")
+    try {
     for (cls <- Seq("lag", "rank", "running", "range")) {
       assert(!Skew.windowAutoOn(spark, uniform, cls, spec = spec)
         .queryExecution.executedPlan.toString.contains("pid#"),
@@ -343,6 +360,7 @@ class SkewAndExtSpec extends AnyFunSuite {
     val runChunk = Skew.windowAutoOn(spark, skewed, "running", spec = spec)
     assert(runChunk.exceptAll(runLit).count() === 0L)
     assert(runLit.exceptAll(runChunk).count() === 0L)
+    } finally spark.conf.unset(Skew.MinHotRowsConf)
   }
 
   test("sampled profile dispatches identically to the exact scan on " +
