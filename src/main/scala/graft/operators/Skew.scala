@@ -161,15 +161,21 @@ object Skew {
     */
   val WindowSkewShare = 0.01
 
-  def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame =
+    skewDiagnoseOn(table(s, dir, "lineitem"), SkewKeyCols)
+
+  /** [[skewDiagnose]]'s engine API: profile any table's candidate key
+    * columns (integral-castable — join keys are) in ONE scan. The
+    * registry query is this on (lineitem, [[SkewKeyCols]]).
+    */
+  def skewDiagnoseOn(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     // ONE scan of the fact table profiles every key column: each row
     // explodes to (key_col, key) pairs, so the per-key counts for all
     // columns ride a single shuffle (a per-column loop would re-read
     // the 100 TB fact table once per key). The lexicographic struct max
     // is the arg-max on count with the LOWEST key as the deterministic
     // tie-break (keys are non-negative, so -k orders them reversed).
-    val keyed = li.select(explode(array(SkewKeyCols.map(c =>
+    val keyed = df.select(explode(array(keyCols.map(c =>
         struct(lit(c).as("key_col"), col(c).cast("long").as("k"))): _*))
       .as("e"))
       .select(col("e.key_col").as("key_col"), col("e.k").as("k"))

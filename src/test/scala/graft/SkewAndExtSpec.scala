@@ -224,6 +224,18 @@ class SkewAndExtSpec extends AnyFunSuite {
         else "plain_window"
       assert(r.getAs[String]("window_plan") === want)
     }
+    // the engine API profiles any table shape: events keyed two ways,
+    // top user audited against a direct recompute
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val evRows = Skew.skewDiagnoseOn(ev, Seq("user_id", "event_id"))
+      .collect()
+    assert(evRows.map(_.getAs[String]("key_col")).sorted.toSeq ===
+      Seq("event_id", "user_id"))
+    val evTop = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).first()
+    val gotEv = evRows.find(_.getAs[String]("key_col") == "user_id").get
+    assert(gotEv.getAs[Long]("top_key") === evTop.getLong(0))
+    assert(gotEv.getAs[Long]("max_cnt") === evTop.getLong(1))
   }
 
   test("windowAuto dispatches on the profiled top-key share: plain " +
