@@ -827,12 +827,30 @@ object Skew {
     if (total == 0L) 0.0 else hot.toDouble / total.toDouble
   }
 
+  /** Bytes-per-row divisor of the plan-stats row estimate below. */
+  private val MinRowBytes = 32L
+
   /** Sampled [[topKeyStats]], counts scaled back up by 1/fraction so
     * the hot count is corpus-scale; exact fallback below the floor.
+    *
+    * Plan-stats shortcut: when the optimizer's size estimate says the
+    * frame cannot clear the sample floor, go straight to the exact
+    * scan — ONE job instead of a doomed sample + fallback pair (the
+    * r19 ledger measured the pair at ~+0.3 s on every gate-SF
+    * window_auto query, where the sample always lands under the
+    * floor). The estimate divides sizeInBytes by a deliberately SMALL
+    * row width: wide rows then over-estimate rows and still sample
+    * (the runtime fallback keeps the estimate honest); a narrow
+    * heavily-compressed frame may under-estimate and run exact on a
+    * somewhat-larger input — also one job, just unsampled.
     */
   def topKeyStatsSampled(df: DataFrame, key: String,
                          fraction: Double = ProfileSampleFraction,
                          floor: Long = ProfileSampleFloor): (Long, Long) = {
+    val approxRows =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / MinRowBytes
+    if (approxRows < BigInt(math.ceil(floor / fraction).toLong))
+      return topKeyStats(df, key)
     val r = df.sample(fraction, ProfileSeed)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).first()
