@@ -891,10 +891,22 @@ object Skew {
     * ×100 hot key (11.5M rows) wins 6–7×. Share says "one reducer
     * owns a constant fraction"; only share × corpus — the ABSOLUTE
     * hot size against per-task capacity — says whether that reducer
-    * is actually the bottleneck. Conf-tunable
-    * (`spark.graft.window.minHotRows`): a cluster with slower tasks
-    * or wider rows lowers it; the specs pin dispatch mechanics with
-    * it at 0.
+    * is actually the bottleneck.
+    *
+    * Calibration honesty (the ×10 probe, LineWinProf): hot partitions
+    * between ~1M and ~2M rows are a GRAY BAND where the branches sit
+    * within ~1.7× of each other and the SIGN flips with row width and
+    * job shape — zipf ×10 lineitem (1.16M hot rows, wide tuples,
+    * straggler-bound) would have won 1.5–1.7× chunked, while events
+    * ×100 (1.54M hot rows, narrow tuples, throughput-bound) loses
+    * chunked; neither rows nor compressed bytes separates the two
+    * points. The floor sits at the band's top: inside the band any
+    * misprediction costs ≤ ~1.7×, while OUTSIDE it the decisions are
+    * the ones that matter (≤ ~1M: plain wins ~2×; ≥ ~10M: chunked
+    * wins 6–40×) and the floor gets every measured point right.
+    * Conf-tunable (`spark.graft.window.minHotRows`): a deployment
+    * whose windows are wide/straggler-bound lowers it toward 1M; the
+    * specs pin dispatch mechanics with it at 0.
     */
   val MinHotRows = 2000000L
   val MinHotRowsConf = "spark.graft.window.minHotRows"
