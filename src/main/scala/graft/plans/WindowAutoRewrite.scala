@@ -4,15 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
   AttributeReference, Cast, CurrentRow, ExprId, Lag, Lead, Literal,
-  NamedExpression, NullsFirst, RowFrame, RowNumber, SortOrder,
-  SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+  NamedExpression, NullsFirst, RangeFrame, RowFrame, RowNumber,
+  SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
   WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
   Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.operators.{Skew, WindowSpec}
 
 /** The SQL seam for the auto-dispatched skew window: an OPT-IN
@@ -45,12 +45,16 @@ import graft.operators.{Skew, WindowSpec}
   *    knowingly; same contract as RankLimitRewrite/BloomJoinRewrite);
   *  - the window expressions are EXACTLY one class's set over one
   *    shared (single-key, all-ascending, nulls-first) window: lag
-  *    [lag(v,1), lead(v,1), row_number()], or running
+  *    [lag(v,1), lead(v,1), row_number()], running
   *    [sum(BIGINT v), count(*)] on the UNBOUNDED PRECEDING..CURRENT
-  *    ROW row frame (the running summand must already be integral —
-  *    a double sum would change float fold order). The rank/range
-  *    classes follow the same pattern and stay DataFrame-API-only
-  *    until a query needs them;
+  *    ROW row frame (the summand must already be integral — a double
+  *    sum would change float fold order), or range [sum(BIGINT v),
+  *    count(*)] on a bounded trailing RANGE frame over one integral
+  *    ordering column with an integral key (the chunked sweep's
+  *    normalization contract; tie safety is structural there — a
+  *    RANGE frame is a value set). The rank class follows the same
+  *    pattern (two stacked Window operators) and stays
+  *    DataFrame-API-only until a query needs it;
   *  - every partition/order/value expression is a direct child column,
   *    and every role column resolves unambiguously by name;
   *  - every projected passthrough column (and the subject) appears in
@@ -128,13 +132,17 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  /** A matched window class: its name, the value subject, and the
-    * Window operator's aliases in output order.
+  /** A matched window class: its name, the value subject, the Window
+    * operator's aliases in output order, and — for the range class —
+    * the trailing frame width.
     */
   private def windowClassOf(wes: Seq[NamedExpression])
-      : Option[(String, AttributeReference, Seq[Alias])] =
-    lagShape(wes).map { case (v, as) => ("lag", v, as) }
-      .orElse(runningShape(wes).map { case (v, as) => ("running", v, as) })
+      : Option[(String, AttributeReference, Seq[Alias], Long)] =
+    lagShape(wes).map { case (v, as) => ("lag", v, as, 0L) }
+      .orElse(runningShape(wes).map { case (v, as) =>
+        ("running", v, as, 0L) })
+      .orElse(rangeShape(wes).map { case (v, w, as) =>
+        ("range", v, as, w) })
 
   private def lagShape(wes: Seq[NamedExpression])
       : Option[(AttributeReference, Seq[Alias])] = wes match {
@@ -183,6 +191,50 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `w PRECEDING .. CURRENT ROW` range frame width (the boundary
+    * constant-folds to a negative literal before this rule runs).
+    */
+  private def trailingRangeW(ws: WindowSpecDefinition): Option[Long] =
+    ws.frameSpecification match {
+      case SpecifiedWindowFrame(RangeFrame, Literal(i: Int, IntegerType),
+          CurrentRow) if i < 0 => Some(-i.toLong)
+      case SpecifiedWindowFrame(RangeFrame, Literal(l: Long, LongType),
+          CurrentRow) if l < 0 => Some(-l)
+      case _ => None
+    }
+
+  /** The range class: `sum(BIGINT v) OVER w, count(*) OVER w` on a
+    * bounded trailing RANGE frame. No tie-safety requirement applies —
+    * a RANGE frame is a VALUE set, so every row's totals depend only
+    * on its (key, ordering value) and any tie split yields identical
+    * rows; what IS required (checked at the call site) is an integral
+    * single-column ordering and an integral key, the chunked sweep's
+    * normalization contract.
+    */
+  private def rangeShape(wes: Seq[NamedExpression])
+      : Option[(AttributeReference, Long, Seq[Alias])] = wes match {
+    case Seq(
+        a1 @ Alias(WindowExpression(
+          AggregateExpression(sumF: Sum, _, false, None, _),
+          ws1: WindowSpecDefinition), _),
+        a2 @ Alias(WindowExpression(
+          AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
+          ws2: WindowSpecDefinition), _))
+        if trailingRangeW(ws1).nonEmpty &&
+          trailingRangeW(ws1) == trailingRangeW(ws2) =>
+      sumF.child match {
+        case Cast(v: AttributeReference, LongType, _, _) =>
+          Some((v, trailingRangeW(ws1).get, Seq(a1, a2)))
+        case v: AttributeReference if v.dataType == LongType =>
+          Some((v, trailingRangeW(ws1).get, Seq(a1, a2)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def integral(a: AttributeReference): Boolean =
+    a.dataType == LongType || a.dataType == IntegerType
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
     plan.transform {
@@ -194,7 +246,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
               o.child.isInstanceOf[AttributeReference]) &&
             child.output.forall(a => !Scratch.contains(a.name)) =>
         windowClassOf(wes) match {
-          case Some((cls, value, aliases))
+          case Some((cls, value, aliases, rangeW))
               if {
                 val n = aliases.length
                 child.outputSet.contains(value) &&
@@ -215,15 +267,21 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                   order.map(_.child.asInstanceOf[AttributeReference].name)
                   ++ Seq(key.name, value.name)).distinct.forall(nm =>
                     child.output.count(_.name == nm) == 1) &&
-                // tie safety: every output column (and the subject)
-                // rides the ordering, so ties are full duplicates
-                {
+                (if (cls == "range")
+                  // the range sweep's normalization contract: one
+                  // integral ordering column, integral key (tie safety
+                  // is structural — a RANGE frame is a value set)
+                  order.length == 1 && integral(key) &&
+                    integral(order.head.child.asInstanceOf[AttributeReference])
+                else {
+                  // tie safety: every output column (and the subject)
+                  // rides the ordering, so ties are full duplicates
                   val ordKey = order.map(
                     _.child.asInstanceOf[AttributeReference].exprId).toSet +
                     key.exprId
                   pl.dropRight(n).map(_.exprId).toSet.subsetOf(ordKey) &&
                     tieCovered(value, child, ordKey)
-                }
+                })
               } =>
             val s = SparkSession.getActiveSession.getOrElse(
               throw new IllegalStateException(
@@ -241,11 +299,13 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                 key = key.name,
                 ord = ordNames,
                 value = value.name,
-                rangeOrd = ordNames.head, // unused by these classes
+                rangeOrd = ordNames.head, // = THE ordering (range class)
                 out = pass,
                 rangeOut = pass)
               val chunked = cls match {
                 case "lag" => Skew.windowLagSkewOn(s, childDf, spec)
+                case "range" => Skew.windowRangeSkewOn(s, childDf,
+                  w = rangeW, spec = spec)
                 case _ => Skew.windowRunningSkewOn(s, childDf, spec)
               }
               // the stats broadcast() marks arrive as ResolvedHint

@@ -239,6 +239,38 @@ class PlansSpec extends AnyFunSuite {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
       assert(!dbl.queryExecution.executedPlan.toString.contains("pid#"),
         "a double-summand running window must not be rewritten")
+      // the RANGE class matcher: bounded trailing value frame splices
+      // the ghost-row + two-pointer sweep rewrite (no tie requirement:
+      // a RANGE frame is a value set)
+      def qRng(view: String) = s"""SELECT l_suppkey, l_orderkey,
+          l_linenumber, l_quantity,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+            AS rng_sum,
+          CAST(count(*) OVER w AS BIGINT) AS rng_n
+        FROM $view
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"""
+      spark.conf.unset(key)
+      val rngOff = spark.sql(qRng("li_hot"))
+      assert(!rngOff.queryExecution.executedPlan.toString.contains("pid#"))
+      val rngExpected = rows(rngOff)
+      spark.conf.set(key, "true")
+      val rngHot = spark.sql(qRng("li_hot"))
+      val gp = rngHot.queryExecution.executedPlan.toString
+      assert(gp.contains("pid#"), gp.take(800))
+      assert(rngHot.schema === rngOff.schema)
+      assert(rows(rngHot) === rngExpected)
+      // a non-integral ordering column must not rewrite (the sweep's
+      // normalization contract)
+      val badOrd = spark.sql(s"""SELECT l_suppkey, l_quantity,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+            AS rng_sum,
+          CAST(count(*) OVER w AS BIGINT) AS rng_n
+        FROM li_hot
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""")
+      assert(!badOrd.queryExecution.executedPlan.toString.contains("pid#"),
+        "a double ordering column must not be rewritten")
     } finally {
       spark.conf.unset(key)
       spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
