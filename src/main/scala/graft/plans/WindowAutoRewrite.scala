@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
-  AttributeReference, Cast, CurrentRow, ExprId, Lag, Lead, Literal,
-  NamedExpression, NullsFirst, RangeFrame, RowFrame, RowNumber,
-  SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
-  WindowSpecDefinition}
+  AttributeReference, Cast, CurrentRow, DenseRank, ExprId, Lag, Lead,
+  Literal, NTile, NamedExpression, NullsFirst, Rank, RangeFrame,
+  RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame,
+  UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
@@ -98,7 +98,10 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
   private val Scratch = Set("pid", "lrn", "prev0", "next0", "cnt",
     "offset", "prev_last", "next_first", "first_q", "last_q",
     "prev_qty", "next_qty", "rn", "lsum", "csum", "sum_offset",
-    "running_qty")
+    "running_qty", "lrk", "ldr", "d", "first_dt", "last_dt", "last_rk",
+    "total", "cont", "overlap", "adj_d", "starts_run", "grp",
+    "last_run_start", "prev_run_start", "prev_last_dt", "rnk", "drank",
+    "bucket")
 
   /** The expression id a projection entry forwards: a direct reference,
     * or the oracle-SQL idiom `CAST(x AS BIGINT)` (the chunked rewrites
@@ -235,9 +238,108 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
   private def integral(a: AttributeReference): Boolean =
     a.dataType == LongType || a.dataType == IntegerType
 
+  /** The rank class arrives as TWO stacked Window operators (Catalyst
+    * groups window expressions by spec): rank/dense_rank over the
+    * COARSE single-column ordering, ntile over the FULL ordering whose
+    * head is that coarse column. Either may be the outer node.
+    */
+  private def rankPair(wes: Seq[NamedExpression])
+      : Option[(Alias, Alias)] = wes match {
+    case Seq(a1 @ Alias(WindowExpression(Rank(_), _), _),
+             a2 @ Alias(WindowExpression(DenseRank(_), _), _)) =>
+      Some((a1, a2))
+    case _ => None
+  }
+
+  private def ntileOne(wes: Seq[NamedExpression])
+      : Option[(Alias, Int)] = wes match {
+    case Seq(a @ Alias(WindowExpression(
+        NTile(Literal(n: Int, IntegerType)), _), _)) if n > 0 =>
+      Some((a, n))
+    case _ => None
+  }
+
+  /** Splice the chunked replacement under the original Project's
+    * output ids, names and types (the operator's BIGINT outputs cast
+    * back down when the query's were uncast INT), hints folded.
+    */
+  private def splice(p: Project,
+      chunked: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val replaced =
+      org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+        chunked.queryExecution.analyzed)
+    Project(p.output.zip(replaced.output).map { case (o, nw) =>
+      val e = if (nw.dataType == o.dataType) nw else Cast(nw, o.dataType)
+      Alias(e, o.name)(exprId = o.exprId)
+    }, replaced)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
     plan.transform {
+      // the rank class: two stacked Windows (either nesting order)
+      case p @ Project(pl,
+          Window(wesO, Seq(kO: AttributeReference), ordO,
+            Window(wesI, Seq(kI: AttributeReference), ordI, child, _), _))
+          if kO.semanticEquals(kI) &&
+            (ordO ++ ordI).forall(o => o.direction == Ascending &&
+              o.nullOrdering == NullsFirst &&
+              o.child.isInstanceOf[AttributeReference]) &&
+            child.output.forall(a => !Scratch.contains(a.name)) &&
+            ((rankPair(wesI).isDefined && ntileOne(wesO).isDefined) ||
+             (rankPair(wesO).isDefined && ntileOne(wesI).isDefined)) =>
+        val (rk, dr, nt, nTiles, coarse, full) =
+          (rankPair(wesI), ntileOne(wesO)) match {
+            case (Some((r, d)), Some((a, n))) => (r, d, a, n, ordI, ordO)
+            case _ =>
+              val (r, d) = rankPair(wesO).get
+              val (a, n) = ntileOne(wesI).get
+              (r, d, a, n, ordO, ordI)
+          }
+        val fullAttrs = full.map(_.child.asInstanceOf[AttributeReference])
+        val ok =
+          // coarse ordering = the full ordering's head column
+          coarse.length == 1 && full.nonEmpty &&
+          coarse.head.child.semanticEquals(full.head.child) &&
+          child.outputSet.contains(kI) &&
+          fullAttrs.forall(child.outputSet.contains) &&
+          // projection = [child passthroughs..., rnk, drank, bucket]
+          pl.length >= 3 &&
+          pl.dropRight(3).forall(e => e.isInstanceOf[AttributeReference]
+            && child.outputSet.contains(e.asInstanceOf[AttributeReference])) &&
+          pl.takeRight(3).map(fwdId) ==
+            Seq(rk, dr, nt).map(a => Some(a.exprId)) &&
+          (pl.dropRight(3).map(_.asInstanceOf[AttributeReference].name) ++
+            fullAttrs.map(_.name) :+ kI.name).distinct.forall(nm =>
+              child.output.count(_.name == nm) == 1) &&
+          // tie safety for NTILE (row-number-dependent): outputs ride
+          // the full ordering; rank/dense_rank are tie-invariant on
+          // the coarse order and need nothing more
+          pl.dropRight(3).map(_.exprId).toSet
+            .subsetOf(fullAttrs.map(_.exprId).toSet + kI.exprId)
+        if (!ok) p
+        else {
+          val s = SparkSession.getActiveSession.getOrElse(
+            throw new IllegalStateException(
+              "WindowAutoRewrite ran without an active SparkSession"))
+          val childDf = GraftSqlBridge.ofRows(s, child)
+          if (!Skew.dispatchChunked(s, childDf, kI.name)) p
+          else {
+            val pass = pl.dropRight(3)
+              .map(_.asInstanceOf[AttributeReference].name)
+            val ordNames = fullAttrs.map(_.name)
+            val spec = WindowSpec(
+              key = kI.name,
+              ord = ordNames,
+              value = ordNames.head, // the rank class has no value subject
+              rangeOrd = ordNames.head,
+              out = pass,
+              rangeOut = pass)
+            splice(p, Skew.windowRankSkewOn(s, childDf,
+              nTiles = nTiles, spec = spec))
+          }
+        }
+
       case p @ Project(pl,
           w @ Window(wes, Seq(key: AttributeReference), order, child, _))
           if order.nonEmpty &&
@@ -308,23 +410,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                   w = rangeW, spec = spec)
                 case _ => Skew.windowRunningSkewOn(s, childDf, spec)
               }
-              // the stats broadcast() marks arrive as ResolvedHint
-              // nodes, but the optimizer's hint-elimination batch
-              // already ran before this rule — fold them into JoinHint
-              // ourselves (the BloomJoinRewrite device) or the
-              // physical planner rejects the plan
-              val replaced =
-                org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-                  chunked.queryExecution.analyzed)
-              // re-alias to the original output ids so references above
-              // the Project resolve unchanged (names, ids AND types
-              // preserved — the operator's BIGINT rn casts back down
-              // when the query's rn was uncast INT)
-              Project(p.output.zip(replaced.output).map { case (o, nw) =>
-                val e = if (nw.dataType == o.dataType) nw
-                  else Cast(nw, o.dataType)
-                Alias(e, o.name)(exprId = o.exprId)
-              }, replaced)
+              splice(p, chunked)
             }
           case _ => p
         }

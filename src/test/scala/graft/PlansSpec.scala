@@ -271,6 +271,43 @@ class PlansSpec extends AnyFunSuite {
           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""")
       assert(!badOrd.queryExecution.executedPlan.toString.contains("pid#"),
         "a double ordering column must not be rewritten")
+      // the RANK class matcher: two stacked Window operators
+      // (rank/dense_rank on the coarse head column, ntile on the full
+      // ordering) splice the run-group boundary rewrite
+      def qRank(view: String) = s"""SELECT l_suppkey, l_orderkey,
+          l_linenumber, l_shipdate, l_quantity,
+          CAST(rank() OVER wd AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER wd AS BIGINT) AS drank,
+          CAST(ntile(4) OVER wf AS BIGINT) AS bucket
+        FROM $view
+        WINDOW
+          wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+          wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+            l_linenumber, l_partkey, l_quantity, l_extendedprice)"""
+      spark.conf.unset(key)
+      val rkOff = spark.sql(qRank("li_hot"))
+      assert(!rkOff.queryExecution.executedPlan.toString.contains("pid#"))
+      val rkExpected = rows(rkOff)
+      spark.conf.set(key, "true")
+      val rkHot = spark.sql(qRank("li_hot"))
+      val kp2 = rkHot.queryExecution.executedPlan.toString
+      assert(kp2.contains("pid#"), kp2.take(800))
+      assert(rkHot.schema === rkOff.schema)
+      assert(rows(rkHot) === rkExpected)
+      // a coarse order that is NOT the full ordering's head must not
+      // rewrite (one shared range partitioning could not serve both)
+      val badCoarse = spark.sql(s"""SELECT l_suppkey, l_orderkey,
+          l_linenumber, l_shipdate, l_quantity,
+          CAST(rank() OVER wd AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER wd AS BIGINT) AS drank,
+          CAST(ntile(4) OVER wf AS BIGINT) AS bucket
+        FROM li_hot
+        WINDOW
+          wd AS (PARTITION BY l_suppkey ORDER BY l_orderkey),
+          wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+            l_linenumber, l_partkey, l_quantity, l_extendedprice)""")
+      assert(!badCoarse.queryExecution.executedPlan.toString
+        .contains("pid#"), "a non-prefix coarse order must not rewrite")
     } finally {
       spark.conf.unset(key)
       spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
