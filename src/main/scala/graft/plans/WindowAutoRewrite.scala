@@ -261,13 +261,22 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
 
   /** Splice the chunked replacement under the original Project's
     * output ids, names and types (the operator's BIGINT outputs cast
-    * back down when the query's were uncast INT), hints folded.
+    * back down when the query's were uncast INT).
+    *
+    * The OPTIMIZED plan is spliced, not the analyzed one: this rule
+    * runs in the last optimizer batch, so a spliced subtree gets no
+    * further main-batch passes — an analyzed splice shipped the
+    * chunked pipeline without column pruning or project collapse and
+    * measured 2.3× the direct operator at the ×100 corpus (61.6 vs
+    * 26.9 s; SCALING.md r19). Optimizing the replacement also folds
+    * its broadcast ResolvedHints, and cannot re-enter this rule: the
+    * chunked pipeline's internal windows are (pid, key)-partitioned
+    * or carry non-matching expression sets, which the shape guards
+    * refuse.
     */
   private def splice(p: Project,
       chunked: org.apache.spark.sql.DataFrame): LogicalPlan = {
-    val replaced =
-      org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-        chunked.queryExecution.analyzed)
+    val replaced = chunked.queryExecution.optimizedPlan
     Project(p.output.zip(replaced.output).map { case (o, nw) =>
       val e = if (nw.dataType == o.dataType) nw else Cast(nw, o.dataType)
       Alias(e, o.name)(exprId = o.exprId)
