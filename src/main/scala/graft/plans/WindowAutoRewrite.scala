@@ -94,6 +94,15 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
 
   /** The chunked rewrites' internal column names: a child already using
     * one would be silently clobbered by withColumn — refuse instead.
+    * The second group is the RANGE-class sweep's internals: `_k`/`_ov`/
+    * `_v` are added via withColumn (a same-named child passthrough
+    * would be silently REPLACED by the cast key/ordering/summand) and
+    * `ghost` is the shuffle-fallback union's emit filter (fieldIndex
+    * would resolve to the user's column and mis-filter output rows);
+    * `lo`/`hi`/`nxt_lo`/`prv_hi`/`gk`/`tpid` ride the bounds joins, and
+    * `rng_sum`/`rng_n` are the class's own output names — all refused
+    * for fail-loud hygiene (a collision would mean wrong data, exactly
+    * the failure class this guard exists to prevent).
     */
   private val Scratch = Set("pid", "lrn", "prev0", "next0", "cnt",
     "offset", "prev_last", "next_first", "first_q", "last_q",
@@ -101,7 +110,9 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     "running_qty", "lrk", "ldr", "d", "first_dt", "last_dt", "last_rk",
     "total", "cont", "overlap", "adj_d", "starts_run", "grp",
     "last_run_start", "prev_run_start", "prev_last_dt", "rnk", "drank",
-    "bucket")
+    "bucket",
+    "_k", "_ov", "_v", "ghost", "lo", "hi", "nxt_lo", "prv_hi", "gk",
+    "tpid", "rng_sum", "rng_n")
 
   /** The expression id a projection entry forwards: a direct reference,
     * or the oracle-SQL idiom `CAST(x AS BIGINT)` (the chunked rewrites

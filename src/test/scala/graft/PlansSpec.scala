@@ -316,6 +316,48 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("scratch-name collisions refuse the window rewrite: a child " +
+       "column named _v or ghost (range-class internals) keeps the " +
+       "plain plan and its exact rows") {
+    val key = graft.plans.WindowAutoRewrite.ConfKey
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_suppkey",
+        when(col("l_orderkey") % 2 === 0, lit(7L))
+          .otherwise(col("l_orderkey") % 2000 + 10000))
+    // `_v` is the range sweep's normalized summand (added via
+    // withColumn — a same-named passthrough would be silently REPLACED
+    // by the cast value); `ghost` is the shuffle-fallback emit filter
+    for (bad <- Seq("_v", "ghost")) {
+      li.withColumn(bad, col("l_extendedprice") * 2)
+        .createOrReplaceTempView("li_scratch")
+      // the collision column is PROJECTED, so pruning cannot remove it
+      // and the guard is the only thing standing between the user and
+      // wrong data in that column
+      val q = s"""SELECT `$bad`, l_suppkey, l_orderkey, l_quantity,
+          CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+            AS rng_sum,
+          CAST(count(*) OVER w AS BIGINT) AS rng_n
+        FROM li_scratch
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"""
+      val expected = spark.sql(q).collect()
+        .map(_.mkString("|")).sorted.toSeq
+      spark.conf.set(key, "true")
+      spark.conf.set(graft.operators.Skew.MinHotRowsConf, "0")
+      try {
+        val on = spark.sql(q)
+        val p = on.queryExecution.executedPlan.toString
+        assert(!p.contains("pid#"),
+          s"a child column named $bad must refuse the rewrite")
+        assert(on.collect().map(_.mkString("|")).sorted.toSeq === expected)
+      } finally {
+        spark.conf.unset(key)
+        spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
+        spark.catalog.dropTempView("li_scratch")
+      }
+    }
+  }
+
   test("opt-in optimizer rule rewrites rank-filter windows to GroupedTopK") {
     val key = graft.plans.RankLimitRewrite.ConfKey
     // default off: the window formulation keeps its window plan — and
