@@ -45,8 +45,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // star joins get the portable Bloom fact-side pre-filter injected
     e.injectOptimizerRule(_ => graft.plans.BloomJoinRewrite)
     // optimizer rule (opt-in via spark.graft.rewriteWindowAuto): the
-    // canonical lag-class window SELECT entering as plain SQL gets the
-    // profile-dispatched chunked rewrite above the hot-key threshold
-    e.injectOptimizerRule(_ => graft.plans.WindowAutoRewrite)
+    // canonical window-class SELECT entering as plain SQL gets the
+    // profile-dispatched chunked rewrite above the hot-key threshold.
+    // Routed through extraOptimizations (the LAST optimizer batch)
+    // rather than the operator-optimization FIXED POINT this injection
+    // seam feeds: the rule runs a plan-time profile job and splices an
+    // already-OPTIMIZED subtree, so in the fixed point it would re-pay
+    // the profile job per batch iteration and have its splice
+    // re-optimized — the cost model documented at the splice site
+    // holds only for the last batch. The builder runs once per session
+    // at optimizer construction, making this the extension-path twin
+    // of WindowAutoRewrite.ensureRule; the rule handed back to the
+    // fixed point is an inert shim.
+    e.injectOptimizerRule { session =>
+      graft.plans.WindowAutoRewrite.ensureRule(session)
+      graft.plans.WindowAutoRewrite.Registered
+    }
   }
 }

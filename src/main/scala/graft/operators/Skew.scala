@@ -40,13 +40,24 @@ final case class WindowSpec(
     rangeOrd: String,
     out: Seq[String],
     rangeOut: Seq[String],
-    valueAlias: String = "qty") {
+    valueAlias: String = "qty",
+    descending: Boolean = false) {
   require(ord.nonEmpty, "window spec needs at least one ordering column")
   def prevName: String = s"prev_$valueAlias"
   def nextName: String = s"next_$valueAlias"
   def runningName: String = s"running_$valueAlias"
   /** Columns the row-frame classes must carry through the chunking. */
   def keep: Seq[String] = ((key +: ord) ++ out :+ value).distinct
+  /** Window-order sort expressions for the row-frame classes. An
+    * all-DESC (nulls-last) ordering is the exact REVERSE of the
+    * all-ASC nulls-first total order, so the lag/running rewrites flip
+    * mechanically: range-partition and window-sort on these, and swap
+    * first/last edge stats ([[Skew.windowLagSkewOn]]). The rank and
+    * range classes refuse descending specs (their boundary algebra is
+    * written against the ascending sweep).
+    */
+  def ordSorted: Seq[Column] =
+    if (descending) ord.map(c => col(c).desc) else ord.map(col)
 }
 
 object WindowSpec {
@@ -242,7 +253,7 @@ object Skew {
   private[graft] def windowLagSkewOn(s: SparkSession, df: DataFrame,
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = spec.ord.map(col)
+    val ordCols = spec.ordSorted
     val sortCols = col(spec.key) +: ordCols
     // explicit chunk count: AQE never coalesces a user repartition with
     // fixed N, so spark_partition_id is stable across plan reuse
@@ -277,13 +288,22 @@ object Skew {
       .withColumn("next0", lead(col(spec.value), 1).over(wl))
     // per-(chunk, key) edge stats; the ordering struct makes
     // min_by/max_by the first/last row in window order (ties are full
-    // duplicates — same value — so arg-min ambiguity is valueless)
-    val ordStruct = struct(ordCols: _*)
+    // duplicates — same value — so arg-min ambiguity is valueless).
+    // Catalyst's struct total order compares fields asc-nulls-first,
+    // so min_by = first under ASC NULLS FIRST and, because DESC NULLS
+    // LAST is that order's exact reverse, max_by = first under a
+    // descending spec (the plain struct carries no sort direction —
+    // the swap IS the flip).
+    val ordStruct = struct(spec.ord.map(col): _*)
     val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
+    val firstAgg = if (spec.descending) max_by(col(spec.value), ordStruct)
+      else min_by(col(spec.value), ordStruct)
+    val lastAgg = if (spec.descending) min_by(col(spec.value), ordStruct)
+      else max_by(col(spec.value), ordStruct)
     val stats = ranged.groupBy(col("pid"), col(spec.key))
       .agg(count(lit(1)).as("cnt"),
-        min_by(col(spec.value), ordStruct).as("first_q"),
-        max_by(col(spec.value), ordStruct).as("last_q"))
+        firstAgg.as("first_q"),
+        lastAgg.as("last_q"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
         wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("prev_last", lag(col("last_q"), 1).over(wk))
@@ -318,7 +338,7 @@ object Skew {
   private[graft] def windowRunningSkewOn(s: SparkSession, df: DataFrame,
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordCols = spec.ord.map(col)
+    val ordCols = spec.ordSorted
     val sortCols = col(spec.key) +: ordCols
     val chunks = s.sparkContext.defaultParallelism
     val ranged = df
@@ -397,6 +417,9 @@ object Skew {
                                        spec: WindowSpec =
                                          WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!spec.descending,
+      "the range-class sweep is written against the ascending value " +
+        "order; rewrite the frame bounds instead of flipping the sort")
     val chunks = s.sparkContext.defaultParallelism
     // normalized role columns (_k/_ov/_v — BIGINT key + ordering +
     // summand) so the sweeps below are spec-independent: passthrough
@@ -692,6 +715,9 @@ object Skew {
       nTiles: Int = 4,
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!spec.descending,
+      "the rank-class boundary algebra (run groups, first/last coarse " +
+        "values) is written against the ascending order")
     val ordCols = spec.ord.map(col)
     val coarse = spec.ord.head
     val sortCols = col(spec.key) +: ordCols
@@ -946,7 +972,7 @@ object Skew {
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(spec.key))
-      .orderBy(spec.ord.map(col): _*)
+      .orderBy(spec.ordSorted: _*)
     df.select(spec.out.map(col) ++ Seq(
       lag(col(spec.value), 1).over(w).as(spec.prevName),
       lead(col(spec.value), 1).over(w).as(spec.nextName),
@@ -969,7 +995,7 @@ object Skew {
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(spec.key))
-      .orderBy(spec.ord.map(col): _*)
+      .orderBy(spec.ordSorted: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(spec.out.map(col) ++ Seq(
       sum(col(spec.value).cast("long")).over(w).as(spec.runningName),
@@ -1014,6 +1040,10 @@ object Skew {
   def windowAutoOn(s: SparkSession, df: DataFrame, cls: String = "lag",
                    threshold: Double = WindowSkewShare,
                    spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+    require(!spec.descending || cls == "lag" || cls == "running",
+      s"descending specs are supported for the lag/running classes " +
+        s"only (got '$cls') — the rank/range boundary algebra is " +
+        "ascending; fail here rather than silently on one branch")
     val skewed = dispatchChunked(s, df, spec.key, threshold)
     cls match {
       case "lag" =>

@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
-  AttributeReference, Cast, CurrentRow, DenseRank, ExprId, Lag, Lead,
-  Literal, NTile, NamedExpression, NullsFirst, Rank, RangeFrame,
-  RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame,
-  UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  AttributeReference, Cast, CurrentRow, DenseRank, Descending, ExprId,
+  Lag, Lead, Literal, NTile, NamedExpression, NullsFirst, NullsLast,
+  Rank, RangeFrame, RowFrame, RowNumber, SortOrder,
+  SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+  WindowSpecDefinition}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
@@ -43,18 +45,27 @@ import graft.operators.{Skew, WindowSpec}
   *    profile job and, above the threshold, a chunk-materializing job
   *    at optimization time — a plan-shape decision the user makes
   *    knowingly; same contract as RankLimitRewrite/BloomJoinRewrite);
-  *  - the window expressions are EXACTLY one class's set over one
-  *    shared (single-key, all-ascending, nulls-first) window: lag
+  *  - the window expressions are a non-empty SUBSET of one class's
+  *    canonical set over one shared single-key window — the operator
+  *    computes the class's full output set (its oracle proves the
+  *    superset) and the splice projects down: lag
   *    [lag(v,1), lead(v,1), row_number()], running
   *    [sum(BIGINT v), count(*)] on the UNBOUNDED PRECEDING..CURRENT
   *    ROW row frame (the summand must already be integral — a double
-  *    sum would change float fold order), or range [sum(BIGINT v),
-  *    count(*)] on a bounded trailing RANGE frame over one integral
-  *    ordering column with an integral key (the chunked sweep's
-  *    normalization contract; tie safety is structural there — a
-  *    RANGE frame is a value set). The rank class follows the same
-  *    pattern (two stacked Window operators) and stays
-  *    DataFrame-API-only until a query needs it;
+  *    sum would change float fold order; a count-only subset routes
+  *    to the LAG operator since count(*) over that frame IS
+  *    row_number), range [sum(BIGINT v), count(*)] on a bounded
+  *    trailing RANGE frame over one integral ordering column with an
+  *    integral key (the chunked sweep's normalization contract; tie
+  *    safety is structural there — a RANGE frame is a value set), or
+  *    single-Window rank [rank(), dense_rank(), ntile(n)] (rank/
+  *    dense_rank are tie-invariant and waive the passthrough
+  *    tie-coverage guard when ntile is absent; their presence
+  *    requires a single ordering column — the operator ranks on the
+  *    coarse head). The stacked two-Window rank shape matches as
+  *    before. Orderings are all-ASC NULLS FIRST, or — for the
+  *    lag/running classes, whose rewrites flip mechanically — the
+  *    exact reverse, all-DESC NULLS LAST;
   *  - every partition/order/value expression is a direct child column,
   *    and every role column resolves unambiguously by name;
   *  - every projected passthrough column (and the subject) appears in
@@ -90,6 +101,18 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     val cur = s.experimental.extraOptimizations
     if (!cur.contains(WindowAutoRewrite))
       s.experimental.extraOptimizations = cur :+ WindowAutoRewrite
+  }
+
+  /** Inert shim for the SparkSessionExtensions seam: injectOptimizerRule
+    * feeds the operator-optimization FIXED POINT, where this rule's
+    * plan-time profile job would re-run per batch iteration and its
+    * optimized splice be re-optimized — so GraftExtensions' builder
+    * calls [[ensureRule]] (registering the real rule in the LAST batch,
+    * where the splice cost model holds) and contributes this no-op to
+    * the fixed point instead.
+    */
+  object Registered extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan
   }
 
   /** The chunked rewrites' internal column names: a child already using
@@ -146,35 +169,74 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  /** A matched window class: its name, the value subject, the Window
-    * operator's aliases in output order, and — for the range class —
-    * the trailing frame width.
+  /** A matched single-Window class: which chunked operator runs, the
+    * value subject the shapes imply (None when no expression names
+    * one — the spec then takes the ordering head), the window aliases
+    * in Window-operator order alongside the OPERATOR output column
+    * each one forwards (the splice projects the operator's superset
+    * down to exactly these), the range width / ntile count where the
+    * class carries one, and the tie obligations the shape imposes.
     */
-  private def windowClassOf(wes: Seq[NamedExpression])
-      : Option[(String, AttributeReference, Seq[Alias], Long)] =
-    lagShape(wes).map { case (v, as) => ("lag", v, as, 0L) }
-      .orElse(runningShape(wes).map { case (v, as) =>
-        ("running", v, as, 0L) })
-      .orElse(rangeShape(wes).map { case (v, w, as) =>
-        ("range", v, as, w) })
+  private final case class ClassMatch(
+      cls: String,
+      value: Option[AttributeReference],
+      rangeW: Long,
+      nTiles: Int,
+      aliases: Seq[Alias],
+      opCols: Seq[String],
+      tiePass: Boolean,
+      tieValue: Boolean)
 
-  private def lagShape(wes: Seq[NamedExpression])
-      : Option[(AttributeReference, Seq[Alias])] = wes match {
-    case Seq(
-        a1 @ Alias(WindowExpression(
-          Lag(v1: AttributeReference, Literal(1, _), Literal(null, _), false),
-          _), _),
-        a2 @ Alias(WindowExpression(
-          Lead(v2: AttributeReference, Literal(1, _), Literal(null, _), false),
-          _), _),
-        a3 @ Alias(WindowExpression(_: RowNumber, _), _))
-        if v1.semanticEquals(v2) =>
-      Some((v1, Seq(a1, a2, a3)))
+  /** Fold a window-expression list through a per-expression role
+    * matcher into (shared value subject, aliases, operator columns);
+    * None when any expression misses its role or two expressions name
+    * CONFLICTING value subjects (lag(a) with lead(b) is not one class).
+    */
+  private def roles(wes: Seq[NamedExpression])(
+      one: NamedExpression => Option[(Option[AttributeReference], String)])
+      : Option[(Option[AttributeReference], Seq[Alias], Seq[String])] = {
+    var value: Option[AttributeReference] = None
+    val as = Seq.newBuilder[Alias]
+    val cols = Seq.newBuilder[String]
+    val ok = wes.nonEmpty && wes.forall { e =>
+      one(e) match {
+        case Some((v, c)) =>
+          val consistent = (value, v) match {
+            case (Some(a), Some(b)) => a.semanticEquals(b)
+            case _ => true
+          }
+          consistent && (e match {
+            case a: Alias =>
+              if (value.isEmpty) value = v
+              as += a; cols += c; true
+            case _ => false
+          })
+        case None => false
+      }
+    }
+    if (ok) Some((value, as.result(), cols.result())) else None
+  }
+
+  /** The lag class's roles: any non-empty SUBSET of
+    * [lag(v,1), lead(v,1), row_number()] — the operator computes the
+    * full triple and the splice projects down, so a lag-only query is
+    * just the superset minus two columns (the operator's oracle proves
+    * the superset).
+    */
+  private def lagRole(e: NamedExpression)
+      : Option[(Option[AttributeReference], String)] = e match {
+    case Alias(WindowExpression(
+        Lag(v: AttributeReference, Literal(1, _), Literal(null, _), false),
+        _), _) => Some((Some(v), "prev_qty"))
+    case Alias(WindowExpression(
+        Lead(v: AttributeReference, Literal(1, _), Literal(null, _), false),
+        _), _) => Some((Some(v), "next_qty"))
+    case Alias(WindowExpression(_: RowNumber, _), _) => Some((None, "rn"))
     case _ => None
   }
 
-  /** The UNBOUNDED PRECEDING..CURRENT ROW row frame both running-class
-    * expressions must carry.
+  /** The UNBOUNDED PRECEDING..CURRENT ROW row frame every
+    * running-class expression must carry.
     */
   private def runningFrame(ws: WindowSpecDefinition): Boolean =
     ws.frameSpecification match {
@@ -183,25 +245,36 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def runningShape(wes: Seq[NamedExpression])
-      : Option[(AttributeReference, Seq[Alias])] = wes match {
-    case Seq(
-        a1 @ Alias(WindowExpression(
-          AggregateExpression(sumF: Sum, _, false, None, _),
-          ws1: WindowSpecDefinition), _),
-        a2 @ Alias(WindowExpression(
-          AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
-          ws2: WindowSpecDefinition), _))
-        if runningFrame(ws1) && runningFrame(ws2) =>
-      // the summand must ALREADY be integral: the chunked rewrite sums
-      // BIGINT (exact, associativity-proof) — rewriting a double sum
-      // would change the float fold order, i.e. the result
-      sumF.child match {
-        case Cast(v: AttributeReference, LongType, _, _) => Some((v, Seq(a1, a2)))
-        case v: AttributeReference if v.dataType == LongType =>
-          Some((v, Seq(a1, a2)))
-        case _ => None
-      }
+  /** The summand an integral windowed SUM forwards: the expression
+    * must ALREADY be BIGINT (directly or via an explicit cast) — the
+    * chunked rewrites sum BIGINT (exact, associativity-proof), and
+    * rewriting a double sum would change the float fold order, i.e.
+    * the result.
+    */
+  private def sumSubject(sumF: Sum): Option[AttributeReference] =
+    sumF.child match {
+      case Cast(v: AttributeReference, LongType, _, _) => Some(v)
+      case v: AttributeReference if v.dataType == LongType => Some(v)
+      case _ => None
+    }
+
+  /** The running class's roles: any non-empty subset of
+    * [sum(BIGINT v), count(*)] on the running row frame. A count-only
+    * subset has no summand — classify routes it to the LAG operator,
+    * because count(*) over ROWS UNBOUNDED PRECEDING..CURRENT ROW IS
+    * row_number() (the frame holds exactly the rows at or before the
+    * current position).
+    */
+  private def runningRole(e: NamedExpression)
+      : Option[(Option[AttributeReference], String)] = e match {
+    case Alias(WindowExpression(
+        AggregateExpression(sumF: Sum, _, false, None, _),
+        ws: WindowSpecDefinition), _) if runningFrame(ws) =>
+      sumSubject(sumF).map(v => (Some(v), "running_qty"))
+    case Alias(WindowExpression(
+        AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
+        ws: WindowSpecDefinition), _) if runningFrame(ws) =>
+      Some((None, "rn"))
     case _ => None
   }
 
@@ -217,33 +290,90 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The range class: `sum(BIGINT v) OVER w, count(*) OVER w` on a
-    * bounded trailing RANGE frame. No tie-safety requirement applies —
-    * a RANGE frame is a VALUE set, so every row's totals depend only
-    * on its (key, ordering value) and any tie split yields identical
-    * rows; what IS required (checked at the call site) is an integral
-    * single-column ordering and an integral key, the chunked sweep's
-    * normalization contract.
+  /** The range class's roles at one shared frame width `w`: any
+    * non-empty subset of [sum(BIGINT v), count(*)] on the bounded
+    * trailing RANGE frame. No tie-safety requirement — a RANGE frame
+    * is a VALUE set, so every row's totals depend only on its (key,
+    * ordering value); what IS required (checked at the call site) is
+    * an integral single-column ordering and an integral key, the
+    * chunked sweep's normalization contract. A count-only subset takes
+    * the (integral) ordering column as its discarded summand.
     */
-  private def rangeShape(wes: Seq[NamedExpression])
-      : Option[(AttributeReference, Long, Seq[Alias])] = wes match {
-    case Seq(
-        a1 @ Alias(WindowExpression(
-          AggregateExpression(sumF: Sum, _, false, None, _),
-          ws1: WindowSpecDefinition), _),
-        a2 @ Alias(WindowExpression(
-          AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
-          ws2: WindowSpecDefinition), _))
-        if trailingRangeW(ws1).nonEmpty &&
-          trailingRangeW(ws1) == trailingRangeW(ws2) =>
-      sumF.child match {
-        case Cast(v: AttributeReference, LongType, _, _) =>
-          Some((v, trailingRangeW(ws1).get, Seq(a1, a2)))
-        case v: AttributeReference if v.dataType == LongType =>
-          Some((v, trailingRangeW(ws1).get, Seq(a1, a2)))
-        case _ => None
-      }
+  private def rangeRole(w: Long)(e: NamedExpression)
+      : Option[(Option[AttributeReference], String)] = e match {
+    case Alias(WindowExpression(
+        AggregateExpression(sumF: Sum, _, false, None, _),
+        ws: WindowSpecDefinition), _) if trailingRangeW(ws).contains(w) =>
+      sumSubject(sumF).map(v => (Some(v), "rng_sum"))
+    case Alias(WindowExpression(
+        AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
+        ws: WindowSpecDefinition), _) if trailingRangeW(ws).contains(w) =>
+      Some((None, "rng_n"))
     case _ => None
+  }
+
+  /** The single-Window rank class's roles: any non-empty subset of
+    * [rank(), dense_rank(), ntile(n)] over ONE window. rank/dense_rank
+    * are TIE-INVARIANT (every tied row gets the same value), so a
+    * subset without ntile waives the passthrough tie-coverage guard —
+    * the provably-safe shape the exact-set matcher used to refuse;
+    * ntile's presence re-imposes it (its value depends on the row
+    * number). classify additionally requires a single ordering column
+    * whenever rank/dense_rank are present (the operator ranks on the
+    * coarse head column only).
+    */
+  private def rankRole(e: NamedExpression)
+      : Option[(Option[AttributeReference], String)] = e match {
+    case Alias(WindowExpression(Rank(_), _), _) => Some((None, "rnk"))
+    case Alias(WindowExpression(DenseRank(_), _), _) => Some((None, "drank"))
+    case Alias(WindowExpression(NTile(Literal(n: Int, IntegerType)), _), _)
+        if n > 0 => Some((None, "bucket"))
+    case _ => None
+  }
+
+  /** Classify one single-Window expression list. Descending orderings
+    * are admitted for the row-frame lag/running classes only (an
+    * all-DESC nulls-last order is the exact reverse of all-ASC
+    * nulls-first, which the operators flip mechanically via
+    * `WindowSpec.descending`); the rank and range boundary algebras
+    * are written against the ascending sweep and refuse.
+    */
+  private def classify(wes: Seq[NamedExpression], orderLen: Int,
+                       descending: Boolean): Option[ClassMatch] = {
+    def mk(cls: String,
+           r: (Option[AttributeReference], Seq[Alias], Seq[String]),
+           rangeW: Long = 0L, nTiles: Int = 4,
+           tiePass: Boolean, tieValue: Boolean) =
+      ClassMatch(cls, r._1, rangeW, nTiles, r._2, r._3, tiePass, tieValue)
+    roles(wes)(lagRole)
+      .map(r => mk("lag", r, tiePass = true, tieValue = r._1.nonEmpty))
+      .orElse(roles(wes)(runningRole).map { r =>
+        val cls = if (r._1.isEmpty) "lag" else "running"
+        mk(cls, r, tiePass = true, tieValue = r._1.nonEmpty)
+      })
+      .orElse {
+        if (descending) None
+        else wes.collectFirst {
+          case Alias(WindowExpression(_: AggregateExpression,
+              ws: WindowSpecDefinition), _)
+              if trailingRangeW(ws).nonEmpty => trailingRangeW(ws).get
+        }.flatMap(w => roles(wes)(rangeRole(w)).map(r =>
+          mk("range", r, rangeW = w, tiePass = false, tieValue = false)))
+      }
+      .orElse {
+        if (descending) None
+        else roles(wes)(rankRole).flatMap { r =>
+          val hasNtile = r._3.contains("bucket")
+          val hasRank = r._3.exists(c => c == "rnk" || c == "drank")
+          val nT = wes.collectFirst {
+            case Alias(WindowExpression(
+                NTile(Literal(n: Int, IntegerType)), _), _) => n
+          }.getOrElse(4)
+          if (hasRank && orderLen != 1) None
+          else Some(mk("rank", r, nTiles = nT,
+            tiePass = hasNtile, tieValue = false))
+        }
+      }
   }
 
   private def integral(a: AttributeReference): Boolean =
@@ -279,7 +409,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     * further main-batch passes — an analyzed splice shipped the
     * chunked pipeline without column pruning or project collapse and
     * measured 2.3× the direct operator at the ×100 corpus (61.6 vs
-    * 26.9 s; SCALING.md r19). Optimizing the replacement also folds
+    * 26.9 s; SCALING.md "Window SQL seam at ×100 (SqlWinProf)").
+    * Optimizing the replacement also folds
     * its broadcast ResolvedHints, and cannot re-enter this rule: the
     * chunked pipeline's internal windows are (pid, key)-partitioned
     * or carry non-matching expression sets, which the shape guards
@@ -361,49 +492,57 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
         }
 
       case p @ Project(pl,
-          w @ Window(wes, Seq(key: AttributeReference), order, child, _))
+          Window(wes, Seq(key: AttributeReference), order, child, _))
           if order.nonEmpty &&
-            order.forall(o => o.direction == Ascending &&
-              o.nullOrdering == NullsFirst &&
-              o.child.isInstanceOf[AttributeReference]) &&
+            order.forall(_.child.isInstanceOf[AttributeReference]) &&
+            // uniform direction: ASC NULLS FIRST (the SQL default), or
+            // its exact REVERSE, DESC NULLS LAST — mixed directions or
+            // non-default null placement refuse
+            (order.forall(o => o.direction == Ascending &&
+               o.nullOrdering == NullsFirst) ||
+             order.forall(o => o.direction == Descending &&
+               o.nullOrdering == NullsLast)) &&
             child.output.forall(a => !Scratch.contains(a.name)) =>
-        windowClassOf(wes) match {
-          case Some((cls, value, aliases, rangeW))
-              if {
-                val n = aliases.length
+        val descending = order.head.direction == Descending
+        classify(wes, order.length, descending) match {
+          case Some(m) if {
+                val n = m.aliases.length
+                val ordAttrs =
+                  order.map(_.child.asInstanceOf[AttributeReference])
+                // the value subject: named by the shapes, or the
+                // ordering head when no expression names one (rn-only /
+                // count-only — computed-but-projected-away roles; the
+                // range class's fallback is integral by its own guard)
+                val value = m.value.getOrElse(ordAttrs.head)
+                val ordKey = ordAttrs.map(_.exprId).toSet + key.exprId
                 child.outputSet.contains(value) &&
                 child.outputSet.contains(key) &&
-                order.forall(o => child.outputSet.contains(
-                  o.child.asInstanceOf[AttributeReference])) &&
+                ordAttrs.forall(child.outputSet.contains) &&
                 // projection = [child passthroughs..., class columns]
                 pl.length >= n &&
                 pl.dropRight(n).forall(e => e.isInstanceOf[AttributeReference]
                   && child.outputSet.contains(
                     e.asInstanceOf[AttributeReference])) &&
                 pl.takeRight(n).map(fwdId) ==
-                  aliases.map(a => Some(a.exprId)) &&
+                  m.aliases.map(a => Some(a.exprId)) &&
                 // name-resolution safety: every role column resolves
                 // unambiguously by name on the child
                 (pl.dropRight(n).map(
                     _.asInstanceOf[AttributeReference].name) ++
-                  order.map(_.child.asInstanceOf[AttributeReference].name)
-                  ++ Seq(key.name, value.name)).distinct.forall(nm =>
+                  ordAttrs.map(_.name) ++ Seq(key.name, value.name))
+                  .distinct.forall(nm =>
                     child.output.count(_.name == nm) == 1) &&
-                (if (cls == "range")
-                  // the range sweep's normalization contract: one
-                  // integral ordering column, integral key (tie safety
-                  // is structural — a RANGE frame is a value set)
-                  order.length == 1 && integral(key) &&
-                    integral(order.head.child.asInstanceOf[AttributeReference])
-                else {
-                  // tie safety: every output column (and the subject)
-                  // rides the ordering, so ties are full duplicates
-                  val ordKey = order.map(
-                    _.child.asInstanceOf[AttributeReference].exprId).toSet +
-                    key.exprId
-                  pl.dropRight(n).map(_.exprId).toSet.subsetOf(ordKey) &&
-                    tieCovered(value, child, ordKey)
-                })
+                // the range sweep's normalization contract: one
+                // integral ordering column, integral key (tie safety
+                // is structural — a RANGE frame is a value set)
+                (m.cls != "range" || (order.length == 1 &&
+                  integral(key) && integral(ordAttrs.head))) &&
+                // tie safety where the shape imposes it: passthroughs
+                // ride the ordering (row-number-dependent outputs),
+                // and the subject rides it (lag/lead/sum outputs)
+                (!m.tiePass ||
+                  pl.dropRight(n).map(_.exprId).toSet.subsetOf(ordKey)) &&
+                (!m.tieValue || tieCovered(value, child, ordKey))
               } =>
             val s = SparkSession.getActiveSession.getOrElse(
               throw new IllegalStateException(
@@ -412,25 +551,31 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
             if (!Skew.dispatchChunked(s, childDf, key.name))
               p // plain dispatch = the plan as-is
             else {
-              val n = aliases.length
+              val n = m.aliases.length
               val pass = pl.dropRight(n)
                 .map(_.asInstanceOf[AttributeReference].name)
               val ordNames = order.map(
                 _.child.asInstanceOf[AttributeReference].name)
+              val valueName = m.value.map(_.name).getOrElse(ordNames.head)
               val spec = WindowSpec(
                 key = key.name,
                 ord = ordNames,
-                value = value.name,
+                value = valueName,
                 rangeOrd = ordNames.head, // = THE ordering (range class)
                 out = pass,
-                rangeOut = pass)
-              val chunked = cls match {
+                rangeOut = pass,
+                descending = descending)
+              val full = m.cls match {
                 case "lag" => Skew.windowLagSkewOn(s, childDf, spec)
+                case "running" => Skew.windowRunningSkewOn(s, childDf, spec)
                 case "range" => Skew.windowRangeSkewOn(s, childDf,
-                  w = rangeW, spec = spec)
-                case _ => Skew.windowRunningSkewOn(s, childDf, spec)
+                  w = m.rangeW, spec = spec)
+                case _ => Skew.windowRankSkewOn(s, childDf,
+                  nTiles = m.nTiles, spec = spec)
               }
-              splice(p, chunked)
+              // the operator computes its class's full output set; the
+              // splice projects the superset down to the query's subset
+              splice(p, full.select((pass ++ m.opCols).map(col): _*))
             }
           case _ => p
         }

@@ -38,7 +38,22 @@ private[graft] object StoreProtocol {
     *    cleanup pass disambiguates — still unchanged ⇒ superseded and
     *    reclaimed; changed ⇒ genuinely live, ceded. Without the
     *    rewrite a tie-surviving superseded dir leaked permanently
-    *    whenever no later compaction ran.
+    *    whenever no later compaction ran. RESIDUAL ASSUMPTION, stated
+    *    plainly: the rewrite trades the leak for a wrong-delete iff a
+    *    legacy-listed path was RE-CREATED in the same mtime tick as
+    *    the marker write and never written again — the two cases
+    *    (superseded at tick T, re-created at tick T) leave IDENTICAL
+    *    filesystem states, so no later observation can separate them;
+    *    the protocol relies on same-tick re-creation not happening.
+    *    That holds for every compaction-produced path (`b=seed<N>`/
+    *    `b=fold<N>` ids are monotone via [[nextCompactId]], which
+    *    reserves pending-marker ids — the path is never reused) and
+    *    for per-batch `b=<id>` dirs under a preserved checkpoint
+    *    (engine batch ids are monotone); the uncovered sliver is an
+    *    operator action that reuses a path within one filesystem
+    *    timestamp tick of the legacy supersede — a bare `b=seed`
+    *    re-seed, or a fresh-checkpoint restart re-emitting an old
+    *    batch id — against a marker that additionally predates r18.
     * The marker is retired only when every line was reclaimed or
     * deliberately ceded to a later compaction; otherwise it persists
     * (rewritten) and the next entry finishes the job. Id monotonicity

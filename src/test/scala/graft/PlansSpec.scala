@@ -316,6 +316,184 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("widened window SQL matchers: function SUBSETS splice the " +
+       "operator and project down; all-DESC orderings flip the " +
+       "lag/running rewrites; single-window rank subsets waive the " +
+       "passthrough tie guard; the new refusals hold") {
+    val key = graft.plans.WindowAutoRewrite.ConfKey
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.withColumn("l_suppkey",
+        when(col("l_orderkey") % 2 === 0, lit(7L))
+          .otherwise(col("l_orderkey") % 2000 + 10000))
+      .createOrReplaceTempView("li_hot2")
+    val fullOrd = "l_shipdate, l_orderkey, l_linenumber, l_partkey, " +
+      "l_quantity, l_extendedprice"
+    val fullOrdDesc = fullOrd.split(", ").map(_ + " DESC").mkString(", ")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    // (label, sql, mustFire)
+    val cases = Seq(
+      ("lag-only subset",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity, lag(l_quantity, 1) OVER w AS prev_qty
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
+      ("row_number-only subset",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity, CAST(row_number() OVER w AS BIGINT) AS rn
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
+      ("count-only running (routes to the lag operator: count over " +
+        "the running frame IS row_number)",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity, CAST(count(*) OVER w AS BIGINT) AS rn
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", true),
+      ("sum-only running subset",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity,
+            CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+              AS running_qty
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", true),
+      ("sum-only range subset",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+            CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+              AS rng_sum
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""", true),
+      ("all-DESC lag class (the reversed total order)",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity,
+            lag(l_quantity, 1) OVER w AS prev_qty,
+            lead(l_quantity, 1) OVER w AS next_qty,
+            CAST(row_number() OVER w AS BIGINT) AS rn
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrdDesc)""",
+        true),
+      ("all-DESC running class",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity,
+            CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+              AS running_qty,
+            CAST(count(*) OVER w AS BIGINT) AS rn
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrdDesc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", true),
+      // rank/dense_rank are tie-invariant: l_quantity does NOT ride
+      // the ordering and the rewrite must fire anyway (the waived
+      // guard is the point of this shape)
+      ("rank-only single window, tie guard waived",
+        s"""SELECT l_suppkey, l_quantity,
+            CAST(rank() OVER w AS BIGINT) AS rnk
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""",
+        true),
+      ("rank+dense_rank single window",
+        s"""SELECT l_suppkey, l_quantity,
+            CAST(rank() OVER w AS BIGINT) AS rnk,
+            CAST(dense_rank() OVER w AS BIGINT) AS drank
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""",
+        true),
+      ("ntile-only single window WITH tie coverage",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity, CAST(ntile(4) OVER w AS BIGINT) AS bucket
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
+      // refusals: each one load-bearing
+      ("ntile-only WITHOUT tie coverage refuses (row-number-dependent)",
+        s"""SELECT l_suppkey, l_quantity,
+            CAST(ntile(4) OVER w AS BIGINT) AS bucket
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""",
+        false),
+      ("rank over a MULTI-column ordering refuses (the operator ranks " +
+        "on the coarse head only)",
+        s"""SELECT l_suppkey, l_quantity,
+            CAST(rank() OVER w AS BIGINT) AS rnk
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey)""", false),
+      ("mixed sort directions refuse",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity, lag(l_quantity, 1) OVER w AS prev_qty
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate DESC,
+            l_orderkey, l_linenumber, l_partkey, l_quantity,
+            l_extendedprice)""", false),
+      ("DESC range class refuses (the sweep is ascending)",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+            CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+              AS rng_sum
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey DESC
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""", false))
+    try {
+      for ((label, sql, mustFire) <- cases) {
+        spark.conf.unset(key)
+        spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
+        val off = spark.sql(sql)
+        assert(!off.queryExecution.executedPlan.toString.contains("pid#"),
+          s"$label: rule off must stay plain")
+        val expected = rows(off)
+        spark.conf.set(key, "true")
+        spark.conf.set(graft.operators.Skew.MinHotRowsConf, "0")
+        val on = spark.sql(sql)
+        val p = on.queryExecution.executedPlan.toString
+        if (mustFire) assert(p.contains("pid#"), s"$label: must fire\n" +
+          p.take(600))
+        else assert(!p.contains("pid#"), s"$label: must refuse")
+        assert(on.schema === off.schema, label)
+        assert(rows(on) === expected, s"$label: row mismatch")
+      }
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
+      spark.catalog.dropTempView("li_hot2")
+    }
+  }
+
+  test("the stacked rank class fires through the SQL seam on the " +
+       "EVENTS shape (seam generality matches the operator's)") {
+    val key = graft.plans.WindowAutoRewrite.ConfKey
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L))
+          .otherwise(col("event_id") % 500 + 100000))
+    ev.createOrReplaceTempView("ev_hot")
+    val sql = """SELECT user_id, event_id, ts, event_type, value,
+        CAST(rank() OVER wd AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER wd AS BIGINT) AS drank,
+        CAST(ntile(4) OVER wf AS BIGINT) AS bucket
+      FROM ev_hot
+      WINDOW
+        wd AS (PARTITION BY user_id ORDER BY event_type),
+        wf AS (PARTITION BY user_id ORDER BY event_type, ts, event_id,
+          value)"""
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    try {
+      val off = spark.sql(sql)
+      assert(!off.queryExecution.executedPlan.toString.contains("pid#"))
+      val expected = rows(off)
+      spark.conf.set(key, "true")
+      spark.conf.set(graft.operators.Skew.MinHotRowsConf, "0")
+      val on = spark.sql(sql)
+      val p = on.queryExecution.executedPlan.toString
+      assert(p.contains("pid#"), p.take(800))
+      assert(on.schema === off.schema)
+      assert(rows(on) === expected)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset(graft.operators.Skew.MinHotRowsConf)
+      spark.catalog.dropTempView("ev_hot")
+    }
+  }
+
   test("scratch-name collisions refuse the window rewrite: a child " +
        "column named _v or ghost (range-class internals) keeps the " +
        "plain plan and its exact rows") {

@@ -67,6 +67,36 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(chunks > 1L, s"only $chunks chunk(s) — boundary paths untested")
   }
 
+  test("descending WindowSpec: the chunked lag and running rewrites " +
+       "equal their plain DESC twins, multiset for multiset (the " +
+       "reversed-total-order flip: desc range partitioning, swapped " +
+       "first/last edge stats)") {
+    import graft.operators.WindowSpec
+    val spec = WindowSpec.Lineitem.copy(descending = true)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val lagChunked = Skew.windowLagSkewOn(spark, li, spec)
+    val lagPlain = Skew.windowLagPlain(li, spec)
+    assert(lagChunked.count() === lagPlain.count())
+    assert(lagChunked.exceptAll(lagPlain).count() === 0L)
+    assert(lagPlain.exceptAll(lagChunked).count() === 0L)
+    val runChunked = Skew.windowRunningSkewOn(spark, li, spec)
+    val runPlain = Skew.windowRunningPlain(li, spec)
+    assert(runChunked.count() === runPlain.count())
+    assert(runChunked.exceptAll(runPlain).count() === 0L)
+    assert(runPlain.exceptAll(runChunked).count() === 0L)
+    // desc really differs from asc here (prev/next swap roles), so the
+    // equalities above could not have passed on an ignored flag
+    val lagAsc = Skew.windowLagPlain(li, WindowSpec.Lineitem)
+    assert(lagPlain.exceptAll(lagAsc).count() > 0L)
+    // the ascending-only classes refuse a descending spec loudly
+    intercept[IllegalArgumentException] {
+      Skew.windowRankSkewOn(spark, li, spec = spec)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.windowRangeSkewOn(spark, li, spec = spec)
+    }
+  }
+
   test("window_rank_skew equals the plain rank/dense_rank/ntile windows, " +
        "multiset for multiset — boundary tie runs, distinct-count " +
        "overlaps, and the run-group device all land") {
