@@ -28,6 +28,39 @@ object QueryMetrics {
                            shuffleRecordsWritten: Long,
                            shuffleBytesWritten: Long)
 
+  /** One auto-window dispatch decision — the audit trail for an
+    * operator that silently picks physical plans: which branch fired
+    * (`chunked`), the profiled signals it acted on, and the POSTURE
+    * that supplied them (`pinned` session conf, `artifact` sidecar,
+    * `sampled` estimate, `exact` scan). At 100 TB "why did this query
+    * chunk" must be answerable after the fact; `hotRows`/`totalRows`
+    * are -1 when the posture doesn't carry them (a share-only pin).
+    */
+  final case class WindowDispatch(key: String, posture: String,
+                                  share: Double, hotRows: Long,
+                                  totalRows: Long, chunked: Boolean)
+
+  private val MaxDispatches = 256
+  private val dispatches =
+    new java.util.concurrent.ConcurrentLinkedDeque[WindowDispatch]
+
+  /** Record one dispatch decision (bounded ring: the newest
+    * [[MaxDispatches]] survive — driver-side audit, not telemetry).
+    */
+  def recordDispatch(d: WindowDispatch): Unit = {
+    dispatches.addLast(d)
+    while (dispatches.size > MaxDispatches) dispatches.pollFirst()
+  }
+
+  /** The recorded dispatch decisions, oldest first. */
+  def recentDispatches: Seq[WindowDispatch] = {
+    val b = Seq.newBuilder[WindowDispatch]
+    dispatches.forEach(d => b += d)
+    b.result()
+  }
+
+  def clearDispatches(): Unit = dispatches.clear()
+
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
     // AQE hides executed stages behind adaptive nodes; walk through to
     // the real operators (leaf query stages re-expose their subtrees)

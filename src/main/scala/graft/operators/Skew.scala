@@ -885,12 +885,188 @@ object Skew {
     else ((r.getLong(0) / fraction).toLong, (n / fraction).toLong)
   }
 
+  // ---------------------------------------- persisted stats artifact
+
+  /** Where a table's key-stats artifact lives: a `_graft_stats`
+    * sidecar beside the data (underscore-prefixed, so parquet file
+    * indexes ignore it — the [[graft.exec.ShardedExport]] `_stats`
+    * pattern). A DIRECTORY table keeps it inside; a single-FILE table
+    * keeps it in a sibling `_graft_stats` directory. A plain java
+    * properties file, written and read DRIVER-SIDE: the whole point of
+    * the artifact posture is zero Spark jobs at plan-build time, so
+    * the read must not itself be a query.
+    */
+  private[graft] def statsArtifactPath(root: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.isDirectory(p))
+      p.resolve("_graft_stats").resolve("keystats.properties")
+    else p.toAbsolutePath.getParent.resolve("_graft_stats")
+      .resolve(p.getFileName.toString + ".keystats.properties")
+  }
+
+  /** Driver-side staleness fingerprint of the table's data files:
+    * (file count, max mtime, total bytes) — the same listing every
+    * scan's file index performs at plan time, so its cost is already
+    * priced into querying the table at all. `_`/`.`-prefixed entries
+    * (the artifact itself, _SUCCESS markers) are excluded; mid-walk
+    * deletions are tolerated (the Dedup manifest-walk lesson).
+    */
+  private[graft] def tableFingerprint(root: String): (Long, Long, Long) = {
+    import java.nio.file.{Files, FileVisitResult, Path, Paths,
+      SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return (0L, 0L, 0L)
+    if (Files.isRegularFile(p))
+      return (1L, Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    var n = 0L; var mt = 0L; var bytes = 0L
+    Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path,
+          attrs: BasicFileAttributes): FileVisitResult = {
+        val nm = d.getFileName.toString
+        if (d != p && (nm.startsWith("_") || nm.startsWith(".")))
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      }
+      override def visitFile(f: Path,
+          attrs: BasicFileAttributes): FileVisitResult = {
+        val nm = f.getFileName.toString
+        if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          n += 1L
+          mt = math.max(mt, attrs.lastModifiedTime.toMillis)
+          bytes += attrs.size
+        }
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path,
+          e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE
+    })
+    (n, mt, bytes)
+  }
+
+  /** Approximate DECODED row width in bytes: fixed `defaultSize` per
+    * non-variable field plus measured `octet_length` (+8 overhead) for
+    * strings and binaries — the signal schema-static widths get wrong
+    * (a string's defaultSize is a guess of 20, and the window
+    * gray-band analysis shows decoded width is exactly where the
+    * rows-vs-bytes question lives).
+    */
+  def rowWidthExpr(schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("double"), lit(0.0)) +
+            lit(8.0)
+        case dt => lit(dt.defaultSize.toDouble)
+      }
+    }.reduceLeft(_ + _)
+  }
+
+  /** Profile `keys` on the table at `tableRoot` and PERSIST the result
+    * as the table-adjacent stats artifact — the "profiled once,
+    * queried often" posture the 100 TB brief wants: one explicit
+    * profile run (a [[skewDiagnoseOn]] scan plus an avg-row-width
+    * aggregate), after which every [[dispatchChunked]] on the bare
+    * table reads hot/total/width driver-side with ZERO plan-time jobs.
+    * The artifact records the [[tableFingerprint]] at profile time;
+    * any data change (append, compaction, rewrite) flips the
+    * fingerprint and the dispatcher falls back to the sampled profile
+    * rather than trusting stale numbers.
+    */
+  def profileKeyStats(s: SparkSession, tableRoot: String,
+                      keys: Seq[String]): Unit = {
+    import java.nio.file.Files
+    val df = s.read.parquet(tableRoot)
+    val rows = skewDiagnoseOn(df, keys).collect()
+    val widthRow = df.agg(avg(rowWidthExpr(df.schema)).as("w")).first()
+    val width = if (widthRow.isNullAt(0)) 0.0 else widthRow.getDouble(0)
+    val (nf, mt, bytes) = tableFingerprint(tableRoot)
+    val props = new java.util.Properties()
+    props.setProperty("files", nf.toString)
+    props.setProperty("maxMtime", mt.toString)
+    props.setProperty("totalBytes", bytes.toString)
+    props.setProperty("avgRowBytes", width.toString)
+    rows.foreach { r =>
+      val k = r.getAs[String]("key_col")
+      props.setProperty(s"key.$k.hot", r.getAs[Long]("max_cnt").toString)
+      props.setProperty(s"key.$k.total", r.getAs[Long]("n_rows").toString)
+      props.setProperty(s"key.$k.topKey", r.getAs[Long]("top_key").toString)
+    }
+    val path = statsArtifactPath(tableRoot)
+    Files.createDirectories(path.getParent)
+    val out = Files.newOutputStream(path)
+    try props.store(out, "graft key-stats artifact") finally out.close()
+  }
+
+  /** Read a FRESH artifact's (hot rows, total rows, avg row bytes) for
+    * `key`: None when no artifact exists, it doesn't cover the key,
+    * it's malformed, or the table's fingerprint moved since profile
+    * time (staleness guard — fall back to the live profile instead of
+    * trusting a superseded count).
+    */
+  private[graft] def artifactStats(root: String, key: String)
+      : Option[(Long, Long, Double)] =
+    scala.util.Try {
+      val path = statsArtifactPath(root)
+      if (!java.nio.file.Files.exists(path)) None
+      else {
+        val props = new java.util.Properties()
+        val in = java.nio.file.Files.newInputStream(path)
+        try props.load(in) finally in.close()
+        val (nf, mt, bytes) = tableFingerprint(root)
+        val fresh = props.getProperty("files") == nf.toString &&
+          props.getProperty("maxMtime") == mt.toString &&
+          props.getProperty("totalBytes") == bytes.toString
+        if (!fresh) None
+        else for {
+          hot <- Option(props.getProperty(s"key.$key.hot")).map(_.toLong)
+          total <- Option(props.getProperty(s"key.$key.total")).map(_.toLong)
+        } yield (hot, total,
+          Option(props.getProperty("avgRowBytes"))
+            .map(_.toDouble).getOrElse(0.0))
+      }
+    }.toOption.flatten
+
+  /** The single file-source table `df` reads UNALTERED — its analyzed
+    * plan is nothing but attribute-forwarding projections over one
+    * scan. Only then do table-level key stats describe `df`'s key
+    * column: a Filter changes the distribution, and an aliased or
+    * computed projection can redefine the key itself (the spec tests
+    * plant hot keys exactly that way). Conservative by construction —
+    * any unrecognized node refuses and the dispatcher profiles live.
+    */
+  private[graft] def bareTableRoot(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+      Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    def walk(p: LogicalPlan): Option[String] = p match {
+      case Project(exprs, child)
+          if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths match {
+          case Seq(one) => Some(one.toUri.getPath)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** The share the dispatcher acts on, resolved from session conf —
-    * the three scale postures, cheapest first:
-    *  - `spark.graft.window.share.<key>` = a PINNED share: a cached
-    *    stats artifact (a prior [[skewDiagnose]] / profile run, a
-    *    catalog statistic) — zero jobs at plan-build time, the right
-    *    posture for a 100 TB table profiled once and queried often;
+    * the scale postures, cheapest first:
+    *  - `spark.graft.window.share.<key>` = a PINNED share — the
+    *    operator's explicit word, zero jobs at plan-build time;
+    *  - a fresh table-adjacent stats ARTIFACT (a prior
+    *    [[profileKeyStats]] run) when `df` is a bare scan of one
+    *    table — zero jobs, staleness-guarded;
     *  - `spark.graft.window.profile` = "sample" (DEFAULT): the
     *    [[topKeyShareSampled]] estimate, with its documented error
     *    band and exact fallback below the floor;
@@ -900,9 +1076,14 @@ object Skew {
     s.conf.getOption(s"spark.graft.window.share.$key") match {
       case Some(pinned) => pinned.toDouble
       case None =>
-        s.conf.get("spark.graft.window.profile", "sample") match {
-          case "exact" => topKeyShare(df, key)
-          case _ => topKeyShareSampled(df, key)
+        bareTableRoot(df).flatMap(artifactStats(_, key)) match {
+          case Some((hot, total, _)) =>
+            if (total == 0L) 0.0 else hot.toDouble / total.toDouble
+          case None =>
+            s.conf.get("spark.graft.window.profile", "sample") match {
+              case "exact" => topKeyShare(df, key)
+              case _ => topKeyShareSampled(df, key)
+            }
         }
     }
 
@@ -939,30 +1120,54 @@ object Skew {
 
   /** The dispatch decision [[windowAutoOn]] and the SQL-seam rule act
     * on: chunked iff the profiled share clears `threshold` AND the
-    * hot key's absolute row count clears [[MinHotRows]]. Postures:
-    * a PINNED share (`spark.graft.window.share.<key>`) dispatches on
-    * share alone unless a pinned hot count
-    * (`spark.graft.window.hot.<key>`) is also present — a share-only
-    * stats artifact is trusted as the operator's explicit word;
-    * otherwise the sampled/exact profile supplies both signals from
-    * one job.
+    * hot key's absolute row count clears [[MinHotRows]]. Postures, in
+    * resolution order:
+    *  - PINNED share (`spark.graft.window.share.<key>`): dispatches on
+    *    share alone unless a pinned hot count
+    *    (`spark.graft.window.hot.<key>`) is also present — a
+    *    share-only pin is trusted as the operator's explicit word;
+    *  - ARTIFACT: when `df` is a bare scan of one table
+    *    ([[bareTableRoot]]) carrying a FRESH [[profileKeyStats]]
+    *    sidecar, both signals come from it driver-side — zero
+    *    plan-time jobs, the "profiled once, queried often" posture;
+    *  - otherwise the sampled/exact profile supplies both signals
+    *    from one job.
+    * Every decision is recorded to
+    * [[graft.exec.QueryMetrics.recentDispatches]] with its posture
+    * and signals — an operator that silently picks physical plans
+    * needs an audit trail at 100 TB.
     */
   def dispatchChunked(s: SparkSession, df: DataFrame, key: String,
                       threshold: Double = WindowSkewShare): Boolean = {
     val minHot = s.conf.get(MinHotRowsConf, MinHotRows.toString).toLong
-    s.conf.getOption(s"spark.graft.window.share.$key") match {
-      case Some(pinned) =>
-        pinned.toDouble >= threshold &&
-          s.conf.getOption(s"spark.graft.window.hot.$key")
-            .forall(_.toLong >= minHot)
-      case None =>
-        val (hot, total) =
-          s.conf.get("spark.graft.window.profile", "sample") match {
-            case "exact" => topKeyStats(df, key)
-            case _ => topKeyStatsSampled(df, key)
+    val (posture, hot, total, share, verdict) =
+      s.conf.getOption(s"spark.graft.window.share.$key") match {
+        case Some(pinned) =>
+          val sh = pinned.toDouble
+          val hotPin = s.conf.getOption(s"spark.graft.window.hot.$key")
+            .map(_.toLong)
+          ("pinned", hotPin.getOrElse(-1L), -1L, sh,
+            sh >= threshold && hotPin.forall(_ >= minHot))
+        case None =>
+          bareTableRoot(df).flatMap(artifactStats(_, key)) match {
+            case Some((h, t, _)) =>
+              val sh = if (t == 0L) 0.0 else h.toDouble / t
+              ("artifact", h, t, sh,
+                t > 0L && sh >= threshold && h >= minHot)
+            case None =>
+              val mode = s.conf.get("spark.graft.window.profile", "sample")
+              val (h, t) =
+                if (mode == "exact") topKeyStats(df, key)
+                else topKeyStatsSampled(df, key)
+              val sh = if (t == 0L) 0.0 else h.toDouble / t
+              (if (mode == "exact") "exact" else "sampled", h, t, sh,
+                t > 0L && sh >= threshold && h >= minHot)
           }
-        total > 0L && hot.toDouble / total >= threshold && hot >= minHot
-    }
+      }
+    graft.exec.QueryMetrics.recordDispatch(
+      graft.exec.QueryMetrics.WindowDispatch(
+        key, posture, share, hot, total, verdict))
+    verdict
   }
 
   /** The plain (single-window) twins of the four chunked rewrites —

@@ -441,6 +441,111 @@ class SkewAndExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.window.share.k")
   }
 
+  test("persisted key-stats artifact: a pre-profiled table dispatches " +
+       "with ZERO plan-time jobs and the exact scan's decision on both " +
+       "corpora; a stale artifact falls back to the live profile; " +
+       "every decision lands in the audit trail with its posture") {
+    import graft.exec.QueryMetrics
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graftstats").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val hotDf = li.withColumn("l_suppkey",
+      when(col("l_orderkey") % 2 === 0, lit(7L))
+        .otherwise(col("l_orderkey") % 2000 + 10000))
+    val hotPath = s"$tmp/hot"
+    val coldPath = s"$tmp/cold"
+    hotDf.write.parquet(hotPath)
+    li.withColumn("l_suppkey", col("l_orderkey") % 2000)
+      .write.parquet(coldPath)
+    spark.conf.set(Skew.MinHotRowsConf, "0")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobInfo = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobInfo.add(s"job ${js.jobId}: " + Option(js.properties)
+          .map(_.getProperty("callSite.short", "?")).getOrElse("?"))
+      }
+    }
+    def settle(): Unit = Thread.sleep(1000) // listener bus is async
+    try {
+      // ground truth BEFORE any artifact exists: the exact scan
+      spark.conf.set("spark.graft.window.profile", "exact")
+      val hotRead = spark.read.parquet(hotPath)
+      val coldRead = spark.read.parquet(coldPath)
+      val exactHot = Skew.dispatchChunked(spark, hotRead, "l_suppkey")
+      val exactCold = Skew.dispatchChunked(spark, coldRead, "l_suppkey")
+      assert(exactHot && !exactCold)
+      spark.conf.unset("spark.graft.window.profile")
+      // profile once, persist the sidecar beside each table
+      Skew.profileKeyStats(spark, hotPath, Seq("l_suppkey"))
+      Skew.profileKeyStats(spark, coldPath, Seq("l_suppkey"))
+      assert(Files.exists(Skew.statsArtifactPath(hotPath)))
+      QueryMetrics.clearDispatches()
+      // the listener registers only NOW, after every setup job — a
+      // late-delivered setup event cannot pollute the zero-jobs window
+      spark.sparkContext.addSparkListener(listener)
+      settle(); jobs.set(0)
+      val dHot = Skew.dispatchChunked(spark, hotRead, "l_suppkey")
+      val dCold = Skew.dispatchChunked(spark, coldRead, "l_suppkey")
+      settle()
+      // posture FIRST: a silent profile fallback diagnoses as itself
+      // rather than as a mystery job count
+      val trail = QueryMetrics.recentDispatches
+      assert(trail.map(_.posture) === Seq("artifact", "artifact"), trail)
+      assert(jobs.get() === 0,
+        "a pre-profiled bare table must dispatch with zero plan-time " +
+          s"jobs; saw: ${jobInfo.toArray.mkString("; ")}")
+      assert(dHot === exactHot && dCold === exactCold,
+        "artifact decisions must equal the exact scan's")
+      assert(trail.head.chunked && !trail.last.chunked)
+      assert(trail.head.share > 0.4 && trail.head.hotRows > 0L)
+      // a planted-key frame is NOT the bare table: the artifact must
+      // not answer for a redefined key column
+      assert(Skew.bareTableRoot(hotDf).isEmpty)
+      // stale: append to the table -> fingerprint moves -> live
+      // profile fallback (jobs run again), decision unchanged
+      hotDf.limit(50).write.mode("append").parquet(hotPath)
+      QueryMetrics.clearDispatches()
+      settle(); jobs.set(0)
+      val hotRead2 = spark.read.parquet(hotPath)
+      val dStale = Skew.dispatchChunked(spark, hotRead2, "l_suppkey")
+      settle()
+      assert(jobs.get() > 0,
+        "a stale artifact must fall back to the live profile job")
+      assert(dStale === true)
+      assert(QueryMetrics.recentDispatches.last.posture === "sampled")
+      // single-FILE table layout: the sidecar lives beside the file
+      val filePath = s"$tmp/li_file.parquet"
+      Files.copy(java.nio.file.Paths.get(s"$dir/lineitem.parquet"),
+        java.nio.file.Paths.get(filePath))
+      // exact ground truth for the file table, pre-artifact (at this
+      // tiny SF the ~10 real suppkeys each hold ~10% — above threshold)
+      spark.conf.set("spark.graft.window.profile", "exact")
+      val exactFile = Skew.dispatchChunked(spark,
+        spark.read.parquet(filePath), "l_suppkey")
+      spark.conf.unset("spark.graft.window.profile")
+      Skew.profileKeyStats(spark, filePath, Seq("l_suppkey"))
+      assert(Skew.statsArtifactPath(filePath).toString
+        .contains("_graft_stats"))
+      // resolve the relation (schema inference runs a job) BEFORE the
+      // measured window — the zero-jobs claim is about the DISPATCH
+      val fileRead = spark.read.parquet(filePath)
+      settle(); jobs.set(0)
+      val dFile = Skew.dispatchChunked(spark, fileRead, "l_suppkey")
+      settle()
+      assert(jobs.get() === 0,
+        s"file-table dispatch ran: ${jobInfo.toArray.mkString("; ")}")
+      assert(dFile === exactFile)
+      assert(QueryMetrics.recentDispatches.last.posture === "artifact")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset(Skew.MinHotRowsConf)
+      spark.conf.unset("spark.graft.window.profile")
+    }
+  }
+
   test("withCheckpointScope reclaims the chunked windows' checkpoint " +
        "blocks once the action completes") {
     val sc = spark.sparkContext
