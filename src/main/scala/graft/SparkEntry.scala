@@ -153,6 +153,7 @@ object SparkEntry {
     "window_auto_running" -> (Skew.windowAutoRunning _),
     "window_auto_range" -> (Skew.windowAutoRange _),
     "window_auto_events" -> (Skew.windowAutoEvents _),
+    "window_auto_desc" -> (Skew.windowAutoDesc _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3104,6 +3105,20 @@ object SparkEntry {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY event_type, ts,
         event_id, value)""",
+    // window_auto_desc: the r20 descending flip (WindowSpec.descending)
+    // under the literal DESC window SQL — DESC NULLS LAST is both
+    // engines' default and the exact reverse of ASC NULLS FIRST, the
+    // total-order argument the chunked rewrite's min_by/max_by swap
+    // rides; both dispatch branches stay row-identical
+    "window_auto_desc" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        lag(l_quantity, 1) OVER w AS prev_qty,
+        lead(l_quantity, 1) OVER w AS next_qty,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate DESC,
+        l_orderkey DESC, l_linenumber DESC, l_partkey DESC,
+        l_quantity DESC, l_extendedprice DESC)""",
     // window_rank_skew: the oracle is the LITERAL rank/dense_rank/ntile
     // window SQL — the hash match PROVES the chunked rewrite (Skew
     // .windowRankSkew's boundary algebra) equal. rank/dense_rank order

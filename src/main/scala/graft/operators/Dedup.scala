@@ -1555,6 +1555,61 @@ object Dedup {
     */
   val ContainIdBroadcastMax = 10000000L
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
+  /** Deserialized gram-profile bytes per COMPRESSED input byte of the
+    * documents scan. Plan stats cannot see the gram explode's
+    * expansion (Generate propagates its child's estimate), so the
+    * footprint is estimated from the operator's own algebra, grounded
+    * by the r19 measured point: the zipf ×100 corpus (70 MB parquet)
+    * produced a ~125M-row ranked profile ≈ 10 GB of deserialized row
+    * objects — 143×. Algebraically the same number: ~1 sampled
+    * distinct gram per 4 text chars, ~80 B per deserialized (doc_id,
+    * gram, df, n, rn) row object, ~4-7× snappy text compression.
+    */
+  private val ContainProfileExpansion = 144L
+
+  /** Fraction of the free storage pool the deserialized profile may
+    * claim before the auto tier switches to the serialized level —
+    * the profile's four consumer passes need the rest for execution
+    * memory, and a profile that MOSTLY fits still GC-churns.
+    */
+  private val ProfileMemoryHeadroom = 0.5
+
+  /** Storage tier for the containment gram-profile checkpoint — the
+    * r19 knob (`spark.graft.contain.profileLevel`, kept as the
+    * operator's explicit word) turned into an ENGINE decision, the
+    * repo's standing pattern: estimate the profile's deserialized
+    * footprint from the input scan's size estimate ×
+    * [[ContainProfileExpansion]], read the cluster's remaining storage
+    * memory from the executor status map, and buy the serialized tier
+    * (MEMORY_AND_DISK_SER — the cold cliff halves, warm passes pay
+    * +45% re-deserialization; the measured trade in SCALING.md r19)
+    * only when the deserialized profile would crowd the pool. Both
+    * tiers are result-invariant (spec-pinned); the estimate is CRUDE
+    * but monotone in corpus size, and the decision only matters at
+    * the extremes: a gate-SF profile (sf0.1: 584 KB × 144 ≈ 84 MB) is
+    * far under any real pool, a ×100 one (10 GB) far over half of it.
+    */
+  private[graft] def containProfileLevel(s: SparkSession,
+      input: DataFrame): org.apache.spark.storage.StorageLevel = {
+    import org.apache.spark.storage.StorageLevel
+    s.conf.getOption("spark.graft.contain.profileLevel") match {
+      case Some(lvl) => StorageLevel.fromString(lvl)
+      case None =>
+        val est = input.queryExecution.optimizedPlan.stats.sizeInBytes *
+          ContainProfileExpansion
+        val free = s.sparkContext.getExecutorMemoryStatus.values
+          .map(_._2.toDouble).sum
+        val ser = est > BigInt((free * ProfileMemoryHeadroom).toLong)
+        log.info(s"containment profile tier: est=$est bytes " +
+          s"deserialized vs free=${free.toLong} storage — " +
+          (if (ser) "MEMORY_AND_DISK_SER" else "MEMORY_AND_DISK"))
+        if (ser) StorageLevel.MEMORY_AND_DISK_SER
+        else StorageLevel.MEMORY_AND_DISK
+    }
+  }
+
   def dedupContainment(s: SparkSession, dir: String,
                        threshold: Double = ContainThreshold,
                        maxDf: Int = 0,
@@ -1640,7 +1695,7 @@ object Dedup {
     // side, build side, signature build, both verify legs) projects
     // from it; the extra 20 bytes/row the narrow consumers carry is
     // noise against a second 125M-row materialization.
-    val gd = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
+    val gd0 = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
       .filter(length(col("s")) >= q)
       // round-robin spread BEFORE the explode: locally the table is one
       // parquet split, and the per-gram md5 pass computed pre-exchange
@@ -1662,26 +1717,25 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gram"))))
-      // Profile checkpoint storage tier, conf-selectable
-      // (spark.graft.contain.profileLevel). MEASURED at zipf ×100
-      // (REPS=3, in-session drift control — SCALING.md r19):
-      //  - MEMORY_AND_DISK (default): coldest rep 185 s, warm reps
-      //    51–58 s (warm band 1.13) — the row objects live
-      //    deserialized, so a cold 24 GiB heap pays GC against ~125M
-      //    long-lived rows once, then steady state is the fastest
-      //    tier;
-      //  - MEMORY_AND_DISK_SER: 96 / 87 / 74 s — the cold cliff
-      //    HALVES (rows pack into byte-array blocks, near-zero GC
-      //    scanning) and the full band tightens to 1.29, but every
-      //    consumer pass re-deserializes 125M rows through the Java
-      //    serializer, +45% on the warm best. Kept purchasable, not
-      //    default: a memory-tight deployment (or one-shot jobs that
-      //    never reach steady state) should set it; a warm service
-      //    should not.
-      .localCheckpoint(eager = true,
-        storageLevel = org.apache.spark.storage.StorageLevel.fromString(
-          s.conf.get("spark.graft.contain.profileLevel",
-            "MEMORY_AND_DISK")))
+    // Profile checkpoint storage tier: ENGINE-decided from estimated
+    // deserialized footprint vs the free storage pool, with
+    // spark.graft.contain.profileLevel as the explicit override
+    // ([[containProfileLevel]]). The measured trade (zipf ×100,
+    // REPS=3, in-session drift control — SCALING.md r19):
+    //  - MEMORY_AND_DISK: coldest rep 185 s, warm reps 51–58 s (warm
+    //    band 1.13) — row objects live deserialized, a cold heap pays
+    //    GC against ~125M long-lived rows once, then steady state is
+    //    the fastest tier;
+    //  - MEMORY_AND_DISK_SER: 96 / 87 / 74 s — the cold cliff HALVES
+    //    (rows pack into byte-array blocks, near-zero GC scanning) and
+    //    the full band tightens to 1.29, but every consumer pass
+    //    re-deserializes 125M rows, +45% on the warm best.
+    // The auto decision buys _SER exactly when the profile would
+    // crowd the pool (the cliff regime) and keeps the fast
+    // deserialized tier when it comfortably fits (gate SFs, warm
+    // services with headroom).
+    val gd = gd0.localCheckpoint(eager = true,
+      storageLevel = containProfileLevel(s, docs))
     val g = gd.select(col("doc_id"), col("gram"))
     val pref = gd.filter(
       col("rn") <= floor(col("n") * expr(ContainPrefixFrac)) + 1 &&

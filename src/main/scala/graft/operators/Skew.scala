@@ -1102,18 +1102,26 @@ object Skew {
     *
     * Calibration honesty (the ×10 probe, LineWinProf): hot partitions
     * between ~1M and ~2M rows are a GRAY BAND where the branches sit
-    * within ~1.7× of each other and the SIGN flips with row width and
-    * job shape — zipf ×10 lineitem (1.16M hot rows, wide tuples,
-    * straggler-bound) would have won 1.5–1.7× chunked, while events
-    * ×100 (1.54M hot rows, narrow tuples, throughput-bound) loses
-    * chunked; neither rows nor compressed bytes separates the two
-    * points. The floor sits at the band's top: inside the band any
-    * misprediction costs ≤ ~1.7×, while OUTSIDE it the decisions are
-    * the ones that matter (≤ ~1M: plain wins ~2×; ≥ ~10M: chunked
+    * within ~1.7× of each other and the SIGN flips with job shape —
+    * zipf ×10 lineitem (1.16M hot rows, straggler-bound) would have
+    * won 1.5–1.7× chunked, while events ×100 (1.54M hot rows,
+    * throughput-bound) loses chunked. Every cheap per-row signal was
+    * tested against the two endpoints and REFUTED (SCALING.md r20):
+    * raw rows (1.54M vs 1.16M), compressed bytes (24 vs 20 MB), and
+    * decoded bytes via [[rowWidthExpr]] (70.1 vs 55.5 MB — the
+    * carried widths are near-identical, 45.6 vs 48.0 B) all order
+    * them the WRONG way; what separates them is the hot task's share
+    * of the WHOLE job (19% of the ×10 corpus vs 15% of a corpus with
+    * 6× more parallel work) — job shape, not data geometry. The floor
+    * therefore stays row-based, at the band's top: inside the band
+    * any misprediction costs ≤ ~1.7×, while OUTSIDE it the decisions
+    * are the ones that matter (≤ ~1M: plain wins ~2×; ≥ ~10M: chunked
     * wins 6–40×) and the floor gets every measured point right.
     * Conf-tunable (`spark.graft.window.minHotRows`): a deployment
     * whose windows are wide/straggler-bound lowers it toward 1M; the
-    * specs pin dispatch mechanics with it at 0.
+    * specs pin dispatch mechanics with it at 0. The avg decoded width
+    * rides the stats artifact ([[profileKeyStats]]) for deployments
+    * that want to build their own byte floor from persisted signals.
     */
   val MinHotRows = 2000000L
   val MinHotRowsConf = "spark.graft.window.minHotRows"
@@ -1286,4 +1294,12 @@ object Skew {
   def windowAutoEvents(s: SparkSession, dir: String): DataFrame =
     windowAutoOn(s, graft.sources.Tables.events(s, dir), "lag",
       spec = WindowSpec.Events)
+  /** The descending lag class through the same dispatcher — the r20
+    * `WindowSpec.descending` flip under its own literal-window oracle
+    * (ORDER BY ... DESC in both engines; DESC NULLS LAST is both
+    * engines' default and the exact reverse of ASC NULLS FIRST).
+    */
+  def windowAutoDesc(s: SparkSession, dir: String): DataFrame =
+    windowAutoOn(s, table(s, dir, "lineitem"), "lag",
+      spec = WindowSpec.Lineitem.copy(descending = true))
 }

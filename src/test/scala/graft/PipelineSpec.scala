@@ -548,6 +548,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(vSer.exceptAll(vOn).count() === 0L)
       assert(vOn.exceptAll(vSer).count() === 0L)
     } finally spark.conf.unset("spark.graft.contain.profileLevel")
+    // the tier is now ENGINE-decided when no conf is set (vOn above
+    // already ran the auto path): a profile that comfortably fits
+    // stays deserialized, one whose estimated footprint crowds the
+    // storage pool buys the serialized level — both branches pinned
+    // through the estimate the decision actually reads (plan stats;
+    // a triple cross join's size estimate exceeds any pool)
+    import org.apache.spark.storage.StorageLevel
+    val small = spark.read.parquet(s"$dir/documents.parquet")
+    assert(graft.operators.Dedup.containProfileLevel(spark, small) ===
+      StorageLevel.MEMORY_AND_DISK)
+    val huge = small.crossJoin(small).crossJoin(small)
+    assert(graft.operators.Dedup.containProfileLevel(spark, huge) ===
+      StorageLevel.MEMORY_AND_DISK_SER)
+    // and the conf remains the operator's explicit word over the
+    // engine's estimate, in both directions
+    try {
+      spark.conf.set("spark.graft.contain.profileLevel",
+        "MEMORY_AND_DISK_SER")
+      assert(graft.operators.Dedup.containProfileLevel(spark, small) ===
+        StorageLevel.MEMORY_AND_DISK_SER)
+      spark.conf.set("spark.graft.contain.profileLevel", "MEMORY_AND_DISK")
+      assert(graft.operators.Dedup.containProfileLevel(spark, huge) ===
+        StorageLevel.MEMORY_AND_DISK)
+    } finally spark.conf.unset("spark.graft.contain.profileLevel")
   }
 
   test("dedup_segments: boilerplate removed, clean text stable, totals add up") {
