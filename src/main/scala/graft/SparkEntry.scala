@@ -154,6 +154,7 @@ object SparkEntry {
     "window_auto_range" -> (Skew.windowAutoRange _),
     "window_auto_events" -> (Skew.windowAutoEvents _),
     "window_auto_desc" -> (Skew.windowAutoDesc _),
+    "window_lag_k" -> ((s, d) => Skew.windowLagK(s, d)),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3105,6 +3106,21 @@ object SparkEntry {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY event_type, ts,
         event_id, value)""",
+    // window_lag_k: the general-offset lag/lead chunked rewrite at
+    // k = 3 — a k-offset neighbor can live several chunks away, so
+    // the scalar edge stats become bounded edge ARRAYS stitched along
+    // the chunk sequence (Skew.windowLagKSkewOn); oracle = the
+    // literal offset-3 window SQL, chunked branch pinned like
+    // window_lag_skew
+    "window_lag_k" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        lag(l_quantity, 3) OVER w AS prev_qty,
+        lead(l_quantity, 3) OVER w AS next_qty,
+        CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate,
+        l_orderkey, l_linenumber, l_partkey, l_quantity,
+        l_extendedprice)""",
     // window_auto_desc: the r20 descending flip (WindowSpec.descending)
     // under the literal DESC window SQL — DESC NULLS LAST is both
     // engines' default and the exact reverse of ASC NULLS FIRST, the

@@ -251,7 +251,9 @@ object Skew {
     windowLagSkewOn(s, table(s, dir, "lineitem"))
 
   private[graft] def windowLagSkewOn(s: SparkSession, df: DataFrame,
-      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+      spec: WindowSpec = WindowSpec.Lineitem, k: Int = 1): DataFrame = {
+    require(k >= 1, s"lag/lead offset must be positive, got $k")
+    if (k > 1) return windowLagKSkewOn(s, df, spec, k)
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
     val sortCols = col(spec.key) +: ordCols
@@ -316,6 +318,92 @@ object Skew {
           .otherwise(col("prev0")).as(spec.prevName),
         when(col("lrn") === col("cnt"), col("next_first"))
           .otherwise(col("next0")).as(spec.nextName),
+        (col("lrn") + col("offset")).as("rn")): _*)
+  }
+
+  /** The general-offset lag/lead chunked rewrite (k > 1; the k = 1
+    * fast path above keeps its scalar min_by/max_by edge stats
+    * untouched). Same scaffold — range-chunk, local windows on
+    * (chunk, key), tiny per-(chunk, key) stats broadcast back — but a
+    * k-offset neighbor can live SEVERAL chunks away (a chunk may hold
+    * fewer than k of the key's rows), so scalar edge values become
+    * bounded edge ARRAYS stitched along the chunk sequence:
+    *
+    *  - per (chunk, key): the first k and last k values IN WINDOW
+    *    ORDER (`head_vals`/`tail_vals`, extracted by local row number
+    *    so the device is sort-direction-agnostic; values ride structs
+    *    through collect_list, which would silently drop bare nulls);
+    *  - `prev_ctx` = the last k of the CONCATENATION of all earlier
+    *    chunks' tails (any value not in its own chunk's tail has ≥ k
+    *    successors in that chunk alone, so the concatenation always
+    *    contains the true trailing k — the bound that keeps stats
+    *    rows at ≤ 2k values regardless of the hot key's size);
+    *    `next_ctx` mirrors with the following chunks' heads;
+    *  - a local row at position p takes lag k locally when p > k,
+    *    else `prev_ctx[|ctx| − (k − p)]` (1-based; null when the key
+    *    has fewer than k predecessors — the window's own null), and
+    *    symmetrically for lead via `next_ctx[p + k − cnt]`.
+    * Ordering ties remain full duplicates under the spec contract, so
+    * any chunk tie split yields the same output multiset; oracle =
+    * the literal LAG/LEAD/ROW_NUMBER SQL at offset k.
+    */
+  private def windowLagKSkewOn(s: SparkSession, df: DataFrame,
+      spec: WindowSpec, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = spec.ordSorted
+    val sortCols = col(spec.key) +: ordCols
+    val chunks = s.sparkContext.defaultParallelism
+    val ranged = df
+      .select(spec.keep.map(col): _*)
+      .repartitionByRange(chunks, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("pid"), col(spec.key))
+      .orderBy(ordCols: _*)
+    val wFullGrp = Window.partitionBy(col("pid"), col(spec.key))
+    val local = ranged
+      .withColumn("lrn", row_number().over(wl).cast("long"))
+      .withColumn("prev0", lag(col(spec.value), k).over(wl))
+      .withColumn("next0", lead(col(spec.value), k).over(wl))
+      .withColumn("cntl", count(lit(1)).over(wFullGrp))
+    // per-(chunk, key) edge arrays: ≤ k values each side, in window
+    // order (sorted by local row number; struct-wrapped so a null
+    // VALUE survives collect_list)
+    val edged = local
+      .filter(col("lrn") <= k || col("lrn") > col("cntl") - k)
+      .groupBy(col("pid"), col(spec.key))
+      .agg(max(col("cntl")).as("cnt"),
+        transform(array_sort(collect_list(when(col("lrn") <= k,
+            struct(col("lrn").as("i"), col(spec.value).as("v"))))),
+          _.getField("v")).as("head_vals"),
+        transform(array_sort(collect_list(when(col("lrn") > col("cntl") - k,
+            struct(col("lrn").as("i"), col(spec.value).as("v"))))),
+          _.getField("v")).as("tail_vals"))
+    val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
+    val before = wk.rowsBetween(Window.unboundedPreceding, -1)
+    val after = wk.rowsBetween(1, Window.unboundedFollowing)
+    val prevFlat = flatten(collect_list(col("tail_vals")).over(before))
+    val nextFlat = flatten(collect_list(col("head_vals")).over(after))
+    val stats = edged
+      .withColumn("offset", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("prev_ctx",
+        when(size(prevFlat) <= k, prevFlat)
+          .otherwise(slice(prevFlat, -k, k)))
+      .withColumn("next_ctx", slice(nextFlat, 1, k))
+      .select(col("pid"), col(spec.key), col("cnt"), col("offset"),
+        col("prev_ctx"), col("next_ctx"))
+    local.join(broadcast(stats), Seq("pid", spec.key))
+      .select(spec.out.map(col) ++ Seq(
+        when(col("lrn") > k, col("prev0")).otherwise(
+          when(size(col("prev_ctx")) - (lit(k) - col("lrn")) >= 1,
+            element_at(col("prev_ctx"),
+              (size(col("prev_ctx")) - (lit(k) - col("lrn"))).cast("int")))
+            .otherwise(lit(null))).as(spec.prevName),
+        when(col("lrn") <= col("cnt") - k, col("next0")).otherwise(
+          when(size(col("next_ctx")) >= col("lrn") + k - col("cnt"),
+            element_at(col("next_ctx"),
+              (col("lrn") + k - col("cnt")).cast("int")))
+            .otherwise(lit(null))).as(spec.nextName),
         (col("lrn") + col("offset")).as("rn")): _*)
   }
 
@@ -1182,13 +1270,13 @@ object Skew {
     * identical output columns, so [[windowAutoOn]] can swap either in.
     */
   private[graft] def windowLagPlain(df: DataFrame,
-      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+      spec: WindowSpec = WindowSpec.Lineitem, k: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(spec.key))
       .orderBy(spec.ordSorted: _*)
     df.select(spec.out.map(col) ++ Seq(
-      lag(col(spec.value), 1).over(w).as(spec.prevName),
-      lead(col(spec.value), 1).over(w).as(spec.nextName),
+      lag(col(spec.value), k).over(w).as(spec.prevName),
+      lead(col(spec.value), k).over(w).as(spec.nextName),
       row_number().over(w).cast("long").as("rn")): _*)
   }
 
@@ -1252,7 +1340,8 @@ object Skew {
     */
   def windowAutoOn(s: SparkSession, df: DataFrame, cls: String = "lag",
                    threshold: Double = WindowSkewShare,
-                   spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+                   spec: WindowSpec = WindowSpec.Lineitem,
+                   lagK: Int = 1): DataFrame = {
     require(!spec.descending || cls == "lag" || cls == "running",
       s"descending specs are supported for the lag/running classes " +
         s"only (got '$cls') — the rank/range boundary algebra is " +
@@ -1260,8 +1349,8 @@ object Skew {
     val skewed = dispatchChunked(s, df, spec.key, threshold)
     cls match {
       case "lag" =>
-        if (skewed) windowLagSkewOn(s, df, spec)
-        else windowLagPlain(df, spec)
+        if (skewed) windowLagSkewOn(s, df, spec, lagK)
+        else windowLagPlain(df, spec, lagK)
       case "rank" =>
         if (skewed) windowRankSkewOn(s, df, spec = spec)
         else windowRankPlain(df, spec = spec)
@@ -1302,4 +1391,11 @@ object Skew {
   def windowAutoDesc(s: SparkSession, dir: String): DataFrame =
     windowAutoOn(s, table(s, dir, "lineitem"), "lag",
       spec = WindowSpec.Lineitem.copy(descending = true))
+  /** The general-offset lag/lead chunked rewrite (k = 3), pinned on
+    * the chunked branch like [[windowLagSkew]] — its oracle is the
+    * literal offset-3 LAG/LEAD/ROW_NUMBER SQL.
+    */
+  def windowLagK(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    windowLagSkewOn(s, table(s, dir, "lineitem"),
+      spec = WindowSpec.Lineitem, k = k)
 }

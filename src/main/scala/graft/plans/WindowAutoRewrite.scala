@@ -135,7 +135,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     "last_run_start", "prev_run_start", "prev_last_dt", "rnk", "drank",
     "bucket",
     "_k", "_ov", "_v", "ghost", "lo", "hi", "nxt_lo", "prv_hi", "gk",
-    "tpid", "rng_sum", "rng_n")
+    "tpid", "rng_sum", "rng_n",
+    "cntl", "head_vals", "tail_vals", "prev_ctx", "next_ctx")
 
   /** The expression id a projection entry forwards: a direct reference,
     * or the oracle-SQL idiom `CAST(x AS BIGINT)` (the chunked rewrites
@@ -182,6 +183,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       value: Option[AttributeReference],
       rangeW: Long,
       nTiles: Int,
+      lagK: Int,
       aliases: Seq[Alias],
       opCols: Seq[String],
       tiePass: Boolean,
@@ -218,21 +220,33 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
   }
 
   /** The lag class's roles: any non-empty SUBSET of
-    * [lag(v,1), lead(v,1), row_number()] — the operator computes the
-    * full triple and the splice projects down, so a lag-only query is
-    * just the superset minus two columns (the operator's oracle proves
-    * the superset).
+    * [lag(v,k), lead(v,k), row_number()] at one shared positive
+    * offset k — the operator computes the full triple and the splice
+    * projects down, so a lag-only query is just the superset minus
+    * two columns (the operator's oracle proves the superset). k = 1
+    * takes the scalar-edge fast path; k > 1 the array-context
+    * algebra ([[Skew.windowLagSkewOn]]). Folded outside [[roles]]
+    * because the offset must be CONSISTENT across the expressions,
+    * like the value subject.
     */
-  private def lagRole(e: NamedExpression)
-      : Option[(Option[AttributeReference], String)] = e match {
-    case Alias(WindowExpression(
-        Lag(v: AttributeReference, Literal(1, _), Literal(null, _), false),
-        _), _) => Some((Some(v), "prev_qty"))
-    case Alias(WindowExpression(
-        Lead(v: AttributeReference, Literal(1, _), Literal(null, _), false),
-        _), _) => Some((Some(v), "next_qty"))
-    case Alias(WindowExpression(_: RowNumber, _), _) => Some((None, "rn"))
-    case _ => None
+  private def lagRoles(wes: Seq[NamedExpression])
+      : Option[(Option[AttributeReference], Seq[Alias], Seq[String], Int)] = {
+    var kOpt: Option[Int] = None
+    def offOk(ki: Int): Boolean =
+      ki >= 1 && kOpt.forall(_ == ki) && { kOpt = Some(ki); true }
+    roles(wes) {
+      case Alias(WindowExpression(
+          Lag(v: AttributeReference, Literal(ki: Int, IntegerType),
+            Literal(null, _), false), _), _) if offOk(ki) =>
+        Some((Some(v), "prev_qty"))
+      case Alias(WindowExpression(
+          Lead(v: AttributeReference, Literal(ki: Int, IntegerType),
+            Literal(null, _), false), _), _) if offOk(ki) =>
+        Some((Some(v), "next_qty"))
+      case Alias(WindowExpression(_: RowNumber, _), _) =>
+        Some((None, "rn"))
+      case _ => None
+    }.map { case (v, as, cols) => (v, as, cols, kOpt.getOrElse(1)) }
   }
 
   /** The UNBOUNDED PRECEDING..CURRENT ROW row frame every
@@ -342,11 +356,15 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                        descending: Boolean): Option[ClassMatch] = {
     def mk(cls: String,
            r: (Option[AttributeReference], Seq[Alias], Seq[String]),
-           rangeW: Long = 0L, nTiles: Int = 4,
+           rangeW: Long = 0L, nTiles: Int = 4, lagK: Int = 1,
            tiePass: Boolean, tieValue: Boolean) =
-      ClassMatch(cls, r._1, rangeW, nTiles, r._2, r._3, tiePass, tieValue)
-    roles(wes)(lagRole)
-      .map(r => mk("lag", r, tiePass = true, tieValue = r._1.nonEmpty))
+      ClassMatch(cls, r._1, rangeW, nTiles, lagK, r._2, r._3, tiePass,
+        tieValue)
+    lagRoles(wes)
+      .map { case (v, as, cols, ki) =>
+        mk("lag", (v, as, cols), lagK = ki,
+          tiePass = true, tieValue = v.nonEmpty)
+      }
       .orElse(roles(wes)(runningRole).map { r =>
         val cls = if (r._1.isEmpty) "lag" else "running"
         mk(cls, r, tiePass = true, tieValue = r._1.nonEmpty)
@@ -566,7 +584,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                 rangeOut = pass,
                 descending = descending)
               val full = m.cls match {
-                case "lag" => Skew.windowLagSkewOn(s, childDf, spec)
+                case "lag" => Skew.windowLagSkewOn(s, childDf, spec, m.lagK)
                 case "running" => Skew.windowRunningSkewOn(s, childDf, spec)
                 case "range" => Skew.windowRangeSkewOn(s, childDf,
                   w = m.rangeW, spec = spec)

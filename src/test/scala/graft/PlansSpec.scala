@@ -404,7 +404,23 @@ class PlansSpec extends AnyFunSuite {
             l_quantity, CAST(ntile(4) OVER w AS BIGINT) AS bucket
           FROM li_hot2
           WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
+      ("offset-3 lag/lead (the array-context rewrite through the seam)",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity,
+            lag(l_quantity, 3) OVER w AS prev_qty,
+            lead(l_quantity, 3) OVER w AS next_qty,
+            CAST(row_number() OVER w AS BIGINT) AS rn
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
       // refusals: each one load-bearing
+      ("MIXED lag/lead offsets refuse (one shared k per class)",
+        s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+            l_quantity,
+            lag(l_quantity, 2) OVER w AS prev_qty,
+            lead(l_quantity, 3) OVER w AS next_qty
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""",
+        false),
       ("ntile-only WITHOUT tie coverage refuses (row-number-dependent)",
         s"""SELECT l_suppkey, l_quantity,
             CAST(ntile(4) OVER w AS BIGINT) AS bucket

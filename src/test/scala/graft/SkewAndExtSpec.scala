@@ -97,6 +97,49 @@ class SkewAndExtSpec extends AnyFunSuite {
     }
   }
 
+  test("general-offset lag/lead (k > 1): the array-context rewrite " +
+       "equals the plain offset-k window, including offsets SPANNING " +
+       "several chunks, and composes with descending") {
+    import graft.operators.WindowSpec
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    for (k <- Seq(2, 5)) {
+      val chunked = Skew.windowLagSkewOn(spark, li,
+        WindowSpec.Lineitem, k)
+      val plain = Skew.windowLagPlain(li, WindowSpec.Lineitem, k)
+      assert(chunked.count() === plain.count(), s"k=$k")
+      assert(chunked.exceptAll(plain).count() === 0L, s"k=$k")
+      assert(plain.exceptAll(chunked).count() === 0L, s"k=$k")
+    }
+    // the adversarial shape: 3 keys x 200 rows over 32 range chunks
+    // puts ~19 rows of a key in each chunk, so an offset of 40 must
+    // stitch context across three or more chunk boundaries — the case
+    // the k=1 scalar algebra could never serve. A planted null value
+    // pins the struct-wrapped collect (bare collect_list would drop
+    // it and silently shift every context index).
+    import spark.implicits._
+    val narrow = (0 until 600).map { i =>
+      (i / 200L, i.toLong,
+        if (i % 97 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble))
+    }.toDF("k", "o", "v").repartition(7)
+    val spec = WindowSpec(key = "k", ord = Seq("o"), value = "v",
+      rangeOrd = "o", out = Seq("k", "o", "v"),
+      rangeOut = Seq("k", "o", "v"), valueAlias = "val")
+    for (k <- Seq(40, 199, 200, 250)) {
+      val chunked = Skew.windowLagSkewOn(spark, narrow, spec, k)
+      val plain = Skew.windowLagPlain(narrow, spec, k)
+      assert(chunked.exceptAll(plain).count() === 0L, s"k=$k")
+      assert(plain.exceptAll(chunked).count() === 0L, s"k=$k")
+    }
+    // descending composes: the edge arrays are extracted by local row
+    // number, so the flip costs nothing extra
+    val dspec = WindowSpec.Lineitem.copy(descending = true)
+    val dChunked = Skew.windowLagSkewOn(spark, li, dspec, 3)
+    val dPlain = Skew.windowLagPlain(li, dspec, 3)
+    assert(dChunked.exceptAll(dPlain).count() === 0L)
+    assert(dPlain.exceptAll(dChunked).count() === 0L)
+  }
+
   test("window_rank_skew equals the plain rank/dense_rank/ntile windows, " +
        "multiset for multiset — boundary tie runs, distinct-count " +
        "overlaps, and the run-group device all land") {
