@@ -155,6 +155,8 @@ object SparkEntry {
     "window_auto_events" -> (Skew.windowAutoEvents _),
     "window_auto_desc" -> (Skew.windowAutoDesc _),
     "window_lag_k" -> ((s, d) => Skew.windowLagK(s, d)),
+    "window_firstlast_skew" -> (Skew.windowFirstLastSkew _),
+    "window_rank_ext" -> (Skew.windowRankExt _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
     "bloom_join_auto" -> (RuntimeFilter.bloomJoinAuto _),
@@ -3121,6 +3123,31 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate,
         l_orderkey, l_linenumber, l_partkey, l_quantity,
         l_extendedprice)""",
+    // window_firstlast_skew: the whole-partition-frame class through
+    // the chunked machinery — first/last/nth are PER-KEY constants,
+    // reduced from bounded (chunk, key) edge arrays and broadcast
+    // back (Skew.windowFirstLastSkewOn); same explicit-frame footgun
+    // pin as window_firstlast
+    "window_firstlast_skew" -> """
+      SELECT o_orderkey, o_custkey,
+        first_value(o_orderkey) OVER w AS first_key,
+        last_value(o_orderkey) OVER w AS last_key,
+        nth_value(o_orderkey, 2) OVER w AS nth_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // window_rank_ext: percent_rank + cume_dist from the chunked rank
+    // machinery — (rank−1)/(total−1) off the boundary rank and
+    // per-key total, max(global rn) over the (key, coarse) peer group
+    // (tie-invariant, fine-grained — no hot partition) over total;
+    // exact integer divisions in both engines, no rounding
+    "window_rank_ext" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        CAST(rank() OVER wd AS BIGINT) AS rnk,
+        percent_rank() OVER wd AS prank,
+        cume_dist() OVER wd AS cdist
+      FROM lineitem
+      WINDOW wd AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""",
     // window_auto_desc: the r20 descending flip (WindowSpec.descending)
     // under the literal DESC window SQL — DESC NULLS LAST is both
     // engines' default and the exact reverse of ASC NULLS FIRST, the

@@ -407,6 +407,101 @@ object Skew {
         (col("lrn") + col("offset")).as("rn")): _*)
   }
 
+  /** Skew-resilient FIRST/LAST/NTH value over the whole-partition
+    * frame — the remaining common window shape without a hot-key
+    * path: `first_value/last_value/nth_value(v, n) OVER (PARTITION BY
+    * key ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING)` makes one task hold the entire hot key under the
+    * plain window. The outputs are PER-KEY CONSTANTS, so the chunked
+    * form needs no per-row boundary algebra at all: each (chunk, key)
+    * contributes its first n values in window order and its last
+    * value (extracted by local row number — direction-agnostic, so
+    * `spec.descending` composes for free; values ride structs through
+    * collect_list so nulls survive), one per-key reduction picks the
+    * first chunk's head, the last chunk's tail, and the n-th element
+    * of the concatenated heads (any value outside its chunk's head
+    * has ≥ n predecessors in that chunk alone, so the concatenation
+    * provably contains the leading n), and the ≤ #keys-row stats
+    * frame broadcasts back onto the rows. Tie safety needs only the
+    * VALUE subject to ride the ordering (the constants are functions
+    * of the ordered value sequence; passthrough rows are emitted
+    * unchanged either way). Oracle = the literal
+    * FIRST_VALUE/LAST_VALUE/NTH_VALUE SQL with the explicit
+    * whole-partition frame (default-frame last_value is the current
+    * row — the classic footgun the plain twin also pins).
+    */
+  private[graft] def windowFirstLastSkewOn(s: SparkSession, df: DataFrame,
+      spec: WindowSpec, n: Int = 2): DataFrame = {
+    require(n >= 1, s"nth_value position must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val ordCols = spec.ordSorted
+    val sortCols = col(spec.key) +: ordCols
+    val chunks = s.sparkContext.defaultParallelism
+    val ranged = df
+      .select(spec.keep.map(col): _*)
+      .repartitionByRange(chunks, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("pid"), col(spec.key))
+      .orderBy(ordCols: _*)
+    val wg = Window.partitionBy(col("pid"), col(spec.key))
+    val local = ranged
+      .withColumn("lrn", row_number().over(wl).cast("long"))
+      .withColumn("cntl", count(lit(1)).over(wg))
+    val edged = local
+      .filter(col("lrn") <= n || col("lrn") === col("cntl"))
+      .groupBy(col("pid"), col(spec.key))
+      .agg(
+        transform(array_sort(collect_list(when(col("lrn") <= n,
+            struct(col("lrn").as("i"), col(spec.value).as("v"))))),
+          _.getField("v")).as("head_vals"),
+        max_by(col(spec.value), col("lrn")).as("tail_val"))
+    val stats = edged.groupBy(col(spec.key))
+      .agg(
+        min_by(col("head_vals"), col("pid")).as("h0"),
+        max_by(col("tail_val"), col("pid")).as("last_v"),
+        transform(array_sort(collect_list(struct(col("pid").as("p"),
+            col("head_vals").as("h")))), _.getField("h")).as("hs"))
+      // get() is 0-based and null-on-out-of-bounds (ANSI-safe where
+      // element_at would throw): a key with fewer than n rows yields
+      // the window's own null
+      .select(col(spec.key),
+        get(col("h0"), lit(0)).as("first_v"),
+        col("last_v"),
+        get(flatten(col("hs")), lit(n - 1)).as("nth_v"))
+    ranged.join(broadcast(stats), Seq(spec.key))
+      .select(spec.out.map(col) ++ Seq(
+        col("first_v").as(s"first_${spec.valueAlias}"),
+        col("last_v").as(s"last_${spec.valueAlias}"),
+        col("nth_v").as(s"nth_${spec.valueAlias}")): _*)
+  }
+
+  private[graft] def windowFirstLastPlain(df: DataFrame,
+      spec: WindowSpec, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(spec.key))
+      .orderBy(spec.ordSorted: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(spec.out.map(col) ++ Seq(
+      first(col(spec.value)).over(w).as(s"first_${spec.valueAlias}"),
+      last(col(spec.value)).over(w).as(s"last_${spec.valueAlias}"),
+      nth_value(col(spec.value), n).over(w)
+        .as(s"nth_${spec.valueAlias}")): _*)
+  }
+
+  /** The orders shape the registry firstlast queries run on. */
+  val OrdersFirstLast: WindowSpec = WindowSpec(
+    key = "o_custkey",
+    ord = Seq("o_orderkey"),
+    value = "o_orderkey",
+    rangeOrd = "o_orderkey",
+    out = Seq("o_orderkey", "o_custkey"),
+    rangeOut = Seq("o_orderkey", "o_custkey"),
+    valueAlias = "key")
+
+  def windowFirstLastSkew(s: SparkSession, dir: String): DataFrame =
+    windowFirstLastSkewOn(s, table(s, dir, "orders"), OrdersFirstLast)
+
   /** Skew-resilient RUNNING aggregate (cumulative sum + row count) —
     * completing the skew-window family: lag/lead/row_number
     * ([[windowLagSkew]]), rank/dense_rank/ntile ([[windowRankSkew]]),
@@ -801,7 +896,8 @@ object Skew {
 
   private[graft] def windowRankSkewOn(s: SparkSession, df: DataFrame,
       nTiles: Int = 4,
-      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+      spec: WindowSpec = WindowSpec.Lineitem,
+      extended: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(!spec.descending,
       "the rank-class boundary algebra (run groups, first/last coarse " +
@@ -864,12 +960,37 @@ object Skew {
       .withColumn("prev_last_dt", lag(col("last_dt"), 1).over(wk))
       .select(col("pid"), col(spec.key), col("offset"), col("total"),
         col("adj_d"), col("prev_run_start"), col("prev_last_dt"))
-    local.join(broadcast(stats), Seq("pid", spec.key))
+    val joined = local.join(broadcast(stats), Seq("pid", spec.key))
       .withColumn("rn", col("lrn") + col("offset"))
+    val rnkExpr = when(col(coarse) === col("prev_last_dt"),
+      col("prev_run_start")).otherwise(col("offset") + col("lrk"))
+    // extended: percent_rank and cume_dist from the same machinery.
+    // percent_rank = (rank − 1) / (total − 1) needs only the boundary
+    // rank and the per-key total the stats already carry (0.0 on a
+    // single-row key, both engines' convention). cume_dist = the peer
+    // group's LAST global position / total: max(rn) over (key, coarse)
+    // is tie-invariant even though rn itself is not, and that window
+    // partitions on (key, coarse value) — fine-grained by the coarse
+    // class's own premise (many values per key), so it reintroduces
+    // no hot partition. Both are exact integer divisions performed
+    // identically by both engines — no rounding needed.
+    if (extended) {
+      val wPeer = Window.partitionBy(col(spec.key), col(coarse))
+      return joined
+        .withColumn("rnk", rnkExpr)
+        .withColumn("prank",
+          when(col("total") === 1L, lit(0.0))
+            .otherwise((col("rnk") - 1).cast("double") /
+              (col("total") - 1).cast("double")))
+        .withColumn("cdist",
+          max(col("rn")).over(wPeer).cast("double") /
+            col("total").cast("double"))
+        .select(spec.out.map(col) ++ Seq(col("rnk"), col("prank"),
+          col("cdist")): _*)
+    }
+    joined
       .select(spec.out.map(col) ++ Seq(
-        when(col(coarse) === col("prev_last_dt"),
-          col("prev_run_start"))
-          .otherwise(col("offset") + col("lrk")).as("rnk"),
+        rnkExpr.as("rnk"),
         (col("ldr") + col("adj_d")).as("drank"),
         // Spark/DuckDB NTILE: total mod n buckets of size q+1 first,
         // the rest size q (q = total div n); the div-by-zero branch
@@ -1292,6 +1413,16 @@ object Skew {
       ntile(nTiles).over(wf).cast("long").as("bucket")): _*)
   }
 
+  private[graft] def windowRankExtPlain(df: DataFrame,
+      spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col(spec.key)).orderBy(col(spec.ord.head))
+    df.select(spec.out.map(col) ++ Seq(
+      rank().over(wd).cast("long").as("rnk"),
+      percent_rank().over(wd).as("prank"),
+      cume_dist().over(wd).as("cdist")): _*)
+  }
+
   private[graft] def windowRunningPlain(df: DataFrame,
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1398,4 +1529,12 @@ object Skew {
   def windowLagK(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     windowLagSkewOn(s, table(s, dir, "lineitem"),
       spec = WindowSpec.Lineitem, k = k)
+  /** rank + percent_rank + cume_dist on the coarse ordering through
+    * the chunked rank machinery (chunked branch pinned; oracle = the
+    * literal PERCENT_RANK/CUME_DIST SQL — exact integer divisions,
+    * identical in both engines, no rounding).
+    */
+  def windowRankExt(s: SparkSession, dir: String): DataFrame =
+    windowRankSkewOn(s, table(s, dir, "lineitem"),
+      spec = WindowSpec.Lineitem, extended = true)
 }

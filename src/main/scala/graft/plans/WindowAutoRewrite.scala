@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
   SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
   WindowSpecDefinition}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.catalyst.expressions.NthValue
+import org.apache.spark.sql.catalyst.expressions.UnboundedFollowing
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Sum}
+  AggregateExpression, Count, First, Last, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
   Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -136,7 +138,9 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     "bucket",
     "_k", "_ov", "_v", "ghost", "lo", "hi", "nxt_lo", "prv_hi", "gk",
     "tpid", "rng_sum", "rng_n",
-    "cntl", "head_vals", "tail_vals", "prev_ctx", "next_ctx")
+    "cntl", "head_vals", "tail_vals", "prev_ctx", "next_ctx",
+    "h0", "hs", "first_v", "last_v", "nth_v",
+    "first_qty", "last_qty", "nth_qty")
 
   /** The expression id a projection entry forwards: a direct reference,
     * or the oracle-SQL idiom `CAST(x AS BIGINT)` (the chunked rewrites
@@ -345,6 +349,58 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The whole-partition ROWS frame the first/last class requires
+    * (default-frame last_value is the current row — the classic
+    * footgun; only the explicit full frame means "the partition's
+    * last value" and only that shape the operator serves).
+    */
+  private def fullFrame(ws: WindowSpecDefinition): Boolean =
+    ws.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+          UnboundedFollowing) => true
+      case _ => false
+    }
+
+  /** The first/last class's roles: any non-empty subset of
+    * [first_value(v), last_value(v), nth_value(v, n)] on the explicit
+    * whole-partition ROWS frame, one shared value subject and one
+    * shared n. The outputs are PER-KEY CONSTANTS, so tie safety needs
+    * only the VALUE to ride the ordering — passthrough rows are
+    * emitted unchanged either way (the rank-subset waiver's sibling).
+    */
+  private def flastRoles(wes: Seq[NamedExpression])
+      : Option[(Option[AttributeReference], Seq[Alias], Seq[String], Int)] = {
+    var nOpt: Option[Int] = None
+    def nOk(ni: Int): Boolean =
+      ni >= 1 && nOpt.forall(_ == ni) && { nOpt = Some(ni); true }
+    roles(wes) {
+      // Catalyst's OptimizeWindowFunctions rewrites an
+      // unbounded-preceding-frame first_value(v) into NthValue(v, 1)
+      // before this rule runs, so position 1 IS the first role; the
+      // raw First pattern is kept for completeness
+      case Alias(WindowExpression(
+          NthValue(v: AttributeReference, Literal(1, IntegerType), false),
+          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+        Some((Some(v), "first_qty"))
+      case Alias(WindowExpression(
+          AggregateExpression(First(v: AttributeReference, false),
+            _, false, None, _),
+          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+        Some((Some(v), "first_qty"))
+      case Alias(WindowExpression(
+          AggregateExpression(Last(v: AttributeReference, false),
+            _, false, None, _),
+          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+        Some((Some(v), "last_qty"))
+      case Alias(WindowExpression(
+          NthValue(v: AttributeReference, Literal(ni: Int, IntegerType),
+            false),
+          ws: WindowSpecDefinition), _) if fullFrame(ws) && nOk(ni) =>
+        Some((Some(v), "nth_qty"))
+      case _ => None
+    }.map { case (v, as, cols) => (v, as, cols, nOpt.getOrElse(2)) }
+  }
+
   /** Classify one single-Window expression list. Descending orderings
     * are admitted for the row-frame lag/running classes only (an
     * all-DESC nulls-last order is the exact reverse of all-ASC
@@ -390,6 +446,14 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
           if (hasRank && orderLen != 1) None
           else Some(mk("rank", r, nTiles = nT,
             tiePass = hasNtile, tieValue = false))
+        }
+      }
+      .orElse {
+        // first/last/nth (per-key constants): descending composes —
+        // the operator's edge extraction is by local row number
+        flastRoles(wes).map { case (v, as, cols, ni) =>
+          mk("flast", (v, as, cols), nTiles = ni,
+            tiePass = false, tieValue = true)
         }
       }
   }
@@ -588,6 +652,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                 case "running" => Skew.windowRunningSkewOn(s, childDf, spec)
                 case "range" => Skew.windowRangeSkewOn(s, childDf,
                   w = m.rangeW, spec = spec)
+                case "flast" => Skew.windowFirstLastSkewOn(s, childDf,
+                  spec, n = m.nTiles) // nTiles doubles as nth position
                 case _ => Skew.windowRankSkewOn(s, childDf,
                   nTiles = m.nTiles, spec = spec)
               }

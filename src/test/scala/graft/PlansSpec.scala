@@ -412,7 +412,34 @@ class PlansSpec extends AnyFunSuite {
             CAST(row_number() OVER w AS BIGINT) AS rn
           FROM li_hot2
           WINDOW w AS (PARTITION BY l_suppkey ORDER BY $fullOrd)""", true),
+      // first/last/nth over the explicit whole-partition frame: the
+      // outputs are per-key constants, so only the VALUE must ride
+      // the ordering — l_quantity passes through un-tie-covered
+      ("first/last/nth whole-frame class, passthrough tie waived",
+        s"""SELECT l_suppkey, l_quantity,
+            first_value(l_shipdate) OVER w AS first_sd,
+            last_value(l_shipdate) OVER w AS last_sd,
+            nth_value(l_shipdate, 2) OVER w AS nth_sd
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+            FOLLOWING)""", true),
       // refusals: each one load-bearing
+      ("DEFAULT-frame first_value refuses (running first, not the " +
+        "partition constant)",
+        s"""SELECT l_suppkey, l_quantity,
+            first_value(l_shipdate) OVER w AS first_sd
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)""",
+        false),
+      ("first_value of a non-ordering column refuses (tie-sensitive " +
+        "constant)",
+        s"""SELECT l_suppkey,
+            first_value(l_quantity) OVER w AS first_q
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+            FOLLOWING)""", false),
       ("MIXED lag/lead offsets refuse (one shared k per class)",
         s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
             l_quantity,

@@ -140,6 +140,50 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(dPlain.exceptAll(dChunked).count() === 0L)
   }
 
+  test("first/last/nth whole-partition frame: the per-key-constant " +
+       "reduction equals the plain window, nth spanning chunks, nulls " +
+       "surviving, descending composing; percent_rank/cume_dist from " +
+       "the rank machinery equal their plain twins") {
+    import graft.operators.WindowSpec
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val fl = Skew.windowFirstLastSkewOn(spark, orders, Skew.OrdersFirstLast)
+    val flP = Skew.windowFirstLastPlain(orders, Skew.OrdersFirstLast)
+    assert(fl.count() === flP.count())
+    assert(fl.exceptAll(flP).count() === 0L)
+    assert(flP.exceptAll(fl).count() === 0L)
+    // nth position spanning several chunks, with planted null values
+    // (struct-wrapped collect) and a key SHORTER than n (null nth)
+    import spark.implicits._
+    val narrow = (0 until 620).map { i =>
+      val key = if (i < 600) i / 200L else 3L // key 3: only 20 rows
+      (key, i.toLong,
+        if (i % 83 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble))
+    }.toDF("k", "o", "v").repartition(7)
+    val spec = WindowSpec(key = "k", ord = Seq("o"), value = "v",
+      rangeOrd = "o", out = Seq("k", "o", "v"),
+      rangeOut = Seq("k", "o", "v"), valueAlias = "val")
+    for (n <- Seq(45, 200)) {
+      val c = Skew.windowFirstLastSkewOn(spark, narrow, spec, n)
+      val p = Skew.windowFirstLastPlain(narrow, spec, n)
+      assert(c.exceptAll(p).count() === 0L, s"n=$n")
+      assert(p.exceptAll(c).count() === 0L, s"n=$n")
+    }
+    val dspec = Skew.OrdersFirstLast.copy(descending = true)
+    val dC = Skew.windowFirstLastSkewOn(spark, orders, dspec)
+    val dP = Skew.windowFirstLastPlain(orders, dspec)
+    assert(dC.exceptAll(dP).count() === 0L)
+    assert(dP.exceptAll(dC).count() === 0L)
+    // percent_rank / cume_dist
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ext = Skew.windowRankSkewOn(spark, li,
+      spec = WindowSpec.Lineitem, extended = true)
+    val extP = Skew.windowRankExtPlain(li)
+    assert(ext.count() === extP.count())
+    assert(ext.exceptAll(extP).count() === 0L)
+    assert(extP.exceptAll(ext).count() === 0L)
+  }
+
   test("window_rank_skew equals the plain rank/dense_rank/ntile windows, " +
        "multiset for multiset — boundary tie runs, distinct-count " +
        "overlaps, and the run-group device all land") {
