@@ -156,6 +156,7 @@ object SparkEntry {
     "window_auto_desc" -> (Skew.windowAutoDesc _),
     "window_lag_k" -> ((s, d) => Skew.windowLagK(s, d)),
     "window_firstlast_skew" -> (Skew.windowFirstLastSkew _),
+    "window_firstlast_nulls" -> (Skew.windowFirstLastNulls _),
     "window_rank_ext" -> (Skew.windowRankExt _),
     "bloom_join" -> (RuntimeFilter.bloomJoin _),
     "bucket_join" -> (Bucketing.bucketJoin _),
@@ -3134,6 +3135,23 @@ object SparkEntry {
         last_value(o_orderkey) OVER w AS last_key,
         nth_value(o_orderkey, 2) OVER w AS nth_key
       FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // window_firstlast_nulls: the IGNORE NULLS variant — the base
+    // tables carry no nulls, so the value is a planted CASE over the
+    // unique orderkey (mirrored exactly in both engines); the chunked
+    // form drops value-null rows before the edge extraction and
+    // LEFT-joins the constants back, so an all-null key keeps its
+    // rows with the window's own nulls
+    "window_firstlast_nulls" -> """
+      SELECT o_orderkey, o_custkey,
+        first_value(val IGNORE NULLS) OVER w AS first_val,
+        last_value(val IGNORE NULLS) OVER w AS last_val,
+        nth_value(val, 2 IGNORE NULLS) OVER w AS nth_val
+      FROM (SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                   ELSE o_orderkey END AS val
+            FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     // window_rank_ext: percent_rank + cume_dist from the chunked rank

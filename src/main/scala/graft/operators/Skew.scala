@@ -431,7 +431,8 @@ object Skew {
     * row — the classic footgun the plain twin also pins).
     */
   private[graft] def windowFirstLastSkewOn(s: SparkSession, df: DataFrame,
-      spec: WindowSpec, n: Int = 2): DataFrame = {
+      spec: WindowSpec, n: Int = 2,
+      ignoreNulls: Boolean = false): DataFrame = {
     require(n >= 1, s"nth_value position must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
@@ -442,10 +443,17 @@ object Skew {
       .repartitionByRange(chunks, sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // IGNORE NULLS = the same constants over the value's NON-NULL
+    // subsequence: drop value-null rows before the edge extraction and
+    // everything downstream is unchanged (the final join stays on the
+    // unfiltered rows; a key whose values are ALL null simply misses
+    // the stats frame and the left join gives it the window's nulls)
+    val edgeBase = if (ignoreNulls) ranged.filter(col(spec.value).isNotNull)
+      else ranged
     val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
     val wg = Window.partitionBy(col("pid"), col(spec.key))
-    val local = ranged
+    val local = edgeBase
       .withColumn("lrn", row_number().over(wl).cast("long"))
       .withColumn("cntl", count(lit(1)).over(wg))
     val edged = local
@@ -469,7 +477,7 @@ object Skew {
         get(col("h0"), lit(0)).as("first_v"),
         col("last_v"),
         get(flatten(col("hs")), lit(n - 1)).as("nth_v"))
-    ranged.join(broadcast(stats), Seq(spec.key))
+    ranged.join(broadcast(stats), Seq(spec.key), "left")
       .select(spec.out.map(col) ++ Seq(
         col("first_v").as(s"first_${spec.valueAlias}"),
         col("last_v").as(s"last_${spec.valueAlias}"),
@@ -477,15 +485,18 @@ object Skew {
   }
 
   private[graft] def windowFirstLastPlain(df: DataFrame,
-      spec: WindowSpec, n: Int = 2): DataFrame = {
+      spec: WindowSpec, n: Int = 2,
+      ignoreNulls: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(spec.key))
       .orderBy(spec.ordSorted: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(spec.out.map(col) ++ Seq(
-      first(col(spec.value)).over(w).as(s"first_${spec.valueAlias}"),
-      last(col(spec.value)).over(w).as(s"last_${spec.valueAlias}"),
-      nth_value(col(spec.value), n).over(w)
+      first(col(spec.value), ignoreNulls).over(w)
+        .as(s"first_${spec.valueAlias}"),
+      last(col(spec.value), ignoreNulls).over(w)
+        .as(s"last_${spec.valueAlias}"),
+      nth_value(col(spec.value), n, ignoreNulls).over(w)
         .as(s"nth_${spec.valueAlias}")): _*)
   }
 
@@ -501,6 +512,22 @@ object Skew {
 
   def windowFirstLastSkew(s: SparkSession, dir: String): DataFrame =
     windowFirstLastSkewOn(s, table(s, dir, "orders"), OrdersFirstLast)
+
+  /** The IGNORE NULLS variant over a derived nullable value (the base
+    * tables carry no nulls, so the query PLANTS them: every seventh
+    * orderkey's value is null) — the oracle is the literal
+    * `IGNORE NULLS` window SQL over the same derivation. Value is a
+    * deterministic function of the (unique) ordering key, so the
+    * constants are tie-invariant by construction.
+    */
+  def windowFirstLastNulls(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders").withColumn("val",
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderkey")))
+    windowFirstLastSkewOn(s, o,
+      OrdersFirstLast.copy(value = "val", valueAlias = "val"),
+      n = 2, ignoreNulls = true)
+  }
 
   /** Skew-resilient RUNNING aggregate (cumulative sum + row count) —
     * completing the skew-window family: lag/lead/row_number

@@ -188,6 +188,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       rangeW: Long,
       nTiles: Int,
       lagK: Int,
+      ignoreNulls: Boolean,
       aliases: Seq[Alias],
       opCols: Seq[String],
       tiePass: Boolean,
@@ -369,36 +370,45 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     * emitted unchanged either way (the rank-subset waiver's sibling).
     */
   private def flastRoles(wes: Seq[NamedExpression])
-      : Option[(Option[AttributeReference], Seq[Alias], Seq[String], Int)] = {
+      : Option[(Option[AttributeReference], Seq[Alias], Seq[String],
+          Int, Boolean)] = {
     var nOpt: Option[Int] = None
     def nOk(ni: Int): Boolean =
       ni >= 1 && nOpt.forall(_ == ni) && { nOpt = Some(ni); true }
+    // IGNORE NULLS must be CONSISTENT across the expressions: the
+    // operator computes one edge extraction, over the value's full
+    // sequence or its non-null subsequence — not a mix
+    var ignOpt: Option[Boolean] = None
+    def ignOk(ig: Boolean): Boolean =
+      ignOpt.forall(_ == ig) && { ignOpt = Some(ig); true }
     roles(wes) {
       // Catalyst's OptimizeWindowFunctions rewrites an
       // unbounded-preceding-frame first_value(v) into NthValue(v, 1)
       // before this rule runs, so position 1 IS the first role; the
       // raw First pattern is kept for completeness
       case Alias(WindowExpression(
-          NthValue(v: AttributeReference, Literal(1, IntegerType), false),
-          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+          NthValue(v: AttributeReference, Literal(1, IntegerType), ig),
+          ws: WindowSpecDefinition), _) if fullFrame(ws) && ignOk(ig) =>
         Some((Some(v), "first_qty"))
       case Alias(WindowExpression(
-          AggregateExpression(First(v: AttributeReference, false),
+          AggregateExpression(First(v: AttributeReference, ig),
             _, false, None, _),
-          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+          ws: WindowSpecDefinition), _) if fullFrame(ws) && ignOk(ig) =>
         Some((Some(v), "first_qty"))
       case Alias(WindowExpression(
-          AggregateExpression(Last(v: AttributeReference, false),
+          AggregateExpression(Last(v: AttributeReference, ig),
             _, false, None, _),
-          ws: WindowSpecDefinition), _) if fullFrame(ws) =>
+          ws: WindowSpecDefinition), _) if fullFrame(ws) && ignOk(ig) =>
         Some((Some(v), "last_qty"))
       case Alias(WindowExpression(
           NthValue(v: AttributeReference, Literal(ni: Int, IntegerType),
-            false),
-          ws: WindowSpecDefinition), _) if fullFrame(ws) && nOk(ni) =>
+            ig),
+          ws: WindowSpecDefinition), _)
+          if fullFrame(ws) && nOk(ni) && ignOk(ig) =>
         Some((Some(v), "nth_qty"))
       case _ => None
-    }.map { case (v, as, cols) => (v, as, cols, nOpt.getOrElse(2)) }
+    }.map { case (v, as, cols) =>
+      (v, as, cols, nOpt.getOrElse(2), ignOpt.getOrElse(false)) }
   }
 
   /** Classify one single-Window expression list. Descending orderings
@@ -413,9 +423,10 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     def mk(cls: String,
            r: (Option[AttributeReference], Seq[Alias], Seq[String]),
            rangeW: Long = 0L, nTiles: Int = 4, lagK: Int = 1,
+           ignoreNulls: Boolean = false,
            tiePass: Boolean, tieValue: Boolean) =
-      ClassMatch(cls, r._1, rangeW, nTiles, lagK, r._2, r._3, tiePass,
-        tieValue)
+      ClassMatch(cls, r._1, rangeW, nTiles, lagK, ignoreNulls, r._2,
+        r._3, tiePass, tieValue)
     lagRoles(wes)
       .map { case (v, as, cols, ki) =>
         mk("lag", (v, as, cols), lagK = ki,
@@ -451,8 +462,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
       .orElse {
         // first/last/nth (per-key constants): descending composes —
         // the operator's edge extraction is by local row number
-        flastRoles(wes).map { case (v, as, cols, ni) =>
-          mk("flast", (v, as, cols), nTiles = ni,
+        flastRoles(wes).map { case (v, as, cols, ni, ig) =>
+          mk("flast", (v, as, cols), nTiles = ni, ignoreNulls = ig,
             tiePass = false, tieValue = true)
         }
       }
@@ -653,7 +664,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
                 case "range" => Skew.windowRangeSkewOn(s, childDf,
                   w = m.rangeW, spec = spec)
                 case "flast" => Skew.windowFirstLastSkewOn(s, childDf,
-                  spec, n = m.nTiles) // nTiles doubles as nth position
+                  spec, n = m.nTiles, // nTiles doubles as nth position
+                  ignoreNulls = m.ignoreNulls)
                 case _ => Skew.windowRankSkewOn(s, childDf,
                   nTiles = m.nTiles, spec = spec)
               }

@@ -424,7 +424,25 @@ class PlansSpec extends AnyFunSuite {
           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
             FOLLOWING)""", true),
+      // Spark's grammar puts the nulls option AFTER the parens
+      // (DuckDB's oracle syntax is in-paren — engine-specific surface)
+      ("IGNORE NULLS first/last/nth through the seam",
+        s"""SELECT l_suppkey, l_quantity,
+            first_value(l_shipdate) IGNORE NULLS OVER w AS first_sd,
+            nth_value(l_shipdate, 2) IGNORE NULLS OVER w AS nth_sd
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+            FOLLOWING)""", true),
       // refusals: each one load-bearing
+      ("MIXED null treatments refuse (one edge extraction per class)",
+        s"""SELECT l_suppkey, l_quantity,
+            first_value(l_shipdate) IGNORE NULLS OVER w AS first_sd,
+            last_value(l_shipdate) OVER w AS last_sd
+          FROM li_hot2
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+            FOLLOWING)""", false),
       ("DEFAULT-frame first_value refuses (running first, not the " +
         "partition constant)",
         s"""SELECT l_suppkey, l_quantity,

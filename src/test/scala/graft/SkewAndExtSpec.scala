@@ -174,6 +174,24 @@ class SkewAndExtSpec extends AnyFunSuite {
     val dP = Skew.windowFirstLastPlain(orders, dspec)
     assert(dC.exceptAll(dP).count() === 0L)
     assert(dP.exceptAll(dC).count() === 0L)
+    // IGNORE NULLS: constants over the non-null subsequence; key 4's
+    // values are ALL null, so its rows must survive the left join
+    // with null constants (the window's own answer)
+    val nullly = (0 until 640).map { i =>
+      val key = if (i < 600) i / 200L else if (i < 620) 3L else 4L
+      (key, i.toLong,
+        if (key == 4L || i % 5 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i.toLong))
+    }.toDF("k", "o", "v").repartition(7)
+    for (ig <- Seq(true, false)) {
+      val c = Skew.windowFirstLastSkewOn(spark, nullly, spec, 2,
+        ignoreNulls = ig)
+      val p = Skew.windowFirstLastPlain(nullly, spec, 2,
+        ignoreNulls = ig)
+      assert(c.count() === 640L, s"ig=$ig: all rows must survive")
+      assert(c.exceptAll(p).count() === 0L, s"ig=$ig")
+      assert(p.exceptAll(c).count() === 0L, s"ig=$ig")
+    }
     // percent_rank / cume_dist
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ext = Skew.windowRankSkewOn(spark, li,
