@@ -1500,10 +1500,11 @@ object Skew {
                    threshold: Double = WindowSkewShare,
                    spec: WindowSpec = WindowSpec.Lineitem,
                    lagK: Int = 1): DataFrame = {
-    require(!spec.descending || cls == "lag" || cls == "running",
-      s"descending specs are supported for the lag/running classes " +
-        s"only (got '$cls') — the rank/range boundary algebra is " +
-        "ascending; fail here rather than silently on one branch")
+    require(!spec.descending || cls == "lag" || cls == "running" ||
+        cls == "flast",
+      s"descending specs are supported for the lag/running/flast " +
+        s"classes only (got '$cls') — the rank/range boundary algebra " +
+        "is ascending; fail here rather than silently on one branch")
     val skewed = dispatchChunked(s, df, spec.key, threshold)
     cls match {
       case "lag" =>
@@ -1518,8 +1519,12 @@ object Skew {
       case "range" =>
         if (skewed) windowRangeSkewOn(s, df, spec = spec)
         else windowRangePlain(df, spec = spec)
+      case "flast" =>
+        if (skewed) windowFirstLastSkewOn(s, df, spec)
+        else windowFirstLastPlain(df, spec)
       case other => throw new IllegalArgumentException(
-        s"unknown window class '$other' (expected lag|rank|running|range)")
+        s"unknown window class '$other' " +
+          "(expected lag|rank|running|range|flast)")
     }
   }
 

@@ -192,6 +192,26 @@ class SkewAndExtSpec extends AnyFunSuite {
       assert(c.exceptAll(p).count() === 0L, s"ig=$ig")
       assert(p.exceptAll(c).count() === 0L, s"ig=$ig")
     }
+    // the auto dispatcher serves the class: a pinned-hot share takes
+    // the chunked branch, a pinned-benign one the plain window — rows
+    // identical either way (the windowAutoOn contract, fifth class)
+    try {
+      spark.conf.set("spark.graft.window.share.o_custkey", "0.5")
+      spark.conf.set(Skew.MinHotRowsConf, "0")
+      val hotAuto = Skew.windowAutoOn(spark, orders, "flast",
+        spec = Skew.OrdersFirstLast)
+      assert(hotAuto.queryExecution.executedPlan.toString.contains("pid#"))
+      assert(hotAuto.exceptAll(flP).count() === 0L)
+      spark.conf.set("spark.graft.window.share.o_custkey", "0.0001")
+      val coldAuto = Skew.windowAutoOn(spark, orders, "flast",
+        spec = Skew.OrdersFirstLast)
+      assert(!coldAuto.queryExecution.executedPlan.toString
+        .contains("pid#"))
+      assert(coldAuto.exceptAll(flP).count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.window.share.o_custkey")
+      spark.conf.unset(Skew.MinHotRowsConf)
+    }
     // percent_rank / cume_dist
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ext = Skew.windowRankSkewOn(spark, li,
