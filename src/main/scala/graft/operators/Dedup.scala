@@ -2004,7 +2004,13 @@ object Dedup {
     * arithmetic is integer/string — both engines agree bit for bit.
     */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val toks = table(s, dir, "documents")
+    // engine-guarded spread: the per-token md5 boundary hash below runs
+    // BEFORE the doc_id exchange, i.e. inside the scan stage — single
+    // task on an under-split table (the dedup_ngram lesson, via
+    // Partitioning.spreadIfNarrow so a wide production scan skips the
+    // exchange)
+    val toks = graft.engine.Partitioning.spreadIfNarrow(s,
+        table(s, dir, "documents"), s"$dir/documents.parquet")
       .select(col("doc_id"), posexplode(T.tokens(col("text")))
         .as(Seq("pos", "tok")))
     // conv returns STRING; the cast to long is exact (60-bit < 2^63) —

@@ -46,16 +46,50 @@ object Profile {
     * The k-row result unpivots via one stack() projection.
     */
   def profileTable(s: SparkSession, dir: String): DataFrame = {
-    val src = table(s, dir, "orders")
+    // Spread before the Expand: the k exact count(DISTINCT)s fan every
+    // input row k+1 ways into the partial aggregate, so this is the
+    // CPU-heavy stage the single-split trap serializes (the whole
+    // Expand+partial-agg ran in one task at the bench SFs — measured
+    // ~3.0 s median, the fleet's #3 query, for a 150k-row table).
+    // Engine-guarded: a production multi-split scan passes through
+    // with no exchange (Partitioning.spreadIfNarrow). Every aggregate
+    // here is exact and order-insensitive (count/min/max/distinct), so
+    // the spread is result-invariant.
+    val plain = table(s, dir, "orders")
+    val src = graft.engine.Partitioning.spreadIfNarrow(s, plain,
+      s"$dir/orders.parquet")
+    // min/max on a STRING column cannot live in the Expand aggregate:
+    // a string aggregation buffer is not hash-aggregatable, and ONE
+    // such function demotes the whole aggregate — Expand and all — to
+    // SortAggregate, which pays a full sort of the k+1-way-expanded
+    // table on the 6-part grouping key (the r21 stage profile measured
+    // that sort as most of this query). String columns take their
+    // min/max in a separate GROUPING-FREE fold instead (SortAggregate
+    // with no grouping needs no sort — one streaming pass at scan
+    // speed) and re-attach as a broadcast 1-row frame; everything
+    // hash-friendly (counts, exact ndv via Expand, numeric/date
+    // min/max) stays in the single Expand pass, which now plans as
+    // HashAggregate.
+    val isStr: String => Boolean =
+      c => plain.schema(c).dataType == org.apache.spark.sql.types.StringType
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: ProfileCols.flatMap {
       c =>
         val mm = MinMaxCast.get(c).fold(col(c))(t => col(c).cast(t))
         Seq(count(col(c)).as(s"_cnt_$c"),
-          countDistinct(col(c)).as(s"_ndv_$c"),
-          min(mm).cast("string").as(s"_min_$c"),
-          max(mm).cast("string").as(s"_max_$c"))
+          countDistinct(col(c)).as(s"_ndv_$c")) ++
+          (if (isStr(c)) Nil
+           else Seq(min(mm).cast("string").as(s"_min_$c"),
+             max(mm).cast("string").as(s"_max_$c")))
     }
-    val one = src.agg(aggs.head, aggs.tail: _*)
+    val strAggs: Seq[Column] = ProfileCols.filter(isStr).flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one0 = src.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (strAggs.isEmpty) one0
+      else one0.crossJoin(broadcast(
+        plain.agg(strAggs.head, strAggs.tail: _*)))
     val stacked = ProfileCols.map { c =>
       s"'$c', _n - _cnt_$c, _ndv_$c, _min_$c, _max_$c"
     }.mkString(", ")

@@ -27,6 +27,22 @@ import graft.sources.Tables.table
   */
 object Ranking {
 
+  /** The documents scan, spread when the backing file cannot split wide
+    * enough to reach the session's parallelism
+    * (graft.engine.Partitioning.spreadIfNarrow). Used ONLY by the
+    * n-gram ladder's combined rung explode, which concentrates n-1
+    * rungs' worth of generator work into one stage. For the plain
+    * single-generator operators of this family (toksOf/bigramsOf
+    * consumers) the spread was MEASURED A LOSS at the bench SFs and is
+    * deliberately not applied: the extra round-robin exchange costs a
+    * full stage wave while the single-task tokenize was never the wall
+    * (r21 min-of-5: unigram_ll 1.22→1.91 s, vocab_coverage 0.73→1.42 s,
+    * bm25_search 1.01→1.43 s with the spread; controls drifted ≤1.2×).
+    */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Partitioning.spreadIfNarrow(
+      s, table(s, dir, "documents"), s"$dir/documents.parquet")
+
   private def toksOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
 
@@ -75,8 +91,7 @@ object Ranking {
     */
   def bm25Search(s: SparkSession, dir: String,
                  query: Seq[String] = Bm25Query, k: Int = 100): DataFrame = {
-    val docs = table(s, dir, "documents")
-    val base = docs.select(col("doc_id"),
+    val base = table(s, dir, "documents").select(col("doc_id"),
       T.tokenCount(col("text")).cast("long").as("dl"),
       T.tokens(col("text")).as("toks"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
@@ -347,20 +362,48 @@ object Ranking {
     require(n >= 3, s"the backoff ladder starts at n=3 (got $n); " +
       "unigram/bigram scoring have their own closed forms")
     val docs = table(s, dir, "documents")
-    val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    val base = spreadDocs(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
-    // m-gram strings by position — one generator for every rung
+      .filter(col("nt") >= 1)
+    // m-gram strings by position — one generator for the top rung
     def gramsOf(m: Int): Column =
       if (m == 1) col("toks")
       else transform(sequence(lit(1), col("nt") - (m - 1)),
         i => concat_ws(" ", (0 until m).map(d =>
           element_at(col("toks"), i + lit(d))): _*))
-    def countsOf(m: Int): DataFrame = base.filter(col("nt") >= m)
-      .select(explode(gramsOf(m)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as(s"c$m"))
-    val cnt: Map[Int, DataFrame] = (1 until n).map(m => m -> countsOf(m)).toMap
-    val totals = cnt(1).agg(sum(col("c1")).as("n_toks"),
-      count(lit(1)).as("vocab"))
+    // ALL lower-order rung counts (m = 1..n-1) from ONE tokenize+explode
+    // pass, keyed by the TAGGED string "m:gram": per position i, the
+    // m-grams of every order starting there (m <= min(n-1, nt-i+1)) —
+    // the union of the old per-rung position enumerations, so each
+    // rung's counts are row-identical to its former dedicated pass while
+    // n-1 corpus passes collapse into one (guide §1.2: fix the number of
+    // full passes first). The rung tag lives INSIDE the join key, not in
+    // a separate column, deliberately: a plain filter(m = k) per
+    // consumer would be pushed below the aggregate and re-run the whole
+    // corpus pass per consumer (2(n-1) joins below), where the tagged
+    // key leaves every consumer with the IDENTICAL count subtree — one
+    // canonical plan, so exchange/broadcast reuse materializes the pass
+    // once and every rung join probes the same build (no checkpoint, no
+    // job barrier; an earlier localCheckpoint variant of this measured
+    // SLOWER end-to-end than the five-pass original because the eager
+    // barrier serialized the build into a chain of small jobs).
+    val rungPairs = flatten(transform(sequence(lit(1), col("nt")), i =>
+      transform(sequence(lit(1), least(lit(n - 1), col("nt") - i + lit(1))),
+        m => concat(m.cast("string"), lit(":"),
+          array_join(slice(col("toks"), i, m), " ")))))
+    val rungCounts = base
+      .select(explode(rungPairs).as("gk"))
+      .groupBy(col("gk")).agg(count(lit(1)).as("c"))
+    def rung(keyName: String, cName: String): DataFrame =
+      rungCounts.select(col("gk").as(keyName), col("c").as(cName))
+    def tag(m: Int, g: Column): Column = concat(lit(s"$m:"), g)
+    // the global scalars re-aggregate the rung-1 slice of the SAME count
+    // table via conditional aggregates (a filter would push below the
+    // aggregate and fork the corpus pass — same rationale as the tag)
+    val totals = rungCounts.agg(
+      sum(when(col("gk").startsWith("1:"), col("c"))).as("n_toks"),
+      count(when(col("gk").startsWith("1:"), lit(1))).as("vocab"))
     // suffix of L words / tier-j context (positions 1+j .. n-1) of the
     // top gram, via the same split-join both engines reproduce
     def sfx(of: Column, l: Int): Column = substring_index(of, " ", -l)
@@ -372,22 +415,20 @@ object Ranking {
       // corpus top-order count via window sum — the tf frame stays the
       // single consumer of the top explode (see tfIdfTopTerms)
       .withColumn("ctg", sum(col("tf")).over(Window.partitionBy(col("g"))))
+    // the scored frame's lookup keys carry the rung tag, so every join
+    // below is a plain equi-join against the ONE shared count table
     val withKeys = (0 to n - 2).foldLeft(tf0) { (df, j) =>
-      val d = df.withColumn(s"dk$j", ctx(j))
-      if (j == 0) d else d.withColumn(s"nk$j", sfx(col("g"), n - j))
-    }.withColumn("wn", sfx(col("g"), 1))
+      val d = df.withColumn(s"dk$j", tag(n - 1 - j, ctx(j)))
+      if (j == 0) d
+      else d.withColumn(s"nk$j", tag(n - j, sfx(col("g"), n - j)))
+    }.withColumn("wn", tag(1, sfx(col("g"), 1)))
     val joined0 = (0 to n - 2).foldLeft(withKeys) { (df, j) =>
-      val withDen = df.join(
-        cnt(n - 1 - j).select(col("g").as(s"dk$j"),
-          col(s"c${n - 1 - j}").as(s"cden$j")), Seq(s"dk$j"), "left")
+      val withDen = df.join(rung(s"dk$j", s"cden$j"), Seq(s"dk$j"), "left")
       if (j == 0) withDen
-      else withDen.join(
-        cnt(n - j).select(col("g").as(s"nk$j"),
-          col(s"c${n - j}").as(s"cnum$j")), Seq(s"nk$j"), "left")
+      else withDen.join(rung(s"nk$j", s"cnum$j"), Seq(s"nk$j"), "left")
     }
     val joined = joined0
-      .join(cnt(1).select(col("g").as("wn"), col("c1").as("cun")),
-        Seq("wn"), "left")
+      .join(rung("wn", "cun"), Seq("wn"), "left")
       .crossJoin(broadcast(totals))
     val a = lit(BackoffAlpha)
     def coef(j: Int): Column = (1 until j).foldLeft(a)((acc, _) => acc * a)
@@ -502,8 +543,7 @@ object Ranking {
     * before ranking so the TakeOrdered sees only candidate phrases.
     */
   def collocationsPmi(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    val cnt = bigramsOf(docs)
+    val cnt = bigramsOf(table(s, dir, "documents"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))

@@ -107,7 +107,15 @@ object TextOps {
     // this frame, and without staging it the corpus would be re-scanned
     // and re-tokenized per order (the dedupContainment multi-consumer
     // device)
-    val base = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    // spread BEFORE the checkpoint: localCheckpoint pins its input's
+    // partitioning, so checkpointing the single-split scan as-is would
+    // freeze ALL THREE gram passes below into one task each (the
+    // single-split trap, here tripled); the engine-guarded round-robin
+    // spread buys the checkpoint full width at no cost to a
+    // production-wide scan (Partitioning.spreadIfNarrow)
+    val base = graft.engine.Partitioning.spreadIfNarrow(s, docs,
+        s"$dir/documents.parquet")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .localCheckpoint()
     def grams(nn: Int): DataFrame = {

@@ -76,6 +76,12 @@ object RoundTrip {
 
   /** lineitem slice → CSV (header) → read_files → re-cast. */
   def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    // (r21 measured refutation: spreading the source before the csv
+    // write — parallel encode + parallel read-back — LOST to the plain
+    // single-file round trip here, 4.9 s vs 2.5 s min-of-5: the added
+    // exchange and the extra write/read task waves cost more than the
+    // single-task encode; the round trip is job-barrier-bound, not
+    // CPU-bound, at the bench SFs. Kept serial deliberately.)
     val src = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"),

@@ -574,13 +574,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin [doc_id"), p.take(2000))
   }
 
-  test("profile_table: ONE scan fans through a single Expand; no " +
-       "per-column rescan") {
+  test("profile_table: ONE Expand pass, HASH-aggregated (no string " +
+       "min/max demoting it to SortAggregate), plus exactly one " +
+       "column-pruned string-fold scan") {
     val p = plan("profile_table")
     assert(p.sliding("Expand".length).count(_ == "Expand") === 1,
       p.take(1500))
-    assert(p.sliding("FileScan".length).count(_ == "FileScan") === 1,
+    // r21: string min/max live in a separate grouping-free fold (its
+    // scan reads ONLY the string column) so the Expand aggregate stays
+    // HashAggregate — a string aggregation buffer would demote the
+    // whole Expand pass, sort included, to SortAggregate (the measured
+    // 4.4 s stage). Two scans total, the second column-pruned.
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") === 2,
       p.take(1500))
+    assert(p.contains("ReadSchema: struct<o_orderpriority:string>"),
+      p.take(2000))
+    // the Expand's aggregates are hash-based; the only SortAggregate
+    // allowed is the grouping-free string fold (needs no sort)
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.sliding("SortAggregate".length)
+      .count(_ == "SortAggregate") <= 2, p.take(2000))
   }
 
   test("domain_cap: executed by GroupedTopK heaps, not a full window " +
