@@ -35,6 +35,23 @@ object Ann {
     * (corpus x nQueries) rows. Rank key is round(cos, 6) + vec_id so the
     * ordering is reproducible cross-engine.
     */
+  /** The embeddings scan, spread for the corpus-side per-row vector
+    * math (signature/assignment/encode/cosine passes) when the backing
+    * file cannot split wide enough to reach the session's parallelism
+    * (graft.engine.Partitioning.spreadIfNarrow; no exchange on a wide
+    * production scan). Unlike the text family's tokenizes — where the
+    * spread measured a LOSS and was reverted — these passes are dense
+    * 64-dim float kernels (nTables hyperplane signatures, k-centroid
+    * argmins, PQ sub-codebook scans, candidate cosines): the r21 stage
+    * profile showed them as the serial 0.2–0.9 s single-task stages
+    * that dominate ann_recall's execution. Query sides (vec_id < 10)
+    * stay on the plain scan: they broadcast, and an exchange under a
+    * broadcast build is pure cost.
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Partitioning.spreadIfNarrow(
+      s, table(s, dir, "embeddings"), s"$dir/embeddings.parquet")
+
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings")
@@ -681,7 +698,7 @@ object Ann {
         V.l2sq(sub, array(cv.map(lit): _*))): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
     }
-    val encoded = table(s, dir, "embeddings")
+    val encoded = corpus(s, dir)
       .select(col("vec_id") +: codeCols: _*)
     val cbLits = (0 until PqSub).map(m =>
       array(cbs(m).map(cv => array(cv.map(lit): _*)): _*))
@@ -753,7 +770,7 @@ object Ann {
         V.l2sq(sub, array(cv.map(lit): _*))): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
     }
-    val encoded = table(s, dir, "embeddings")
+    val encoded = corpus(s, dir)
       .select(col("vec_id").as("cand_id") +:
         cellAssign(col("embedding"), centroids).as("cell") +: codeCols: _*)
     val cbLits = (0 until PqSub).map(m =>
@@ -1287,7 +1304,8 @@ object Ann {
     val stride = strideFor(corpusCount(s, dir))
     val q = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("src"), col("embedding").as("qe"))
-    val c = e.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val c = corpus(s, dir)
+      .select(col("vec_id").as("dst"), col("embedding").as("ce"))
     val pairs = c.join(broadcast(q), col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(V.cosine(col("qe"), col("ce")), 6).as("cos_r"))
@@ -1705,7 +1723,7 @@ object Ann {
     val sigs = (0 until nTables).map(t =>
       V.hyperplaneBucket(col("embedding"), planes(nBits, 64, lshSeed(t)))
         .as(s"b$t"))
-    val e = table(s, dir, "embeddings")
+    val e = corpus(s, dir)
       .select(col("vec_id") +: col("embedding") +: sigs: _*)
     val cTabs = array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)
