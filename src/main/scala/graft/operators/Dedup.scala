@@ -1712,9 +1712,26 @@ object Dedup {
       // deterministic predicate; the oracle keeps the other order)
       .filter(substring(md5(col("gram")), 1, 1)
         .isInCollection(Seq("0", "1", "2", "3")))
+      // r21: the distinct is keyed by GRAM alone — HashPartitioning on a
+      // subset of the aggregate keys satisfies the dedup's clustering
+      // (same gram ⇒ same partition ⇒ same (doc_id, gram) colocated),
+      // and the df window below needs exactly that gram clustering, so
+      // ONE exchange serves both where (doc_id, gram)-keyed distinct
+      // paid a second full shuffle of the sampled gram list before the
+      // df pass. Skew note: a pathologically hot gram now concentrates
+      // its (doc, gram) rows in one partition during the dedup — the
+      // same rows the df window already concentrated one exchange
+      // later, so the worst-case partition is unchanged, just earlier;
+      // the maxDf cut is what actually bounds hot grams downstream.
+      .repartition(s.sparkContext.defaultParallelism, col("gram"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // n and rn share one Window operator (same partition key, same
+      // (df, gram) sort; the count takes the whole-partition frame
+      // explicitly) — the second doc_id window pass was pure overhead
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gram"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gram"))))
     // Profile checkpoint storage tier: ENGINE-decided from estimated

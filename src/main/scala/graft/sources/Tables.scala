@@ -25,9 +25,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one named table from a scale-factor directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one named table from a scale-factor directory.
+    *
+    * The parquet schema is memoized per (path, nanosAsLong-conf) — the
+    * catalog role a bare-path lake is missing: without it EVERY
+    * `spark.read.parquet` pays a footer-inference pass at PLAN time
+    * (it surfaces as a 1-task job in the stage log), and a bench pass
+    * over the registry re-infers the same ten immutable tables ~500
+    * times. The conf is part of the key because it changes what
+    * inference returns for TIMESTAMP(NANOS) columns (events.ts →
+    * LongType under nanosAsLong). Same immutable-corpus-dir operating
+    * assumption as fitCentroids/corpusCount memoization — a pipeline
+    * that rewrites a table in place needs a new JVM or a new dir. Only
+    * the SCHEMA is cached; file listings and data are re-read per
+    * query as always.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+      "false")
+    val schema = schemaCache.computeIfAbsent((path, nanos),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
 
   /** The `read_files` analog: read every file matching a glob.
     * Reference semantics: schema is inferred from the files themselves

@@ -280,4 +280,42 @@ class SourcesSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/orders.parquet")
         .filter(year(col("o_orderdate")) === 1997).count())
   }
+
+  test("table(): schema memo serves the inferred schema (values intact) " +
+       "and keys on the nanosAsLong conf, so events' LongType ts cannot " +
+       "leak into a session reading it as a timestamp") {
+    import graft.sources.Tables
+    // memoized read == a fresh inference, schema and values
+    val memo1 = Tables.table(spark, dir, "nation")
+    val memo2 = Tables.table(spark, dir, "nation")
+    val fresh = spark.read.parquet(s"$dir/nation.parquet")
+    assert(memo1.schema === fresh.schema)
+    assert(memo2.schema === fresh.schema)
+    assert(memo1.except(fresh).count() === 0L &&
+      fresh.except(memo1).count() === 0L)
+    // the conf participates in the key: under nanosAsLong the events ts
+    // column infers to its raw physical type, and flipping the conf in
+    // the same JVM must re-infer, not serve the other session's schema
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tOn = Tables.table(spark, dir, "events").schema("ts").dataType
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val tOff =
+        try Some(Tables.table(spark, dir, "events").schema("ts").dataType)
+        catch { case _: Throwable => None } // NANOS drops reject the read
+      // whichever generation the testdata drop is, the two keys must not
+      // alias: either the conf-off read fails (TIMESTAMP(NANOS) data) or
+      // it infers a different type than the conf-on long
+      assert(tOff.forall(_ != tOn) ||
+        tOn != org.apache.spark.sql.types.LongType)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
 }
