@@ -43,13 +43,22 @@ object QueryMetrics {
   private val MaxDispatches = 256
   private val dispatches =
     new java.util.concurrent.ConcurrentLinkedDeque[WindowDispatch]
+  private val dispatchCount = new java.util.concurrent.atomic.AtomicInteger
 
   /** Record one dispatch decision (bounded ring: the newest
     * [[MaxDispatches]] survive — driver-side audit, not telemetry).
+    * The bound is tracked with an AtomicInteger rather than
+    * `ConcurrentLinkedDeque.size()`, which is O(n) per call and made
+    * every record on the dispatch path pay a full traversal (the r20
+    * ADVICE item); the counter keeps record O(1) and the ring bound
+    * exact under the same one-in-one-out discipline.
     */
   def recordDispatch(d: WindowDispatch): Unit = {
     dispatches.addLast(d)
-    while (dispatches.size > MaxDispatches) dispatches.pollFirst()
+    if (dispatchCount.incrementAndGet() > MaxDispatches) {
+      dispatches.pollFirst()
+      dispatchCount.decrementAndGet()
+    }
   }
 
   /** The recorded dispatch decisions, oldest first. */
