@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Relational.dsum
 import graft.sources.Tables.table
@@ -212,6 +212,170 @@ object Skew {
           lit("window_lag_skew")).otherwise(lit("plain_window")))
   }
 
+  // ------------------------- deterministic range-chunk assignment
+  // (r21 optimization round: replaces the RangePartitioner sample +
+  // eager localCheckpoint scaffold of the row-frame chunked classes)
+
+  /** Rows collected by the one chunk-bounds sampling pass, and the cap
+    * on how many chunks the expression-based assignment serves. Beyond
+    * [[ChunkExprMax]] chunks the binary-search when-tree's codegen
+    * size would grow past what one generated method family should
+    * hold; 512 chunks already bounds a task's slice of a hot key at
+    * ~0.2% of the key, so the cap costs nothing real while keeping the
+    * per-row cost at log2(chunks) tuple comparisons. At every test SF
+    * the chunk count equals the core count (32), far under the cap.
+    */
+  val ChunkExprMax = 512
+  val ChunkSampleMax = 1 << 16
+
+  /** One lexicographic field comparison of the chunk-bound tuple
+    * order: key ascending, ordering columns per the spec's uniform
+    * direction, ASC = nulls-first / DESC = nulls-last (Spark's sort
+    * defaults — DESC nulls-last is the exact reverse of ASC
+    * nulls-first, the same reversal [[WindowSpec.ordSorted]] leans
+    * on). `desc` flips the comparison; a null bound value sorts first
+    * under ASC (any non-null row is after it) and last under DESC
+    * (nothing is after it).
+    */
+  private def boundFieldGt(c: Column, v: Any, desc: Boolean): Column =
+    if (!desc) {
+      if (v == null) c.isNotNull else coalesce(c > lit(v), lit(false))
+    } else {
+      if (v == null) lit(false) else c.isNull || c < lit(v)
+    }
+
+  private def boundFieldEq(c: Column, v: Any): Column =
+    if (v == null) c.isNull else c <=> lit(v)
+
+  /** Strict "row tuple sorts after bound `b`" under the spec's order —
+    * the standard lexicographic fold, null-safe per field.
+    */
+  private def boundTupleGt(fields: Seq[(String, Boolean)], b: Row): Column =
+    fields.zipWithIndex.foldRight(lit(false)) {
+      case (((f, desc), i), tail) =>
+        boundFieldGt(col(f), b.get(i), desc) ||
+          (boundFieldEq(col(f), b.get(i)) && tail)
+    }
+
+  /** Balanced binary-search tree over the sorted bounds: the produced
+    * expression evaluates log2(chunks) tuple comparisons per row
+    * (CaseWhen short-circuits), total expression size O(chunks x
+    * fields). Returns the chunk id in [lo, hi].
+    */
+  private def boundSearchTree(fields: Seq[(String, Boolean)],
+      bounds: IndexedSeq[Row], lo: Int, hi: Int): Column =
+    if (lo >= hi) lit(lo)
+    else {
+      val mid = (lo + hi) / 2
+      when(boundTupleGt(fields, bounds(mid)),
+        boundSearchTree(fields, bounds, mid + 1, hi))
+        .otherwise(boundSearchTree(fields, bounds, lo, mid))
+    }
+
+  /** Driver-side total order matching [[boundTupleGt]] exactly: used to
+    * sort the collected sample and pick the stride bounds. External
+    * row values of one column share a runtime type, so the Comparable
+    * cast is total here.
+    */
+  private[graft] def boundRowOrdering(
+      dirs: IndexedSeq[Boolean]): Ordering[Row] = new Ordering[Row] {
+    def compare(x: Row, y: Row): Int = {
+      var i = 0
+      while (i < dirs.length) {
+        val a = x.get(i); val b = y.get(i)
+        val c =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.asInstanceOf[Comparable[Any]].compareTo(b)
+        val d = if (dirs(i)) -c else c
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** The chunk bounds: ONE bottom-k job (seeded per-row rank,
+    * per-partition top-k heap + driver merge — a uniform row sample),
+    * sorted on the driver, bounds picked at stride. Bound quality
+    * affects BALANCE only — any monotone bound set yields correct
+    * results (ties always land in one chunk; downstream determinism
+    * never depends on WHICH rows were sampled, since pid is a pure
+    * function of the one bound set collected here), which is why a
+    * cheap sketch is enough and the rank needs no content hash (an
+    * md5-over-the-sort-tuple rank was measured at ~1.5 s single-task
+    * on the bench's one-split scans — pure overhead).
+    */
+  private[graft] def chunkBounds(df: DataFrame, spec: WindowSpec,
+      chunks: Int): IndexedSeq[Row] = {
+    if (chunks <= 1) return IndexedSeq.empty
+    val sortFields = spec.key +: spec.ord
+    val n = math.min(chunks * 64, ChunkSampleMax)
+    val rows = df
+      .select(sortFields.map(col) :+ rand(ProfileSeed).as("_cbr"): _*)
+      .orderBy(col("_cbr")).limit(n)
+      .drop("_cbr")
+      .collect()
+    if (rows.isEmpty) return IndexedSeq.empty
+    val dirs = (false +: spec.ord.map(_ => spec.descending)).toIndexedSeq
+    val sorted = rows.sorted(boundRowOrdering(dirs))
+    (1 until chunks).map { i =>
+      sorted(math.min(sorted.length - 1, i * sorted.length / chunks))
+    }.toIndexedSeq
+  }
+
+  /** Deterministic chunk assignment for the row-frame chunked window
+    * classes: project the spec's columns and stamp `pid` — the row's
+    * range chunk under the (key, ordering...) order — computed by a
+    * codegen'd binary search against driver-collected bounds.
+    *
+    * This replaces the previous `repartitionByRange +
+    * spark_partition_id + localCheckpoint` scaffold (guide §1.2 /
+    * §2.4): the checkpoint existed ONLY to pin a nondeterministic
+    * physical assignment (RangePartitioner's sample seed) so the two
+    * consumers (local windows, edge stats) could not diverge. With
+    * pid a pure function of the row's values and a bound set
+    * collected once on the driver, divergence is impossible by
+    * construction, so the full-corpus materialization (checkpoint
+    * write + pinned blocks + the non-replicated-block failure mode at
+    * cluster scale) and the RangePartitioner sampling pass both
+    * disappear; what remains is one bottom-k sampling job over the
+    * sort columns. A hot key still splits across its pid range exactly
+    * as before. The range class keeps the checkpoint scaffold: its
+    * ghost sweep reads pid-PURE physical partitions
+    * ([[rangeFrameSweepBroadcast]]), a property an expression cannot
+    * provide.
+    *
+    * `cluster`: when true (the lag/running/rank classes), ONE explicit
+    * hash exchange on (pid, key) is planted so that both consumers —
+    * the local windows AND the per-(chunk, key) stats aggregate —
+    * satisfy their clustering from the SAME materialized exchange
+    * (guide §2.4: two operations keyed the same way share one
+    * exchange); without it each consumer's first stage (window map
+    * side, stats partial aggregate) runs at the SCAN's parallelism,
+    * which on an under-split table is one task (measured: the lag
+    * class's min_by/max_by edge stats single-task cost exceeded the
+    * entire saved checkpoint). Exchange reuse is an optimization here,
+    * never a correctness dependence — pid is deterministic, so a
+    * defeated reuse recomputes the identical assignment. The firstlast
+    * class passes false: its OUTPUT path is a bare broadcast join onto
+    * the rows (no clustering requirement at all), so planting the
+    * exchange would add a corpus shuffle its plan no longer needs.
+    */
+  private[graft] def rangeChunked(s: SparkSession, df: DataFrame,
+      spec: WindowSpec, cluster: Boolean = true): DataFrame = {
+    val chunks =
+      math.min(s.sparkContext.defaultParallelism, ChunkExprMax)
+    val projected = df.select(spec.keep.map(col): _*)
+    val bounds = chunkBounds(projected, spec, chunks)
+    val fields = (spec.key, false) +: spec.ord.map(o => (o, spec.descending))
+    val stamped = projected.withColumn("pid",
+      boundSearchTree(fields, bounds, 0, bounds.length).cast("int"))
+    if (cluster) stamped.repartition(col("pid"), col(spec.key))
+    else stamped
+  }
+
   /** Skew-resilient lag/lead/row_number — the chunked two-pass rewrite
     * of the per-key ordered window, for when ONE key owns a material
     * share of the fact table (the measured zipf worst case: the plain
@@ -256,32 +420,15 @@ object Skew {
     if (k > 1) return windowLagKSkewOn(s, df, spec, k)
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
-    val sortCols = col(spec.key) +: ordCols
-    // explicit chunk count: AQE never coalesces a user repartition with
-    // fixed N, so spark_partition_id is stable across plan reuse
-    val chunks = s.sparkContext.defaultParallelism
     // The ranged frame fans out to TWO consumers (local windows, edge
-    // stats) that must agree on the chunk assignment. Exchange reuse
-    // makes that hold today, but RangePartitioner's sample seed
-    // incorporates the RDD id — if reuse were ever defeated (AQE
-    // replanning, future plan changes) the two subtrees could draw
-    // DIFFERENT range bounds and the boundary stitching would silently
-    // corrupt lag/lead/rn. localCheckpoint pins the assignment
-    // physically: pid is computed once, both consumers read the same
-    // materialized blocks, and the lineage cut makes recomputation
-    // impossible rather than merely unlikely. Lifecycle: the blocks
-    // live until the RDD is unpersisted or GC'd — the bench harnesses
-    // sweep getPersistentRDDs between queries, and a long-lived
-    // session running many skew windows should do the same. At
-    // cluster scale note localCheckpoint is non-replicated: an
-    // executor loss fails the query (rerun it) instead of silently
-    // recomputing a possibly-different chunk assignment — for this
-    // operator fail-and-rerun IS the safe behavior.
-    val ranged = df
-      .select(spec.keep.map(col): _*)
-      .repartitionByRange(chunks, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    // stats) that must agree on the chunk assignment. pid is a pure
+    // expression over the row's values against one driver-collected
+    // bound set ([[rangeChunked]]), so the consumers CANNOT diverge —
+    // the determinism the previous localCheckpoint scaffold bought by
+    // materializing the whole frame, now by construction and without
+    // the full-corpus checkpoint write or the RangePartitioner
+    // sampling pass.
+    val ranged = rangeChunked(s, df, spec)
     val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
     val local = ranged
@@ -351,13 +498,7 @@ object Skew {
       spec: WindowSpec, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
-    val sortCols = col(spec.key) +: ordCols
-    val chunks = s.sparkContext.defaultParallelism
-    val ranged = df
-      .select(spec.keep.map(col): _*)
-      .repartitionByRange(chunks, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = rangeChunked(s, df, spec)
     val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
     val wFullGrp = Window.partitionBy(col("pid"), col(spec.key))
@@ -436,13 +577,10 @@ object Skew {
     require(n >= 1, s"nth_value position must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
-    val sortCols = col(spec.key) +: ordCols
-    val chunks = s.sparkContext.defaultParallelism
-    val ranged = df
-      .select(spec.keep.map(col): _*)
-      .repartitionByRange(chunks, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    // cluster = false: the output path below is a bare broadcast join
+    // onto the rows — with pid an expression, it needs NO exchange at
+    // all, and only the (small, filtered) edge path pays one
+    val ranged = rangeChunked(s, df, spec, cluster = false)
     // IGNORE NULLS = the same constants over the value's NON-NULL
     // subsequence: drop value-null rows before the edge extraction and
     // everything downstream is unchanged (the final join stays on the
@@ -549,13 +687,7 @@ object Skew {
       spec: WindowSpec = WindowSpec.Lineitem): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ordCols = spec.ordSorted
-    val sortCols = col(spec.key) +: ordCols
-    val chunks = s.sparkContext.defaultParallelism
-    val ranged = df
-      .select(spec.keep.map(col): _*)
-      .repartitionByRange(chunks, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = rangeChunked(s, df, spec)
     val wl = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -931,15 +1063,9 @@ object Skew {
         "values) is written against the ascending order")
     val ordCols = spec.ord.map(col)
     val coarse = spec.ord.head
-    val sortCols = col(spec.key) +: ordCols
-    val chunks = s.sparkContext.defaultParallelism
-    // one physical chunk assignment for both consumers (the
-    // windowLagSkew localCheckpoint rationale)
-    val ranged = df
-      .select(spec.keep.map(col): _*)
-      .repartitionByRange(chunks, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    // one deterministic chunk assignment for both consumers (the
+    // windowLagSkew rangeChunked rationale)
+    val ranged = rangeChunked(s, df, spec)
     val wFull = Window.partitionBy(col("pid"), col(spec.key))
       .orderBy(ordCols: _*)
     val wDate = Window.partitionBy(col("pid"), col(spec.key))

@@ -423,9 +423,8 @@ class SkewAndExtSpec extends AnyFunSuite {
     // branch must be one Window with no chunk machinery)
     plainPick.write.format("noop").mode("overwrite").save()
     chunkPick.write.format("noop").mode("overwrite").save()
-    // the chunked rewrites checkpoint the chunk assignment, so their
-    // plans scan an ExistingRDD and carry the materialized pid column;
-    // the plain branch must show neither
+    // the chunked rewrites stamp the deterministic pid chunk column
+    // (rangeChunked); the plain branch must carry no chunk machinery
     val plainPlan = plainPick.queryExecution.executedPlan.toString
     val chunkPlan = chunkPick.queryExecution.executedPlan.toString
     assert(!plainPlan.contains("pid#"),
@@ -673,17 +672,44 @@ class SkewAndExtSpec extends AnyFunSuite {
 
   test("withCheckpointScope reclaims the chunked windows' checkpoint " +
        "blocks once the action completes") {
+    // the range class is the one remaining checkpoint user (its ghost
+    // sweep needs pid-PURE physical partitions); the row-frame classes
+    // assign chunks deterministically (rangeChunked) and pin nothing
     val sc = spark.sparkContext
     sc.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = true))
     graft.engine.CheckpointScope.withCheckpointScope(spark) {
-      Skew.windowLagSkew(spark, dir)
+      Skew.windowRangeSkew(spark, dir)
         .write.format("noop").mode("overwrite").save()
       assert(sc.getPersistentRDDs.nonEmpty,
-        "the chunked rewrite should have pinned its chunk assignment")
+        "the range rewrite should have pinned its chunk assignment")
     }
     assert(sc.getPersistentRDDs.isEmpty,
       "scope exit must reclaim every RDD the query pinned")
+  }
+
+  test("rangeChunked assigns deterministic, order-monotone chunk ids") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.WindowSpec
+    val spec = WindowSpec.Lineitem
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ranged = Skew.rangeChunked(spark, df, spec)
+    // deterministic: two independent materializations agree row-for-row
+    val a = ranged.collect().map(_.toSeq.toString).sorted
+    val b = ranged.collect().map(_.toSeq.toString).sorted
+    assert(a.sameElements(b), "pid assignment must be a pure function")
+    // monotone: within a key, chunk c's max ordering tuple never
+    // exceeds chunk c+1's min (chunk ranges are contiguous in the
+    // window order — the property every boundary stitch relies on)
+    val t = struct(spec.ord.map(col): _*)
+    val perChunk = ranged.groupBy(col(spec.key), col("pid"))
+      .agg(min(t).as("lo"), max(t).as("hi"))
+    val w = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
+    val bad = perChunk
+      .withColumn("nxt_lo", lead(col("lo"), 1).over(w))
+      .filter(col("nxt_lo").isNotNull && col("hi") > col("nxt_lo"))
+      .count()
+    assert(bad === 0L, s"$bad out-of-order chunk ranges")
   }
 
   test("length_filter keeps the central band per language") {
