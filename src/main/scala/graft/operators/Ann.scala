@@ -1740,7 +1740,7 @@ object Ann {
     // operator's ~300× amplification: the ×100 run ground multi-GiB
     // partial-aggregate spills per task before this). Inert at every
     // gate/bench SF — the derived width stays below the session width.
-    graft.engine.Partitioning.ensureWidthFor(s,
+    val joinW = graft.engine.Partitioning.ensureWidthFor(s,
       corpusCount(s, dir) * nTables * (masks.length + 1L), 64L * 4 + 48)
     val qProbes = array((for { t <- 0 until nTables; m <- masks } yield
       struct(lit(t).as("tbl"),
@@ -1771,7 +1771,22 @@ object Ann {
     // tables hold recall at 0.838 vs the 0.85 three-table point).
     val cellW = Window.partitionBy(col("tbl"), col("bucket"))
     val corpusN = e.agg(count(lit(1)).as("_n"))
-    val cCapped = c
+    // width-PINNED (tbl, bucket) repartitions on both join inputs, at
+    // exactly the ensureWidthFor width: they replace the exchanges
+    // EnsureRequirements would plant (the cap window and the join both
+    // cluster on (tbl, bucket) — no exchange is added), but a
+    // user-specified width is exempt from AQE partition coalescing.
+    // That matters because this stage's cost model is CPU, not bytes:
+    // the SHJ+cosine stage measured ~0.9 s of task time per shuffled
+    // MB (StageProf r21 — AQE's byte-based advisory coalesced it to 15
+    // of 32 partitions and the stage's wall equaled its max task), and
+    // the same ratio at production bytes would put an advisory-sized
+    // task at ~minutes of compute. The cell cap bounds the worst cell,
+    // so forgoing AQE's skew split here loses nothing the guard does
+    // not already provide.
+    val cWide = c.repartition(joinW, col("tbl"), col("bucket"))
+    val qWide = q.repartition(joinW, col("tbl"), col("bucket"))
+    val cCapped = cWide
       .withColumn("_bsz", count(lit(1)).over(cellW))
       .crossJoin(broadcast(corpusN))
       .filter(col("_bsz") <= greatest(lit(CellCapFloor),
@@ -1786,7 +1801,7 @@ object Ann {
     // hashes corpus×tables/width rows per partition, bounded by the
     // byte-derived shuffle width (engine.Partitioning). Measured at
     // ×100 in SCALING.md r14.
-    val pairs = cCapped.hint("shuffle_hash").join(q, Seq("tbl", "bucket"))
+    val pairs = cCapped.hint("shuffle_hash").join(qWide, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
       .withColumn("cos", round(V.cosine(col("qe"), col("ce")), 6))
       // same pair from several tables/probes carries the same cosine:
