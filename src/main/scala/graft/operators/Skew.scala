@@ -1272,6 +1272,17 @@ object Skew {
     * priced into querying the table at all. `_`/`.`-prefixed entries
     * (the artifact itself, _SUCCESS markers) are excluded; mid-walk
     * deletions are tolerated (the Dedup manifest-walk lesson).
+    *
+    * BLIND SPOT (documented per r20 ADVICE, the StoreProtocol
+    * residual-assumption class): an in-place rewrite that preserves
+    * file count and total bytes within one mtime tick passes as fresh
+    * and serves the superseded key stats. The consequence is bounded —
+    * both dispatch branches are row-identical, so a stale artifact
+    * mis-prices a plan, never corrupts a result — but an operator that
+    * rewrites tables in place (compaction with byte-stable output)
+    * should re-run [[profileKeyStats]] afterwards, or set
+    * `spark.graft.window.profile=exact` for the affected queries
+    * (which now bypasses the artifact entirely).
     */
   private[graft] def tableFingerprint(root: String): (Long, Long, Long) = {
     import java.nio.file.{Files, FileVisitResult, Path, Paths,
@@ -1412,7 +1423,19 @@ object Skew {
       case SubqueryAlias(_, child) => walk(child)
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths match {
-          case Seq(one) => Some(one.toUri.getPath)
+          case Seq(one) =>
+            val u = one.toUri
+            // LOCAL roots only (r20 ADVICE): the artifact read/write
+            // and fingerprint walk are java.nio (driver-local), and a
+            // remote root (s3a://bucket/p) stripped to its bare path
+            // could alias a previously-profiled local table at /p and
+            // serve it the wrong stats. A remote deployment keys its
+            // artifact store off the full URI; until that exists,
+            // remote tables refuse the artifact posture and profile
+            // live.
+            if (u.getScheme == null || u.getScheme == "file")
+              Some(u.getPath)
+            else None
           case _ => None
         }
         case _ => None
@@ -1432,20 +1455,26 @@ object Skew {
     *  - `spark.graft.window.profile` = "sample" (DEFAULT): the
     *    [[topKeyShareSampled]] estimate, with its documented error
     *    band and exact fallback below the floor;
-    *  - `spark.graft.window.profile` = "exact": the full per-key scan.
+    *  - `spark.graft.window.profile` = "exact": the full per-key scan,
+    *    which also BYPASSES the artifact (r20 ADVICE — the explicit
+    *    debug posture must be able to ignore a bad sidecar).
     */
   def profiledShare(s: SparkSession, df: DataFrame, key: String): Double =
     s.conf.getOption(s"spark.graft.window.share.$key") match {
       case Some(pinned) => pinned.toDouble
       case None =>
-        bareTableRoot(df).flatMap(artifactStats(_, key)) match {
+        // profile=exact OVERRIDES the artifact (r20 ADVICE): an
+        // operator pinning exact profiling to debug a dispatch must be
+        // able to bypass a bad artifact without deleting the file
+        val mode = s.conf.get("spark.graft.window.profile", "sample")
+        val art = if (mode == "exact") None
+          else bareTableRoot(df).flatMap(artifactStats(_, key))
+        art match {
           case Some((hot, total, _)) =>
             if (total == 0L) 0.0 else hot.toDouble / total.toDouble
           case None =>
-            s.conf.get("spark.graft.window.profile", "sample") match {
-              case "exact" => topKeyShare(df, key)
-              case _ => topKeyShareSampled(df, key)
-            }
+            if (mode == "exact") topKeyShare(df, key)
+            else topKeyShareSampled(df, key)
         }
     }
 
@@ -1496,10 +1525,12 @@ object Skew {
     *    share alone unless a pinned hot count
     *    (`spark.graft.window.hot.<key>`) is also present — a
     *    share-only pin is trusted as the operator's explicit word;
-    *  - ARTIFACT: when `df` is a bare scan of one table
+    *  - ARTIFACT: when `df` is a bare LOCAL scan of one table
     *    ([[bareTableRoot]]) carrying a FRESH [[profileKeyStats]]
-    *    sidecar, both signals come from it driver-side — zero
-    *    plan-time jobs, the "profiled once, queried often" posture;
+    *    sidecar AND `profile` is not "exact" (the explicit debug
+    *    posture bypasses the sidecar — r20 ADVICE), both signals come
+    *    from it driver-side — zero plan-time jobs, the "profiled
+    *    once, queried often" posture;
     *  - otherwise the sampled/exact profile supplies both signals
     *    from one job.
     * Every decision is recorded to
@@ -1519,13 +1550,16 @@ object Skew {
           ("pinned", hotPin.getOrElse(-1L), -1L, sh,
             sh >= threshold && hotPin.forall(_ >= minHot))
         case None =>
-          bareTableRoot(df).flatMap(artifactStats(_, key)) match {
+          // profile=exact overrides the artifact posture (r20 ADVICE)
+          val mode = s.conf.get("spark.graft.window.profile", "sample")
+          val art = if (mode == "exact") None
+            else bareTableRoot(df).flatMap(artifactStats(_, key))
+          art match {
             case Some((h, t, _)) =>
               val sh = if (t == 0L) 0.0 else h.toDouble / t
               ("artifact", h, t, sh,
                 t > 0L && sh >= threshold && h >= minHot)
             case None =>
-              val mode = s.conf.get("spark.graft.window.profile", "sample")
               val (h, t) =
                 if (mode == "exact") topKeyStats(df, key)
                 else topKeyStatsSampled(df, key)

@@ -663,6 +663,16 @@ class SkewAndExtSpec extends AnyFunSuite {
         s"file-table dispatch ran: ${jobInfo.toArray.mkString("; ")}")
       assert(dFile === exactFile)
       assert(QueryMetrics.recentDispatches.last.posture === "artifact")
+      // profile=exact OVERRIDES a fresh artifact (r20 ADVICE): an
+      // operator pinning exact profiling to debug a dispatch must be
+      // able to bypass a bad sidecar without deleting the file
+      spark.conf.set("spark.graft.window.profile", "exact")
+      QueryMetrics.clearDispatches()
+      val dExact = Skew.dispatchChunked(spark, fileRead, "l_suppkey")
+      assert(dExact === exactFile)
+      assert(QueryMetrics.recentDispatches.last.posture === "exact",
+        "profile=exact must bypass the artifact posture")
+      spark.conf.unset("spark.graft.window.profile")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset(Skew.MinHotRowsConf)
