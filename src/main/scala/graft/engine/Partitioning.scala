@@ -98,6 +98,18 @@ object Partitioning {
     // huge path sets (beyond 10k) still distribute.
     spark.conf.set(
       "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+    // AQE's coalescing floor (minPartitionSize, default 1 MiB) merges
+    // post-shuffle partitions by BYTES even under parallelismFirst —
+    // the wrong cost model for the engine's CPU-dense stages (md5
+    // fingerprint self-joins, cosine kernels: StageProf r21 measured
+    // ~0.7-0.9 s of task CPU per shuffled MB, so a 1 MiB floor
+    // serializes seconds of compute into 3-15 tasks on a 32-core
+    // session). 128 KiB keeps such stages at the session width while
+    // staying INERT wherever partitions carry real bytes — at
+    // production scale post-shuffle partitions sit near the advisory
+    // size (64 MiB), three orders of magnitude above either floor.
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
     n
   }
 
