@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word-level n-gram generation as native Catalyst expressions.
+  *
+  * The higher-order-function formulations — `transform(sequence(1, nt),
+  * i => concat_ws(" ", element_at(toks, i + d)...))` for one order, and
+  * the nested `flatten(transform(..., transform(...)))` the stupid-
+  * backoff ladder uses for ALL lower orders at once — run interpreted
+  * (HOFs have no codegen): a fresh lambda frame per element, per
+  * position, per order. StageProf (r21) put the fivegram ladder's rung
+  * pass at ~22 s of task CPU at sf0.1, dominated by exactly this
+  * interpretation overhead — the same ~order-of-magnitude gap the repo
+  * already measured on word_shingles vs its lambda twin. These
+  * expressions produce byte-identical gram strings in tight loops
+  * inside whole-stage codegen, staying in UTF8String (no
+  * decode/re-encode of the corpus).
+  */
+object NgramOps {
+  private val Space = UTF8String.fromString(" ")
+  private val Tags: Array[UTF8String] =
+    (0 to 16).map(m => UTF8String.fromString(m + ":")).toArray
+
+  private def tagFor(m: Int): UTF8String =
+    if (m < Tags.length) Tags(m) else UTF8String.fromString(m + ":")
+
+  /** Consecutive m-token grams joined by single spaces — the codegen
+    * twin of `transform(sequence(1, nt - m + 1), i => concat_ws(" ",
+    * element_at(toks, i)...element_at(toks, i + m - 1)))` on a frame
+    * where nt >= m, and of the zip_with adjacent-pair device at m = 2.
+    * Fewer than m tokens yields an empty array (the callers filter
+    * that case before the explode either way).
+    */
+  def wordNgrams(toks: ArrayData, m: Int): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < m) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - m + 1)
+    val parts = new Array[UTF8String](m)
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      while (j < m) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) =
+        if (m == 1) parts(0) else UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Every rung's tagged grams in one pass — the codegen twin of the
+    * backoff ladder's `flatten(transform(sequence(1, nt), i =>
+    * transform(sequence(1, least(maxM, nt - i + 1)), m =>
+    * concat(m, ":", array_join(slice(toks, i, m), " ")))))`: per
+    * position i (ascending), the "m:gram" strings for m = 1..min(maxM,
+    * nt - i + 1) (ascending) — identical values in identical order.
+    * Each order-m gram extends the order-(m-1) gram by one token, so
+    * the inner loop builds incrementally (one concat per gram, never a
+    * re-join of the whole window).
+    */
+  def gramRungs(toks: ArrayData, maxM: Int): GenericArrayData = {
+    val n = toks.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) { total += math.min(maxM, n - i); i += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val mMax = math.min(maxM, n - i)
+      var gram: UTF8String = null
+      var m = 1
+      while (m <= mMax) {
+        gram =
+          if (m == 1) toks.getUTF8String(i)
+          else UTF8String.concat(gram, Space, toks.getUTF8String(i + m - 1))
+        out(k) = UTF8String.concat(tagFor(m), gram)
+        k += 1
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_ngrams(toks, m)` → ARRAY<STRING>: consecutive m-token grams. */
+case class WordNgrams(child: Expression, m: Int) extends UnaryExpression {
+  require(m >= 1, s"gram order must be positive, got $m")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    NgramOps.wordNgrams(input.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramOps.wordNgrams($c, $m)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `gram_rungs(toks, maxM)` → ARRAY<STRING>: "m:gram" for every
+  * position and every order m = 1..maxM.
+  */
+case class GramRungs(child: Expression, maxM: Int) extends UnaryExpression {
+  require(maxM >= 1, s"max gram order must be positive, got $maxM")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_rungs"
+  protected override def nullSafeEval(input: Any): Any =
+    NgramOps.gramRungs(input.asInstanceOf[ArrayData], maxM)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramOps.gramRungs($c, $maxM)")
+  override protected def withNewChildInternal(newChild: Expression): GramRungs =
+    copy(child = newChild)
+}

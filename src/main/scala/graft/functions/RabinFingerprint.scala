@@ -295,6 +295,12 @@ object GraftFunctions {
       es => BpeEncode(es.head, BpeOps.vocabFromArgs(es)), "built-in")
     reg.createOrReplaceTempFunction("md5_prefix60",
       es => Md5Prefix60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      es => WordNgrams(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("gram_rungs",
+      es => GramRungs(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

@@ -295,15 +295,15 @@ object Ranking {
     */
   def bigramLogLikelihood(s: SparkSession, dir: String,
                           keepAbove: Double = -10.0): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")
     val bigrams = docs
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      // codegen'd gram generator — see bigramsOf
+      .select(col("doc_id"), explode(
+        call_function("word_ngrams", col("toks"), lit(2))).as("bg"))
     val tf = bigrams.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -361,17 +361,18 @@ object Ranking {
                          avgCol: String): DataFrame = {
     require(n >= 3, s"the backoff ladder starts at n=3 (got $n); " +
       "unigram/bigram scoring have their own closed forms")
+    graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")
     val base = spreadDocs(s, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
       .filter(col("nt") >= 1)
-    // m-gram strings by position — one generator for the top rung
+    // m-gram strings by position — one CODEGEN'D generator for the top
+    // rung (word_ngrams; the transform/sequence/element_at HOF twin is
+    // interpreted per element — see bigramsOf)
     def gramsOf(m: Int): Column =
       if (m == 1) col("toks")
-      else transform(sequence(lit(1), col("nt") - (m - 1)),
-        i => concat_ws(" ", (0 until m).map(d =>
-          element_at(col("toks"), i + lit(d))): _*))
+      else call_function("word_ngrams", col("toks"), lit(m))
     // ALL lower-order rung counts (m = 1..n-1) from ONE tokenize+explode
     // pass, keyed by the TAGGED string "m:gram": per position i, the
     // m-grams of every order starting there (m <= min(n-1, nt-i+1)) —
@@ -388,10 +389,12 @@ object Ranking {
     // job barrier; an earlier localCheckpoint variant of this measured
     // SLOWER end-to-end than the five-pass original because the eager
     // barrier serialized the build into a chain of small jobs).
-    val rungPairs = flatten(transform(sequence(lit(1), col("nt")), i =>
-      transform(sequence(lit(1), least(lit(n - 1), col("nt") - i + lit(1))),
-        m => concat(m.cast("string"), lit(":"),
-          array_join(slice(col("toks"), i, m), " ")))))
+    // codegen'd twin of flatten(transform(sequence(1, nt), i =>
+    // transform(sequence(1, least(n-1, nt-i+1)), m => concat(m, ":",
+    // array_join(slice(toks, i, m), " "))))) — identical tagged strings
+    // in identical order, one tight loop instead of nested interpreted
+    // lambdas (NgramExpressions scaladoc has the measurement)
+    val rungPairs = call_function("gram_rungs", col("toks"), lit(n - 1))
     val rungCounts = base
       .select(explode(rungPairs).as("gk"))
       .groupBy(col("gk")).agg(count(lit(1)).as("c"))
@@ -504,17 +507,21 @@ object Ranking {
           lit(false)).as("keep"))
   }
 
-  /** Shared adjacent-bigram generator: one codegen'd zip_with over the
-    * token array — no posexplode + self-join (which would shuffle the
-    * corpus against itself on (doc, pos)).
+  /** Shared adjacent-bigram generator — the codegen'd [[
+    * graft.functions.WordNgrams]] expression over the token array (no
+    * posexplode + self-join, which would shuffle the corpus against
+    * itself on (doc, pos)). Replaces the zip_with formulation:
+    * higher-order functions are interpreted per element (r21 StageProf
+    * put the corpus tokenize+gram stages at ~0.5-0.6 s of single-task
+    * CPU each at sf0.1, dominated by lambda interpretation), where the
+    * expression emits the identical strings in one codegen'd loop.
+    * Callers must have GraftFunctions registered.
     */
   private def bigramsOf(docs: DataFrame, keep: Column*): DataFrame =
     docs.select(keep :+ T.tokens(col("text")).as("toks"): _*)
       .filter(size(col("toks")) >= 2)
-      .select(keep :+ explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"): _*)
+      .select(keep :+ explode(
+        call_function("word_ngrams", col("toks"), lit(2))).as("bg"): _*)
 
   /** Collocation extraction floor and report size. */
   val CollocMinCount = 5
@@ -543,6 +550,7 @@ object Ranking {
     * before ranking so the TakeOrdered sees only candidate phrases.
     */
   def collocationsPmi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val cnt = bigramsOf(table(s, dir, "documents"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -624,6 +632,7 @@ object Ranking {
     */
   def kneserNeyLogLikelihood(s: SparkSession, dir: String,
                              keepAbove: Double = -9.0): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = table(s, dir, "documents")
     val tf = bigramsOf(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))

@@ -118,16 +118,15 @@ object TextOps {
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .localCheckpoint()
+    graft.functions.GraftFunctions.register(s)
     def grams(nn: Int): DataFrame = {
-      // i-th n-gram = toks[i..i+nn-1], built by zipping nn shifted
-      // slices (same device as Ranking's bigrams/trigrams — all engines
-      // agree on space-joined tokens)
-      val parts = (0 until nn).map(j =>
-        slice(col("toks"), lit(j + 1), col("n") - (nn - 1)))
-      val zipped = parts.reduce((acc, p) =>
-        zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
+      // i-th n-gram = toks[i..i+nn-1] space-joined, via the codegen'd
+      // word_ngrams expression (identical strings to the former
+      // nn-way zip_with of shifted slices, whose lambdas ran
+      // interpreted per element — NgramExpressions scaladoc)
       base.filter(col("n") >= nn)
-        .select(col("doc_id"), explode(zipped).as("g"))
+        .select(col("doc_id"), explode(
+          call_function("word_ngrams", col("toks"), lit(nn))).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     }
     val top2 = grams(2).groupBy(col("doc_id"))

@@ -454,8 +454,10 @@ class PlanSpec extends AnyFunSuite {
     // count tables stop one order below.
     for ((q, n) <- Seq("trigram_ll" -> 3, "fivegram_ll" -> 5)) {
       val p = plan(q)
-      // attribute ids vary: "sequence(1, (nt#7 - 2)" for the top order
-      val topScans = s"nt#\\d+ - ${n - 1}\\)".r.findAllIn(p).length
+      // the top-order generator is the codegen'd word_ngrams(toks, n)
+      // (attribute ids vary); the rung counts use gram_rungs, so a
+      // second word_ngrams occurrence would mean the corpus pass forked
+      val topScans = s"word_ngrams\\(toks#\\d+, $n\\)".r.findAllIn(p).length
       assert(topScans === 1, s"$q: ${p.take(2000)}")
     }
   }

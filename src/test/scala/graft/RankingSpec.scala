@@ -145,6 +145,38 @@ class RankingSpec extends AnyFunSuite {
     assert(sc.head >= 1.0 / (Ranking.RrfK + 1.0) - 1e-9)
   }
 
+  test("word_ngrams / gram_rungs equal their higher-order-function " +
+       "twins, value for value in order (the codegen swap is invisible)") {
+    import graft.functions.{TextFunctions => T}
+    graft.functions.GraftFunctions.register(spark)
+    val toksDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(T.tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") >= 1)
+    for (m <- Seq(2, 3, 5)) {
+      val hof = toksDf.filter(col("nt") >= m).select(
+        transform(sequence(lit(1), col("nt") - (m - 1)),
+          i => concat_ws(" ", (0 until m).map(d =>
+            element_at(col("toks"), i + lit(d))): _*)).as("g"))
+      val cg = toksDf.filter(col("nt") >= m).select(
+        call_function("word_ngrams", col("toks"), lit(m)).as("g"))
+      assert(cg.exceptAll(hof).count() === 0L, s"m=$m")
+      assert(hof.exceptAll(cg).count() === 0L, s"m=$m")
+    }
+    for (maxM <- Seq(2, 4)) {
+      val hof = toksDf.select(flatten(
+        transform(sequence(lit(1), col("nt")), i =>
+          transform(sequence(lit(1),
+              least(lit(maxM), col("nt") - i + lit(1))),
+            m => concat(m.cast("string"), lit(":"),
+              array_join(slice(col("toks"), i, m), " "))))).as("g"))
+      val cg = toksDf.select(
+        call_function("gram_rungs", col("toks"), lit(maxM)).as("g"))
+      assert(cg.exceptAll(hof).count() === 0L, s"maxM=$maxM")
+      assert(hof.exceptAll(cg).count() === 0L, s"maxM=$maxM")
+    }
+  }
+
   test("unigram_ll: gibberish scores far below common text") {
     val tmp = planted()
     val r = Ranking.unigramLogLikelihood(spark, tmp).collect()
