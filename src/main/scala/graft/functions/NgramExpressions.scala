@@ -34,7 +34,12 @@ object NgramOps {
     * element_at(toks, i)...element_at(toks, i + m - 1)))` on a frame
     * where nt >= m, and of the zip_with adjacent-pair device at m = 2.
     * Fewer than m tokens yields an empty array (the callers filter
-    * that case before the explode either way).
+    * that case before the explode either way). Null tokens are SKIPPED
+    * exactly as the concat_ws twin skips them (a lone null at m = 1
+    * yields the empty string, concat_ws's all-null value), so the
+    * declared `containsNull = false` element type genuinely holds for
+    * arbitrary SQL-reachable input arrays, not just the repo's
+    * null-free tokenizers.
     */
   def wordNgrams(toks: ArrayData, m: Int): GenericArrayData = {
     val n = toks.numElements()
@@ -46,7 +51,10 @@ object NgramOps {
       var j = 0
       while (j < m) { parts(j) = toks.getUTF8String(i + j); j += 1 }
       out(i) =
-        if (m == 1) parts(0) else UTF8String.concatWs(Space, parts: _*)
+        if (m == 1) {
+          val t = parts(0)
+          if (t == null) UTF8String.EMPTY_UTF8 else t
+        } else UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -60,7 +68,11 @@ object NgramOps {
     * nt - i + 1) (ascending) — identical values in identical order.
     * Each order-m gram extends the order-(m-1) gram by one token, so
     * the inner loop builds incrementally (one concat per gram, never a
-    * re-join of the whole window).
+    * re-join of the whole window). Null tokens are SKIPPED exactly as
+    * the array_join twin skips them (no value, no separator), so the
+    * declared `containsNull = false` element type holds for arbitrary
+    * input arrays — a null token must not poison the incremental
+    * concat into emitting null grams.
     */
   def gramRungs(toks: ArrayData, maxM: Int): GenericArrayData = {
     val n = toks.numElements()
@@ -72,12 +84,15 @@ object NgramOps {
     i = 0
     while (i < n) {
       val mMax = math.min(maxM, n - i)
-      var gram: UTF8String = null
+      var gram: UTF8String = UTF8String.EMPTY_UTF8
+      var kept = 0
       var m = 1
       while (m <= mMax) {
-        gram =
-          if (m == 1) toks.getUTF8String(i)
-          else UTF8String.concat(gram, Space, toks.getUTF8String(i + m - 1))
+        val t = toks.getUTF8String(i + m - 1)
+        if (t != null) {
+          gram = if (kept == 0) t else UTF8String.concat(gram, Space, t)
+          kept += 1
+        }
         out(k) = UTF8String.concat(tagFor(m), gram)
         k += 1
         m += 1

@@ -275,6 +275,37 @@ object GraftFunctions {
   private[graft] def shingleN(es: Seq[Expression]): Int =
     if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else 3
 
+  /** The second argument of a `fn(toks, n)` builder, validated at
+    * resolution time: exactly two arguments and a foldable integral
+    * literal, or a descriptive AnalysisException naming the function —
+    * a bare `es(1).eval()` on a column reference evaluates an
+    * unresolved expression (raw eval/cast error), and `es(1)` on a
+    * one-argument call throws IndexOutOfBounds.
+    */
+  private[graft] def literalIntArg(fn: String, es: Seq[Expression]): Int = {
+    if (es.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"$fn requires exactly 2 arguments (tokens, n), got ${es.length}"))
+    val arg = es(1)
+    if (!arg.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          (s"$fn requires a literal integer as its second argument, " +
+            s"got non-foldable expression ${arg.sql}")))
+    arg.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            (s"$fn requires a literal integer as its second argument, " +
+              s"got $other")))
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rabin_fingerprint",
@@ -296,11 +327,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("md5_prefix60",
       es => Md5Prefix60(es.head), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
-      es => WordNgrams(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      es => WordNgrams(es.head, literalIntArg("word_ngrams", es)),
+      "built-in")
     reg.createOrReplaceTempFunction("gram_rungs",
-      es => GramRungs(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      es => GramRungs(es.head, literalIntArg("gram_rungs", es)),
+      "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

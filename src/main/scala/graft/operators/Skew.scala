@@ -275,10 +275,23 @@ object Skew {
   /** Driver-side total order matching [[boundTupleGt]] exactly: used to
     * sort the collected sample and pick the stride bounds. External
     * row values of one column share a runtime type, so the Comparable
-    * cast is total here.
+    * cast is total here. Strings are compared via [[UTF8String]]
+    * (UTF-8 byte order) rather than `String.compareTo` (UTF-16
+    * code-unit order): the executor-side binary search compares with
+    * Catalyst semantics, and the two orders diverge for supplementary
+    * characters vs BMP chars >= U+E000. Contiguity is NOT at stake —
+    * each tree node's `row > bound` outcome is monotone in the row
+    * under the executor order, so the fixed decision tree yields
+    * monotone chunk ranges for ANY bound multiset (SkewAndExtSpec pins
+    * this on divergent strings) — but a Java-ordered bound set makes
+    * whole character families collapse into one chunk, re-creating
+    * exactly the skew the chunking exists to split; Spark's own
+    * repartitionByRange samples under the Catalyst ordering for the
+    * same reason.
     */
   private[graft] def boundRowOrdering(
       dirs: IndexedSeq[Boolean]): Ordering[Row] = new Ordering[Row] {
+    import org.apache.spark.unsafe.types.UTF8String
     def compare(x: Row, y: Row): Int = {
       var i = 0
       while (i < dirs.length) {
@@ -287,7 +300,11 @@ object Skew {
           if (a == null && b == null) 0
           else if (a == null) -1
           else if (b == null) 1
-          else a.asInstanceOf[Comparable[Any]].compareTo(b)
+          else (a, b) match {
+            case (sa: String, sb: String) =>
+              UTF8String.fromString(sa).compareTo(UTF8String.fromString(sb))
+            case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
         val d = if (dirs(i)) -c else c
         if (d != 0) return d
         i += 1

@@ -177,6 +177,71 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams / gram_rungs skip null tokens like their HOF twins " +
+       "(no null elements under the containsNull=false contract)") {
+    graft.functions.GraftFunctions.register(spark)
+    // planted nulls: none of the repo's tokenizers emit them, but both
+    // functions are SQL-registered and reachable with arbitrary arrays
+    val df = spark.sql(
+      "SELECT array('a', cast(null as string), 'b', '', 'c') AS toks, " +
+        "size(array('a', cast(null as string), 'b', '', 'c')) AS nt")
+    for (m <- Seq(1, 2, 3)) {
+      val hof = df.select(
+        transform(sequence(lit(1), col("nt") - (m - 1)),
+          i => concat_ws(" ", (0 until m).map(d =>
+            element_at(col("toks"), i + lit(d))): _*)).as("g"))
+        .collect()(0).getSeq[String](0)
+      val cg = df.select(
+        call_function("word_ngrams", col("toks"), lit(m)).as("g"))
+        .collect()(0).getSeq[String](0)
+      assert(cg === hof, s"m=$m")
+      assert(!cg.contains(null), s"m=$m produced a null gram")
+    }
+    for (maxM <- Seq(2, 4)) {
+      val hof = df.select(flatten(
+        transform(sequence(lit(1), col("nt")), i =>
+          transform(sequence(lit(1),
+              least(lit(maxM), col("nt") - i + lit(1))),
+            m => concat(m.cast("string"), lit(":"),
+              array_join(slice(col("toks"), i, m), " "))))).as("g"))
+        .collect()(0).getSeq[String](0)
+      val cg = df.select(
+        call_function("gram_rungs", col("toks"), lit(maxM)).as("g"))
+        .collect()(0).getSeq[String](0)
+      assert(cg === hof, s"maxM=$maxM")
+      assert(!cg.contains(null), s"maxM=$maxM produced a null gram")
+    }
+  }
+
+  test("word_ngrams / gram_rungs raise a descriptive analysis error on " +
+       "a missing or non-literal order argument") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(1).selectExpr("array('a','b') AS toks",
+      "2 AS n_col")
+    // the registry may wrap the builder's AnalysisException; the
+    // contract is that the DESCRIPTIVE message (function name, what a
+    // valid call looks like) reaches the user, wrapped or not
+    def fullMsg(t: Throwable): String = {
+      var cur: Throwable = t
+      val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n')
+        cur = cur.getCause }
+      sb.toString
+    }
+    for (fn <- Seq("word_ngrams", "gram_rungs")) {
+      val e1 = intercept[Exception] {
+        df.selectExpr(s"$fn(toks)").collect()
+      }
+      assert(fullMsg(e1).contains(fn), fullMsg(e1))
+      assert(fullMsg(e1).contains("2 arguments"), fullMsg(e1))
+      val e2 = intercept[Exception] {
+        df.selectExpr(s"$fn(toks, n_col)").collect()
+      }
+      assert(fullMsg(e2).contains(fn), fullMsg(e2))
+      assert(fullMsg(e2).toLowerCase.contains("literal"), fullMsg(e2))
+    }
+  }
+
   test("unigram_ll: gibberish scores far below common text") {
     val tmp = planted()
     val r = Ranking.unigramLogLikelihood(spark, tmp).collect()

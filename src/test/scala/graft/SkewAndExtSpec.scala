@@ -722,6 +722,49 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(bad === 0L, s"$bad out-of-order chunk ranges")
   }
 
+  test("rangeChunked chunk ranges stay contiguous AND balanced on a " +
+       "string ordering column whose Java and UTF-8 orders diverge") {
+    // Supplementary characters (surrogate pairs, first UTF-16 unit
+    // 0xD800-0xDBFF) sort BEFORE U+E000+ under Java's UTF-16 code-unit
+    // order but AFTER them in UTF-8 byte order (Catalyst/UTF8String).
+    // Contiguity survives any bound order (the decision tree is
+    // monotone node by node), but a Java-ordered bound set collapses
+    // each character family into ONE chunk — the balance half below is
+    // what discriminates the Catalyst-ordered driver sort from the
+    // Java one.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.WindowSpec
+    val rows = (0 until 2000).flatMap { i =>
+      Seq(("k", "\uE000" + f"$i%04d", i.toLong),
+          ("k", "\uD83D\uDE00" + f"$i%04d", i.toLong))
+    }
+    val df = spark.createDataFrame(rows).toDF("k", "s", "v")
+    val spec = WindowSpec(key = "k", ord = Seq("s", "v"), value = "v",
+      rangeOrd = "v", out = Seq("k", "s", "v"), rangeOut = Seq("k", "v"))
+    val ranged = Skew.rangeChunked(spark, df, spec)
+    val t = struct(spec.ord.map(col): _*)
+    val perChunk = ranged.groupBy(col(spec.key), col("pid"))
+      .agg(min(t).as("lo"), max(t).as("hi"))
+    val w = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
+    val bad = perChunk
+      .withColumn("nxt_lo", lead(col("lo"), 1).over(w))
+      .filter(col("nxt_lo").isNotNull && col("hi") > col("nxt_lo"))
+      .count()
+    assert(bad === 0L, s"$bad out-of-order chunk ranges on divergent strings")
+    // balance: both families must SPREAD across chunks. Under the
+    // Java-ordered bounds the binary search sends a whole character
+    // family down one path (one pid holds a family plus its
+    // neighbors, ~58% of rows here); under the Catalyst-ordered
+    // bounds the stride sampling splits both families near-evenly
+    // (~1/chunks per pid).
+    val total = ranged.count().toDouble
+    val topShare = ranged.groupBy(col("pid")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0) / total
+    assert(topShare < 0.45,
+      f"hottest chunk holds $topShare%.2f of rows — bound set " +
+        "degenerate under the executor-side order")
+  }
+
   test("length_filter keeps the central band per language") {
     val out = graft.operators.Curation.lengthFilter(spark, dir)
     val frac = out.filter(col("keep")).count().toDouble / out.count()
