@@ -713,9 +713,18 @@ object Skew {
       .withColumn("lrn", count(lit(1)).over(wl))
     val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
     val before = wk.rowsBetween(Window.unboundedPreceding, -1)
-    val stats = ranged.groupBy(col("pid"), col(spec.key))
-      .agg(sum(col(spec.value).cast("long")).as("csum"),
-        count(lit(1)).as("cnt"))
+    // chunk totals read OFF THE LOCAL WINDOW'S LAST ROW (max_by on the
+    // local row count; lsum at lrn = cnt IS the chunk sum — the
+    // summand is already an exact BIGINT) instead of re-aggregating
+    // `ranged`: aggregating the raw frame let column pruning shrink
+    // this branch's exchange to (pid, key, value) and DEFEAT exchange
+    // reuse with the join side (guide §2.4) — the corpus was scanned,
+    // pid-stamped and shuffled twice. Consuming lsum/lrn pins the
+    // branch to the join side's identical subtree, so one map stage
+    // feeds both consumers.
+    val stats = local.groupBy(col("pid"), col(spec.key))
+      .agg(max_by(col("lsum"), col("lrn")).as("csum"),
+        max(col("lrn")).as("cnt"))
       .withColumn("sum_offset",
         coalesce(sum(col("csum")).over(before), lit(0L)))
       .withColumn("offset",
@@ -1096,9 +1105,18 @@ object Skew {
     val through = wk.rowsBetween(Window.unboundedPreceding, 0)
     // max(lrk) IS the last coarse value's local run-start rank (rank of
     // the chunk's maximal value = cnt − last_cnt + 1), so the stats
-    // ride the local frame and need no nested aggregate
+    // ride the local frame and need no nested aggregate.
+    // cnt = max(lrn), NOT count(*): within a (pid, key) group lrn is
+    // 1..cnt so the two are identical — but count(*) lets column
+    // pruning drop the wFull window (and with it every ordering
+    // column) from this branch, shrinking its exchange to 3 columns
+    // and DEFEATING exchange reuse with the join side's 8-column
+    // exchange (guide §2.4): the corpus was scanned, pid-stamped and
+    // shuffled TWICE (r22 StageProf: two ~0.6-1.0 s map stages per
+    // rep). Consuming lrn pins the branch to the identical subtree,
+    // so one map stage feeds both consumers.
     val statsBase = local.groupBy(col("pid"), col(spec.key))
-      .agg(count(lit(1)).as("cnt"),
+      .agg(max(col("lrn")).as("cnt"),
         countDistinct(col(coarse)).as("d"),
         min(col(coarse)).as("first_dt"),
         max(col(coarse)).as("last_dt"),
