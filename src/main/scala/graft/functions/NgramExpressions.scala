@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-level n-gram generation as native Catalyst expressions.
@@ -101,6 +101,45 @@ object NgramOps {
     }
     new GenericArrayData(out)
   }
+
+  /** (max count, duplicated-occurrence count, total) over the doc's
+    * consecutive m-token grams — the per-row reduction behind the
+    * Gopher repetition metrics ([[graft.operators.TextOps
+    * .qualityRepetition]]): the metrics are per-document functions of
+    * the token array, so counting inside the row replaces an
+    * explode → corpus-sized (doc, gram) exchange → re-aggregate per
+    * order with one codegen'd pass (guide §2.4 — the aggregate's key
+    * IS the row). Gram identity matches [[wordNgrams]] exactly (same
+    * strings, same null-token skipping), so the counts — and the
+    * IEEE divisions downstream — are identical to the exploded
+    * formulation's.
+    */
+  def gramCounts(toks: ArrayData, m: Int): Array[Long] = {
+    val n = toks.numElements()
+    if (n < m) return Array(0L, 0L, 0L)
+    val total = n - m + 1
+    val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
+    val parts = new Array[UTF8String](m)
+    var maxC = 0
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      while (j < m) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val gram =
+        if (m == 1) {
+          val t = parts(0)
+          if (t == null) UTF8String.EMPTY_UTF8 else t
+        } else UTF8String.concatWs(Space, parts: _*)
+      val c = counts.merge(gram, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c >= 2) dup += c }
+    Array(maxC.toLong, dup, total.toLong)
+  }
 }
 
 /** `word_ngrams(toks, m)` → ARRAY<STRING>: consecutive m-token grams. */
@@ -114,6 +153,62 @@ case class WordNgrams(child: Expression, m: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NgramOps.wordNgrams($c, $m)")
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `gram_top_frac(toks, m)` → DOUBLE: the most frequent m-gram's share
+  * of the document's m-gram occurrences (max count / total) — null
+  * when the document has no m-gram (fewer than m tokens), the same
+  * null the exploded formulation's left join produced.
+  */
+case class GramTopFrac(child: Expression, m: Int) extends UnaryExpression {
+  require(m >= 1, s"gram order must be positive, got $m")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_top_frac"
+  protected override def nullSafeEval(input: Any): Any = {
+    val a = NgramOps.gramCounts(input.asInstanceOf[ArrayData], m)
+    if (a(2) == 0L) null else a(0).toDouble / a(2).toDouble
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.freshName("gc")
+      s"""
+         |long[] $a = graft.functions.NgramOps.gramCounts($c, $m);
+         |if ($a[2] == 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $a[0] / (double) $a[2]; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GramTopFrac =
+    copy(child = newChild)
+}
+
+/** `gram_dup_frac(toks, m)` → DOUBLE: the share of the document's
+  * m-gram occurrences belonging to grams that occur at least twice
+  * (Gopher's duplicated-n-gram coverage) — null when the document has
+  * no m-gram.
+  */
+case class GramDupFrac(child: Expression, m: Int) extends UnaryExpression {
+  require(m >= 1, s"gram order must be positive, got $m")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_dup_frac"
+  protected override def nullSafeEval(input: Any): Any = {
+    val a = NgramOps.gramCounts(input.asInstanceOf[ArrayData], m)
+    if (a(2) == 0L) null else a(1).toDouble / a(2).toDouble
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.freshName("gc")
+      s"""
+         |long[] $a = graft.functions.NgramOps.gramCounts($c, $m);
+         |if ($a[2] == 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $a[1] / (double) $a[2]; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GramDupFrac =
     copy(child = newChild)
 }
 

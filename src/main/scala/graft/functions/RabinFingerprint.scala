@@ -332,6 +332,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("gram_rungs",
       es => GramRungs(es.head, literalIntArg("gram_rungs", es)),
       "built-in")
+    reg.createOrReplaceTempFunction("gram_top_frac",
+      es => GramTopFrac(es.head, literalIntArg("gram_top_frac", es)),
+      "built-in")
+    reg.createOrReplaceTempFunction("gram_dup_frac",
+      es => GramDupFrac(es.head, literalIntArg("gram_dup_frac", es)),
+      "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

@@ -95,61 +95,39 @@ object TextOps {
     * (oracle-checked) — the standard filter against looping/boilerplate
     * generations that slip past length and stopword checks.
     *
-    * Scale shape: every aggregate is keyed by doc_id (+gram), so the
-    * corpus never concentrates: one explode + two-level hash aggregate
-    * per n-gram order, map-side partial combine throughout, and the
-    * doc-sized metric frames join back on doc_id. No corpus-wide key
-    * (no vocabulary shuffle) exists anywhere in the plan.
+    * Scale shape (r22): every metric is a PER-DOCUMENT function of the
+    * token array, and each document is one row — so the reduction runs
+    * INSIDE the row via the codegen'd gram_top_frac/gram_dup_frac
+    * expressions (NgramOps.gramCounts: identical gram strings and
+    * counts to the exploded formulation, identical IEEE divisions).
+    * The former shape exploded every order's grams into a corpus-sized
+    * (doc, gram) exchange, re-aggregated per order, and joined three
+    * metric frames back on doc_id — 3 explodes, 6 aggregate passes, 3
+    * shuffles and a tokenize checkpoint, all for per-row arithmetic
+    * (guide §1.2 step 1 / §2.4: the aggregate's key IS the row, so no
+    * shuffle is fundamentally required). Plan now: one scan, one
+    * project, zero exchanges.
     */
   def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    // tokenize ONCE for the three n-gram orders: each grams(nn) consumes
-    // this frame, and without staging it the corpus would be re-scanned
-    // and re-tokenized per order (the dedupContainment multi-consumer
-    // device)
-    // spread BEFORE the checkpoint: localCheckpoint pins its input's
-    // partitioning, so checkpointing the single-split scan as-is would
-    // freeze ALL THREE gram passes below into one task each (the
-    // single-split trap, here tripled); the engine-guarded round-robin
-    // spread buys the checkpoint full width at no cost to a
-    // production-wide scan (Partitioning.spreadIfNarrow)
-    val base = graft.engine.Partitioning.spreadIfNarrow(s, docs,
-        s"$dir/documents.parquet")
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .localCheckpoint()
     graft.functions.GraftFunctions.register(s)
-    def grams(nn: Int): DataFrame = {
-      // i-th n-gram = toks[i..i+nn-1] space-joined, via the codegen'd
-      // word_ngrams expression (identical strings to the former
-      // nn-way zip_with of shifted slices, whose lambdas ran
-      // interpreted per element — NgramExpressions scaladoc)
-      base.filter(col("n") >= nn)
-        .select(col("doc_id"), explode(
-          call_function("word_ngrams", col("toks"), lit(nn))).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    }
-    val top2 = grams(2).groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top2_frac"))
-    val top3 = grams(3).groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top3_frac"))
-    val dup5 = grams(5).groupBy(col("doc_id"))
-      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
-        .cast("double") / sum(col("c")).cast("double")).as("dup5_frac"))
-    docs.select(col("doc_id"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(top3, Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+    val docs = table(s, dir, "documents")
+    // null when the doc has fewer than nn tokens — the same null the
+    // former filter(n >= nn) + left join produced; the keep verdict
+    // compares the UNROUNDED fraction, exactly as before
+    val raw = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        round(col("top2_frac"), 4).as("top2_frac"),
-        round(col("top3_frac"), 4).as("top3_frac"),
-        round(col("dup5_frac"), 4).as("dup5_frac"),
-        (coalesce(col("top2_frac") <= TopBigramMax, lit(true)) &&
-          coalesce(col("top3_frac") <= TopTrigramMax, lit(true)) &&
-          coalesce(col("dup5_frac") <= DupFivegramMax, lit(true)))
-          .as("keep"))
+        call_function("gram_top_frac", col("toks"), lit(2)).as("t2"),
+        call_function("gram_top_frac", col("toks"), lit(3)).as("t3"),
+        call_function("gram_dup_frac", col("toks"), lit(5)).as("d5"))
+    raw.select(col("doc_id"),
+      round(col("t2"), 4).as("top2_frac"),
+      round(col("t3"), 4).as("top3_frac"),
+      round(col("d5"), 4).as("dup5_frac"),
+      (coalesce(col("t2") <= TopBigramMax, lit(true)) &&
+        coalesce(col("t3") <= TopTrigramMax, lit(true)) &&
+        coalesce(col("d5") <= DupFivegramMax, lit(true)))
+        .as("keep"))
   }
 
   /** Heavy hitters to keep. */

@@ -334,6 +334,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(10002L).getDouble(3) === 0.0) // no duplicated 5-gram
   }
 
+  test("gram_top_frac / gram_dup_frac equal the exploded word_ngrams " +
+       "aggregation, value for value (the in-row reduction is invisible)") {
+    import graft.functions.{TextFunctions => T}
+    graft.functions.GraftFunctions.register(spark)
+    val toksDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    for (nn <- Seq(2, 3, 5)) {
+      val exploded = toksDf.filter(col("n") >= nn)
+        .select(col("doc_id"), explode(
+          call_function("word_ngrams", col("toks"), lit(nn))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top"),
+          (sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+            .cast("double") / sum(col("c")).cast("double")).as("dup"))
+      val inRow = toksDf.select(col("doc_id"),
+        call_function("gram_top_frac", col("toks"), lit(nn)).as("top"),
+        call_function("gram_dup_frac", col("toks"), lit(nn)).as("dup"))
+        .filter(col("top").isNotNull)
+      assert(inRow.exceptAll(exploded).count() === 0L, s"nn=$nn")
+      assert(exploded.exceptAll(inRow).count() === 0L, s"nn=$nn")
+      // the short-doc edge: fewer than nn tokens yields null, matching
+      // the exploded form's absence
+      val nulls = toksDf.filter(col("n") < nn).select(col("doc_id"),
+        call_function("gram_top_frac", col("toks"), lit(nn)).as("t"))
+      assert(nulls.filter(col("t").isNotNull).count() === 0L, s"nn=$nn")
+    }
+  }
+
   test("quality_model scores are probabilities consistent with keep") {
     val r = graft.operators.Curation.qualityModel(spark, dir)
     assert(r.filter(col("model_score") < 0.0 || col("model_score") > 1.0)
