@@ -140,6 +140,46 @@ object NgramOps {
     while (it.hasNext) { val c = it.next(); if (c >= 2) dup += c }
     Array(maxC.toLong, dup, total.toLong)
   }
+
+  /** Content-defined chunk texts of a token array — the per-row twin
+    * of [[graft.operators.Dedup.cdcChunks]]'s posexplode → per-doc
+    * running-sum window → (doc, chunk) reassembly aggregate: a token
+    * opens a new chunk iff md5_60(token) ≡ 0 (mod divisor), chunk text
+    * is the space-join of its tokens. Chunking is per-document and a
+    * document is one row, so computing it here removes BOTH
+    * token-level corpus exchanges (the doc_id window and the
+    * reassembly groupBy) from the plan. Identical chunk multiset: the
+    * boundary bit matches `conv(substring(md5(tok),1,15),16,10) %
+    * divisor = 0` bit for bit (Md5Ops.prefix60 IS that value), chunk
+    * grouping is the same inclusive running sum (a boundary token
+    * STARTS a chunk; a leading non-boundary run is its own chunk),
+    * and null tokens — impossible from the tokenizers, possible for
+    * SQL callers — never open a chunk and never contribute text,
+    * matching the exploded form's null boundary bit and null-skipping
+    * concat_ws (one deliberate divergence: LEADING null tokens, which
+    * the exploded form collected into a degenerate null-chunk_id row
+    * with empty text, are simply dropped here).
+    */
+  def cdcChunkTexts(toks: ArrayData, divisor: Int): GenericArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String]
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        if (Md5Ops.prefix60(t) % divisor == 0 && parts.nonEmpty) {
+          out += UTF8String.concatWs(Space, parts.toSeq: _*)
+          parts.clear()
+        }
+        parts += t
+      }
+      i += 1
+    }
+    if (parts.nonEmpty) out += UTF8String.concatWs(Space, parts.toSeq: _*)
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `word_ngrams(toks, m)` → ARRAY<STRING>: consecutive m-token grams. */
@@ -209,6 +249,25 @@ case class GramDupFrac(child: Expression, m: Int) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): GramDupFrac =
+    copy(child = newChild)
+}
+
+/** `cdc_chunk_texts(toks, divisor)` → ARRAY<STRING>: content-defined
+  * chunk texts (md5_60 boundary, space-joined tokens) in document
+  * order.
+  */
+case class CdcChunkTexts(child: Expression, divisor: Int)
+    extends UnaryExpression {
+  require(divisor >= 1, s"divisor must be positive, got $divisor")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunk_texts"
+  protected override def nullSafeEval(input: Any): Any =
+    NgramOps.cdcChunkTexts(input.asInstanceOf[ArrayData], divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramOps.cdcChunkTexts($c, $divisor)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkTexts =
     copy(child = newChild)
 }
 

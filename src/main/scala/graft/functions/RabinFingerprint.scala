@@ -338,6 +338,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("gram_dup_frac",
       es => GramDupFrac(es.head, literalIntArg("gram_dup_frac", es)),
       "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunk_texts",
+      es => CdcChunkTexts(es.head, literalIntArg("cdc_chunk_texts", es)),
+      "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",

@@ -2012,37 +2012,28 @@ object Dedup {
     * (distinct-doc and total occurrence counts) — the sub-document
     * boilerplate a fixed grid cannot see.
     *
-    * Scale shape: one posexplode of the corpus tokens; the chunk id is a
-    * per-document running sum (window over the document's own tokens —
-    * partitions by doc_id, never global); chunk reassembly is a
-    * (doc_id, chunk_id) groupBy with map-side partial aggregation; the
-    * final per-chunk-hash count groups on a key whose cardinality grows
-    * with the corpus, and the report is a TakeOrderedAndProject. All
+    * Scale shape (r22): chunking is a PER-DOCUMENT function of the
+    * token array, and a document is one row — so the chunk texts are
+    * produced inside the row by the codegen'd cdc_chunk_texts
+    * expression (NgramOps.cdcChunkTexts: boundary bit and chunk
+    * grouping bit-identical to the former posexplode → per-doc
+    * running-sum window → (doc, chunk) reassembly aggregate, which
+    * paid TWO token-level corpus exchanges for per-row work). What
+    * remains is the genuinely cross-document part: one explode of the
+    * chunk texts, the per-chunk-hash count (key cardinality grows with
+    * the corpus), and a TakeOrderedAndProject for the report. All
     * arithmetic is integer/string — both engines agree bit for bit.
     */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    // engine-guarded spread: the per-token md5 boundary hash below runs
-    // BEFORE the doc_id exchange, i.e. inside the scan stage — single
-    // task on an under-split table (the dedup_ngram lesson, via
-    // Partitioning.spreadIfNarrow so a wide production scan skips the
-    // exchange)
-    val toks = graft.engine.Partitioning.spreadIfNarrow(s,
+    graft.functions.GraftFunctions.register(s)
+    // engine-guarded spread: the per-token md5 boundary pass runs
+    // inside the scan stage — single task on an under-split table (the
+    // dedup_ngram lesson, via Partitioning.spreadIfNarrow so a wide
+    // production scan skips the exchange)
+    val chunks = graft.engine.Partitioning.spreadIfNarrow(s,
         table(s, dir, "documents"), s"$dir/documents.parquet")
-      .select(col("doc_id"), posexplode(T.tokens(col("text")))
-        .as(Seq("pos", "tok")))
-    // conv returns STRING; the cast to long is exact (60-bit < 2^63) —
-    // a double roundtrip would corrupt the low bits the mod depends on
-    val withB = toks.withColumn("b",
-      (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-        % CdcDivisor === 0).cast("int"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chunks = withB
-      .withColumn("chunk_id", sum(col("b")).over(w))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        x => x.getField("tok"))).as("chunk_text"))
+      .select(col("doc_id"), explode(call_function("cdc_chunk_texts",
+        T.tokens(col("text")), lit(CdcDivisor))).as("chunk_text"))
     chunks
       .groupBy(md5(col("chunk_text")).as("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -144,4 +144,31 @@ class Wave4Spec extends AnyFunSuite {
       c2.tail === c1 || c2.tail === c1.tail,
       s"edit did not stay local: $c1 vs $c2")
   }
+
+  test("cdc_chunk_texts equals the exploded running-sum formulation, " +
+       "chunk for chunk over the corpus (the in-row chunker is invisible)") {
+    import graft.functions.{TextFunctions => T}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val inRow = docs.select(col("doc_id"),
+      explode(call_function("cdc_chunk_texts",
+        T.tokens(col("text")), lit(Dedup.CdcDivisor))).as("chunk_text"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val exploded = toks.withColumn("b",
+      (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+        % Dedup.CdcDivisor === 0).cast("int"))
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("chunk_text"))
+      .select(col("doc_id"), col("chunk_text"))
+    assert(inRow.exceptAll(exploded).count() === 0L)
+    assert(exploded.exceptAll(inRow).count() === 0L)
+  }
 }
