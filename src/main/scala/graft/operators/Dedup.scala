@@ -1548,8 +1548,7 @@ object Dedup {
     * cap is ~80 MB of driver/executor footprint worst case); a
     * near-duplicate-saturated corpus whose gated candidates exceed it
     * falls back to shuffle semi-joins — same rows, one more exchange,
-    * no driver risk (the ghost-transport guard pattern from
-    * Skew.GhostBroadcastMax). The prefix/positional/signature tiers
+    * no driver risk. The prefix/positional/signature tiers
     * thin candidates relative to the corpus but put no ABSOLUTE bound
     * on them, so the hard guard lives here, not in the tiers.
     */

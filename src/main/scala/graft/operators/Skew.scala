@@ -359,10 +359,10 @@ object Skew {
     * cluster scale) and the RangePartitioner sampling pass both
     * disappear; what remains is one bottom-k sampling job over the
     * sort columns. A hot key still splits across its pid range exactly
-    * as before. The range class keeps the checkpoint scaffold: its
-    * ghost sweep reads pid-PURE physical partitions
-    * ([[rangeFrameSweepBroadcast]]), a property an expression cannot
-    * provide.
+    * as before. The range class (r22) uses the same bound-search
+    * device directly — purity makes its ghost targets a per-row
+    * expression ([[windowRangeSkewOn]]), so it no longer needs
+    * pid-pure physical partitions at all.
     *
     * `cluster`: when true (the lag/running/rank classes), ONE explicit
     * hash exchange on (pid, key) is planted so that both consumers —
@@ -746,108 +746,87 @@ object Skew {
     * last window class without a hot-key path. A value-range frame
     * cannot be offset-corrected like the row-frame rewrites: a row near
     * a chunk's start needs the actual PREDECESSOR ROWS within `w` of
-    * its ordering value, and — because RANGE frames include every PEER
-    * of the current value — a row at a chunk's end whose value
-    * straddles the boundary needs its tied rows from the next chunk.
-    * So the rewrite ships GHOST ROWS instead of stats: each row
-    * replicates into every other chunk whose frames can see it —
-    * backward-need targets (later chunks whose minimum ordering value
-    * lies within `w` above the row) and forward-tie targets (earlier
-    * chunks whose maximum equals the row's value; possible only as
-    * boundary tie splits). Ghost volume per boundary is bounded by the
-    * rows inside one `w`-wide value band plus tie peers — independent
-    * of the hot key's total size, which is the whole point. Ghosts
-    * contribute to local frames and are dropped before output; outputs
-    * are tie-invariant (a frame is a value set), so any boundary tie
-    * split yields identical rows. Oracle = the literal RANGE BETWEEN
-    * SQL; BIGINT summand for cross-engine associativity.
+    * its ordering value. So the rewrite ships GHOST ROWS instead of
+    * stats: each row replicates into every LATER chunk whose frames
+    * can see it — under the deterministic value-pure chunk assignment
+    * (r22) that is exactly the contiguous pid range (pid,
+    * pidOf(key, ordval + w)], computed per row by the same binary
+    * search that assigns pid (tie peers always share a chunk, so the
+    * scaffold's forward tie transport no longer exists). Ghost volume
+    * per boundary is bounded by the rows inside one `w`-wide value
+    * band — independent of the hot key's total size, which is the
+    * whole point. Ghosts contribute to local frames and are dropped
+    * before output; outputs are tie-invariant (a frame is a value
+    * set). Oracle = the literal RANGE BETWEEN SQL; BIGINT summand for
+    * cross-engine associativity.
     */
   def windowRangeSkew(s: SparkSession, dir: String,
                       w: Long = RangeSkewW): DataFrame =
     windowRangeSkewOn(s, table(s, dir, "lineitem"), w)
 
-  /** Ghost-transport threshold: ghost rows are bounded by one w-wide
-    * value band + tie peers per (boundary, key) — corpus-independent —
-    * so up to this many are COLLECTED and broadcast, letting the sweep
-    * run directly over the checkpointed range partitioning with no
-    * second corpus-wide shuffle (measured: the hash-by-pid exchange of
-    * the 60M-row zipf ×100 corpus was a quarter of the rewrite's
-    * residual). A pathological corpus that exceeds the bound (every
-    * row a boundary tie peer) falls back to the shuffle transport —
-    * same rows, one more exchange, no driver risk.
-    */
-  val GhostBroadcastMax = 1000000
-
   private[graft] def windowRangeSkewOn(s: SparkSession, df: DataFrame,
                                        w: Long = RangeSkewW,
-                                       ghostBroadcastMax: Int =
-                                         GhostBroadcastMax,
                                        spec: WindowSpec =
                                          WindowSpec.Lineitem): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(!spec.descending,
       "the range-class sweep is written against the ascending value " +
         "order; rewrite the frame bounds instead of flipping the sort")
-    val chunks = s.sparkContext.defaultParallelism
+    val chunks = math.min(s.sparkContext.defaultParallelism, ChunkExprMax)
     // normalized role columns (_k/_ov/_v — BIGINT key + ordering +
-    // summand) so the sweeps below are spec-independent: passthrough
+    // summand) so the sweep below is spec-independent: passthrough
     // columns keep their original types and ride by position
     val keep = (spec.rangeOut :+ spec.key :+ spec.rangeOrd :+ spec.value)
       .distinct
-    val ranged = df
+    val projected = df
       .select(keep.map(col): _*)
       .withColumn("_k", col(spec.key).cast("long"))
       .withColumn("_ov", col(spec.rangeOrd).cast("long"))
       .withColumn("_v", col(spec.value).cast("long"))
-      .repartitionByRange(chunks, col("_k"), col("_ov"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val wb = Window.partitionBy(col("_k")).orderBy(col("pid"))
-    val bounds = ranged.groupBy(col("pid"), col("_k"))
-      .agg(min(col("_ov")).as("lo"), max(col("_ov")).as("hi"))
-      .withColumn("nxt_lo", lead(col("lo"), 1).over(wb))
-      .withColumn("prv_hi", lag(col("hi"), 1).over(wb))
-    // EXACT candidate pre-filter before the multi-target expansion: lo
-    // rises with the chunk id, so a row can ghost into SOME later
-    // chunk iff it lies within w below its key's NEXT boundary, and
-    // into some earlier chunk iff it ties its PREVIOUS chunk's hi.
-    // This keeps the corpus-sized join a single-bucket (pid, key)
-    // lookup — the naive one-step join probed every chunk's bounds per
-    // row (~P predicate evaluations x corpus), measured 2.2x the whole
-    // lag-skew query at the zipf x100 corpus.
-    val nearEdge = ranged.join(broadcast(
-        bounds.select(col("pid"), col("_k"),
-          col("nxt_lo"), col("prv_hi"))),
-        Seq("pid", "_k"))
-      .filter((col("nxt_lo").isNotNull &&
-          col("_ov") >= col("nxt_lo") - w) ||
-        (col("prv_hi").isNotNull && col("_ov") <= col("prv_hi")))
-    val targets = bounds.select(col("_k").as("gk"),
-      col("pid").as("tpid"), col("lo"), col("hi"))
-    val ghosts = nearEdge.join(broadcast(targets),
-        col("gk") === col("_k") &&
-          ((col("tpid") > col("pid") &&
-             col("lo") - w <= col("_ov")) ||
-           (col("tpid") < col("pid") &&
-             col("_ov") <= col("hi"))))
+    // r22: deterministic chunk ids replace the class's
+    // repartitionByRange + spark_partition_id + localCheckpoint
+    // scaffold (the last full-corpus materialization in the window
+    // family — the row-frame classes shed theirs in r21). pid is the
+    // same codegen'd binary search over one driver-collected bound
+    // set ([[rangeChunked]]'s device) on the (key, ordval) order, and
+    // purity buys the range class MORE than determinism:
+    //  - ties cannot split across chunks (pid is a function of the
+    //    VALUE tuple), so the forward tie-peer transport disappears;
+    //  - a row's ghost targets collapse to the CONTIGUOUS pid range
+    //    (pid, pidOf(key, ordval + w)] — the same search expression
+    //    evaluated at the frame's far edge — so the bounds aggregate,
+    //    both broadcast joins, and the driver-side ghost collect (up
+    //    to 1M rows) all disappear; ghost candidacy is a per-row
+    //    expression, and every frame row still arrives: for a target
+    //    row x in chunk t with u in [x-w, x], monotonicity gives
+    //    t = pidOf(k, x) <= pidOf(k, u + w) = the ghost's hi.
+    //    Chunks whose actual rows start above u + w receive a ghost
+    //    the old data-extreme prefilter would have pruned; it joins
+    //    no frame (the sweep admits by VALUE) and costs only its
+    //    bounded transport.
+    // One exchange remains — the (pid, key)-hashed sweep input that
+    // both real and ghost rows ride — vs the scaffold's range
+    // exchange + checkpoint write + pinned blocks + the
+    // executor-loss-fails-the-query failure mode.
+    val fields = Seq(("_k", false), ("_ov", false))
+    val bounds = chunkBounds(projected,
+      WindowSpec(key = "_k", ord = Seq("_ov"), value = "_v",
+        rangeOrd = "_ov", out = Seq("_k", "_ov"),
+        rangeOut = Seq("_k", "_ov")), chunks)
+    val stamped = projected
+      .withColumn("pid",
+        boundSearchTree(fields, bounds, 0, bounds.length).cast("int"))
+      .withColumn("_ovw", col("_ov") + w)
+      .withColumn("_hi",
+        boundSearchTree(Seq(("_k", false), ("_ovw", false)),
+          bounds, 0, bounds.length).cast("int"))
+    val real = stamped
       .select(keep.map(col) ++ Seq(col("_k"), col("_ov"), col("_v"),
-        col("tpid").as("pid"), lit(true).as("ghost")): _*)
-    // ghost transport: collect-and-broadcast when the band bound holds
-    // (no second corpus shuffle — the sweep merges each partition's
-    // ghost slice into the checkpointed range partitioning in place);
-    // shuffle fallback otherwise
-    val ghostRows = ghosts
-      .select(col("pid"), col("_k"), col("_ov"), col("_v"))
-      .limit(ghostBroadcastMax + 1).collect()
-    if (ghostRows.length <= ghostBroadcastMax)
-      rangeFrameSweepBroadcast(s, ranged, ghostRows, w, spec)
-    else {
-      val all = ranged
-        .select(keep.map(col) ++ Seq(col("_k"), col("_ov"), col("_v"),
-          col("pid"), lit(false).as("ghost")): _*)
-        .unionByName(ghosts)
-      rangeFrameSweep(all, w, chunks, spec)
-    }
+        col("pid"), lit(false).as("ghost")): _*)
+    val ghosts = stamped.filter(col("_hi") > col("pid"))
+      .select(keep.map(col) ++ Seq(col("_k"), col("_ov"), col("_v"),
+        explode(sequence(col("pid") + 1, col("_hi"))).as("pid"),
+        lit(true).as("ghost")): _*)
+    rangeFrameSweep(real.unionByName(ghosts), w, chunks, spec)
   }
 
   /** Evaluate the trailing RANGE frame (sum + count of rows whose
@@ -878,99 +857,14 @@ object Skew {
       StructField("rng_n", LongType)))
   }
 
-  /** The no-extra-shuffle sweep: each partition of the CHECKPOINTED
-    * range partitioning is sorted in place ((key, ordval) — no
-    * exchange; partitions are pid-pure by construction) and merged
-    * with its broadcast ghost slice, feeding the same value-group
-    * two-pointer as [[rangeFrameSweep]]. Ghosts contribute to the
-    * running (sum, count) and emit nothing.
-    */
-  private def rangeFrameSweepBroadcast(s: SparkSession, ranged: DataFrame,
-      ghostRows: Array[org.apache.spark.sql.Row], w: Long,
-      spec: WindowSpec): DataFrame = {
-    import org.apache.spark.sql.Row
-    // (key, ordval, summand) ghost slices per target chunk, sweep order
-    val byPid: Map[Int, Array[(Long, Long, Long)]] = ghostRows
-      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-      .groupBy(_._1).map { case (p, a) =>
-        p -> a.map(_._2).sortBy(t => (t._1, t._2))
-      }
-    val bc = s.sparkContext.broadcast(byPid)
-    val sorted = ranged.sortWithinPartitions(col("_k"), col("_ov"))
-    val in = sorted.schema
-    val iKey = in.fieldIndex("_k")
-    val iOrd = in.fieldIndex("_ov")
-    val iVal = in.fieldIndex("_v")
-    val iPid = in.fieldIndex("pid")
-    val outIdx = spec.rangeOut.map(in.fieldIndex)
-    sorted.mapPartitions { rows =>
-      if (!rows.hasNext) Iterator.empty
-      else new Iterator[Row] {
-        private val it = rows.buffered
-        private val g = bc.value
-          .getOrElse(it.head.getInt(iPid), Array.empty[(Long, Long, Long)])
-        private var gi = 0
-        private val out = scala.collection.mutable.Queue.empty[Row]
-        private var curKey = Long.MinValue
-        private var anyKey = false
-        private val win = new java.util.ArrayDeque[(Long, Long, Long)]()
-        private var wSum = 0L
-        private var wCnt = 0L
-        def hasNext: Boolean = {
-          while (out.isEmpty && (it.hasNext || gi < g.length))
-            advanceValueGroup()
-          out.nonEmpty
-        }
-        def next(): Row = {
-          if (!hasNext) throw new NoSuchElementException("empty sweep")
-          out.dequeue()
-        }
-        private def advanceValueGroup(): Unit = {
-          // the next (key, ordval) group is the minimum across the two
-          // sorted sources
-          var key = 0L
-          var v = 0L
-          if (it.hasNext) {
-            key = it.head.getLong(iKey); v = it.head.getLong(iOrd)
-            if (gi < g.length && (g(gi)._1 < key ||
-                (g(gi)._1 == key && g(gi)._2 < v))) {
-              key = g(gi)._1; v = g(gi)._2
-            }
-          } else { key = g(gi)._1; v = g(gi)._2 }
-          if (!anyKey || key != curKey) {
-            win.clear(); wSum = 0L; wCnt = 0L
-            curKey = key; anyKey = true
-          }
-          val grp = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var gSum = 0L
-          var gCnt = 0L
-          while (it.hasNext && it.head.getLong(iKey) == key &&
-              it.head.getLong(iOrd) == v) {
-            val r = it.next()
-            grp += r
-            gSum += r.getLong(iVal)
-            gCnt += 1L
-          }
-          while (gi < g.length && g(gi)._1 == key && g(gi)._2 == v) {
-            gSum += g(gi)._3; gCnt += 1L; gi += 1
-          }
-          while (!win.isEmpty && win.peekFirst()._1 < v - w) {
-            val h = win.pollFirst(); wSum -= h._2; wCnt -= h._3
-          }
-          win.addLast((v, gSum, gCnt)); wSum += gSum; wCnt += gCnt
-          grp.foreach { r =>
-            out.enqueue(Row.fromSeq(
-              outIdx.map(r.get) ++ Seq(wSum, wCnt)))
-          }
-        }
-      }
-    }(org.apache.spark.sql.Encoders.row(rangeSweepSchema(in, spec)))
-  }
-
   private def rangeFrameSweep(all: DataFrame, w: Long, chunks: Int,
       spec: WindowSpec): DataFrame = {
     import org.apache.spark.sql.Row
-    val sorted = all.repartition(chunks, col("pid"))
+    // hash on (pid, KEY), not pid alone: the sweep's state is per
+    // (pid, key) group, so the finer key spreads evenly where 32 pid
+    // values hashed into 32 partitions would collide (~1/e of the
+    // partitions empty, the hottest holding 3-4 chunks)
+    val sorted = all.repartition(chunks, col("pid"), col("_k"))
       .sortWithinPartitions(col("pid"), col("_k"), col("_ov"))
     val in = sorted.schema
     val iKey = in.fieldIndex("_k")

@@ -137,7 +137,7 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     "last_run_start", "prev_run_start", "prev_last_dt", "rnk", "drank",
     "bucket",
     "_k", "_ov", "_v", "ghost", "lo", "hi", "nxt_lo", "prv_hi", "gk",
-    "tpid", "rng_sum", "rng_n",
+    "tpid", "rng_sum", "rng_n", "_ovw", "_hi",
     "cntl", "head_vals", "tail_vals", "prev_ctx", "next_ctx",
     "h0", "hs", "first_v", "last_v", "nth_v",
     "first_qty", "last_qty", "nth_qty")

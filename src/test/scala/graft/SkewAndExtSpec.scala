@@ -306,8 +306,8 @@ class SkewAndExtSpec extends AnyFunSuite {
   }
 
   test("window_range_skew equals the plain value-range window, multiset " +
-       "for multiset — ghost rows cover backward need and forward tie " +
-       "peers across chunk boundaries") {
+       "for multiset — expression-ranged ghost rows cover cross-chunk " +
+       "frame need") {
     import org.apache.spark.sql.expressions.Window
     val rewritten = Skew.windowRangeSkew(spark, dir)
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
@@ -320,18 +320,26 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(rewritten.count() === plain.count())
     assert(rewritten.exceptAll(plain).count() === 0L)
     assert(plain.exceptAll(rewritten).count() === 0L)
-    // non-vacuity: frames really cross chunk boundaries (some row's
-    // range count exceeds what its own chunk could supply would be
-    // hard to observe directly; instead assert multi-row frames exist
-    // at all AND the chunking produced several chunks)
+    // non-vacuity: multi-row frames exist at all, and a wide frame
+    // genuinely spans chunks (a frame wider than w/chunks of the key's
+    // value range must — the rewrite would lose its cross-chunk rows
+    // without the ghost expansion)
     assert(plain.filter(col("rng_n") > 1L).count() > 0L)
-    // both ghost transports produce the same multiset: ghostBroadcastMax
-    // = 0 forces the shuffle fallback (any ghost at all overflows it)
-    val fallback = Skew.windowRangeSkewOn(spark,
-      spark.read.parquet(s"$dir/lineitem.parquet"), Skew.RangeSkewW,
-      ghostBroadcastMax = 0)
-    assert(fallback.exceptAll(plain).count() === 0L)
-    assert(plain.exceptAll(fallback).count() === 0L)
+    // the deterministic stamp puts a wide-w frame across several
+    // chunks: with w covering the whole orderkey range, every row's
+    // frame is the key's full history — the maximal ghost-chain case
+    val wide = Skew.windowRangeSkewOn(spark,
+      spark.read.parquet(s"$dir/lineitem.parquet"), w = 10000000L)
+    val wWide = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey")).rangeBetween(-10000000L, 0)
+    val plainWide = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("rng_sum",
+        sum(col("l_quantity").cast("long")).over(wWide))
+      .withColumn("rng_n", count(lit(1)).over(wWide))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("rng_sum"), col("rng_n"))
+    assert(wide.exceptAll(plainWide).count() === 0L)
+    assert(plainWide.exceptAll(wide).count() === 0L)
   }
 
   test("window_running_skew equals the plain running-frame window, " +
@@ -680,19 +688,24 @@ class SkewAndExtSpec extends AnyFunSuite {
     }
   }
 
-  test("withCheckpointScope reclaims the chunked windows' checkpoint " +
+  test("withCheckpointScope reclaims operator-internal checkpoint " +
        "blocks once the action completes") {
-    // the range class is the one remaining checkpoint user (its ghost
-    // sweep needs pid-PURE physical partitions); the row-frame classes
-    // assign chunks deterministically (rangeChunked) and pin nothing
+    // r22: the range window class replaced its checkpoint scaffold
+    // with deterministic chunk ids — the whole chunked window family
+    // now pins NOTHING; dedup_recall's audit-slice checkpoint is the
+    // scope's remaining in-spec device
     val sc = spark.sparkContext
     sc.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = true))
     graft.engine.CheckpointScope.withCheckpointScope(spark) {
       Skew.windowRangeSkew(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      assert(sc.getPersistentRDDs.isEmpty,
+        "the deterministic range rewrite must pin no blocks at all")
+      graft.operators.Dedup.dedupRecall(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       assert(sc.getPersistentRDDs.nonEmpty,
-        "the range rewrite should have pinned its chunk assignment")
+        "dedup_recall should have pinned its audit-slice checkpoint")
     }
     assert(sc.getPersistentRDDs.isEmpty,
       "scope exit must reclaim every RDD the query pinned")
