@@ -1014,7 +1014,12 @@ object Skew {
         countDistinct(col(coarse)).as("d"),
         min(col(coarse)).as("first_dt"),
         max(col(coarse)).as("last_dt"),
-        max(col("lrk")).as("last_rk"))
+        max(col("lrk")).as("last_rk"),
+        // local end position of the chunk's FIRST coarse value (its
+        // rows are exactly the lrk = 1 rows, contiguous from position
+        // 1) — the extended class's boundary-run end device; unused
+        // (and so pruned) in the base class
+        max(when(col("lrk") === 1L, col("lrn"))).as("cnt_first"))
     val stats0 = statsBase
       .withColumn("offset", coalesce(sum(col("cnt")).over(before), lit(0L)))
       .withColumn("total", sum(col("cnt")).over(
@@ -1034,15 +1039,49 @@ object Skew {
       .withColumn("grp", sum(col("starts_run")).over(through))
     val wg = Window.partitionBy(col(spec.key), col("grp"))
       .orderBy(col("pid"))
-    val stats = stats0
+    val statsRun = stats0
       .withColumn("last_run_start",
         first(col("offset") + col("last_rk")).over(wg))
       .withColumn("prev_run_start",
         lag(col("last_run_start"), 1).over(wk))
       .withColumn("prev_last_dt", lag(col("last_dt"), 1).over(wk))
-      .select(col("pid"), col(spec.key), col("offset"), col("total"),
-        col("adj_d"), col("prev_run_start"), col("prev_last_dt"))
-    val joined = local.join(broadcast(stats), Seq("pid", spec.key))
+    val baseCols = Seq(col("pid"), col(spec.key), col("offset"),
+      col("total"), col("adj_d"), col("prev_run_start"),
+      col("prev_last_dt"))
+    // extended: the chunk's-last-value global END position, via the
+    // run-group device run FORWARD. The chain of chunks sharing one
+    // boundary value is [c .. c''] = c's run group (c'' the last
+    // single-valued continuation), possibly ending INSIDE c''+1 when
+    // that chunk's first value continues it (c''+1 is then
+    // multi-valued — a single continuing chunk would be in the group).
+    // So: end_if_last(c) = offset(c''+1) + cnt_first(c''+1) when the
+    // next chunk continues, else offset(c) + cnt(c) (the boundary
+    // value IS the chunk's last rows), and the group's true end is
+    // end_if_last at the group's LAST chunk — last() over the (key,
+    // grp) window's forward frame.
+    val stats =
+      if (!extended) statsRun.select(baseCols: _*)
+      else statsRun
+        .withColumn("nxt_cont",
+          coalesce(lead(col("cont"), 1).over(wk), lit(false)))
+        .withColumn("nxt_first_end",
+          lead(col("offset") + col("cnt_first"), 1).over(wk))
+        .withColumn("end_if_last",
+          when(col("nxt_cont"), col("nxt_first_end"))
+            .otherwise(col("offset") + col("cnt")))
+        .withColumn("last_val_end", last(col("end_if_last")).over(
+          wg.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .select(baseCols ++ Seq(col("last_dt"), col("last_val_end")): _*)
+    // extended: one extra LOCAL window on the join side — max(lrn)
+    // over (pid, key, coarse) is the peer group's end position within
+    // its chunk. (pid, key) hash clustering satisfies the finer
+    // partitioning and the existing full-tuple sort has (pid, key,
+    // coarse) as a prefix, so this adds NO exchange and NO sort.
+    val localJ =
+      if (!extended) local
+      else local.withColumn("lpe", max(col("lrn")).over(
+        Window.partitionBy(col("pid"), col(spec.key), col(coarse))))
+    val joined = localJ.join(broadcast(stats), Seq("pid", spec.key))
       .withColumn("rn", col("lrn") + col("offset"))
     val rnkExpr = when(col(coarse) === col("prev_last_dt"),
       col("prev_run_start")).otherwise(col("offset") + col("lrk"))
@@ -1050,14 +1089,16 @@ object Skew {
     // percent_rank = (rank − 1) / (total − 1) needs only the boundary
     // rank and the per-key total the stats already carry (0.0 on a
     // single-row key, both engines' convention). cume_dist = the peer
-    // group's LAST global position / total: max(rn) over (key, coarse)
-    // is tie-invariant even though rn itself is not, and that window
-    // partitions on (key, coarse value) — fine-grained by the coarse
-    // class's own premise (many values per key), so it reintroduces
-    // no hot partition. Both are exact integer divisions performed
-    // identically by both engines — no rounding needed.
+    // group's LAST global position / total: the position is the local
+    // peer end offset-corrected when the group ends inside this chunk
+    // (coarse < last_dt — contiguous chunk ranges put every later
+    // peer in a later chunk), and the stats-side boundary-run end
+    // otherwise. r22: this replaces a full (key, coarse) window over
+    // the OUTPUT (one corpus exchange + sort per query) with a local
+    // window and two tiny stats columns. Both divisions are exact
+    // integer numerators over the same total — identical doubles in
+    // both engines, no rounding needed.
     if (extended) {
-      val wPeer = Window.partitionBy(col(spec.key), col(coarse))
       return joined
         .withColumn("rnk", rnkExpr)
         .withColumn("prank",
@@ -1065,7 +1106,8 @@ object Skew {
             .otherwise((col("rnk") - 1).cast("double") /
               (col("total") - 1).cast("double")))
         .withColumn("cdist",
-          max(col("rn")).over(wPeer).cast("double") /
+          when(col(coarse) === col("last_dt"), col("last_val_end"))
+            .otherwise(col("offset") + col("lpe")).cast("double") /
             col("total").cast("double"))
         .select(spec.out.map(col) ++ Seq(col("rnk"), col("prank"),
           col("cdist")): _*)

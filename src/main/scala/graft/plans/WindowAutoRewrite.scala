@@ -138,6 +138,8 @@ object WindowAutoRewrite extends Rule[LogicalPlan] {
     "bucket",
     "_k", "_ov", "_v", "ghost", "lo", "hi", "nxt_lo", "prv_hi", "gk",
     "tpid", "rng_sum", "rng_n", "_ovw", "_hi",
+    "cnt_first", "nxt_cont", "nxt_first_end", "end_if_last",
+    "last_val_end", "lpe", "prank", "cdist",
     "cntl", "head_vals", "tail_vals", "prev_ctx", "next_ctx",
     "h0", "hs", "first_v", "last_v", "nth_v",
     "first_qty", "last_qty", "nth_qty")
