@@ -220,6 +220,25 @@ class SkewAndExtSpec extends AnyFunSuite {
     assert(ext.count() === extP.count())
     assert(ext.exceptAll(extP).count() === 0L)
     assert(extP.exceptAll(ext).count() === 0L)
+    // cume_dist's boundary-run END device (r22): one coarse value
+    // owning a 1200-row run forces the run to SPAN chunks, including
+    // single-valued middle chunks (the forward run-group chain) and
+    // an ending inside a multi-valued chunk (the nxt_cont +
+    // cnt_first arm) — the cases the lineitem data rarely produces
+    val chain = (0 until 2000).map { i =>
+      val c = if (i < 400) i.toLong / 50
+        else if (i < 1600) 99L
+        else 100L + i
+      (1L, c, i.toLong)
+    }.toDF("k", "c", "u").repartition(7)
+    val cspec = WindowSpec(key = "k", ord = Seq("c", "u"), value = "u",
+      rangeOrd = "u", out = Seq("k", "c", "u"),
+      rangeOut = Seq("k", "c", "u"), valueAlias = "u")
+    val chainExt = Skew.windowRankSkewOn(spark, chain,
+      spec = cspec, extended = true)
+    val chainP = Skew.windowRankExtPlain(chain, cspec)
+    assert(chainExt.exceptAll(chainP).count() === 0L)
+    assert(chainP.exceptAll(chainExt).count() === 0L)
   }
 
   test("window_rank_skew equals the plain rank/dense_rank/ntile windows, " +
