@@ -713,18 +713,23 @@ object Skew {
       .withColumn("lrn", count(lit(1)).over(wl))
     val wk = Window.partitionBy(col(spec.key)).orderBy(col("pid"))
     val before = wk.rowsBetween(Window.unboundedPreceding, -1)
-    // chunk totals read OFF THE LOCAL WINDOW'S LAST ROW (max_by on the
-    // local row count; lsum at lrn = cnt IS the chunk sum — the
-    // summand is already an exact BIGINT) instead of re-aggregating
-    // `ranged`: aggregating the raw frame let column pruning shrink
-    // this branch's exchange to (pid, key, value) and DEFEAT exchange
-    // reuse with the join side (guide §2.4) — the corpus was scanned,
-    // pid-stamped and shuffled twice. Consuming lsum/lrn pins the
-    // branch to the join side's identical subtree, so one map stage
-    // feeds both consumers.
-    val stats = local.groupBy(col("pid"), col(spec.key))
-      .agg(max_by(col("lsum"), col("lrn")).as("csum"),
-        max(col("lrn")).as("cnt"))
+    // Stats aggregate the RAW ranged frame, accepting that column
+    // pruning shrinks this branch to its own narrow (pid, key, value)
+    // scan + exchange instead of reusing the join side's wide one.
+    // The shared-exchange variant (stats off the local window's last
+    // row: max_by(lsum, lrn) / max(lrn)) was TRIED in r22 and
+    // REVERTED: unlike the rank class — whose stats branch sorts
+    // either way, so deduplicating the exchange was a pure win — the
+    // running stats are a plain HASH aggregate, and pinning them to
+    // the windowed subtree replaced a narrow column-pruned scan +
+    // narrow shuffle with a second full-width SORT of the corpus
+    // partitions. Measured consistently negative at sf0.1 (REPS=5
+    // med 2.03 -> 2.18/2.42 across two sessions, controls adverse
+    // by less), and the scale trade (extra corpus sort + spill vs a
+    // ~3-column scan and shuffle) leans the same way.
+    val stats = ranged.groupBy(col("pid"), col(spec.key))
+      .agg(sum(col(spec.value).cast("long")).as("csum"),
+        count(lit(1)).as("cnt"))
       .withColumn("sum_offset",
         coalesce(sum(col("csum")).over(before), lit(0L)))
       .withColumn("offset",
