@@ -1353,10 +1353,22 @@ object Skew {
     * `key`: None when no artifact exists, it doesn't cover the key,
     * it's malformed, or the table's fingerprint moved since profile
     * time (staleness guard — fall back to the live profile instead of
-    * trusting a superseded count).
+    * trusting a superseded count). `fp` supplies the CURRENT
+    * fingerprint — the dispatch path passes the scan relation's own
+    * cached file index ([[indexFingerprint]]; r20 VERDICT item 5: the
+    * driver re-walked the table's file tree on every dispatch, a
+    * second full listing per query at millions of files, when the
+    * relation already holds the listing), defaulting to the
+    * [[tableFingerprint]] walk for callers without a relation in hand.
+    * A divergence between the two listings fails SAFE: the artifact
+    * reads as stale and the dispatcher profiles live.
     */
   private[graft] def artifactStats(root: String, key: String)
       : Option[(Long, Long, Double)] =
+    artifactStats(root, key, tableFingerprint(root))
+
+  private[graft] def artifactStats(root: String, key: String,
+      fp: => (Long, Long, Long)): Option[(Long, Long, Double)] =
     scala.util.Try {
       val path = statsArtifactPath(root)
       if (!java.nio.file.Files.exists(path)) None
@@ -1364,7 +1376,7 @@ object Skew {
         val props = new java.util.Properties()
         val in = java.nio.file.Files.newInputStream(path)
         try props.load(in) finally in.close()
-        val (nf, mt, bytes) = tableFingerprint(root)
+        val (nf, mt, bytes) = fp
         val fresh = props.getProperty("files") == nf.toString &&
           props.getProperty("maxMtime") == mt.toString &&
           props.getProperty("totalBytes") == bytes.toString
@@ -1386,39 +1398,70 @@ object Skew {
     * plant hot keys exactly that way). Conservative by construction —
     * any unrecognized node refuses and the dispatcher profiles live.
     */
-  private[graft] def bareTableRoot(df: DataFrame): Option[String] = {
+  private[graft] def bareTableRoot(df: DataFrame): Option[String] =
+    bareTableScan(df).map(_._1)
+
+  /** [[bareTableRoot]] plus the scan's own relation, so the dispatch
+    * path can fingerprint from the relation's ALREADY-LOADED file
+    * index instead of re-walking the table's file tree.
+    */
+  private[graft] def bareTableScan(df: DataFrame): Option[(String,
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation)] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
       Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
       LogicalRelation}
-    def walk(p: LogicalPlan): Option[String] = p match {
-      case Project(exprs, child)
-          if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-        walk(child)
-      case SubqueryAlias(_, child) => walk(child)
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths match {
-          case Seq(one) =>
-            val u = one.toUri
-            // LOCAL roots only (r20 ADVICE): the artifact read/write
-            // and fingerprint walk are java.nio (driver-local), and a
-            // remote root (s3a://bucket/p) stripped to its bare path
-            // could alias a previously-profiled local table at /p and
-            // serve it the wrong stats. A remote deployment keys its
-            // artifact store off the full URI; until that exists,
-            // remote tables refuse the artifact posture and profile
-            // live.
-            if (u.getScheme == null || u.getScheme == "file")
-              Some(u.getPath)
-            else None
+    def walk(p: LogicalPlan): Option[(String, HadoopFsRelation)] =
+      p match {
+        case Project(exprs, child)
+            if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+          walk(child)
+        case SubqueryAlias(_, child) => walk(child)
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths match {
+            case Seq(one) =>
+              val u = one.toUri
+              // LOCAL roots only (r20 ADVICE): the artifact read/write
+              // and fingerprint walk are java.nio (driver-local), and a
+              // remote root (s3a://bucket/p) stripped to its bare path
+              // could alias a previously-profiled local table at /p and
+              // serve it the wrong stats. A remote deployment keys its
+              // artifact store off the full URI; until that exists,
+              // remote tables refuse the artifact posture and profile
+              // live.
+              if (u.getScheme == null || u.getScheme == "file")
+                Some((u.getPath, fs))
+              else None
+            case _ => None
+          }
           case _ => None
         }
         case _ => None
       }
-      case _ => None
-    }
     walk(df.queryExecution.analyzed)
+  }
+
+  /** The artifact staleness fingerprint computed from the scan
+    * relation's file index — the listing the query already paid for
+    * at plan time — instead of a second full tree walk per dispatch
+    * ([[tableFingerprint]] remains the write-side source and the
+    * no-relation fallback; the spec pins the two equal on both table
+    * layouts). Same hidden-file filter as the walk.
+    */
+  private[graft] def indexFingerprint(
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation)
+      : (Long, Long, Long) = {
+    var n = 0L; var mt = 0L; var bytes = 0L
+    fs.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) {
+        n += 1L
+        mt = math.max(mt, f.getModificationTime)
+        bytes += f.getLen
+      }
+    })
+    (n, mt, bytes)
   }
 
   /** The share the dispatcher acts on, resolved from session conf —
@@ -1444,7 +1487,8 @@ object Skew {
         // able to bypass a bad artifact without deleting the file
         val mode = s.conf.get("spark.graft.window.profile", "sample")
         val art = if (mode == "exact") None
-          else bareTableRoot(df).flatMap(artifactStats(_, key))
+          else bareTableScan(df).flatMap { case (root, rel) =>
+            artifactStats(root, key, indexFingerprint(rel)) }
         art match {
           case Some((hot, total, _)) =>
             if (total == 0L) 0.0 else hot.toDouble / total.toDouble
@@ -1529,7 +1573,8 @@ object Skew {
           // profile=exact overrides the artifact posture (r20 ADVICE)
           val mode = s.conf.get("spark.graft.window.profile", "sample")
           val art = if (mode == "exact") None
-            else bareTableRoot(df).flatMap(artifactStats(_, key))
+            else bareTableScan(df).flatMap { case (root, rel) =>
+              artifactStats(root, key, indexFingerprint(rel)) }
           art match {
             case Some((h, t, _)) =>
               val sh = if (t == 0L) 0.0 else h.toDouble / t

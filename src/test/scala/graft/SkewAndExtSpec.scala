@@ -730,6 +730,30 @@ class SkewAndExtSpec extends AnyFunSuite {
       "scope exit must reclaim every RDD the query pinned")
   }
 
+  test("indexFingerprint equals the tableFingerprint walk on both " +
+       "table layouts (the dispatch path's zero-extra-listing read)") {
+    import java.nio.file.Files
+    // directory table
+    val tmp = Files.createTempDirectory("graftfp").toString
+    val dpath = s"$tmp/tbl"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .repartition(3).write.parquet(dpath)
+    val (dRoot, dRel) = Skew.bareTableScan(
+      spark.read.parquet(dpath)).get
+    assert(dRoot === dpath)
+    assert(Skew.indexFingerprint(dRel) === Skew.tableFingerprint(dpath),
+      "directory-table fingerprints must agree between the file index " +
+        "and the tree walk")
+    // single-file table
+    val fpath = s"$tmp/one.parquet"
+    Files.copy(java.nio.file.Paths.get(s"$dir/lineitem.parquet"),
+      java.nio.file.Paths.get(fpath))
+    val (fRoot, fRel) = Skew.bareTableScan(
+      spark.read.parquet(fpath)).get
+    assert(fRoot === fpath)
+    assert(Skew.indexFingerprint(fRel) === Skew.tableFingerprint(fpath))
+  }
+
   test("rangeChunked assigns deterministic, order-monotone chunk ids") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.WindowSpec
